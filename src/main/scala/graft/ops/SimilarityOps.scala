@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Similarity search over `embeddings` (64-dim float vectors, SURVEY §7.4):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH variant as the scale path (bucket join instead of
+  * a full cross product). Dot products run through codegen'd higher-order
+  * array expressions (`zip_with` + `aggregate`) — a strict left fold, so
+  * the summation order is deterministic and matches DuckDB's
+  * `list_cosine_similarity` loop bit-for-bit on the same doubles.
+  */
+object SimilarityOps {
+
+  /** embeddings with the float vector widened to double. */
+  def vectors(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  private def norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+
+  def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for the given query rows: broadcast the (small)
+    * query side against the full corpus — one scan, no shuffle of the big
+    * side before the per-query window.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine("qv", "v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Deterministic random hyperplanes: `tables` independent 8-bit
+    * signatures (4×8 planes), seeded driver-side.
+    */
+  private def planes(tables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(7L)
+    Seq.fill(tables * bitsPerTable)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-pattern bucket ids, one per LSH table, for the vector column
+    * `vcol` (expects a `pl` column holding the plane matrix).
+    */
+  private def bucketsExpr(vcol: String, tables: Int, bits: Int): Column = expr(
+    s"""transform(sequence(0, ${tables - 1}), tb ->
+       |  aggregate(sequence(0, ${bits - 1}), 0, (accb, b) ->
+       |    accb * 2 + CASE WHEN aggregate(
+       |        zip_with($vcol, element_at(pl, tb * $bits + b + 1), (x, w) -> x * w),
+       |        CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0
+       |      THEN 1 ELSE 0 END))""".stripMargin)
+
+  /** LSH ANN: bucket each vector into `tables` 8-bit sign-pattern buckets,
+    * join queries to corpus on (table, bucket), rerank candidates by exact
+    * cosine. Approximate — recall vs brute force is pinned in
+    * SimilaritySpec. Scale path: the join fans out only within buckets
+    * (~n/256 per table), never the full corpus.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    val pl = typedlit(planes(tables, bits, 64))
+    val corpusB = corpus.withColumn("pl", pl)
+      .select(col("vec_id"), col("v"),
+        posexplode(bucketsExpr("v", tables, bits)).as(Seq("tbl", "bucket")))
+    val queryB = queries.withColumn("pl", pl)
+      .select(col("q_id"), col("qv"),
+        posexplode(bucketsExpr("qv", tables, bits)).as(Seq("tbl", "bucket")))
+    val cand = corpusB.join(broadcast(queryB), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("sim", cosine("qv", "v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
+  private def queriesOf(v: DataFrame, n: Int): DataFrame =
+    v.where(col("vec_id") < n).select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q27_ann_bruteforce",
+      Some("""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |        list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, vec_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT q_id, rnk, vec_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+      (spark, dir) => {
+        val v = vectors(spark, dir)
+        bruteForceTopK(v, queriesOf(v, 20), k = 5)
+      }),
+
+    // Approximate variant: same output shape, no oracle (recall bounded in
+    // SimilaritySpec against the brute-force baseline).
+    QueryDef("q28_ann_lsh", None,
+      (spark, dir) => {
+        val v = vectors(spark, dir)
+        lshTopK(v, queriesOf(v, 20), k = 5)
+      }),
+
+    // Embedding-cosine near-duplicate assignment: LSH candidates verified
+    // by exact cosine >= threshold, then the same 1-hop canonical-id
+    // assignment as the text dedup ops (one row per vector, canonical =
+    // self when nothing is near). No oracle; SimilaritySpec plants
+    // duplicated vectors and checks they collapse.
+    QueryDef("q43_embed_neardup", None,
+      (spark, dir) => embedNearDup(vectors(spark, dir), threshold = 0.95)))
+
+  def embedNearDup(corpus: DataFrame, threshold: Double,
+      tables: Int = 4, bits: Int = 8): DataFrame = {
+    val pl = typedlit(planes(tables, bits, 64))
+    val bucketed = corpus.withColumn("pl", pl)
+      .select(col("vec_id"), col("v"),
+        posexplode(bucketsExpr("v", tables, bits)).as(Seq("tbl", "bucket")))
+      .cache() // both sides of the self-join below
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.v").as("va"),
+        col("b.vec_id").as("vec_b"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("sim", cosine("va", "vb"))
+      .where(col("sim") >= threshold)
+    // undirected edges -> per-vector min neighbor -> canonical
+    val neighbors = cand.select(col("vec_a").as("vec_id"), col("vec_b").as("other"))
+      .unionByName(cand.select(col("vec_b").as("vec_id"), col("vec_a").as("other")))
+      .groupBy("vec_id").agg(min(col("other")).as("min_neighbor"))
+    corpus.select(col("vec_id")).join(neighbors, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        least(col("vec_id"), coalesce(col("min_neighbor"), col("vec_id"))).as("canonical_id"))
+      .withColumn("is_dup", (col("canonical_id") < col("vec_id")).cast("int"))
+      .orderBy("vec_id")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Text-analysis operators over the `documents` table: language-ID
+  * heuristic, quality scoring, token stats, document fingerprinting
+  * (training-data-pipeline surface, SURVEY §7.4).
+  *
+  * The first three are written in a dialect-neutral SQL subset and run
+  * VERBATIM in both Spark and the DuckDB oracle — logic parity is the
+  * correctness contract. Counts stay integer (CAST .. AS INT/BIGINT) so
+  * hashes can't drift on float formatting.
+  */
+object TextOps {
+
+  /** Occurrence count of a padded marker word, exact in both engines:
+    * each removed occurrence deletes length(w)+2 chars, and the division
+    * is always exact (numerator divisible by denominator).
+    */
+  private def hits(w: String): String =
+    s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+
+  /** Language-ID by marker-word scoring with a deterministic argmax
+    * tiebreak. (The synthetic corpus shares one vocabulary across langs,
+    * so this grades logic parity, not label accuracy.)
+    */
+  private val langIdSql =
+    s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+       |  SELECT lang, CASE
+       |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+       |    WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       |    WHEN s_es >= s_zh THEN 'es'
+       |    ELSE 'zh' END AS predicted
+       |  FROM (
+       |    SELECT lang,
+       |      ${hits("the")} AS s_en,
+       |      ${hits("table")} AS s_de,
+       |      ${hits("fast")} AS s_fr,
+       |      ${hits("slow")} AS s_es,
+       |      ${hits("merge")} AS s_zh
+       |    FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents)))
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  /** Per-document quality signals: all-integer output. */
+  private val qualitySql =
+    s"""SELECT doc_id,
+       |  CAST(nc AS INT) AS n_chars,
+       |  CAST(nt AS INT) AS n_tokens,
+       |  CAST(nc - nt + 1 AS INT) AS n_letter_chars,
+       |  CASE WHEN nt BETWEEN 30 AND 120 THEN 1 ELSE 0 END AS len_ok,
+       |  CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS has_stopword
+       |FROM (
+       |  SELECT doc_id, length(text) AS nc,
+       |    length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+       |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0 AS stop_hits
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus token statistics per source. */
+  private val tokenStatsSql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+      |  CAST(MIN(nt) AS INT) AS min_tokens,
+      |  CAST(MAX(nt) AS INT) AS max_tokens
+      |FROM (SELECT source, length(text) - length(replace(text, ' ', '')) + 1 AS nt
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q29_lang_id", Some(langIdSql), (spark, dir) => {
+      withViews(spark, dir, "documents")
+      spark.sql(langIdSql)
+    }),
+    QueryDef("q30_quality_score", Some(qualitySql), (spark, dir) => {
+      withViews(spark, dir, "documents")
+      spark.sql(qualitySql)
+    }),
+    QueryDef("q31_token_stats", Some(tokenStatsSql), (spark, dir) => {
+      withViews(spark, dir, "documents")
+      spark.sql(tokenStatsSql)
+    }),
+
+    // Rolling polynomial fingerprint over tokens, kept inside a bounded
+    // modulus so ANSI-mode Spark never overflows; same fold replicated in
+    // DuckDB via list_reduce.
+    QueryDef(
+      "q32_fingerprint",
+      Some("""SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000003) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "documents")
+          .withColumn("codes", expr(
+            "transform(split(text, ' '), t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))"))
+          .withColumn("fp", expr(
+            "aggregate(codes, CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000003)"))
+          .select(col("doc_id"), col("fp"))
+          .orderBy("doc_id")))
+}

