@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Typed `Aggregator` producing a MinHash sketch from a group of shingles
+  * (the custom-aggregate surface planned in SURVEY §7.4 / §2.12).
+  *
+  * Hash family is identical to the SQL `xxhash64(s, j)` used by
+  * `DedupOps.minhashSignatures` (seed 42, then each argument folded in),
+  * so the two formulations produce byte-equal signatures
+  * (MinHashSketchSpec). The sketch buffer is a fixed Array[Long], merged
+  * element-wise min — associative and commutative, so partial aggregation
+  * works across any partitioning.
+  */
+class MinHashSketch(perms: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+
+  override def zero: Array[Long] = Array.fill(perms)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    val s = UTF8String.fromString(shingle)
+    val h0 = XxHash64Function.hash(s, StringType, 42L)
+    var j = 1
+    while (j <= perms) {
+      // the DataFrame twin hashes the index from sequence(1, n) as an INT
+      val h = XxHash64Function.hash(j, IntegerType, h0)
+      if (h < buf(j - 1)) buf(j - 1) = h
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < perms) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  // ExpressionEncoder keeps the buffer/output as native array<bigint>
+  // columns (kryo/java serialization would surface opaque binary)
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}

@@ -23,13 +23,22 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+  /** Built-in-only cosine (higher-order functions). Interpreted per
+    * element — kept as the reference implementation; the hot paths use the
+    * codegen'd native expression below, which VectorFunctionsSpec proves
+    * bit-identical (both are strict sequential folds).
+    */
+  def cosineHof(a: String, b: String): Column = {
+    def dot(x: String, y: String): Column = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    def norm(x: String): Column =
+      sqrt(expr(s"aggregate(transform($x, p -> p * p), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+    dot(a, b) / (norm(a) * norm(b))
+  }
 
-  private def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
-
-  def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native Catalyst expression (graft.functions.CosineSimilarity). */
+  def cosine(a: String, b: String): Column =
+    graft.functions.VectorFunctions.cosineSim(col(a), col(b))
 
   /** Exact top-k neighbors for the given query rows: broadcast the (small)
     * query side against the full corpus — one scan, no shuffle of the big

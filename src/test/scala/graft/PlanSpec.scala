@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Physical-plan shape assertions (SURVEY §4): the optimizations SCALE.md
+  * relies on must actually appear in the executed plan — column pruning to
+  * the scan, filter pushdown, broadcast joins for dims, TakeOrderedAndProject
+  * for top-k, and partial (map-side) aggregation.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 scan prunes columns: o_comment-free ReadSchema") {
+    // select 6 of 6 columns here, so use a pruned projection directly
+    val df = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_extendedprice"),
+      s"scan should not read unprojected columns:\n$plan")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = t(spark, sf, "lineitem")
+      .where(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThan(l_quantity,45"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("q09 flagship uses two-phase hash aggregation") {
+    val plan = planOf("q09_flagship_category")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial"), s"expected partial agg in:\n$plan")
+  }
+
+  test("q10 city analytics broadcasts the dimension tables") {
+    val plan = planOf("q10_city_analytics")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dims should not sort-merge:\n$plan")
+  }
+
+  test("q17 last-7-days plans as top-k, not a global sort") {
+    val plan = planOf("q17_last7_days")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k in:\n$plan")
+  }
+
+  test("q18 topk plans as TakeOrderedAndProject") {
+    val plan = planOf("q18_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k in:\n$plan")
+  }
+
+  test("q09 stays inside whole-stage codegen") {
+    // AQE prints codegen spans only once the plan is finalized by a run
+    val df = SparkEntry.queries("q09_flagship_category")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"expected codegen spans in:\n$plan")
+  }
+
+  test("q24 minhash plan has no join (single-pass window assignment)") {
+    val plan = planOf("q24_dedup_minhash")
+    assert(!plan.contains("Join"), s"bucket-min must be a window, not a join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+}
