@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Coverage beyond the reference surface, all oracle-backed: semi-structured
+  * JSON extraction, a fact-to-fact shuffle join (the plan class q10's
+  * broadcast dims never exercise), and an as-of join composed from
+  * built-ins (union + running `last` window) against DuckDB's native
+  * ASOF JOIN.
+  */
+object ExtendedOps {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // JSON column extraction: get_json_object in Spark; the oracle parses
+    // the same value via json_extract_string. Integer aggregates only.
+    QueryDef(
+      "q44_json_extract",
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (spark, dir) =>
+        EventOps.events(spark, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type")),
+
+    // Fact ⋈ fact: lineitem joins orders on the order key — too big to
+    // broadcast, so Catalyst plans a shuffle (sort-merge/shuffled-hash)
+    // join with AQE skew handling; aggregation after the join is the
+    // classic TPC-H shape.
+    QueryDef(
+      "q45_fact_join",
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  ${sqlMoneySum(REV)} AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val li = t(spark, dir, "lineitem")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            moneySum(revenue).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // As-of join (operator Spark lacks): for every click, the latest
+    // purchase by the same user at-or-before its timestamp. Composed from
+    // built-ins per the custom-operator preference order — union the two
+    // event sets, run a running `last(purchase_ts, ignoreNulls)` window
+    // ordered (ts, purchase-first) per user, keep the click rows. One
+    // shuffle on user_id; no join at all. Oracle: DuckDB's native ASOF.
+    QueryDef(
+      "q46_asof_join",
+      Some("""WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin),
+      (spark, dir) => {
+        val ev = EventOps.events(spark, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_click"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(lit(null).cast("long").as("event_id"), col("user_id"),
+            col("ts"), lit(0).as("is_click"))
+        // purchase sorts before click at an equal timestamp => "at or before"
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_click").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("last_purchase_ts",
+            last(when(col("is_click") === 0, col("ts")), ignoreNulls = true).over(w))
+          .where(col("is_click") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmt).as("click_ts"),
+            date_format(col("last_purchase_ts"), tsFmt).as("last_purchase"))
+          .orderBy("event_id")
+      }))
+}
