@@ -53,6 +53,17 @@ object Pipeline {
     silverTransform(newBatch).write.mode(SaveMode.Append)
       .format("parquet").saveAsTable(silverTable)
 
+  /** 100 TB-tier silver layout: partitioned by order_date so daily queries
+    * prune to one partition directory (SCALE.md). The reference writes an
+    * unpartitioned snapshot (kept as the fidelity path above); this is the
+    * layout a real deployment uses — PlanSpec asserts the pruning.
+    */
+  def rebuildSilverPartitioned(spark: SparkSession, table: String = s"${silverTable}_bydate"): Unit =
+    silverTransform(spark.table(bronzeTable))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("order_date")
+      .format("parquet").saveAsTable(table)
+
   // ---- Quality suite C2: report-only, never drops rows (ref 01:168-206) ----
 
   final case class QualityReport(

@@ -65,6 +65,24 @@ class PlanSpec extends SparkSpec {
       s"expected codegen spans in:\n$plan")
   }
 
+  test("date-partitioned silver prunes partitions on a date filter") {
+    graft.etl.Pipeline.initialLoad(spark, n = 200, seed = 7L)
+    graft.etl.Pipeline.rebuildSilverPartitioned(spark)
+    val someDate = spark.table("silver_sales_clean_bydate")
+      .select(max(col("order_date"))).first().getDate(0)
+    val df = spark.table("silver_sales_clean_bydate")
+      .where(col("order_date") === lit(someDate))
+      .select("order_id", "total_amount")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("order_date"),
+      s"expected partition pruning in:\n$plan")
+    // the filter must be a partition filter, not a pushed data filter
+    assert(!plan.replaceAll("\\s", "").contains("PushedFilters:[],PartitionFilters:[]"),
+      s"no pruning happened:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q24 minhash plan has no join (single-pass window assignment)") {
     val plan = planOf("q24_dedup_minhash")
     assert(!plan.contains("Join"), s"bucket-min must be a window, not a join:\n$plan")
