@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/shuffle machinery so the first timed query
-    // doesn't absorb session startup (~5s otherwise)
+    // warm the JVM/codegen/shuffle/parquet machinery so the first timed
+    // query doesn't absorb session startup (~5s otherwise)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

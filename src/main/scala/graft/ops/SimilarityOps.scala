@@ -73,21 +73,32 @@ object SimilarityOps {
        |        CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0
        |      THEN 1 ELSE 0 END))""".stripMargin)
 
-  /** LSH ANN: bucket each vector into `tables` 8-bit sign-pattern buckets,
-    * join queries to corpus on (table, bucket), rerank candidates by exact
-    * cosine. Approximate — recall vs brute force is pinned in
-    * SimilaritySpec. Scale path: the join fans out only within buckets
-    * (~n/256 per table), never the full corpus.
+  /** LSH ANN: bucket each vector into `tables` sign-pattern buckets, join
+    * queries to corpus on (table, bucket), rerank candidates by exact
+    * cosine. Multiprobe: each query also probes the `bits` buckets at
+    * Hamming distance 1 (single-bit flips), recovering near-misses where
+    * one hyperplane fell on the wrong side — recall vs brute force is
+    * pinned in SimilaritySpec. Scale path: the join fans out only within
+    * buckets (~n/2^bits per table per probe), never the full corpus.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 6): DataFrame = {
+      tables: Int = 8, bits: Int = 6, multiprobe: Boolean = true): DataFrame = {
     val pl = typedlit(planes(tables, bits, 64))
     val corpusB = corpus.withColumn("pl", pl)
       .select(col("vec_id"), col("v"),
         posexplode(bucketsExpr("v", tables, bits)).as(Seq("tbl", "bucket")))
+    val probes =
+      if (multiprobe)
+        s"""flatten(transform(bks, b0 ->
+           |  concat(array(b0), transform(sequence(0, ${bits - 1}), f -> b0 ^ shiftleft(1, f)))))""".stripMargin
+      else "bks"
+    val probesPerTable = if (multiprobe) bits + 1 else 1
     val queryB = queries.withColumn("pl", pl)
-      .select(col("q_id"), col("qv"),
-        posexplode(bucketsExpr("qv", tables, bits)).as(Seq("tbl", "bucket")))
+      .withColumn("bks", bucketsExpr("qv", tables, bits))
+      // probe index i maps back to its table as i div (probes per table)
+      .select(col("q_id"), col("qv"), posexplode(expr(probes)).as(Seq("pi", "bucket")))
+      .withColumn("tbl", expr(s"CAST(pi div $probesPerTable AS INT)"))
+      .select(col("q_id"), col("qv"), col("tbl"), col("bucket"))
     val cand = corpusB.join(broadcast(queryB), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("qv"), col("vec_id"), col("v"))

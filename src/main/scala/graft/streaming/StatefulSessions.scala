@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom sessionization state machine via `flatMapGroupsWithState`
+  * (the stateful-streaming surface from the brief; `session_window`
+  * covers the declarative case in EventOps).
+  *
+  * Each user carries one open session in the state store; a micro-batch's
+  * events are folded in event-time order, CLOSED sessions (gap exceeded)
+  * are emitted downstream, and the still-open session persists in state —
+  * across micro-batches and across AvailableNow restarts via the
+  * checkpoint (StatefulSessionsSpec drives two separate runs).
+  */
+object StatefulSessions {
+
+  final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)
+  final case class OpenSession(start_ms: Long, last_ms: Long, n: Long, total: Double)
+  final case class ClosedSession(
+      user_id: Long, session_start: String, n_events: Long, total_value: Double)
+
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(ZoneOffset.UTC)
+
+  private def close(user: Long, o: OpenSession): ClosedSession =
+    ClosedSession(user, fmt.format(Instant.ofEpochMilli(o.start_ms)), o.n, o.total)
+
+  /** Fold one group's micro-batch into the open-session state; emit
+    * sessions closed by a gap strictly greater than `gapMs` (same boundary
+    * rule as Spark's session_window, EventStreamSpec).
+    */
+  def update(gapMs: Long)(user: Long, events: Iterator[SessionEvent],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.value))
+    var open = state.getOption
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { e =>
+      open match {
+        case Some(o) if e.ts_ms - o.last_ms > gapMs =>
+          closed += close(user, o)
+          open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+        case Some(o) =>
+          open = Some(o.copy(last_ms = math.max(o.last_ms, e.ts_ms),
+            n = o.n + 1, total = o.total + e.value))
+        case None =>
+          open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+      }
+    }
+    open.foreach(state.update)
+    closed.result().iterator
+  }
+
+  /** Streaming (or batch) sessionize: one state entry per user. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        update(gapMs))
+  }
+}

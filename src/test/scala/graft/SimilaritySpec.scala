@@ -33,9 +33,9 @@ class SimilaritySpec extends SparkSpec {
     val approx = SimilarityOps.lshTopK(v, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    // random-hyperplane LSH on random gaussian-ish data: modest recall is
-    // expected; the point is the bucketed plan shape, graded vs this floor.
-    assert(recall >= 0.2, s"recall was $recall")
+    info(s"LSH multiprobe recall@5 = $recall")
+    // 8 tables x 6 bits with distance-1 multiprobe on 500 random vectors
+    assert(recall >= 0.5, s"recall was $recall")
   }
 
   test("embed near-dup collapses planted duplicate vectors") {
