@@ -4,7 +4,7 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Typed `Aggregator` producing a MinHash sketch from a group of shingles
@@ -22,12 +22,14 @@ class MinHashSketch(perms: Int) extends Aggregator[String, Array[Long], Array[Lo
   override def zero: Array[Long] = Array.fill(perms)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    // mirror the DataFrame twin exactly: h0 = xxhash64(s), then
+    // h_j = xxhash64(h0, j) — a fold from seed 42 over (h0: LONG, j: INT)
     val s = UTF8String.fromString(shingle)
     val h0 = XxHash64Function.hash(s, StringType, 42L)
+    val base = XxHash64Function.hash(h0, LongType, 42L)
     var j = 1
     while (j <= perms) {
-      // the DataFrame twin hashes the index from sequence(1, n) as an INT
-      val h = XxHash64Function.hash(j, IntegerType, h0)
+      val h = XxHash64Function.hash(j, IntegerType, base)
       if (h < buf(j - 1)) buf(j - 1) = h
       j += 1
     }

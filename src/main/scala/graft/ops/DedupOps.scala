@@ -40,10 +40,14 @@ object DedupOps {
     * action at sf0.1).
     */
   def minhashSignatures(docs: DataFrame, perms: Int): DataFrame = {
+    // hash each shingle string ONCE (h0), then derive the permutation
+    // family from the 8-byte hash — re-hashing the string per permutation
+    // costs ~perms x the string length for no extra independence
     val tall = shingles(docs)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), explode(expr(s"sequence(1, $perms)")).as("j"), col("s"))
-      .select(col("doc_id"), col("j"), xxhash64(col("s"), col("j")).as("h"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
+      .select(col("doc_id"), explode(expr(s"sequence(1, $perms)")).as("j"), col("h0"))
+      .select(col("doc_id"), col("j"), xxhash64(col("h0"), col("j")).as("h"))
     tall.groupBy("doc_id", "j").agg(min(col("h")).as("m"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("j"), col("m")))).as("jm"))

@@ -10,9 +10,15 @@ import graft.ops.DedupOps
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  // Long enough that a 1-word edit keeps shingle-jaccard ~0.87 — above the
+  // 8-band x 8-row LSH threshold (1/8)^(1/8) ~ 0.77. A shorter doc's edit
+  // drops jaccard below the threshold and collapse becomes a coin flip.
   private val base =
     "the quick brown fox jumps over the lazy dog while the spark engine " +
-      "shuffles partitions across the cluster and aggregates the results"
+      "shuffles partitions across the cluster and aggregates the results " +
+      "then writes compressed columnar files to object storage where the " +
+      "next stage of the pipeline reads them back prunes the columns it " +
+      "needs and joins against the broadcast dimension tables"
   private val nearDup = base.replace("lazy", "sleepy") // 1-word edit
   private val other =
     "completely different content about databases query planners join " +
