@@ -111,6 +111,59 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `cells` Voronoi
+    * cells around k-means centroids (seeded on the first `cells` vectors,
+    * `iters` Lloyd rounds), then answer queries by exact-reranking only the
+    * `probes` nearest cells. The scale path when LSH's data-oblivious
+    * buckets waste probes: centroids adapt to the data distribution.
+    * All DataFrame ops — centroid recompute is a posexplode + (cell, dim)
+    * mean + rebuild, assignment is a broadcast of the (tiny) centroid set.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, probes: Int = 3, iters: Int = 2): DataFrame = {
+    def nearestCells(df: DataFrame, idCol: String, vcol: String,
+        centroids: DataFrame, n: Int): DataFrame = {
+      val withSim = df.join(broadcast(centroids))
+        .withColumn("csim", cosine(vcol, "cv"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
+      withSim.withColumn("crnk", row_number().over(w))
+        .where(col("crnk") <= n)
+        .drop("cv", "csim", "crnk")
+    }
+
+    // seed centroids on the first `cells` vectors, refine with Lloyd rounds
+    var centroids = corpus.where(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = nearestCells(corpus.select(col("vec_id"), col("v")),
+        "vec_id", "v", centroids, 1)
+      val means = assigned
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")),
+          col("cell"))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), expr("transform(dm, e -> e.m)").as("cv"))
+      centroids = means
+    }
+    centroids = centroids.cache()
+
+    val corpusCells = nearestCells(corpus.select(col("vec_id"), col("v")),
+        "vec_id", "v", centroids, 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val queryCells = nearestCells(queries, "q_id", "qv", centroids, probes)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val cand = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("sim", cosine("qv", "v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
   private def queriesOf(v: DataFrame, n: Int): DataFrame =
     v.where(col("vec_id") < n).select(col("vec_id").as("q_id"), col("v").as("qv"))
 
@@ -136,6 +189,15 @@ object SimilarityOps {
       (spark, dir) => {
         val v = vectors(spark, dir)
         lshTopK(v, queriesOf(v, 20), k = 5)
+      }),
+
+    // IVF variant: same output shape as q27/q28, data-adaptive cells
+    // instead of random hyperplanes. No oracle (iterative centroids);
+    // SimilaritySpec pins recall vs the brute-force baseline.
+    QueryDef("q47_ann_ivf", None,
+      (spark, dir) => {
+        val v = vectors(spark, dir)
+        ivfTopK(v, queriesOf(v, 20), k = 5)
       }),
 
     // Embedding-cosine near-duplicate assignment: LSH candidates verified

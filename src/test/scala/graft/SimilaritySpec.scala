@@ -38,6 +38,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall was $recall")
   }
 
+  test("IVF recall vs brute force on sf0.001") {
+    val exact = SimilarityOps.bruteForceTopK(v, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityOps.ivfTopK(v, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall (16 cells, 3 probes)")
+    assert(recall >= 0.3, s"recall was $recall")
+  }
+
   test("embed near-dup collapses planted duplicate vectors") {
     val a = Seq.tabulate(64)(i => math.sin(i + 1))
     val b = Seq.tabulate(64)(i => math.cos(2 * i + 1))
