@@ -58,6 +58,45 @@ object ExtendedOps {
           .orderBy("o_orderpriority")
       }),
 
+    // Pivot: long->wide conditional aggregation. The oracle expresses the
+    // same thing as COUNT(CASE ...) columns; Spark's pivot leaves NULL in
+    // empty cells, so both sides coalesce to 0.
+    QueryDef(
+      "q48_pivot",
+      Some("""SELECT l_linestatus,
+        |  COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A,
+        |  COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N,
+        |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(count(lit(1)))
+          .select(col("l_linestatus"),
+            coalesce(col("A"), lit(0L)).as("A"),
+            coalesce(col("N"), lit(0L)).as("N"),
+            coalesce(col("R"), lit(0L)).as("R"))
+          .orderBy("l_linestatus")),
+
+    // Exact median / quantiles: Spark's percentile() and DuckDB's
+    // quantile_cont both linearly interpolate, and the inputs sit on a
+    // 2dp grid, so the interpolated doubles agree bitwise.
+    QueryDef(
+      "q49_median",
+      Some("""SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+            expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")),
+
     // As-of join (operator Spark lacks): for every click, the latest
     // purchase by the same user at-or-before its timestamp. Composed from
     // built-ins per the custom-operator preference order — union the two
