@@ -83,6 +83,14 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("no query plans an unbroadcast Cartesian product") {
+    SparkEntry.all.foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$plan")
+    }
+  }
+
   test("q24 minhash plan has no join (single-pass window assignment)") {
     val plan = planOf("q24_dedup_minhash")
     assert(!plan.contains("Join"), s"bucket-min must be a window, not a join:\n$plan")
