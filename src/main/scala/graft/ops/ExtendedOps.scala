@@ -58,6 +58,21 @@ object ExtendedOps {
           .orderBy("o_orderpriority")
       }),
 
+    // Row-level exact dedup via dropDuplicates == SELECT DISTINCT.
+    QueryDef(
+      "q50_distinct_rows",
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CASE WHEN l_quantity > 25 THEN 'BULK' ELSE 'SMALL' END AS l_shipmode
+        |  FROM lineitem)
+        |ORDER BY l_returnflag, l_linestatus, l_shipmode""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            when(col("l_quantity") > 25, "BULK").otherwise("SMALL").as("l_shipmode"))
+          .dropDuplicates()
+          .orderBy("l_returnflag", "l_linestatus", "l_shipmode")),
+
     // Pivot: long->wide conditional aggregation. The oracle expresses the
     // same thing as COUNT(CASE ...) columns; Spark's pivot leaves NULL in
     // empty cells, so both sides coalesce to 0.
