@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked JVM inherit stdout directly: the driver parses Bench's
+// one-line JSON from stdout, and sbt's logger otherwise prepends
+// "[info] " to every line, breaking the parse (BENCH_r01 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,22 +17,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * element-wise min — associative and commutative, so partial aggregation
   * works across any partitioning.
   */
+object MinHashSketch {
+
+  /** Fold one shingle into a sketch buffer. Hash family: h0 = xxhash64(s),
+    * h_j = xxhash64(h0, j) — a fold from seed 42 over (h0: LONG, j: INT),
+    * byte-equal to the SQL `xxhash64(xxhash64(s), j)`.
+    */
+  def add(buf: Array[Long], shingle: String): Unit = {
+    val s = UTF8String.fromString(shingle)
+    val h0 = XxHash64Function.hash(s, StringType, 42L)
+    val base = XxHash64Function.hash(h0, LongType, 42L)
+    var j = 1
+    while (j <= buf.length) {
+      val h = XxHash64Function.hash(j, IntegerType, base)
+      if (h < buf(j - 1)) buf(j - 1) = h
+      j += 1
+    }
+  }
+
+  /** Whole-signature form: map-side scalar, no aggregation needed when the
+    * shingle set is already materialized per row.
+    */
+  def signature(shingles: Seq[String], perms: Int): Array[Long] = {
+    val buf = Array.fill(perms)(Long.MaxValue)
+    shingles.foreach(add(buf, _))
+    buf
+  }
+}
+
 class MinHashSketch(perms: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
   override def zero: Array[Long] = Array.fill(perms)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
-    // mirror the DataFrame twin exactly: h0 = xxhash64(s), then
-    // h_j = xxhash64(h0, j) — a fold from seed 42 over (h0: LONG, j: INT)
-    val s = UTF8String.fromString(shingle)
-    val h0 = XxHash64Function.hash(s, StringType, 42L)
-    val base = XxHash64Function.hash(h0, LongType, 42L)
-    var j = 1
-    while (j <= perms) {
-      val h = XxHash64Function.hash(j, IntegerType, base)
-      if (h < buf(j - 1)) buf(j - 1) = h
-      j += 1
-    }
+    MinHashSketch.add(buf, shingle)
     buf
   }
 

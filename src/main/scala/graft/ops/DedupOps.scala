@@ -32,26 +32,23 @@ object DedupOps {
   /** MinHash signatures: `perms` hash functions h_j(s) = xxhash64(s, j),
     * each minimized over the shingle set. Shaped "tall": explode (shingle,
     * permutation-index) into rows and run a plain two-level MIN aggregate.
-    * Partial aggregation shrinks the (doc, j) groups map-side before any
-    * shuffle, and the generated code stays small — the alternatives both
-    * lose badly: higher-order `transform`/`array_min` is interpreted
-    * per-element (~50x slower), and a 64-column wide MIN aggregate makes
-    * Janino compile a megamorphic codegen blob (~100s of compile time per
-    * action at sf0.1).
+    * The shingle set is already a per-row array, so the whole signature is
+    * a map-side scalar — one UDF call per document, zero shuffles,
+    * pipelined with the parquet scan. That is the 100 TB shape: signatures
+    * never leave the mapper; the only exchanges in the dedup pipeline are
+    * the (band, bhash) bucket aggregation downstream. (Rejected shapes,
+    * measured at sf0.1: explode×perms + two-level MIN aggregate
+    * materializes/shuffles ~17M rows; higher-order `transform`/`array_min`
+    * is interpreted per element, ~50x slower; a 64-column wide MIN
+    * aggregate makes Janino compile a megamorphic codegen blob, ~100s of
+    * compile time per action.) Hash family byte-equal to the
+    * `MinHashSketch` Aggregator — cross-checked in MinHashSketchSpec.
     */
   def minhashSignatures(docs: DataFrame, perms: Int): DataFrame = {
-    // hash each shingle string ONCE (h0), then derive the permutation
-    // family from the 8-byte hash — re-hashing the string per permutation
-    // costs ~perms x the string length for no extra independence
-    val tall = shingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
-      .select(col("doc_id"), explode(expr(s"sequence(1, $perms)")).as("j"), col("h0"))
-      .select(col("doc_id"), col("j"), xxhash64(col("h0"), col("j")).as("h"))
-    tall.groupBy("doc_id", "j").agg(min(col("h")).as("m"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("j"), col("m")))).as("jm"))
-      .select(col("doc_id"), expr("transform(jm, x -> x.m)").as("sig"))
+    val sig = udf((sh: Seq[String]) =>
+      if (sh == null) null
+      else graft.functions.MinHashSketch.signature(sh, perms))
+    shingles(docs).select(col("doc_id"), sig(col("shingles")).as("sig"))
   }
 
   /** LSH dedup assignment: band the signature, then give every doc the min
@@ -100,23 +97,34 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash per doc, same "tall" two-level aggregate shape as
-    * MinHash: per (doc, bit) signed balance, then sign bits packed into a
-    * long. The per-bit values cover disjoint bits, so SUM is exactly
-    * bitwise-or and cannot overflow.
+  /** 64-bit SimHash per doc: per-bit signed balance over the distinct
+    * token hashes (xxhash64, seed 42 — same family as the SQL builtin),
+    * sign bits packed into a long. Like the MinHash signature this is a
+    * map-side scalar over the per-row token array — zero shuffles; the
+    * rejected explode(64 bits)×token two-level aggregate shuffled ~17M
+    * rows at sf0.1 for identical output (pinned in DedupSpec).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tall = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"),
-        explode(expr("sequence(0, 63)")).as("b"))
-      .select(col("doc_id"), col("b"),
-        expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END").as("c"))
-    tall.groupBy("doc_id", "b").agg(sum(col("c")).as("bal"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN bal > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    val sim = udf((toks: Seq[String]) => {
+      val bal = new Array[Int](64)
+      val in = if (toks == null) Seq.empty[String] else toks
+      in.foreach { t =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+            org.apache.spark.sql.types.StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) bal(b) += 1 else bal(b) -= 1
+          b += 1
+        }
+      }
+      var acc = 0L
+      var b = 0
+      while (b < 64) { if (bal(b) > 0) acc |= (1L << b); b += 1 }
+      acc
+    })
+    docs.select(col("doc_id"),
+      sim(array_distinct(split(col("text"), " "))).as("simhash"))
   }
 
   /** Hamming distance between two docs' simhashes (used by DedupSpec). */
