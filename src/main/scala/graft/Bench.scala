@@ -11,8 +11,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/shuffle/parquet machinery so the first timed
-    // query doesn't absorb session startup (~5s otherwise)
+    // query doesn't absorb session startup (~5s otherwise); include a
+    // window + a broadcast join so Janino and the exchange/sort paths are
+    // JIT-warm too, not just hash aggregation
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(100000).selectExpr("id", "id % 7 AS k")
+      .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .where("rn <= 3").count()
+    val small = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    spark.range(100000).selectExpr("id % 100 AS k")
+      .join(org.apache.spark.sql.functions.broadcast(small), "k").count()
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
     catch { case _: Throwable => () }
