@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Hard-clamped forked heap. The harness environment exports a ~96 GB
+  // SPARK_DRIVER_MEM; at that heap size G1 pause behavior on this box makes
+  // every query 5-30x slower (identical code: 68s total at 8g vs 456s+ at
+  // 96g, sf0.1 local[32]). 8 GB comfortably fits every sf0.1 query, so the
+  // bench measures the engine, not GC ergonomics. Intentionally NOT
+  // env-overridable upward.
+  "-Xmx8g",
 )
