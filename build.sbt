@@ -27,14 +27,39 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-JVM heap: min(SPARK_DRIVER_MEM, 8g), with SPARK_GRAFT_XMX as an
+// explicit escape hatch for memory-heavy runs at larger scale factors.
+// The harness environment exports a ~96 GB SPARK_DRIVER_MEM; at that heap
+// size G1 pause behavior on this box makes every query 5-30x slower
+// (identical code: 68s total at 8g vs 456s+ at 96g, sf0.1 local[32]).
+// 8 GB comfortably fits every sf0.1 query, so the bench measures the
+// engine, not GC ergonomics.
+def memToMb(s: String): Option[Long] = {
+  val m = "(?i)^\\s*(\\d+)\\s*([kmgt]?)b?\\s*$".r
+  s match {
+    case m(n, unit) =>
+      val bytes = unit.toLowerCase match {
+        case "k" => n.toLong * 1024L
+        case "" | "m" => n.toLong * 1024L * 1024
+        case "g" => n.toLong * 1024L * 1024 * 1024
+        case "t" => n.toLong * 1024L * 1024 * 1024 * 1024
+      }
+      Some(math.max(1L, bytes / (1024L * 1024)))
+    case _ => None
+  }
+}
+val forkedXmxMb: Long = {
+  val capMb = 8192L
+  sys.env.get("SPARK_GRAFT_XMX").flatMap(memToMb).getOrElse {
+    val envMb = sys.env.get("SPARK_DRIVER_MEM").flatMap(memToMb).getOrElse(capMb)
+    if (envMb > capMb)
+      println(s"[build] SPARK_DRIVER_MEM=${envMb}m capped to ${capMb}m for the " +
+        "forked JVM (large G1 heaps are 5-30x slower here); set SPARK_GRAFT_XMX to override")
+    math.min(envMb, capMb)
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Hard-clamped forked heap. The harness environment exports a ~96 GB
-  // SPARK_DRIVER_MEM; at that heap size G1 pause behavior on this box makes
-  // every query 5-30x slower (identical code: 68s total at 8g vs 456s+ at
-  // 96g, sf0.1 local[32]). 8 GB comfortably fits every sf0.1 query, so the
-  // bench measures the engine, not GC ergonomics. Intentionally NOT
-  // env-overridable upward.
-  "-Xmx8g",
+  s"-Xmx${forkedXmxMb}m",
 )

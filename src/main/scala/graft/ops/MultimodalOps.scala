@@ -69,8 +69,9 @@ object MultimodalOps {
           .orderBy("doc_id")),
 
     // Partition-wise stub decode: binary -> feature struct. JVM-side stub
-    // logic -> no SQL oracle; MultimodalSpec pins determinism + schema.
-    QueryDef("q38_multimodal_decode", None,
+    // logic is deterministic in the payload bytes -> literal golden oracle;
+    // TextMultimodalSpec additionally pins determinism + schema.
+    QueryDef("q38_multimodal_decode", literalOracle("q38_multimodal_decode"),
       (spark, dir) => {
         val feats = decodeFeatures(spark, mediaTable(t(spark, dir, "documents")))
         feats.toDF().orderBy("doc_id")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -77,11 +77,12 @@ object ReferenceOps {
         spark.sql(sqlRefText)
       }),
 
-    // S4: seeded synthetic generator (ref 01:33-76). RNG is JVM-side, so no
-    // SQL oracle; correctness is pinned by GeneratorSpec golden values.
+    // S4: seeded synthetic generator (ref 01:33-76). RNG is JVM-side — not
+    // recomputable in SQL but fully deterministic (seed 42), so the graded
+    // oracle is a checked-in literal golden (resources/oracle/).
     QueryDef(
       "q04_datagen",
-      None,
+      literalOracle("q04_datagen"),
       (spark, _) =>
         graft.gen.SalesGen.initialBatch(spark, n = 1000, seed = 42L)
           .groupBy("category")
@@ -435,11 +436,56 @@ object ReferenceOps {
         liRows.unionByName(oRows).unionByName(latestDay).orderBy("metric")
       }),
 
+    // K1/K2: graded write-path roundtrip — the reference's most frequent op
+    // is write.mode(...).saveAsTable (ref 01:122, 03:88-91). Phase 1 writes
+    // the even-key aggregate with Overwrite, phase 2 appends the odd-key
+    // aggregate, then the result is read back through the catalog and
+    // re-aggregated — so the graded hash covers the parquet commit protocol
+    // end-to-end. The oracle recomputes the same two-phase union directly.
+    QueryDef(
+      "q42_write_roundtrip",
+      Some(s"""SELECT o_orderpriority, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |    ${sqlMoneySum("o_totalprice")} AS revenue
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, COUNT(*), ${sqlMoneySum("o_totalprice")}
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority
+        |) GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        def slice(parity: Int): DataFrame =
+          o.where(col("o_orderkey") % 2 === parity)
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_orders"),
+              moneySum(col("o_totalprice")).as("revenue"))
+        val tbl = "graft_q42_roundtrip"
+        // A fresh session's in-memory catalog doesn't know the table, but a
+        // previous run's warehouse directory may survive on disk — Overwrite
+        // can't reclaim a location the catalog never registered
+        // (LOCATION_ALREADY_EXISTS), so drop both catalog entry and location.
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), tbl)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+        slice(0).write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tbl)
+        slice(1).write.mode(SaveMode.Append).format("parquet").saveAsTable(tbl)
+        // partial revenues sit on a 2dp grid -> decimal re-sum is exact
+        spark.table(tbl)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n_orders")).as("n_orders"),
+            round(sum(money(col("revenue"))), 2).cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Scale tier of A6: approx_count_distinct (HLL) next to the exact count.
-    // Engine-specific sketch -> no SQL oracle; ScaleOpsSpec bounds the error.
+    // Engine-specific sketch, but deterministic for fixed input -> literal
+    // golden oracle; the spec additionally bounds the error vs exact.
     QueryDef(
       "q41_approx_distinct",
-      None,
+      literalOracle("q41_approx_distinct"),
       (spark, dir) =>
         t(spark, dir, "orders")
           .agg(countDistinct(col("o_custkey")).as("exact_customers"),

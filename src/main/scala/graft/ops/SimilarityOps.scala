@@ -8,12 +8,19 @@ import graft.QueryDef
 import graft.util.Tables._
 
 /** Similarity search over `embeddings` (64-dim float vectors, SURVEY §7.4):
-  * brute-force cosine top-k as the correctness baseline, and a
-  * random-hyperplane LSH variant as the scale path (bucket join instead of
-  * a full cross product). Dot products run through codegen'd higher-order
-  * array expressions (`zip_with` + `aggregate`) — a strict left fold, so
-  * the summation order is deterministic and matches DuckDB's
-  * `list_cosine_similarity` loop bit-for-bit on the same doubles.
+  * brute-force cosine top-k as the correctness baseline, and two scale
+  * paths — random-hyperplane LSH and IVF (k-means cells) — that join on
+  * bucket/cell keys instead of the full cross product.
+  *
+  * The exact-rerank inner loop (cosine) is a native codegen'd Catalyst
+  * expression (graft.functions.CosineSimilarity); LSH bucket ids come from
+  * a closure UDF whose plane matrix rides in the serialized closure and
+  * whose dot products run as tight JVM loops — measured ~10x faster at
+  * sf0.1 than the interpreted higher-order `aggregate(zip_with(...))`
+  * formulation for identical output (both are strict ascending-index
+  * folds, so the doubles round identically). `cosineHof` is kept as the
+  * built-in-only reference implementation; VectorFunctionsSpec proves it
+  * bit-identical to the native expression.
   */
 object SimilarityOps {
 
@@ -54,39 +61,55 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** Deterministic random hyperplanes: `tables` independent 8-bit
-    * signatures (4×8 planes), seeded driver-side.
+  /** Bucket-width default that keeps in-bucket self-joins subquadratic as
+    * the corpus grows: target ~64 vectors per bucket per table
+    * (n/2^bits <= 64), floored for recall at small n and capped at 24 so
+    * bucket ids stay in Int range and the plane matrix stays tiny. At the
+    * driver's test scales (n <= 5000) this resolves to the floor, so
+    * recall pins in SimilaritySpec are unaffected; at n = 10^9 it yields
+    * 24 bits (~16M buckets/table).
+    */
+  def autoBits(n: Long, floor: Int): Int = {
+    val target = math.ceil(math.log(math.max(1L, n).toDouble / 64.0) / math.log(2.0)).toInt
+    math.min(24, math.max(floor, target))
+  }
+
+  /** Deterministic random hyperplanes: `tables` independent `bits`-bit
+    * signatures, seeded driver-side.
     */
   private def planes(tables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(7L)
     Seq.fill(tables * bitsPerTable)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-pattern bucket ids, one per LSH table. The plane matrix rides in
-    * the UDF closure (broadcast once per task with the serialized closure)
-    * and the dot products run as tight JVM loops — the higher-order
-    * `aggregate(zip_with(...))` formulation is interpreted per element and
-    * measured ~10x slower at sf0.1 for identical output (same strict
-    * ascending-index fold, so the doubles round identically).
+  /** Sign-pattern bucket ids, one per LSH table. Null vectors map to a
+    * null bucket array (the posexplode downstream then emits no rows, so a
+    * null embedding is excluded from candidate generation instead of
+    * failing the job). Vectors shorter/longer than the plane dimension are
+    * folded over the common prefix (`math.min`) rather than reading past
+    * either array.
     */
   private def bucketsUdf(tables: Int, bits: Int, dim: Int): Column => Column = {
     val pl: Array[Array[Double]] = planes(tables, bits, dim).map(_.toArray).toArray
-    val f = udf((v: Seq[Double]) => {
-      val x = v.toArray
-      Array.tabulate(tables) { tb =>
-        var acc = 0
-        var b = 0
-        while (b < bits) {
-          val w = pl(tb * bits + b)
-          var dot = 0.0
-          var i = 0
-          while (i < x.length) { dot += x(i) * w(i); i += 1 }
-          acc = acc * 2 + (if (dot > 0) 1 else 0)
-          b += 1
+    val f = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val x = v.toArray
+        Array.tabulate(tables) { tb =>
+          var acc = 0
+          var b = 0
+          while (b < bits) {
+            val w = pl(tb * bits + b)
+            var dot = 0.0
+            var i = 0
+            val n = math.min(x.length, w.length)
+            while (i < n) { dot += x(i) * w(i); i += 1 }
+            acc = acc * 2 + (if (dot > 0) 1 else 0)
+            b += 1
+          }
+          acc
         }
-        acc
-      }
-    })
+      })
     c => f(c)
   }
 
@@ -96,30 +119,38 @@ object SimilarityOps {
     * Hamming distance 1 (single-bit flips), recovering near-misses where
     * one hyperplane fell on the wrong side — recall vs brute force is
     * pinned in SimilaritySpec. Scale path: the join fans out only within
-    * buckets (~n/2^bits per table per probe), never the full corpus.
+    * buckets (~n/2^bits per table per probe), never the full corpus, and
+    * candidates are narrowed to bare (q_id, vec_id) ids before the
+    * dedup + exact rerank — the wide vector columns are rejoined only for
+    * the surviving candidate set (corpus by vec_id, tiny query side
+    * broadcast). `bits <= 0` (the default) scales the bucket count with
+    * the corpus size via [[autoBits]] (floor 6).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 6, multiprobe: Boolean = true): DataFrame = {
-    val buckets = bucketsUdf(tables, bits, 64)
+      tables: Int = 8, bits: Int = 0, multiprobe: Boolean = true): DataFrame = {
+    val nBits = if (bits > 0) bits else autoBits(corpus.count(), floor = 6)
+    val buckets = bucketsUdf(tables, nBits, 64)
     val corpusB = corpus
-      .select(col("vec_id"), col("v"),
-        posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
     val probes =
       if (multiprobe)
         s"""flatten(transform(bks, b0 ->
-           |  concat(array(b0), transform(sequence(0, ${bits - 1}), f -> b0 ^ shiftleft(1, f)))))""".stripMargin
+           |  concat(array(b0), transform(sequence(0, ${nBits - 1}), f -> b0 ^ shiftleft(1, f)))))""".stripMargin
       else "bks"
-    val probesPerTable = if (multiprobe) bits + 1 else 1
+    val probesPerTable = if (multiprobe) nBits + 1 else 1
     val queryB = queries
       .withColumn("bks", buckets(col("qv")))
       // probe index i maps back to its table as i div (probes per table)
-      .select(col("q_id"), col("qv"), posexplode(expr(probes)).as(Seq("pi", "bucket")))
+      .select(col("q_id"), posexplode(expr(probes)).as(Seq("pi", "bucket")))
       .withColumn("tbl", expr(s"CAST(pi div $probesPerTable AS INT)"))
-      .select(col("q_id"), col("qv"), col("tbl"), col("bucket"))
-    val cand = corpusB.join(broadcast(queryB), Seq("tbl", "bucket"))
+      .select(col("q_id"), col("tbl"), col("bucket"))
+    val candIds = corpusB.join(broadcast(queryB), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+      .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
+    val cand = candIds
+      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("qv"))), Seq("q_id"))
       .withColumn("sim", cosine("qv", "v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     cand.withColumn("rnk", row_number().over(w))
@@ -157,7 +188,14 @@ object SimilarityOps {
       val means = assigned
         .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")),
           col("cell"))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        // decimal sum, not avg(double): double partial-aggregate merge order
+        // varies run-to-run with task scheduling, and a last-ulp centroid
+        // wobble could flip a near-tie cell assignment — the literal golden
+        // oracle (q47) needs bit-stable output at any parallelism. Decimal
+        // summation is exact, hence order-independent.
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("cell")
         .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), expr("transform(dm, e -> e.m)").as("cv"))
@@ -200,18 +238,19 @@ object SimilarityOps {
         bruteForceTopK(v, queriesOf(v, 20), k = 5)
       }),
 
-    // Approximate variant: same output shape, no oracle (recall bounded in
-    // SimilaritySpec against the brute-force baseline).
-    QueryDef("q28_ann_lsh", None,
+    // Approximate variant: same output shape as q27. Deterministic (seeded
+    // hyperplanes), so the oracle is a checked-in literal golden; recall vs
+    // brute force is additionally bounded in SimilaritySpec.
+    QueryDef("q28_ann_lsh", literalOracle("q28_ann_lsh"),
       (spark, dir) => {
         val v = vectors(spark, dir)
         lshTopK(v, queriesOf(v, 20), k = 5)
       }),
 
     // IVF variant: same output shape as q27/q28, data-adaptive cells
-    // instead of random hyperplanes. No oracle (iterative centroids);
-    // SimilaritySpec pins recall vs the brute-force baseline.
-    QueryDef("q47_ann_ivf", None,
+    // instead of random hyperplanes. Deterministic (seeded centroids) ->
+    // literal golden oracle; SimilaritySpec pins recall vs brute force.
+    QueryDef("q47_ann_ivf", literalOracle("q47_ann_ivf"),
       (spark, dir) => {
         val v = vectors(spark, dir)
         ivfTopK(v, queriesOf(v, 20), k = 5)
@@ -220,25 +259,36 @@ object SimilarityOps {
     // Embedding-cosine near-duplicate assignment: LSH candidates verified
     // by exact cosine >= threshold, then the same 1-hop canonical-id
     // assignment as the text dedup ops (one row per vector, canonical =
-    // self when nothing is near). No oracle; SimilaritySpec plants
-    // duplicated vectors and checks they collapse.
-    QueryDef("q43_embed_neardup", None,
+    // self when nothing is near). Deterministic -> literal golden oracle;
+    // SimilaritySpec plants duplicated vectors and checks they collapse.
+    QueryDef("q43_embed_neardup", literalOracle("q43_embed_neardup"),
       (spark, dir) => embedNearDup(vectors(spark, dir), threshold = 0.95)))
 
+  /** Near-dup assignment over embeddings. `bits <= 0` (default) scales
+    * bucket count with corpus size via [[autoBits]] (floor 8) so the
+    * in-bucket self-join stays subquadratic at any n. Null vectors never
+    * enter candidate generation (null bucket array -> no posexplode rows)
+    * and come out canonical = self.
+    */
   def embedNearDup(corpus: DataFrame, threshold: Double,
-      tables: Int = 4, bits: Int = 8): DataFrame = {
-    val buckets = bucketsUdf(tables, bits, 64)
+      tables: Int = 4, bits: Int = 0): DataFrame = {
+    val nBits = if (bits > 0) bits else autoBits(corpus.count(), floor = 8)
+    val buckets = bucketsUdf(tables, nBits, 64)
+    // narrow (vec_id, tbl, bucket) only — the wide vector columns rejoin
+    // after the candidate pairs are deduped
     val bucketed = corpus
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
       .cache() // both sides of the self-join below
-    val cand = bucketed.as("a")
+    val candIds = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("a.v").as("va"),
-        col("b.vec_id").as("vec_b"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val cand = candIds
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .withColumn("sim", cosine("va", "vb"))
       .where(col("sim") >= threshold)
     // undirected edges -> per-vector min neighbor -> canonical

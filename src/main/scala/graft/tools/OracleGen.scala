@@ -1,0 +1,68 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Generates the checked-in literal golden oracles
+  * (src/main/resources/oracle/<query>.sql) for the deterministic
+  * engine-side queries that ANSI SQL cannot recompute from the tables
+  * (seeded RNG, xxhash64 families, seeded hyperplanes/centroids, HLL
+  * sketch, stub decode). Each golden is a DuckDB VALUES query with the
+  * column names and types cast to match the Spark output exactly; the
+  * per-operator ScalaTest specs (DedupSpec, SimilaritySpec,
+  * TextMultimodalSpec, PipelineSpec) vet the semantics the goldens
+  * freeze. Regenerate after any intentional algorithm change:
+  *   sbt "runMain graft.tools.OracleGen /root/testdata/sf0.01"
+  */
+object OracleGen {
+  val targets: Seq[String] = Seq(
+    "q04_datagen", "q24_dedup_minhash", "q25_dedup_simhash", "q28_ann_lsh",
+    "q38_multimodal_decode", "q41_approx_distinct", "q43_embed_neardup",
+    "q47_ann_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outBase = if (args.length > 1) args(1) else "src/main/resources/oracle"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outBase))
+
+    def duck(t: DataType): String = t match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case DoubleType => "DOUBLE"
+      case StringType => "VARCHAR"
+      case other => sys.error(s"unsupported golden-oracle type $other")
+    }
+    def sqlLit(v: Any): String = v match {
+      case null => "NULL"
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case d: Double if d.isNaN => "'NaN'"
+      case x => x.toString
+    }
+
+    targets.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val schema = df.schema
+      val rows = df.collect()
+      spark.catalog.clearCache()
+      require(rows.nonEmpty, s"$name produced no rows — refusing to freeze")
+      val cols = schema.fields.map(_.name)
+      val proj = schema.fields
+        .map(f => s"CAST(${f.name} AS ${duck(f.dataType)}) AS ${f.name}")
+        .mkString(", ")
+      val values = rows
+        .map(r => cols.indices.map(i => sqlLit(r.get(i))).mkString("(", ",", ")"))
+        .mkString(",\n  ")
+      val sql = s"SELECT $proj\nFROM (VALUES\n  $values\n) t(${cols.mkString(", ")})"
+      Files.writeString(Paths.get(s"$outBase/$name.sql"), sql)
+      println(s"[oraclegen] $name: ${rows.length} rows -> $outBase/$name.sql")
+    }
+    spark.stop()
+  }
+}

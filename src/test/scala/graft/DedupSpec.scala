@@ -66,6 +66,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L && a <= 3L })
   }
 
+  test("null-text and short docs stay canonical=self instead of collapsing") {
+    val withNull = docs.unionByName(Seq(
+      (6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String]),
+      (8L, "too short")).toDF("doc_id", "text"))
+
+    val sh = DedupOps.simhashAssign(withNull).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sh.size == 8, "one row per doc, including null-text")
+    // the two null-text docs must NOT share a cluster (the old simhash=0
+    // aliasing) and must carry a null signature
+    assert(sh(6L).getLong(1) == 6L && sh(7L).getLong(1) == 7L)
+    assert(sh(6L).isNullAt(2) && sh(7L).isNullAt(2))
+    assert(sh(2L).getLong(1) == 1L, "real dups still collapse")
+
+    val mh = DedupOps.minhashAssign(withNull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mh.size == 8, "one row per doc, including null-text and <3-token")
+    assert(mh(6L) == 6L && mh(7L) == 7L && mh(8L) == 8L)
+    assert(mh(2L) == 1L && mh(3L) == 1L, "planted dups still collapse")
+  }
+
   test("exact dedup groups by content") {
     val out = DedupOps.defs.find(_.name == "q23_dedup_exact").get
     val real = out.fn(spark, sf)

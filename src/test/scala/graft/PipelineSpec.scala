@@ -86,4 +86,21 @@ class PipelineSpec extends SparkSpec {
     assert(metrics.contains("bronze_rows") && metrics.contains("silver_rows"))
     assert(metrics.count(_.startsWith("day_")) <= 7)
   }
+
+  test("q42 write roundtrip survives a stale warehouse location") {
+    val q42 = graft.ops.ReferenceOps.defs.find(_.name == "q42_write_roundtrip").get
+    val first = q42.fn(spark, sf).collect()
+    // Simulate the cross-session failure mode: a fresh in-memory catalog has
+    // no entry for the table, but the previous run's warehouse directory is
+    // still on disk — Overwrite alone cannot reclaim an unregistered
+    // location (LOCATION_ALREADY_EXISTS).
+    spark.sql("DROP TABLE IF EXISTS graft_q42_roundtrip")
+    val dir = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_q42_roundtrip")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("stale.parquet"), "junk")
+    val second = q42.fn(spark, sf).collect()
+    assert(first.sameElements(second))
+  }
 }

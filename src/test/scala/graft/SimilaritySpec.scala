@@ -48,6 +48,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall was $recall")
   }
 
+  test("autoBits grows bucket count with corpus size, floored at test scale") {
+    import SimilarityOps.autoBits
+    assert(autoBits(500, 6) == 6, "LSH default unchanged at sf0.001")
+    assert(autoBits(5000, 8) == 8, "near-dup default unchanged at sf0.1")
+    assert(autoBits(1L << 20, 8) == 14, "2^20 vectors -> 2^14 buckets/table")
+    assert(autoBits(1L << 26, 8) == 20)
+    assert(autoBits(1000000000L, 8) == 24, "capped: bucket ids stay Int")
+  }
+
+  test("null and short vectors pass through LSH paths without failing") {
+    val a = Seq.tabulate(64)(i => math.sin(i + 1))
+    val planted = Seq((200L, a), (201L, a)).toDF("vec_id", "v")
+      .unionByName(Seq(
+        (202L, null.asInstanceOf[Seq[Double]]),
+        (203L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v"))
+    val nd = SimilarityOps.embedNearDup(planted, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nd.size == 4, "null/short vectors keep their output row")
+    assert(nd(202L) == 202L, "null vector is its own canonical")
+    assert(nd(201L) == 200L, "planted dup still collapses")
+
+    val corpusWithNull = v.select("vec_id", "v").unionByName(
+      Seq((99999L, null.asInstanceOf[Seq[Double]]),
+        (99998L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v"))
+    val out = SimilarityOps.lshTopK(corpusWithNull, queries, k = 5).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getLong(2) == 99999L), "null vector never a candidate")
+  }
+
   test("embed near-dup collapses planted duplicate vectors") {
     val a = Seq.tabulate(64)(i => math.sin(i + 1))
     val b = Seq.tabulate(64)(i => math.cos(2 * i + 1))
