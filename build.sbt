@@ -30,10 +30,13 @@ val jdk17AddOpens = Seq(
 // Forked-JVM heap: min(SPARK_DRIVER_MEM, 8g), with SPARK_GRAFT_XMX as an
 // explicit escape hatch for memory-heavy runs at larger scale factors.
 // The harness environment exports a ~96 GB SPARK_DRIVER_MEM; at that heap
-// size G1 pause behavior on this box makes every query 5-30x slower
-// (identical code: 68s total at 8g vs 456s+ at 96g, sf0.1 local[32]).
-// 8 GB comfortably fits every sf0.1 query, so the bench measures the
-// engine, not GC ergonomics.
+// size every query runs 5-30x slower on this box REGARDLESS of collector
+// (identical code, sf0.1 local[32]: G1 8g 45s vs 96g 456s; ParallelGC 8g
+// 39s vs 96g 291s), so it is not a G1-specific pathology — a huge heap
+// itself is hostile here (first-touch page faults, giant young-gen
+// copies). 8 GB comfortably fits every sf0.1 query, so the bench
+// measures the engine, not memory ergonomics. ParallelGC is kept: ~15%
+// faster than G1 at 8g for this batch workload.
 def memToMb(s: String): Option[Long] = {
   val m = "(?i)^\\s*(\\d+)\\s*([kmgt]?)b?\\s*$".r
   s match {
@@ -62,4 +65,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${forkedXmxMb}m",
+  "-XX:+UseParallelGC",
 )
