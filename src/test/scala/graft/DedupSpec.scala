@@ -66,6 +66,56 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L && a <= 3L })
   }
 
+  test("cluster closure equals brute-force connected components of the edge graph") {
+    // LSH banding is deterministic but its exact edge set on crafted text
+    // is threshold-luck, so the correctness pin is structural: whatever
+    // edges the banding emits, minhashClusters must equal a driver-side
+    // union-find over those same edges (min doc_id per component).
+    val a = base
+    val b = base.replace("broadcast", "replicated")
+    val c = b.replace("quick brown", "swift auburn")
+    val chain = Seq((11L, a), (12L, b), (13L, c), (14L, other),
+      (15L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ids = Seq(11L, 12L, 13L, 14L, 15L)
+
+    val edges = DedupOps.minhashEdges(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(rx) = ry
+    }
+    val compMin = ids.groupBy(find).map { case (r, m) => r -> m.min }
+    val expect = ids.map(i => i -> compMin(find(i))).toMap
+
+    val cc = DedupOps.minhashClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == expect, s"edges=${edges.toSeq}")
+    assert(edges.nonEmpty, "planted near-dups must produce at least one edge")
+    assert(cc(15L) == 15L, "null-text doc stays its own cluster")
+
+    // closure is a coarsening of 1-hop, and cluster ids are roots
+    val hop = DedupOps.minhashAssign(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.forall { case (d, cl) => cl <= hop(d) })
+    assert(cc.values.forall(cl => cc(cl) == cl))
+
+    // and a chain that provably under-merges in 1-hop form: inject the
+    // bucket graph directly through tiny synthetic docs is not possible,
+    // so pin the semantics on the real corpus instead: every 1-hop
+    // canonical pair stays in one cluster after closure
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val hopC = DedupOps.minhashAssign(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccC = DedupOps.minhashClusters(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hopC.forall { case (d, can) => ccC(d) == ccC(can) },
+      "docs sharing a bucket must share a closed cluster")
+    assert(ccC.forall { case (d, cl) => cl <= hopC(d) })
+  }
+
   test("null-text and short docs stay canonical=self instead of collapsing") {
     val withNull = docs.unionByName(Seq(
       (6L, null.asInstanceOf[String]),
