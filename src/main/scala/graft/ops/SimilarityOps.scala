@@ -179,9 +179,15 @@ object SimilarityOps {
         .drop("cv", "csim", "crnk")
     }
 
-    // seed centroids on the first `cells` vectors, refine with Lloyd rounds
+    // seed centroids on the first `cells` vectors, refine with Lloyd rounds;
+    // each round's centroid set (`cells` rows, tiny) is materialized
+    // eagerly so every round — and both downstream assignment passes —
+    // plans against a flat cached relation instead of the nested Lloyd
+    // lineage (timing-neutral at sf0.1, but bounds plan depth at any
+    // iteration count)
     var centroids = corpus.where(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+      .cache()
     for (_ <- 1 to iters) {
       val assigned = nearestCells(corpus.select(col("vec_id"), col("v")),
         "vec_id", "v", centroids, 1)
@@ -199,9 +205,11 @@ object SimilarityOps {
         .groupBy("cell")
         .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), expr("transform(dm, e -> e.m)").as("cv"))
+        .cache()
+      means.count() // materialize before the old round's cache is dropped
+      centroids.unpersist()
       centroids = means
     }
-    centroids = centroids.cache()
 
     val corpusCells = nearestCells(corpus.select(col("vec_id"), col("v")),
         "vec_id", "v", centroids, 1)

@@ -102,5 +102,43 @@ object TextOps {
           .withColumn("fp", expr(
             "aggregate(codes, CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000003)"))
           .select(col("doc_id"), col("fp"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    // Vocabulary building: top document-frequency terms per language — the
+    // tokenizer-vocab / stopword-list step of a training-data pipeline.
+    // All-integer output with a deterministic (df DESC, term) tiebreak, so
+    // the DuckDB oracle hash-matches exactly.
+    QueryDef(
+      "q52_vocab_top_terms",
+      Some("""WITH tk AS (
+        |  SELECT DISTINCT lang, doc_id, tt.term
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)
+        |  WHERE text IS NOT NULL),
+        |dfreq AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM tk GROUP BY lang, term),
+        |r AS (SELECT lang, term, df,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS INT) AS rnk
+        |      FROM dfreq)
+        |SELECT lang, rnk, term, df FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin),
+      (spark, dir) => vocabTopTerms(t(spark, dir, "documents"), k = 10)))
+
+  /** Top-k terms per language by DOCUMENT frequency (per-doc distinct
+    * tokens, so a term repeated inside one doc counts once). Scale shape:
+    * the explode fans out but aggregates straight back down with map-side
+    * partial aggs to (lang, term, df) — vocabulary-bounded cardinality, not
+    * corpus-bounded — so the per-lang top-k window runs over term counts,
+    * never documents.
+    */
+  def vocabTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.where(col("text").isNotNull)
+      .select(col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val dfreq = tk.groupBy("lang", "term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("lang").orderBy(col("df").desc, col("term"))
+    dfreq.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("term"), col("df"))
+      .orderBy("lang", "rnk")
+  }
 }

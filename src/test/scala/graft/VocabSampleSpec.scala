@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SampleOps, TextOps}
+
+/** Vocabulary building (q52) + balanced deterministic sampling (q53). */
+class VocabSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocab top terms ranks by document frequency with term tiebreak") {
+    val docs = Seq(
+      (1L, "a b a", "en"), (2L, "a c", "en"), (3L, "b b", "en"),
+      (4L, "x", "de"), (5L, null.asInstanceOf[String], "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.vocabTopTerms(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // en: a appears in docs 1,2 (df 2, once despite repeat in doc 1),
+    // b in docs 1,3 (df 2), c in doc 2 (df 1); tie a-vs-b broken by term
+    assert(out.filter(_._1 == "en").toSeq == Seq(
+      ("en", 1, "a", 2L), ("en", 2, "b", 2L), ("en", 3, "c", 1L)))
+    assert(out.filter(_._1 == "de").toSeq == Seq(("de", 1, "x", 1L)))
+  }
+
+  test("balanced sample: two-phase plan equals the naive global window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = SampleOps.balancedSample(docs, k = 20, strata = "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+
+    val w = Window.partitionBy("lang")
+      .orderBy(pmod(xxhash64(col("doc_id")), lit(1000000L)), col("doc_id"))
+    val naive = docs.select(col("lang"), col("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 20)
+      .orderBy("lang", "rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .map { case (l, d, r) => (l, r, d) }
+    assert(got.toSeq == naive.toSeq)
+
+    // exactly k per stratum (every lang has >= 20 docs at sf0.001),
+    // ranks contiguous, and rerun is bit-identical
+    val perLang = got.groupBy(_._1)
+    assert(perLang.nonEmpty)
+    assert(perLang.values.forall(_.length == 20))
+    assert(perLang.values.forall(_.map(_._2).sorted.toSeq == (1 to 20)))
+    val again = SampleOps.balancedSample(docs, k = 20, strata = "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("balanced sample keeps whole strata smaller than the quota") {
+    val tiny = Seq((1L, "en"), (2L, "en"), (3L, "de"))
+      .toDF("doc_id", "lang")
+    val out = SampleOps.balancedSample(tiny, k = 20, strata = "lang")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.length == 3, "strata under the quota keep every row")
+  }
+}
