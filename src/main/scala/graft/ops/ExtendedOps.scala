@@ -58,6 +58,27 @@ object ExtendedOps {
           .orderBy("o_orderpriority")
       }),
 
+    // Explicitly SALTED large x large join: the manual skew weapon for
+    // when one join key dominates (AQE's skew split only kicks in on
+    // sort-merge joins past partition-size thresholds; salting works on
+    // any plan shape and any skew ratio). Semantics identical to the
+    // plain join, so the oracle is the plain SQL join.
+    QueryDef(
+      "q54_salted_join",
+      Some(s"""SELECT o_orderpriority, l_returnflag, COUNT(*) AS n_items,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  ${sqlMoneySum(REV)} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority, l_returnflag
+        |ORDER BY o_orderpriority, l_returnflag""".stripMargin),
+      (spark, dir) =>
+        saltedOrderJoin(t(spark, dir, "lineitem"), t(spark, dir, "orders"))
+          .groupBy("o_orderpriority", "l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            moneySum(revenue).as("revenue"))
+          .orderBy("o_orderpriority", "l_returnflag")),
+
     // Row-level exact dedup via dropDuplicates == SELECT DISTINCT.
     QueryDef(
       "q50_distinct_rows",
@@ -150,4 +171,27 @@ object ExtendedOps {
             date_format(col("last_purchase_ts"), tsFmt).as("last_purchase"))
           .orderBy("event_id")
       }))
+
+  /** lineitem ⋈ orders with an explicit `salt`-way key split: the probe
+    * side's key is extended with a deterministic salt derived from the
+    * whole row key (so rows of one hot order key spread over `salt`
+    * reducers), and the build side is replicated once per salt value via
+    * a small explode. Join output — and therefore any aggregate over
+    * it — is EXACTLY the plain join's (the replicated side matches each
+    * probe row exactly once), which is what lets DuckDB oracle the
+    * salted plan with the unsalted SQL. Replication costs salt x
+    * build-side rows, so pick salt ~ (hottest-key share x reducer
+    * count), not thousands.
+    */
+  def saltedOrderJoin(li: org.apache.spark.sql.DataFrame,
+      o: org.apache.spark.sql.DataFrame,
+      salt: Int = 8): org.apache.spark.sql.DataFrame = {
+    val liS = li.withColumn("salt",
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salt.toLong)))
+    val oS = o.withColumn("salt",
+      explode(expr(s"sequence(0L, ${salt - 1}L)")))
+    liS.join(oS,
+      liS("l_orderkey") === oS("o_orderkey") && liS("salt") === oS("salt"))
+      .drop("salt")
+  }
 }

@@ -24,6 +24,15 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q54 salted join is row-identical to the plain join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val salted = graft.ops.ExtendedOps.saltedOrderJoin(li, o, salt = 8)
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
   test("every query name has unique entry and oracle keys subset queries") {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size)
