@@ -24,12 +24,15 @@ object EventOps {
     * exact integer division (a double division would lose precision at
     * 1e18 ns) — sub-microsecond truncation is irrelevant to hour windows
     * and 30-minute session gaps.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set in every harness builder: Bench, Verify, tools, TestSpark). Set
+    * at session construction, not here — a query function mutating session
+    * config would surprise a caller sharing the session concurrently.
     */
-  def events(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   def hourlyWindow(events: DataFrame): DataFrame =
     events

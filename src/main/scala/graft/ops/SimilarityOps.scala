@@ -128,6 +128,8 @@ object SimilarityOps {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, bits: Int = 0, multiprobe: Boolean = true): DataFrame = {
+    // the count() here is a parquet-footer rowcount (no data scan) — one
+    // cheap extra action per call, priced in for the adaptive bucket width
     val nBits = if (bits > 0) bits else autoBits(corpus.count(), floor = 6)
     val buckets = bucketsUdf(tables, nBits, 64)
     val corpusB = corpus
@@ -280,6 +282,7 @@ object SimilarityOps {
     */
   def embedNearDup(corpus: DataFrame, threshold: Double,
       tables: Int = 4, bits: Int = 0): DataFrame = {
+    // parquet-footer rowcount only — see the same note in lshTopK
     val nBits = if (bits > 0) bits else autoBits(corpus.count(), floor = 8)
     val buckets = bucketsUdf(tables, nBits, 64)
     // narrow (vec_id, tbl, bucket) only — the wide vector columns rejoin

@@ -28,6 +28,7 @@ object OracleGen {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outBase))
@@ -43,6 +44,9 @@ object OracleGen {
       case null => "NULL"
       case s: String => "'" + s.replace("'", "''") + "'"
       case d: Double if d.isNaN => "'NaN'"
+      // bare Infinity is not a valid DuckDB VALUES token; the quoted string
+      // casts cleanly ('Infinity'::DOUBLE / '-Infinity'::DOUBLE)
+      case d: Double if d.isInfinite => "'" + d + "'"
       case x => x.toString
     }
 

@@ -68,6 +68,18 @@ class QueriesSpec extends SparkSpec {
     assert(bothNull == 0 && bothSet == 0)
   }
 
+  test("minhashClusters leaves no cached frames behind (library hygiene)") {
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.DedupOps.minhashClusters(docs)
+    assert(out.count() == docs.count())
+    // every intermediate cache (banded scan, symmetric edges, 1-hop
+    // labels) must be unpersisted before return — a library caller in a
+    // long-lived session must not accumulate storage per invocation
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minhashClusters left frames in the CacheManager after returning")
+  }
+
   test("q39 salted agg equals plain groupBy") {
     import graft.util.Tables._
     val li = t(spark, sf, "lineitem")
