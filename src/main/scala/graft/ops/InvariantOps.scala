@@ -1,0 +1,333 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Output-invariant gates for the golden-graded operators (dedup, ANN,
+  * sampling, sketches). The literal goldens (resources/oracle/) prove
+  * determinism and regression-freedom but are frozen from the engine's own
+  * output, so a semantics bug present at freeze time would be perpetuated.
+  * These queries break that circularity: each computes, ENGINE-SIDE,
+  * violation counts of properties the output must satisfy under ANY correct
+  * hash family / seed choice, and their oracles are plain DuckDB SQL over
+  * the source tables (constants + table counts) — fully independent of the
+  * engine. A hash-family bug (the r3 null-text collapse, an all-merge
+  * signature bug, a threshold inversion, a lost stratum) flips a violation
+  * count to nonzero and fails the hash gate.
+  *
+  * Invariants chosen are exactly the ones the algorithms guarantee:
+  *   - 1-hop canonical assignments: canonical <= id, canonical is a real id,
+  *     one row per id, is_dup consistent, and every merged pair must be
+  *     *explainable* — share a shingle (MinHash), share a 16-bit signature
+  *     chunk (SimHash), or re-verify >= threshold under exact cosine
+  *     (embedding near-dup). Docs that cannot band (null text / too short)
+  *     must stay canonical = self.
+  *   - Transitive clusters: labels are fixpoints (label(label(d)) =
+  *     label(d)), never coarser than the 1-hop labels they refine, and
+  *     never split a 1-hop class (same 1-hop canonical => same cluster).
+  *   - Exact-duplicate text groups (SQL-computable) must collapse in every
+  *     dedup tier; identical embedding vectors must share a canonical.
+  *   - ANN top-k: every query returns exactly k rows, dense distinct ranks,
+  *     distinct neighbors, never itself.
+  */
+object InvariantOps {
+
+  /** One-row wide frame of BIGINT metrics -> (check_name, value) rows. */
+  private def stackChecks(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val args = cols.map(c => s"'$c', $c").mkString(", ")
+    df.selectExpr(s"stack(${cols.length}, $args) AS (check_name, value)")
+  }
+
+  private def zsum(c: Column): Column = coalesce(sum(c.cast("long")), lit(0L))
+
+  /** Count of ids in `out(col)` that are not document/vector ids. */
+  private def notMember(out: DataFrame, c: String, ids: DataFrame,
+      idCol: String, name: String): DataFrame =
+    out.select(col(c).as(idCol)).distinct()
+      .join(ids, Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as(name))
+
+  /** Invariants over [[DedupOps.minhashAssign]], [[DedupOps.simhashAssign]]
+    * and [[DedupOps.minhashClusters]] on the `documents` table.
+    */
+  def dedupInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").cache()
+    val ids = docs.select(col("doc_id"))
+    val mh = DedupOps.minhashAssign(docs).cache()
+    val sh = DedupOps.simhashAssign(docs).cache()
+    val cl = DedupOps.minhashClusters(docs) // returned pre-materialized
+
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+
+    val mhStats = mh.agg(
+      count(lit(1)).as("minhash_rows"),
+      countDistinct(col("doc_id")).as("minhash_distinct_docs"),
+      zsum(col("canonical_id") > col("doc_id")).as("minhash_canonical_gt_doc"),
+      zsum(col("is_dup") =!= (col("canonical_id") < col("doc_id")).cast("int"))
+        .as("minhash_isdup_wrong"))
+    val shStats = sh.agg(
+      count(lit(1)).as("simhash_rows"),
+      countDistinct(col("doc_id")).as("simhash_distinct_docs"),
+      zsum(col("canonical_id") > col("doc_id")).as("simhash_canonical_gt_doc"))
+    val clStats = cl.agg(
+      count(lit(1)).as("clusters_rows"),
+      countDistinct(col("doc_id")).as("clusters_distinct_docs"),
+      zsum(col("cluster_id") > col("doc_id")).as("clusters_label_gt_doc"),
+      zsum(col("is_dup") =!= (col("cluster_id") < col("doc_id")).cast("int"))
+        .as("clusters_isdup_wrong"))
+
+    // Docs that cannot band (null text or < 3 tokens -> null signature ->
+    // private singleton bucket) must come out canonical = self in every
+    // tier — this is the graded pin of the r3 null-collapse regression.
+    val shortness = docs.select(col("doc_id"),
+      (col("text").isNull || size(split(col("text"), " ")) < 3).as("is_short"),
+      col("text").isNull.as("is_null"))
+    val mhShort = mh.join(shortness, "doc_id")
+      .agg(zsum(col("is_short") && col("canonical_id") =!= col("doc_id"))
+        .as("minhash_short_or_null_merged"))
+    val shNull = sh.join(shortness, "doc_id")
+      .agg(zsum(col("is_null") && col("canonical_id") =!= col("doc_id"))
+        .as("simhash_null_text_merged"))
+
+    // Every MinHash merge must be explainable: a doc and its canonical
+    // co-banded, and two docs with disjoint shingle sets have independent
+    // 64-bit min-hashes (equal-slice probability ~2^-512) — so a merged
+    // pair sharing ZERO shingles means the banding is broken. Left joins:
+    // a merged doc missing from the shingle relation (too short to
+    // shingle) is itself a violation.
+    val shingleSets = DedupOps.shingles(docs)
+    val mhPairs = mh.where(col("canonical_id") < col("doc_id"))
+      .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+    val mhOverlap = mhPairs
+      .join(shingleSets.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"), "left")
+      .join(shingleSets.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"), "left")
+      .agg(zsum(col("sa").isNull || col("sb").isNull ||
+          size(array_intersect(col("sa"), col("sb"))) === 0)
+        .as("minhash_merged_no_shared_shingle"))
+
+    // A SimHash merge happens only via an equal 16-bit chunk at the same
+    // band position — recomputable from the output's own simhash column.
+    val shPairs = sh.where(col("canonical_id") < col("doc_id"))
+      .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+    val shChunk = shPairs
+      .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), Seq("b"))
+      .agg(zsum(col("ha").isNull || col("hb").isNull ||
+          !expr("""exists(sequence(0, 3),
+                  |  b -> (shiftright(ha, b * 16) & 65535) = (shiftright(hb, b * 16) & 65535))""".stripMargin))
+        .as("simhash_merged_no_shared_chunk"))
+
+    // Transitive-closure lattice: labels are fixpoints, refine the 1-hop
+    // assignment (never coarser), and never split a 1-hop class.
+    val clFix = cl.select(col("doc_id"), col("cluster_id"))
+      .join(cl.select(col("doc_id").as("cluster_id"), col("cluster_id").as("label_of_label")),
+        Seq("cluster_id"))
+      .agg(zsum(col("label_of_label") =!= col("cluster_id")).as("clusters_nonfixpoint"))
+    val oneHopJoin = mh.select(col("doc_id"), col("canonical_id"))
+      .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+    val clCoarser = oneHopJoin
+      .agg(zsum(col("cluster_id") > col("canonical_id")).as("clusters_coarser_than_1hop"))
+    val clSplit = oneHopJoin.groupBy("canonical_id")
+      .agg(countDistinct(col("cluster_id")).as("nc"))
+      .agg(zsum(col("nc") > 1).as("clusters_split_1hop_class"))
+
+    // Exact-duplicate text groups (independently SQL-computable) must
+    // collapse in both the 1-hop and the transitive tier: identical text
+    // -> identical signature -> identical buckets -> same canonical.
+    val exact = docs.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+      .join(mh.select(col("doc_id"), col("canonical_id")), Seq("doc_id"))
+      .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+      .groupBy("text")
+      .agg(count(lit(1)).as("c"),
+        countDistinct(col("canonical_id")).as("km"),
+        countDistinct(col("cluster_id")).as("kc"))
+    val exStats = exact.agg(
+      zsum(col("c") > 1).as("exact_dup_groups"),
+      zsum(col("km") > 1).as("exact_dup_split_minhash"),
+      zsum(col("kc") > 1).as("exact_dup_split_clusters"))
+
+    val members = Seq(
+      notMember(mh, "canonical_id", ids, "doc_id", "minhash_canonical_not_member"),
+      notMember(sh, "canonical_id", ids, "doc_id", "simhash_canonical_not_member"),
+      notMember(cl, "cluster_id", ids, "doc_id", "clusters_label_not_member"))
+
+    val result = (Seq(nDocs, mhStats, shStats, clStats, mhShort, shNull,
+        mhOverlap, shChunk, clFix, clCoarser, clSplit, exStats) ++ members)
+      .map(stackChecks)
+      .reduce(_ unionByName _)
+      // materialize before dropping the caches the plan was built from
+      .localCheckpoint(eager = true)
+      .orderBy("check_name")
+    docs.unpersist(); mh.unpersist(); sh.unpersist()
+    result
+  }
+
+  private def dedupInvariantsSql: String =
+    """WITH expected(check_name, value) AS (VALUES
+      |  ('clusters_coarser_than_1hop', 0),
+      |  ('clusters_distinct_docs', (SELECT COUNT(*) FROM documents)),
+      |  ('clusters_isdup_wrong', 0),
+      |  ('clusters_label_gt_doc', 0),
+      |  ('clusters_label_not_member', 0),
+      |  ('clusters_nonfixpoint', 0),
+      |  ('clusters_rows', (SELECT COUNT(*) FROM documents)),
+      |  ('clusters_split_1hop_class', 0),
+      |  ('exact_dup_groups', (SELECT COUNT(*) FROM (SELECT text FROM documents WHERE text IS NOT NULL GROUP BY text HAVING COUNT(*) > 1) g)),
+      |  ('exact_dup_split_clusters', 0),
+      |  ('exact_dup_split_minhash', 0),
+      |  ('minhash_canonical_gt_doc', 0),
+      |  ('minhash_canonical_not_member', 0),
+      |  ('minhash_distinct_docs', (SELECT COUNT(*) FROM documents)),
+      |  ('minhash_isdup_wrong', 0),
+      |  ('minhash_merged_no_shared_shingle', 0),
+      |  ('minhash_rows', (SELECT COUNT(*) FROM documents)),
+      |  ('minhash_short_or_null_merged', 0),
+      |  ('n_docs', (SELECT COUNT(*) FROM documents)),
+      |  ('simhash_canonical_gt_doc', 0),
+      |  ('simhash_canonical_not_member', 0),
+      |  ('simhash_distinct_docs', (SELECT COUNT(*) FROM documents)),
+      |  ('simhash_merged_no_shared_chunk', 0),
+      |  ('simhash_null_text_merged', 0),
+      |  ('simhash_rows', (SELECT COUNT(*) FROM documents)))
+      |SELECT check_name, CAST(value AS BIGINT) AS value
+      |FROM expected ORDER BY check_name""".stripMargin
+
+  /** Invariants over [[SimilarityOps.embedNearDup]], [[SimilarityOps.lshTopK]]
+    * and [[SimilarityOps.ivfTopK]] on the `embeddings` table.
+    */
+  def embedInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val v = SimilarityOps.vectors(spark, dir).cache()
+    val ids = v.select(col("vec_id"))
+    val queries = v.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nd = SimilarityOps.embedNearDup(v, threshold = 0.95).cache()
+    val lsh = SimilarityOps.lshTopK(v, queries, k = 5)
+    val ivf = SimilarityOps.ivfTopK(v, queries, k = 5)
+
+    val nVecs = v.agg(count(lit(1)).as("n_vecs"))
+
+    val ndStats = nd.agg(
+      count(lit(1)).as("neardup_rows"),
+      countDistinct(col("vec_id")).as("neardup_distinct_vecs"),
+      zsum(col("canonical_id") > col("vec_id")).as("neardup_canonical_gt_id"),
+      zsum(col("is_dup") =!= (col("canonical_id") < col("vec_id")).cast("int"))
+        .as("neardup_isdup_wrong"))
+
+    // Every near-dup merge must re-verify under exact cosine: canonical(v)
+    // is v's min verified neighbor, so cosine(v, canonical(v)) >= threshold
+    // by construction — a below-threshold merged pair means the candidate
+    // verification is broken.
+    val ndPairs = nd.where(col("canonical_id") < col("vec_id"))
+      .select(col("vec_id").as("a"), col("canonical_id").as("b"))
+    val ndVerify = ndPairs
+      .join(v.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"), "left")
+      .join(v.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"), "left")
+      .agg(zsum(col("va").isNull || col("vb").isNull ||
+          SimilarityOps.cosine("va", "vb") < 0.95)
+        .as("neardup_merged_below_threshold"))
+
+    // Identical (non-null) vectors have identical buckets in every table,
+    // so they are always candidates, verify at cosine = 1, and end up with
+    // the same canonical (their neighbor sets coincide) — under ANY
+    // hyperplane family. Pair count is SQL-computable from the table.
+    val vecGroups = v.where(col("v").isNotNull)
+      .join(nd.select(col("vec_id"), col("canonical_id")), Seq("vec_id"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("canonical_id")).as("k"))
+    val identStats = vecGroups.agg(
+      zsum(expr("c * (c - 1) div 2")).as("identical_vec_pairs"),
+      zsum(col("k") > 1).as("identical_vec_split"))
+
+    // ANN output shape: every query must return exactly k rows with dense
+    // distinct ranks 1..k, k distinct neighbors, never itself.
+    def okQueries(out: DataFrame, name: String): DataFrame =
+      out.groupBy("q_id").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("vec_id")).as("nv"),
+          countDistinct(col("rnk")).as("nr"),
+          max(col("rnk")).as("mx"), min(col("rnk")).as("mn"),
+          zsum(col("vec_id") === col("q_id")).as("selfs"))
+        .where(col("n") === 5 && col("nv") === 5 && col("nr") === 5 &&
+          col("mx") === 5 && col("mn") === 1 && col("selfs") === 0)
+        .agg(count(lit(1)).as(name))
+
+    val result = Seq(nVecs, ndStats, ndVerify, identStats,
+        okQueries(lsh, "lsh_ok_queries"), okQueries(ivf, "ivf_ok_queries"),
+        notMember(nd, "canonical_id", ids, "vec_id", "neardup_canonical_not_member"))
+      .map(stackChecks)
+      .reduce(_ unionByName _)
+      .localCheckpoint(eager = true)
+      .orderBy("check_name")
+    v.unpersist(); nd.unpersist()
+    result
+  }
+
+  private def embedInvariantsSql: String =
+    """WITH expected(check_name, value) AS (VALUES
+      |  ('identical_vec_pairs', (SELECT COALESCE(SUM((c * (c - 1)) // 2), 0)
+      |     FROM (SELECT COUNT(*) AS c FROM embeddings WHERE embedding IS NOT NULL GROUP BY embedding) g
+      |     WHERE c > 1)),
+      |  ('identical_vec_split', 0),
+      |  ('ivf_ok_queries', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)),
+      |  ('lsh_ok_queries', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)),
+      |  ('n_vecs', (SELECT COUNT(*) FROM embeddings)),
+      |  ('neardup_canonical_gt_id', 0),
+      |  ('neardup_canonical_not_member', 0),
+      |  ('neardup_distinct_vecs', (SELECT COUNT(*) FROM embeddings)),
+      |  ('neardup_isdup_wrong', 0),
+      |  ('neardup_merged_below_threshold', 0),
+      |  ('neardup_rows', (SELECT COUNT(*) FROM embeddings)))
+      |SELECT check_name, CAST(value AS BIGINT) AS value
+      |FROM expected ORDER BY check_name""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_dedup_invariants", Some(dedupInvariantsSql),
+      (spark, dir) => dedupInvariants(spark, dir)),
+
+    QueryDef("q57_embed_invariants", Some(embedInvariantsSql),
+      (spark, dir) => embedInvariants(spark, dir)),
+
+    // q41's golden freezes the HLL sketch value; this grades the exact
+    // count against plain SQL and bounds the sketch's relative error in
+    // the oracle-checked output itself (measured 0.4% at sf0.01 for
+    // rsd = 0.02 — the 2% bound has 5x headroom).
+    QueryDef(
+      "q58_approx_distinct_bound",
+      Some("""SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+        |  CAST(1 AS INT) AS approx_within_2pct
+        |FROM orders""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+          .select(col("exact_customers"),
+            (abs(col("approx") - col("exact_customers")) <=
+              lit(0.02) * col("exact_customers")).cast("int").as("approx_within_2pct"))),
+
+    // q53's golden freezes the hash order; this grades the sampling
+    // CONTRACT in SQL: every stratum yields exactly min(k, |stratum|)
+    // distinct members of that stratum with dense ranks.
+    QueryDef(
+      "q59_sample_invariants",
+      Some("""SELECT lang AS stratum,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_sampled,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS max_rnk,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_distinct_docs,
+        |  CAST(0 AS BIGINT) AS bad_members
+        |FROM documents GROUP BY lang ORDER BY stratum""".stripMargin),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        SampleOps.balancedSample(docs, k = 20, strata = "lang")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy("stratum")
+          .agg(count(lit(1)).as("n_sampled"),
+            max(col("rnk")).cast("long").as("max_rnk"),
+            countDistinct(col("doc_id")).as("n_distinct_docs"),
+            zsum(col("lang") =!= col("stratum")).as("bad_members"))
+          .orderBy("stratum")
+      }))
+}

@@ -480,6 +480,40 @@ object ReferenceOps {
           .orderBy("o_orderpriority")
       }),
 
+    // 100 TB-tier write layout, graded: q42 roundtrips an unpartitioned
+    // table, but the scale posture (SCALE.md, Pipeline.rebuildSilverPartitioned)
+    // is date-partitioned storage — so grade THAT: write orders partitioned
+    // by year, read back through the catalog WITH a partition filter
+    // (PlanSpec asserts the scan's PartitionFilters prune to one
+    // directory), and aggregate. The oracle recomputes the same filtered
+    // aggregate straight from the source table.
+    QueryDef(
+      "q55_partitioned_write",
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  ${sqlMoneySum("o_totalprice")} AS revenue
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val tbl = "graft_q55_partitioned"
+        // same catalog + location reset as q42: Overwrite can't reclaim a
+        // location the (fresh in-memory) catalog never registered
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), tbl)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+        t(spark, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("o_year")
+          .format("parquet").saveAsTable(tbl)
+        spark.table(tbl)
+          .where(col("o_year") === 1996)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Scale tier of A6: approx_count_distinct (HLL) next to the exact count.
     // Engine-specific sketch, but deterministic for fixed input -> literal
     // golden oracle; the spec additionally bounds the error vs exact.
