@@ -57,9 +57,11 @@ object InvariantOps {
   def dedupInvariants(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").cache()
     val ids = docs.select(col("doc_id"))
-    val mh = DedupOps.minhashAssign(docs).cache()
+    // one banded pass feeds both MinHash tiers (pre-materialized inside);
+    // rerunning minhashAssign + minhashClusters separately would pay the
+    // signature scan + bucket window twice
+    val (mh, cl) = DedupOps.minhashTiers(docs)
     val sh = DedupOps.simhashAssign(docs).cache()
-    val cl = DedupOps.minhashClusters(docs) // returned pre-materialized
 
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
 
@@ -99,9 +101,14 @@ object InvariantOps {
     // pair sharing ZERO shingles means the banding is broken. Left joins:
     // a merged doc missing from the shingle relation (too short to
     // shingle) is itself a violation.
-    val shingleSets = DedupOps.shingles(docs)
     val mhPairs = mh.where(col("canonical_id") < col("doc_id"))
       .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+    // shingle sets are needed only for the (few) merged-pair members, not
+    // the corpus — semi-join docs down before the shingle transform; a
+    // too-short pair member still yields no shingle row => counted below
+    val pairIds = mhPairs.select(col("a").as("doc_id"))
+      .unionByName(mhPairs.select(col("b").as("doc_id"))).distinct()
+    val shingleSets = DedupOps.shingles(docs.join(pairIds, Seq("doc_id"), "left_semi"))
     val mhOverlap = mhPairs
       .join(shingleSets.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"), "left")
       .join(shingleSets.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"), "left")
@@ -162,7 +169,7 @@ object InvariantOps {
       // materialize before dropping the caches the plan was built from
       .localCheckpoint(eager = true)
       .orderBy("check_name")
-    docs.unpersist(); mh.unpersist(); sh.unpersist()
+    docs.unpersist(); sh.unpersist()
     result
   }
 

