@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale rehearsal (VERDICT r4 #8): the dedup/ANN/text family one
+  * decade above the bench scale. Synthesizes a 10x documents+embeddings
+  * corpus under /tmp from the sf0.1 tables — dup structure PRESERVED, not
+  * amplified: each copy c suffixes every token with `_c` (disjoint shingle
+  * space per copy, intra-copy near-dup structure intact), except a 30%
+  * slice that appends one token (light perturbation -> cross-copy near-dup
+  * chains, the deep-component stress for q51). Embedding copies likewise:
+  * 30% get +0.001c (near-dups of the original, cosine ~1), 70% get a
+  * per-(vec,copy) multiplicative mask 1 + 0.8*cos(i + id%97 + 7c)
+  * (cosine ~0.87 vs original — below the 0.95 near-dup bar, and distinct
+  * per vector so no artificial mega-cluster).
+  *
+  * Then times each family query at sf0.1 and at 10x in one warm session
+  * and reports the ratio; the pass bar is ratio <= 10 (linear-ish scaling
+  * for 10x data; the LSH/banding designs should be well under).
+  *
+  *   sbt "runMain graft.tools.ScaleRehearsal"
+  */
+object ScaleRehearsal {
+
+  private val family = Seq(
+    "q23_dedup_exact", "q24_dedup_minhash", "q25_dedup_simhash",
+    "q26_ngram_jaccard", "q29_lang_id", "q30_quality_score",
+    "q31_token_stats", "q32_fingerprint", "q51_dedup_clusters",
+    "q52_vocab_top_terms", "q53_balanced_sample",
+    "q27_ann_bruteforce", "q28_ann_lsh", "q43_embed_neardup",
+    "q47_ann_ivf", "q56_dedup_invariants", "q57_embed_invariants")
+
+  private val OFFSET = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    generate(spark, src, out, factor)
+
+    // warm the JVM on the small scale first; report small vs big per query
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${s"${factor}x"}%8s ${"ratio"}%6s")
+    var worst = 0.0
+    val rows = family.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def time(dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(src) // warm codegen/JIT for this query's plan shape
+      val small = time(src)
+      val big = time(out)
+      val ratio = big / small
+      worst = math.max(worst, ratio)
+      println(f"$name%-24s $small%8.2f $big%8.2f $ratio%6.1f")
+      (name, small, big, ratio)
+    }
+    val bar = 10.0
+    val over = rows.filter(_._4 > bar)
+    println(
+      if (over.isEmpty)
+        f"PASS: worst ratio $worst%.1f <= $bar%.0f at ${factor}x data"
+      else
+        s"FAIL: over ${bar.toInt}x: ${over.map(r => f"${r._1}=${r._4}%.1f").mkString(", ")}")
+    spark.stop()
+    if (over.nonEmpty) sys.exit(1)
+  }
+
+  /** Writes `factor`-times documents/embeddings tables under `out`. */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docCopies = (0 until factor).map { c =>
+      if (c == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(c * OFFSET)).as("doc_id"),
+        when(col("doc_id") % 10 < 3, concat(col("text"), lit(s" rep$c")))
+          .otherwise(concat_ws(" ",
+            expr(s"transform(split(text, ' '), t -> concat(t, '_$c'))")))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embCopies = (0 until factor).map { c =>
+      if (c == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(c * OFFSET)).as("vec_id"),
+        when(col("vec_id") % 10 < 3,
+          expr(s"transform(embedding, x -> x + float(0.001 * $c))"))
+          .otherwise(expr(
+            s"transform(embedding, (x, i) -> x * float(1.0 + 0.8 * cos(i + vec_id % 97 + 7 * $c)))"))
+          .as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+  }
+}

@@ -83,6 +83,21 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q55 partitioned write is read back through a pruned partition filter") {
+    // run the query once so the table exists, then re-derive the read side
+    SparkEntry.queries("q55_partitioned_write")(spark, sf).collect()
+    val df = spark.table("graft_q55_partitioned")
+      .where(col("o_year") === 1996)
+      .select("o_orderpriority", "o_totalprice")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("o_year"),
+      s"expected o_year partition pruning in:\n$plan")
+    assert(!plan.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"no pruning happened:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("no query plans an unbroadcast Cartesian product") {
     SparkEntry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
