@@ -11,12 +11,12 @@ import graft.util.Tables._
   * determinism and regression-freedom but are frozen from the engine's own
   * output, so a semantics bug present at freeze time would be perpetuated.
   * These queries break that circularity: each computes, ENGINE-SIDE,
-  * violation counts of properties the output must satisfy under ANY correct
-  * hash family / seed choice, and their oracles are plain DuckDB SQL over
-  * the source tables (constants + table counts) — fully independent of the
-  * engine. A hash-family bug (the r3 null-text collapse, an all-merge
-  * signature bug, a threshold inversion, a lost stratum) flips a violation
-  * count to nonzero and fails the hash gate.
+  * violation counts of properties the output must satisfy under any correct
+  * hash family / seed choice (one caveat below), and their oracles are
+  * plain DuckDB SQL over the source tables (constants + table counts) —
+  * fully independent of the engine. A hash-family bug (the r3 null-text
+  * collapse, an all-merge signature bug, a threshold inversion, a lost
+  * stratum) flips a violation count to nonzero and fails the hash gate.
   *
   * Invariants chosen are exactly the ones the algorithms guarantee:
   *   - 1-hop canonical assignments: canonical <= id, canonical is a real id,
@@ -31,7 +31,19 @@ import graft.util.Tables._
   *   - Exact-duplicate text groups (SQL-computable) must collapse in every
   *     dedup tier; identical embedding vectors must share a canonical.
   *   - ANN top-k: every query returns exactly k rows, dense distinct ranks,
-  *     distinct neighbors, never itself.
+  *     distinct neighbors, never itself. CAVEAT: unlike every other check,
+  *     the all-queries-return-k expectation is a recall *floor of the
+  *     current family/seed at the graded scales*, not a universal law — a
+  *     different correct LSH family could legitimately leave a sparse query
+  *     with fewer than k candidates. Changing the family/seed may require
+  *     re-vetting that expectation.
+  *
+  * The graded sf0.01/sf0.1 corpora happen to contain no null-text,
+  * <3-token, or exact-duplicate documents, so on those inputs the
+  * corresponding violation counts are trivially zero; InvariantFixtureSpec
+  * re-runs these gates on a planted corpus (nulls, shorts, exact dups,
+  * near-dup chains, identical vectors) where each regression path is
+  * actually exercised.
   */
 object InvariantOps {
 
@@ -54,8 +66,14 @@ object InvariantOps {
   /** Invariants over [[DedupOps.minhashAssign]], [[DedupOps.simhashAssign]]
     * and [[DedupOps.minhashClusters]] on the `documents` table.
     */
-  def dedupInvariants(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").cache()
+  def dedupInvariants(spark: SparkSession, dir: String): DataFrame =
+    dedupInvariants(t(spark, dir, "documents"))
+
+  /** Frame-based core of [[dedupInvariants]] — the fixture spec runs it on
+    * a planted corpus (nulls / shorts / exact dups) the graded tables lack.
+    */
+  def dedupInvariants(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.cache()
     val ids = docs.select(col("doc_id"))
     // one banded pass feeds both MinHash tiers (pre-materialized inside);
     // rerunning minhashAssign + minhashClusters separately would pay the
@@ -84,7 +102,10 @@ object InvariantOps {
 
     // Docs that cannot band (null text or < 3 tokens -> null signature ->
     // private singleton bucket) must come out canonical = self in every
-    // tier — this is the graded pin of the r3 null-collapse regression.
+    // tier. NOTE: the graded corpora contain no such docs, so at sf0.01/0.1
+    // these counts are trivially zero — the r3 null-collapse regression is
+    // actually exercised by InvariantFixtureSpec's planted corpus; here the
+    // check guards future corpora, not the current ones.
     val shortness = docs.select(col("doc_id"),
       (col("text").isNull || size(split(col("text"), " ")) < 3).as("is_short"),
       col("text").isNull.as("is_null"))
@@ -145,7 +166,13 @@ object InvariantOps {
     // Exact-duplicate text groups (independently SQL-computable) must
     // collapse in both the 1-hop and the transitive tier: identical text
     // -> identical signature -> identical buckets -> same canonical.
-    val exact = docs.where(col("text").isNotNull).select(col("doc_id"), col("text"))
+    // Restricted on BOTH sides (engine + oracle) to shingleable texts
+    // (>= 3 tokens): shorter duplicate texts band into private singleton
+    // buckets and stay canonical = self BY DESIGN, so counting them would
+    // fail the gate on correct behavior if such docs ever enter a corpus.
+    val exact = docs
+      .where(col("text").isNotNull && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("text"))
       .join(mh.select(col("doc_id"), col("canonical_id")), Seq("doc_id"))
       .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
       .groupBy("text")
@@ -183,7 +210,7 @@ object InvariantOps {
       |  ('clusters_nonfixpoint', 0),
       |  ('clusters_rows', (SELECT COUNT(*) FROM documents)),
       |  ('clusters_split_1hop_class', 0),
-      |  ('exact_dup_groups', (SELECT COUNT(*) FROM (SELECT text FROM documents WHERE text IS NOT NULL GROUP BY text HAVING COUNT(*) > 1) g)),
+      |  ('exact_dup_groups', (SELECT COUNT(*) FROM (SELECT text FROM documents WHERE text IS NOT NULL AND length(text) - length(replace(text, ' ', '')) + 1 >= 3 GROUP BY text HAVING COUNT(*) > 1) g)),
       |  ('exact_dup_split_clusters', 0),
       |  ('exact_dup_split_minhash', 0),
       |  ('minhash_canonical_gt_doc', 0),
@@ -206,8 +233,14 @@ object InvariantOps {
   /** Invariants over [[SimilarityOps.embedNearDup]], [[SimilarityOps.lshTopK]]
     * and [[SimilarityOps.ivfTopK]] on the `embeddings` table.
     */
-  def embedInvariants(spark: SparkSession, dir: String): DataFrame = {
-    val v = SimilarityOps.vectors(spark, dir).cache()
+  def embedInvariants(spark: SparkSession, dir: String): DataFrame =
+    embedInvariants(SimilarityOps.vectors(spark, dir))
+
+  /** Frame-based core of [[embedInvariants]] over (vec_id, v) rows —
+    * the fixture spec runs it on planted identical/null vectors.
+    */
+  def embedInvariants(vIn: DataFrame): DataFrame = {
+    val v = vIn.cache()
     val ids = v.select(col("vec_id"))
     val queries = v.where(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -300,20 +333,25 @@ object InvariantOps {
 
     // q41's golden freezes the HLL sketch value; this grades the exact
     // count against plain SQL and bounds the sketch's relative error in
-    // the oracle-checked output itself (measured 0.4% at sf0.01 for
-    // rsd = 0.02 — the 2% bound has 5x headroom).
+    // the oracle-checked output itself. The graded bound is derived from
+    // the configured rsd (4x = a ~4-sigma envelope), not a hand-picked
+    // constant: a 1-sigma bound is deterministic for the frozen corpus
+    // (measured 0.4% at sf0.01) but could legitimately flip on a
+    // regenerated corpus or new scale factor without any engine bug.
     QueryDef(
       "q58_approx_distinct_bound",
       Some("""SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
-        |  CAST(1 AS INT) AS approx_within_2pct
+        |  CAST(1 AS INT) AS approx_within_bound
         |FROM orders""".stripMargin),
-      (spark, dir) =>
+      (spark, dir) => {
+        val rsd = 0.02
         t(spark, dir, "orders")
           .agg(countDistinct(col("o_custkey")).as("exact_customers"),
-            approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+            approx_count_distinct(col("o_custkey"), rsd).as("approx"))
           .select(col("exact_customers"),
             (abs(col("approx") - col("exact_customers")) <=
-              lit(0.02) * col("exact_customers")).cast("int").as("approx_within_2pct"))),
+              lit(4 * rsd) * col("exact_customers")).cast("int").as("approx_within_bound"))
+      }),
 
     // q53's golden freezes the hash order; this grades the sampling
     // CONTRACT in SQL: every stratum yields exactly min(k, |stratum|)

@@ -122,7 +122,35 @@ object TextOps {
         |      FROM dfreq)
         |SELECT lang, rnk, term, df FROM r WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin),
-      (spark, dir) => vocabTopTerms(t(spark, dir, "documents"), k = 10)))
+      (spark, dir) => vocabTopTerms(t(spark, dir, "documents"), k = 10)),
+
+    // TF-IDF term weighting with LINEAR idf (idf = N/df, the unsmoothed
+    // inverse-frequency variant): per-doc top-k distinguishing terms — the
+    // keyword-extraction / doc-representation step of a training-data
+    // pipeline. Linear idf is chosen deliberately over log idf for the
+    // ORACLE's sake: tf*N is an exact integer in a double (< 2^53) and the
+    // single division is correctly rounded by IEEE 754 in both engines, so
+    // the scores — and therefore the rank order — are bit-identical between
+    // Spark and DuckDB, where ln() parity is only within 1 ulp.
+    QueryDef(
+      "q61_tfidf_top_terms",
+      Some("""WITH toks AS (
+        |  SELECT doc_id, tt.term
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)
+        |  WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, term, tf, df,
+        |        CAST(tf * n AS DOUBLE) / df AS tfidf,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY CAST(tf * n AS DOUBLE) / df DESC, term) AS INT) AS rnk
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin),
+      (spark, dir) => tfidfTopTerms(t(spark, dir, "documents"), k = 3)))
 
   /** Top-k terms per language by DOCUMENT frequency (per-doc distinct
     * tokens, so a term repeated inside one doc counts once). Scale shape:

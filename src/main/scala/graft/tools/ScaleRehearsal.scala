@@ -84,7 +84,11 @@ object ScaleRehearsal {
       if (c == 0) docs
       else docs.select(
         (col("doc_id") + lit(c * OFFSET)).as("doc_id"),
-        when(col("doc_id") % 10 < 3, concat(col("text"), lit(s" rep$c")))
+        // null text stays null in every copy (concat_ws would silently map
+        // it to "" and destroy the corpus's null structure; concat in the
+        // first branch null-propagates already)
+        when(col("text").isNull, lit(null).cast("string"))
+          .when(col("doc_id") % 10 < 3, concat(col("text"), lit(s" rep$c")))
           .otherwise(concat_ws(" ",
             expr(s"transform(split(text, ' '), t -> concat(t, '_$c'))")))
           .as("text"),
