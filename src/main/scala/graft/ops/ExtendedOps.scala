@@ -170,7 +170,70 @@ object ExtendedOps {
             date_format(col("ts"), tsFmt).as("click_ts"),
             date_format(col("last_purchase_ts"), tsFmt).as("last_purchase"))
           .orderBy("event_id")
+      }),
+
+    // Range (interval) join — the second operator Spark lacks a native
+    // plan for (after as-of): clicks attracted by each purchase within the
+    // following hour. Spark would execute the naive form as an equi-join
+    // on user_id with the time range as a post-join filter, which degrades
+    // to a per-user cross product on hot users. The scale shape BUCKETIZES
+    // time instead (see [[bucketedRangeCount]]); output is exactly the
+    // plain inequality join's, so the oracle is the naive SQL.
+    QueryDef(
+      "q60_range_join",
+      Some("""WITH purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id,
+        |  CAST(COUNT(c.ts) AS BIGINT) AS clicks_1h
+        |FROM purchases p LEFT JOIN clicks c
+        |  ON c.user_id = p.user_id AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |GROUP BY p.purchase_id, p.user_id
+        |ORDER BY p.purchase_id""".stripMargin),
+      (spark, dir) => {
+        val ev = EventOps.events(spark, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        bucketedRangeCount(purchases, clicks, windowMicros = 3600000000L)
       }))
+
+  /** Bucketized range join: for every purchase, count the clicks by the
+    * same user with ts in (purchase_ts, purchase_ts + window]. Each click
+    * lands in ONE fixed-width time bucket (width = the window length) and
+    * each purchase interval explodes over the exactly-2 buckets it can
+    * touch, so the join is a pure equi-join on (user_id, bucket) + a
+    * precise range filter — candidate fan-out is bounded by bucket
+    * occupancy (2x the click count in total), never by per-user row
+    * counts, and no dedup is needed because a click's single bucket is
+    * covered at most once per interval. Zero-click purchases are restored
+    * by a left join against the (purchase-keyed, already aggregated)
+    * counts. Semantics are EXACTLY the plain inequality join's.
+    */
+  def bucketedRangeCount(purchases: org.apache.spark.sql.DataFrame,
+      clicks: org.apache.spark.sql.DataFrame,
+      windowMicros: Long): org.apache.spark.sql.DataFrame = {
+    val clickB = clicks.select(col("user_id"), col("ts").as("cts"),
+      expr(s"unix_micros(ts) div ${windowMicros}L").as("bucket"))
+    val intervals = purchases.select(col("purchase_id"), col("user_id"),
+        col("ts").as("pts"),
+        explode(expr(
+          s"""sequence(unix_micros(ts) div ${windowMicros}L,
+             |  (unix_micros(ts) + ${windowMicros}L) div ${windowMicros}L)""".stripMargin))
+          .as("bucket"))
+    val counts = intervals.join(clickB, Seq("user_id", "bucket"))
+      .where(col("cts") > col("pts") &&
+        expr(s"unix_micros(cts) <= unix_micros(pts) + ${windowMicros}L"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("clicks_1h"))
+    purchases.select("purchase_id", "user_id")
+      .join(counts, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("clicks_1h"), lit(0L)).as("clicks_1h"))
+      .orderBy("purchase_id")
+  }
 
   /** lineitem ⋈ orders with an explicit `salt`-way key split: the probe
     * side's key is extended with a deterministic salt derived from the

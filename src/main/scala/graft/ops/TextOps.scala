@@ -152,6 +152,32 @@ object TextOps {
         |ORDER BY doc_id, rnk""".stripMargin),
       (spark, dir) => tfidfTopTerms(t(spark, dir, "documents"), k = 3)))
 
+  /** Per-doc top-k terms by TF-IDF with linear idf (score = tf * N / df).
+    * Scale shape: one explode that collapses straight back down to
+    * (doc, term, tf) partial aggs; document frequency comes from a
+    * whole-partition window over the term key (count over partitionBy(term),
+    * no orderBy) instead of a groupBy+self-join — the plan stays a straight
+    * line (no diamond, no cache): shuffle (doc_id, term) -> shuffle (term)
+    * -> shuffle (doc_id), each linear in the token count. N rides in as a
+    * broadcast 1-row cross join, not a driver-side collect.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val live = docs.where(col("text").isNotNull)
+    val tf = live
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = live.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n")).cast("double") / col("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Top-k terms per language by DOCUMENT frequency (per-doc distinct
     * tokens, so a term repeated inside one doc counts once). Scale shape:
     * the explode fans out but aggregates straight back down with map-side

@@ -106,6 +106,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q60 range join plans as pure equi-joins, never a nested loop") {
+    val plan = planOf("q60_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketized range join must stay an equi-join:\n$plan")
+    assert(plan.contains("Join"), s"expected the (user_id, bucket) join in:\n$plan")
+  }
+
   test("q24 minhash plan has no join (single-pass window assignment)") {
     val plan = planOf("q24_dedup_minhash")
     assert(!plan.contains("Join"), s"bucket-min must be a window, not a join:\n$plan")

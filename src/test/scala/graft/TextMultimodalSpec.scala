@@ -30,6 +30,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(n == spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("tfidf: exact linear-idf scores, tie ordering, null-text exclusion") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry durian"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.tfidfTopTerms(docs, k = 2).collect()
+    val byDoc = out.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+        .toSeq)
+      .toMap
+    // N = 3 live docs; df: apple 1, banana 2, cherry 2, durian 1
+    assert(!byDoc.contains(4L), "null-text doc contributes nothing")
+    assert(byDoc(1L) == Seq(("apple", 2L, 1L, 6.0), ("banana", 1L, 2L, 1.5)))
+    // exact score ties break on term ascending — deterministic in both engines
+    assert(byDoc(2L) == Seq(("banana", 1L, 2L, 1.5), ("cherry", 1L, 2L, 1.5)))
+    assert(byDoc(3L) == Seq(("cherry", 2L, 2L, 3.0), ("durian", 1L, 1L, 3.0)))
+  }
+
   test("multimodal stub decode: deterministic, partition-count invariant") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val media = MultimodalOps.mediaTable(docs)
