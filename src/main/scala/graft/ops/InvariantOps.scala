@@ -83,38 +83,37 @@ object InvariantOps {
 
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
 
-    val mhStats = mh.agg(
+    // Docs that cannot band (null text or < 3 tokens -> null signature ->
+    // private singleton bucket) must come out canonical = self in every
+    // tier. NOTE: the graded corpora contain no such docs, so at sf0.01/0.1
+    // these counts are trivially zero — the r3 null-collapse regression is
+    // actually exercised by InvariantFixtureSpec's planted corpus; here the
+    // check guards future corpora, not the current ones. The shortness
+    // columns ride along in the SAME aggregation pass as the per-tier
+    // structural stats (one join + one agg per tier, not two of each).
+    val shortness = docs.select(col("doc_id"),
+      (col("text").isNull || size(split(col("text"), " ")) < 3).as("is_short"),
+      col("text").isNull.as("is_null"))
+    val mhStats = mh.join(shortness, "doc_id").agg(
       count(lit(1)).as("minhash_rows"),
       countDistinct(col("doc_id")).as("minhash_distinct_docs"),
       zsum(col("canonical_id") > col("doc_id")).as("minhash_canonical_gt_doc"),
       zsum(col("is_dup") =!= (col("canonical_id") < col("doc_id")).cast("int"))
-        .as("minhash_isdup_wrong"))
-    val shStats = sh.agg(
+        .as("minhash_isdup_wrong"),
+      zsum(col("is_short") && col("canonical_id") =!= col("doc_id"))
+        .as("minhash_short_or_null_merged"))
+    val shStats = sh.join(shortness, "doc_id").agg(
       count(lit(1)).as("simhash_rows"),
       countDistinct(col("doc_id")).as("simhash_distinct_docs"),
-      zsum(col("canonical_id") > col("doc_id")).as("simhash_canonical_gt_doc"))
+      zsum(col("canonical_id") > col("doc_id")).as("simhash_canonical_gt_doc"),
+      zsum(col("is_null") && col("canonical_id") =!= col("doc_id"))
+        .as("simhash_null_text_merged"))
     val clStats = cl.agg(
       count(lit(1)).as("clusters_rows"),
       countDistinct(col("doc_id")).as("clusters_distinct_docs"),
       zsum(col("cluster_id") > col("doc_id")).as("clusters_label_gt_doc"),
       zsum(col("is_dup") =!= (col("cluster_id") < col("doc_id")).cast("int"))
         .as("clusters_isdup_wrong"))
-
-    // Docs that cannot band (null text or < 3 tokens -> null signature ->
-    // private singleton bucket) must come out canonical = self in every
-    // tier. NOTE: the graded corpora contain no such docs, so at sf0.01/0.1
-    // these counts are trivially zero — the r3 null-collapse regression is
-    // actually exercised by InvariantFixtureSpec's planted corpus; here the
-    // check guards future corpora, not the current ones.
-    val shortness = docs.select(col("doc_id"),
-      (col("text").isNull || size(split(col("text"), " ")) < 3).as("is_short"),
-      col("text").isNull.as("is_null"))
-    val mhShort = mh.join(shortness, "doc_id")
-      .agg(zsum(col("is_short") && col("canonical_id") =!= col("doc_id"))
-        .as("minhash_short_or_null_merged"))
-    val shNull = sh.join(shortness, "doc_id")
-      .agg(zsum(col("is_null") && col("canonical_id") =!= col("doc_id"))
-        .as("simhash_null_text_merged"))
 
     // Every MinHash merge must be explainable: a doc and its canonical
     // co-banded, and two docs with disjoint shingle sets have independent
@@ -155,13 +154,15 @@ object InvariantOps {
       .join(cl.select(col("doc_id").as("cluster_id"), col("cluster_id").as("label_of_label")),
         Seq("cluster_id"))
       .agg(zsum(col("label_of_label") =!= col("cluster_id")).as("clusters_nonfixpoint"))
-    val oneHopJoin = mh.select(col("doc_id"), col("canonical_id"))
+    // coarser + split share the mh-cl join: one two-level aggregation
+    // instead of recomputing the join per check
+    val clLattice = mh.select(col("doc_id"), col("canonical_id"))
       .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
-    val clCoarser = oneHopJoin
-      .agg(zsum(col("cluster_id") > col("canonical_id")).as("clusters_coarser_than_1hop"))
-    val clSplit = oneHopJoin.groupBy("canonical_id")
-      .agg(countDistinct(col("cluster_id")).as("nc"))
-      .agg(zsum(col("nc") > 1).as("clusters_split_1hop_class"))
+      .groupBy("canonical_id")
+      .agg(countDistinct(col("cluster_id")).as("nc"),
+        zsum(col("cluster_id") > col("canonical_id")).as("coarser"))
+      .agg(coalesce(sum(col("coarser")), lit(0L)).as("clusters_coarser_than_1hop"),
+        zsum(col("nc") > 1).as("clusters_split_1hop_class"))
 
     // Exact-duplicate text groups (independently SQL-computable) must
     // collapse in both the 1-hop and the transitive tier: identical text
@@ -189,8 +190,8 @@ object InvariantOps {
       notMember(sh, "canonical_id", ids, "doc_id", "simhash_canonical_not_member"),
       notMember(cl, "cluster_id", ids, "doc_id", "clusters_label_not_member"))
 
-    val result = (Seq(nDocs, mhStats, shStats, clStats, mhShort, shNull,
-        mhOverlap, shChunk, clFix, clCoarser, clSplit, exStats) ++ members)
+    val result = (Seq(nDocs, mhStats, shStats, clStats,
+        mhOverlap, shChunk, clFix, clLattice, exStats) ++ members)
       .map(stackChecks)
       .reduce(_ unionByName _)
       // materialize before dropping the caches the plan was built from

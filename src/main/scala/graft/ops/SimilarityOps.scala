@@ -175,10 +175,27 @@ object SimilarityOps {
         centroids: DataFrame, n: Int): DataFrame = {
       val withSim = df.join(broadcast(centroids))
         .withColumn("csim", cosine(vcol, "cv"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
-      withSim.withColumn("crnk", row_number().over(w))
-        .where(col("crnk") <= n)
-        .drop("cv", "csim", "crnk")
+      if (n == 1) {
+        // top-1 as a map-side-combinable argmax aggregate instead of a
+        // window: partial aggregation collapses the (row x cells) fan-out
+        // on the mappers, where the window would shuffle AND sort all of
+        // it — the right cell-assignment shape at any scale. Ordering is
+        // identical to the window's (csim desc, cell asc): ties in csim
+        // break on max(-cell) = min cell, and coalescing a null csim
+        // (null vector) to -Infinity reproduces the window's nulls-last
+        // placement.
+        val carry = df.columns.filterNot(_ == idCol)
+        val ord = struct(
+          coalesce(col("csim"), lit(Double.NegativeInfinity)), -col("cell"))
+        withSim.groupBy(col(idCol))
+          .agg(max_by(struct((carry.map(col) :+ col("cell")): _*), ord).as("best"))
+          .select(col(idCol) +: (carry :+ "cell").map(c => col(s"best.$c").as(c)): _*)
+      } else {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
+        withSim.withColumn("crnk", row_number().over(w))
+          .where(col("crnk") <= n)
+          .drop("cv", "csim", "crnk")
+      }
     }
 
     // seed centroids on the first `cells` vectors, refine with Lloyd rounds;
