@@ -198,7 +198,59 @@ object ExtendedOps {
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
         bucketedRangeCount(purchases, clicks, windowMicros = 3600000000L)
+      }),
+
+    // Bucketed co-located join: both fact sides are rewritten ONCE as
+    // bucketBy(8, join-key) sortBy(join-key) managed tables; every
+    // subsequent join on that key reads bucket i against bucket i
+    // directly — no shuffle exchange on either side (PlanSpec asserts).
+    // At 100 TB this converts a nightly fact-to-fact join from the
+    // cluster's biggest shuffle into a bucket-local merge: the exchange
+    // is paid once at write time and amortized over every downstream
+    // join/agg on the key. Results are the plain join's, so the oracle
+    // is the plain SQL.
+    QueryDef(
+      "q62_bucketed_join",
+      Some(s"""SELECT o_orderpriority, l_returnflag, COUNT(*) AS n_items,
+        |  ${sqlMoneySum(REV)} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority, l_returnflag
+        |ORDER BY o_orderpriority, l_returnflag""".stripMargin),
+      (spark, dir) => {
+        val (liB, oB) = bucketedFacts(spark, dir)
+        liB.join(oB.hint("merge"), liB("l_orderkey") === oB("o_orderkey"))
+          .groupBy("o_orderpriority", "l_returnflag")
+          .agg(count(lit(1)).as("n_items"), moneySum(revenue).as("revenue"))
+          .orderBy("o_orderpriority", "l_returnflag")
       }))
+
+  /** Rewrites lineitem/orders as bucketed (8 x orderkey) sorted managed
+    * tables and returns the read-back frames. The pre-write
+    * `repartition(8, key)` uses the same hash family as the bucketing, so
+    * every bucket lands in exactly ONE file — the layout that lets the
+    * scan report sorted, co-partitioned output and the join skip both the
+    * exchange and the sort.
+    */
+  def bucketedFacts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def rewrite(name: String, src: org.apache.spark.sql.DataFrame,
+        key: String): org.apache.spark.sql.DataFrame = {
+      val tbl = s"graft_q62_${name}_bucketed"
+      // same catalog + location reset as q42/q55: Overwrite can't reclaim
+      // a location the (fresh in-memory) catalog never registered
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      src.repartition(8, col(key))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(8, key).sortBy(key)
+        .format("parquet").saveAsTable(tbl)
+      spark.table(tbl)
+    }
+    (rewrite("lineitem", t(spark, dir, "lineitem"), "l_orderkey"),
+      rewrite("orders", t(spark, dir, "orders"), "o_orderkey"))
+  }
 
   /** Bucketized range join: for every purchase, count the clicks by the
     * same user with ts in (purchase_ts, purchase_ts + window]. Each click

@@ -27,7 +27,7 @@ object ScaleRehearsal {
     "q23_dedup_exact", "q24_dedup_minhash", "q25_dedup_simhash",
     "q26_ngram_jaccard", "q29_lang_id", "q30_quality_score",
     "q31_token_stats", "q32_fingerprint", "q51_dedup_clusters",
-    "q52_vocab_top_terms", "q53_balanced_sample",
+    "q52_vocab_top_terms", "q53_balanced_sample", "q61_tfidf_top_terms",
     "q27_ann_bruteforce", "q28_ann_lsh", "q43_embed_neardup",
     "q47_ann_ivf", "q56_dedup_invariants", "q57_embed_invariants")
 
