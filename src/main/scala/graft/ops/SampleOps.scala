@@ -56,10 +56,89 @@ object SampleOps {
       .orderBy("stratum", "rnk")
   }
 
+  /** Sequence packing (context-window assembly): assign each doc to the
+    * pack whose running token total its START offset falls in —
+    * `pack_id = floor(tokens_before_doc / cap)` per language, docs taken
+    * in doc_id order. The greedy contiguous fill every training-data
+    * pipeline runs before writing examples.
+    *
+    * Scale shape: the global running sum is NOT one window sort per
+    * language (one reducer per stratum — the q53 scale-killer). It is a
+    * distributed prefix sum: (1) coarse doc_id ranges are partially
+    * aggregated to per-(lang, bucket) token sums; (2) a window over the
+    * tiny bucket-level frame produces each bucket's starting offset;
+    * (3) the within-bucket running sum runs in parallel across buckets
+    * and adds the broadcast offset. Because addition is associative the
+    * result is exactly the single global window's (VocabSampleSpec pins
+    * two-phase == naive), but no reducer ever sorts more than one
+    * bucket's rows. `bucketWidth` sizes the bucket frame: pick it so
+    * corpus/bucketWidth rows broadcast comfortably.
+    */
+  def sequencePack(docs: DataFrame, cap: Long, bucketWidth: Long = 100L): DataFrame = {
+    // token count via the same length arithmetic the oracle uses
+    val nt = expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)")
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), nt.as("n_tokens"),
+        expr(s"doc_id div ${bucketWidth}L").as("bucket"))
+    val wB = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "bucket")
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wB), lit(0L)))
+      .select("lang", "bucket", "boff")
+    val wIn = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum", col("boff") + sum(col("n_tokens")).over(wIn))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${cap}L").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split as a pure function of doc_id
+    * (first hex digit of md5): membership never changes when the corpus
+    * grows, is repartitioned, or is re-run — the leakage-proof way to
+    * split at any scale, and md5 hex is identical across engines so the
+    * oracle is plain SQL. 12/16 train, 2/16 val, 2/16 test.
+    */
+  def hashSplit(docs: DataFrame): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs.select(col("doc_id"), col("lang"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("split", "lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Balanced corpus construction: k docs per language, hash-ordered.
     // xxhash64 is engine-specific -> literal golden oracle; SampleSpec
     // proves the two-phase plan equals the naive global window.
     QueryDef("q53_balanced_sample", literalOracle("q53_balanced_sample"),
-      (spark, dir) => balancedSample(t(spark, dir, "documents"), k = 20, strata = "lang")))
+      (spark, dir) => balancedSample(t(spark, dir, "documents"), k = 20, strata = "lang")),
+
+    // Oracle = the naive single-window prefix sum; the engine runs the
+    // distributed two-phase form (provably identical, see sequencePack).
+    QueryDef(
+      "q63_sequence_pack",
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096 AS BIGINT) AS pack_id
+        |FROM d ORDER BY doc_id""".stripMargin),
+      (spark, dir) => sequencePack(t(spark, dir, "documents"), cap = 4096L)),
+
+    QueryDef(
+      "q64_hash_split",
+      Some("""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT doc_id, lang, CASE
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
+      (spark, dir) => hashSplit(t(spark, dir, "documents"))))
 }

@@ -56,4 +56,47 @@ class VocabSampleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2)))
     assert(out.length == 3, "strata under the quota keep every row")
   }
+
+  test("sequence pack: two-phase prefix sum equals the naive global window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = SampleOps.sequencePack(docs, cap = 4096L, bucketWidth = 37L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    val nt = expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)")
+    val naive = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), nt.as("n_tokens"))
+      .withColumn("pack_id", expr("(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div 4096L"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("sequence pack boundaries: oversized doc owns its packs, fills are greedy") {
+    val docs = Seq(
+      (1L, Seq.fill(3000)("t").mkString(" "), "en"), // starts pack 0
+      (2L, Seq.fill(2000)("t").mkString(" "), "en"), // starts at 3000 -> pack 0 (straddles)
+      (3L, Seq.fill(9000)("t").mkString(" "), "en"), // starts at 5000 -> pack 1
+      (4L, "a b", "en"),                             // starts at 14000 -> pack 3
+      (5L, "x y z", "de"),                           // de restarts at 0 -> pack 0
+      (6L, null.asInstanceOf[String], "de")          // excluded
+    ).toDF("doc_id", "text", "lang")
+    val out = SampleOps.sequencePack(docs, cap = 4096L, bucketWidth = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("hash split is exhaustive, disjoint, and a pure function of doc_id") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = SampleOps.hashSplit(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sum == docs.count(), "every doc in exactly one split")
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // train dominates (12/16 of hash space)
+    val bySplit = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // repartitioning the input changes nothing
+    val again = SampleOps.hashSplit(docs.repartition(13)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq.sorted == out.toSeq.sorted)
+  }
 }
