@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Training-data curation operators over the `documents` table
+  * (SURVEY §7.4 extension surface): within-document repetition filtering
+  * (the Gopher-style quality gate), benchmark-contamination detection
+  * (n-gram overlap against a held-out eval set), and weighted mixture
+  * sampling with upsampling (the data-mixing step before training).
+  * All three are exactly SQL-expressible, so each grades against a full
+  * DuckDB oracle — no goldens.
+  */
+object CurationOps {
+
+  /** Per-document repetition signals: token count, type (distinct-token)
+    * count, the most-frequent-token count, bigram count, and duplicated
+    * bigram excess — the inputs to Gopher/C4-style repetition filters. A
+    * doc is flagged `repetitive` when its top token is >= 20% of all
+    * tokens or >= half of its bigrams are repeats.
+    *
+    * Scale shape: each document is one row, so the map-side combine of
+    * `groupBy(doc_id, term)` collapses a doc's token multiset to its
+    * per-term counts BEFORE the shuffle — what moves is the per-doc type
+    * count, not the token stream. Two linear shuffles ((doc_id, term) then
+    * doc_id), same shape for bigrams; no windows, no self-joins. Flag
+    * arithmetic is all-integer so the oracle hash cannot drift.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val live = docs.where(col("text").isNotNull)
+    val uni = live
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+    val bg = live
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("c") - 1).as("dup_bigrams"))
+    uni.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_tok"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dup_bigrams"), lit(0L)).as("dup_bigrams"))
+      .withColumn("repetitive",
+        (col("top_tok") * 5 >= col("n_tokens") ||
+          col("dup_bigrams") * 2 >= col("n_bigrams")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL),
+      |tc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+      |uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_tok
+      |        FROM tc GROUP BY doc_id),
+      |bg AS (SELECT doc_id, bigram, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+      |      i -> l[i] || ' ' || l[i + 1])) AS bigram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE text IS NOT NULL)
+      |    WHERE len(l) >= 2) GROUP BY doc_id, bigram),
+      |bgs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |        CAST(SUM(c - 1) AS BIGINT) AS dup_bigrams FROM bg GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct, top_tok, n_bigrams, dup_bigrams,
+      |  CASE WHEN top_tok * 5 >= n_tokens OR dup_bigrams * 2 >= n_bigrams
+      |       THEN 1 ELSE 0 END AS repetitive
+      |FROM (SELECT u.doc_id, n_tokens, n_distinct, top_tok,
+      |        COALESCE(n_bigrams, 0) AS n_bigrams, COALESCE(dup_bigrams, 0) AS dup_bigrams
+      |      FROM uni u LEFT JOIN bgs USING (doc_id))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination scan: flags corpus documents sharing any
+    * token 4-gram with a (deterministic, doc_id % 17 = 0) held-out
+    * "benchmark" slice — the decontamination step every training corpus
+    * runs against its eval sets. Output is per-source contamination
+    * counts over the non-benchmark corpus.
+    *
+    * Scale shape: the benchmark side is ALWAYS small relative to the
+    * corpus (eval sets are fixed-size; the corpus is 100 TB), so its
+    * distinct shingle set is broadcast and the corpus side never
+    * shuffles — one scan producing shingles, a broadcast left-semi
+    * probe, and a per-source aggregate. The per-doc `distinct` before
+    * the probe bounds fan-out by unique shingles per doc.
+    */
+  def contamination(docs: DataFrame, benchMod: Int = 17, n: Int = 4): DataFrame = {
+    val shingled = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(l) - ${n - 1}), i -> array_join(slice(l, i, $n), ' '))"))
+        .as("sh"))
+    val bench = shingled.where(col("doc_id") % benchMod === 0)
+      .select("sh").distinct()
+    val hits = shingled.where(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    docs.where(col("doc_id") % benchMod =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  private val contaminationSql =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 3),
+      |    i -> array_to_string(l[i:i+3], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(l) >= 4),
+      |bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % 17 = 0),
+      |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (sh) WHERE g.doc_id % 17 <> 0)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 17 <> 0
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Weighted mixture sampling WITH upsampling: each language carries a
+    * sampling rate in parts-per-million (fr 2.5x, en 1.2x, de/es 0.5x,
+    * zh 0.1x); every doc emits floor(rate) copies plus one more when its
+    * deterministic hash falls below the fractional part — the data-mixing
+    * step that reweights sources/languages before training. Membership is
+    * a pure function of doc_id (Knuth multiplicative hash mod 1e6), so
+    * the sample is identical under any partitioning, engine, or corpus
+    * growth — which is also what makes it exactly SQL-checkable.
+    *
+    * Scale shape: row-local arithmetic + a bounded explode (max 3 copies
+    * here) — scan speed, zero shuffles beyond the final presentation sort.
+    */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val rate = when(col("lang") === "en", 1200000L)
+      .when(col("lang") === "de", 500000L)
+      .when(col("lang") === "fr", 2500000L)
+      .when(col("lang") === "es", 500000L)
+      .otherwise(100000L)
+    docs.select(col("doc_id"), col("lang"), rate.as("rate_ppm"),
+        expr("((doc_id + 1) * 2654435761L) % 1000000L").as("h"))
+      .withColumn("n_copies",
+        expr("rate_ppm div 1000000L") +
+          when(col("h") < col("rate_ppm") % 1000000L, 1L).otherwise(0L))
+      .where(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_l"))
+      .select(col("doc_id"), col("lang"), col("copy_l").cast("int").as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  private val mixtureSql =
+    """WITH rated AS (SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 1200000 WHEN 'de' THEN 500000 WHEN 'fr' THEN 2500000
+      |              WHEN 'es' THEN 500000 ELSE 100000 END AS rate_ppm,
+      |    ((doc_id + 1) * 2654435761) % 1000000 AS h
+      |  FROM documents),
+      |copies AS (SELECT doc_id, lang,
+      |    CAST(rate_ppm // 1000000 + CASE WHEN h < rate_ppm % 1000000 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      |  FROM rated)
+      |SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
+      |FROM copies WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q65_repetition_stats", Some(repetitionSql),
+      (spark, dir) => repetitionStats(t(spark, dir, "documents"))),
+
+    QueryDef("q66_contamination", Some(contaminationSql),
+      (spark, dir) => contamination(t(spark, dir, "documents"))),
+
+    QueryDef("q67_mixture_sample", Some(mixtureSql),
+      (spark, dir) => mixtureSample(t(spark, dir, "documents"))))
+}

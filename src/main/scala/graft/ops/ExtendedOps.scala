@@ -222,6 +222,122 @@ object ExtendedOps {
           .groupBy("o_orderpriority", "l_returnflag")
           .agg(count(lit(1)).as("n_items"), moneySum(revenue).as("revenue"))
           .orderBy("o_orderpriority", "l_returnflag")
+      }),
+
+    // Semi/anti join: per nation, customers WITH vs WITHOUT a recent
+    // order (left_semi / left_anti — the existence-join plan class no
+    // other graded query exercises; Spark never materializes the match).
+    // Oracle: per-row EXISTS. Scale: the probe side filters to the recent
+    // window before the join, so the existence check joins against a
+    // date-pruned slice, not order history; both joins shuffle on
+    // c_custkey only (AQE picks broadcast when the slice is small).
+    QueryDef(
+      "q68_semi_anti_join",
+      Some("""SELECT n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS with_recent_order,
+        |  CAST(SUM(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS without_recent_order
+        |FROM (SELECT c.c_custkey, n.n_name,
+        |        EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderdate >= TIMESTAMP '2001-06-01 00:00:00') AS has_o
+        |      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (spark, dir) => {
+        val cust = t(spark, dir, "customer")
+          .join(broadcast(t(spark, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val recent = t(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit("2001-06-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey").as("c_custkey"))
+        val withO = cust.join(recent, Seq("c_custkey"), "left_semi")
+          .groupBy("n_name").agg(count(lit(1)).as("with_recent_order"))
+        val withoutO = cust.join(recent, Seq("c_custkey"), "left_anti")
+          .groupBy("n_name").agg(count(lit(1)).as("without_recent_order"))
+        cust.groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+          .join(withO, Seq("n_name"), "left")
+          .join(withoutO, Seq("n_name"), "left")
+          .select(col("n_name"), col("n_customers"),
+            coalesce(col("with_recent_order"), lit(0L)).as("with_recent_order"),
+            coalesce(col("without_recent_order"), lit(0L)).as("without_recent_order"))
+          .orderBy("n_name")
+      }),
+
+    // Set operators: INTERSECT / EXCEPT between the customer key sets of
+    // two date halves — retained / churned / new customer segmentation.
+    // Spark plans intersect/except as aggregate+join (never a driver-side
+    // set); each input is a date-filtered distinct so the join keys are
+    // 8-byte customer keys, not rows.
+    QueryDef(
+      "q69_set_ops",
+      Some("""WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |h2 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT segment, CAST(n AS BIGINT) AS n_customers FROM (
+        |  SELECT 'churned' AS segment, COUNT(*) AS n FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+        |  UNION ALL
+        |  SELECT 'new' AS segment, COUNT(*) AS n FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)
+        |  UNION ALL
+        |  SELECT 'retained' AS segment, COUNT(*) AS n FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+        |) ORDER BY segment""".stripMargin),
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+        val h1 = o.where(col("o_orderdate") < cut).select("o_custkey").distinct()
+        val h2 = o.where(col("o_orderdate") >= cut).select("o_custkey").distinct()
+        def seg(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_customers")).select(lit(name).as("segment"), col("n_customers"))
+        seg("churned", h1.except(h2))
+          .unionByName(seg("new", h2.except(h1)))
+          .unionByName(seg("retained", h1.intersect(h2)))
+          .orderBy("segment")
+      }),
+
+    // CUBE: all 4 grouping-set combinations in one pass (q36 grades
+    // ROLLUP's 3). Spark plans it as a single Expand + hash agg — the
+    // fact table is scanned once regardless of grouping-set count.
+    QueryDef(
+      "q71_cube",
+      Some("""SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first, col("n"))),
+
+    // LAG window: day-over-day revenue delta over a bounded recent window.
+    // The unpartitioned window is safe BECAUSE its input is the daily
+    // aggregate (one row per day, bounded by the date range), never the
+    // fact table — the aggregate runs distributed, only the tiny daily
+    // frame passes through the single-partition window. Deltas go through
+    // the decimal grid so both engines round identically.
+    QueryDef(
+      "q72_daily_delta",
+      Some(s"""WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    ${sqlMoneySum("o_totalprice")} AS revenue
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00' GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+        |  LAG(revenue) OVER (ORDER BY day) AS prev_revenue,
+        |  CAST(ROUND(CAST(revenue - COALESCE(LAG(revenue) OVER (ORDER BY day), 0)
+        |    AS DECIMAL(18,4)), 2) AS DOUBLE) AS delta
+        |FROM daily ORDER BY day""".stripMargin),
+      (spark, dir) => {
+        val w = Window.orderBy("day")
+        t(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit("2001-06-01 00:00:00").cast("timestamp"))
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(moneySum(col("o_totalprice")).as("revenue"))
+          .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("revenue"), col("prev_revenue"),
+            round((col("revenue") - coalesce(col("prev_revenue"), lit(0.0)))
+              .cast("decimal(18,4)"), 2).cast("double").as("delta"))
+          .orderBy("day")
       }))
 
   /** Rewrites lineitem/orders as bucketed (8 x orderkey) sorted managed

@@ -354,6 +354,43 @@ object InvariantOps {
               lit(4 * rsd) * col("exact_customers")).cast("int").as("approx_within_bound"))
       }),
 
+    // approx_percentile graded the q58 way: the exact quantiles come from
+    // plain SQL (q49 proved percentile/quantile_cont interpolate
+    // bit-identically), and the sketch is graded through its CONTRACT —
+    // approx_percentile(acc) returns an input value whose rank is within
+    // n/acc of the target rank. The engine recomputes the returned value's
+    // actual rank with a second bounded pass and checks it against a 4x
+    // slack of that bound, so the graded output carries the exact values
+    // plus a bound flag that no correct sketch execution can flip.
+    QueryDef(
+      "q70_approx_quantile_bound",
+      Some("""SELECT quantile_cont(o_totalprice, 0.5) AS exact_median,
+        |  quantile_cont(o_totalprice, 0.99) AS exact_p99,
+        |  CAST(1 AS INT) AS median_within_bound,
+        |  CAST(1 AS INT) AS p99_within_bound
+        |FROM orders""".stripMargin),
+      (spark, dir) => {
+        val acc = 1000L
+        val o = t(spark, dir, "orders").select("o_totalprice")
+        val stats = o.agg(
+          expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+          expr("percentile(o_totalprice, 0.99)").as("exact_p99"),
+          expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("am"),
+          expr(s"approx_percentile(o_totalprice, 0.99, $acc)").as("ap"),
+          count(lit(1)).as("n"))
+        o.crossJoin(broadcast(stats))
+          .agg(first(col("exact_median")).as("exact_median"),
+            first(col("exact_p99")).as("exact_p99"),
+            first(col("n")).as("n"),
+            zsum(col("o_totalprice") <= col("am")).as("rank_m"),
+            zsum(col("o_totalprice") <= col("ap")).as("rank_p"))
+          .select(col("exact_median"), col("exact_p99"),
+            (abs(col("rank_m") - lit(0.5) * col("n")) <=
+              lit(4.0) * col("n") / acc).cast("int").as("median_within_bound"),
+            (abs(col("rank_p") - lit(0.99) * col("n")) <=
+              lit(4.0) * col("n") / acc).cast("int").as("p99_within_bound"))
+      }),
+
     // q53's golden freezes the hash order; this grades the sampling
     // CONTRACT in SQL: every stratum yields exactly min(k, |stratum|)
     // distinct members of that stratum with dense ranks.

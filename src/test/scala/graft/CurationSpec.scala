@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CurationOps
+
+/** Fixture-backed semantics pins for the curation operators (q65-q67):
+  * planted repetitive / contaminated docs that the synthetic corpus may
+  * not contain, so the graded oracles can't be the only line of defense.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition stats flag planted repetitive docs and pass clean ones") {
+    val docs = Seq(
+      // top token 'x' is 5/7 of tokens -> repetitive
+      (1L, "x x x x x y z"),
+      // bigram "a b" repeats 3x: 6 of 7 bigrams are dup excess... (a b a b a b a b -> 7 bigrams, 'a b' c=4, 'b a' c=3 -> dup excess 5)
+      (2L, "a b a b a b a b"),
+      // all-distinct tokens -> clean
+      (3L, "q w e r t y u"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CurationOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L)) // null text excluded
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 7 && r1.getLong(2) == 3 && r1.getLong(3) == 5)
+    assert(r1.getInt(6) == 1)
+    val r2 = out(2L)
+    // 8 tokens, 7 bigrams: "a b" x4 + "b a" x3 -> dup excess (4-1)+(3-1)=5
+    assert(r2.getLong(4) == 7 && r2.getLong(5) == 5)
+    assert(r2.getInt(6) == 1)
+    val r3 = out(3L)
+    assert(r3.getLong(2) == 7 && r3.getLong(5) == 0 && r3.getInt(6) == 0)
+  }
+
+  test("single-token doc has zero bigrams and is not flagged by bigram rule") {
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = CurationOps.repetitionStats(docs).collect().head
+    // top_tok(1)*5 >= n_tokens(1) -> flagged by the unigram rule; the
+    // bigram columns must coalesce to 0 rather than null
+    assert(r.getLong(4) == 0 && r.getLong(5) == 0 && r.getInt(6) == 1)
+  }
+
+  test("contamination flags exactly the docs sharing a 4-gram with the benchmark slice") {
+    // doc 0 is the benchmark (0 % 17 == 0); doc 18 copies 4 consecutive
+    // tokens from it, doc 19 shares only 3 consecutive tokens, doc 20 is
+    // disjoint, doc 21 is too short to shingle.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "src_a"),
+      (18L, "x beta gamma delta epsilon y", "src_a"),
+      (19L, "x beta gamma delta y z", "src_b"),
+      (20L, "p q r s t u", "src_b"),
+      (21L, "alpha beta", "src_b")
+    ).toDF("doc_id", "text", "source")
+    val out = CurationOps.contamination(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("src_a") == (1L, 1L)) // doc 18 contaminated; doc 0 excluded
+    assert(out("src_b") == (3L, 0L)) // 19/20/21 all clean
+  }
+
+  test("mixture sample upsamples by rate and is deterministic") {
+    val docs = (0L until 100L).map(i =>
+      (i, Seq("en", "de", "fr", "es", "zh")(i.toInt % 5))).toDF("doc_id", "lang")
+    val out = CurationOps.mixtureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // fr rate 2.5: every fr doc emits >= 2 copies, total in [2n, 3n]
+    val frDocs = out.filter(_._2 == "fr").groupBy(_._1)
+    assert(frDocs.values.forall(c => c.length == 2 || c.length == 3))
+    assert(byLang("fr") >= 40 && byLang("fr") <= 60)
+    // en rate 1.2: every en doc at least once
+    assert(out.filter(_._2 == "en").map(_._1).distinct.length == 20)
+    // zh rate 0.1: strictly subsampled
+    assert(byLang.getOrElse("zh", 0) < 20)
+    // copy numbers are dense 1..n per doc
+    assert(out.groupBy(_._1).values.forall(cs =>
+      cs.map(_._3).sorted.toSeq == (1 to cs.length)))
+    val again = CurationOps.mixtureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+}
