@@ -38,12 +38,16 @@ import graft.util.Tables._
   *     with fewer than k candidates. Changing the family/seed may require
   *     re-vetting that expectation.
   *
-  * The graded sf0.01/sf0.1 corpora happen to contain no null-text,
-  * <3-token, or exact-duplicate documents, so on those inputs the
-  * corresponding violation counts are trivially zero; InvariantFixtureSpec
-  * re-runs these gates on a planted corpus (nulls, shorts, exact dups,
-  * near-dup chains, identical vectors) where each regression path is
-  * actually exercised.
+  * The raw sf0.01/sf0.1 corpora happen to contain no null-text, <3-token,
+  * or exact-duplicate documents (and no identical or null vectors), so on
+  * those inputs alone the corresponding violation counts would be
+  * trivially zero even if a regression reappeared. The GRADED gates
+  * therefore union a small planted hazard set into the corpus before
+  * checking — null texts, short texts, an exact-duplicate group, an
+  * identical-vector triple, a null vector — with the oracle expectations
+  * offset by the planted constants, so every regression path is exercised
+  * at grading time, not only in InvariantFixtureSpec (which additionally
+  * pins merge-positive corpora and the exclusion boundaries).
   */
 object InvariantOps {
 
@@ -63,11 +67,42 @@ object InvariantOps {
       .join(ids, Seq(idCol), "left_anti")
       .agg(count(lit(1)).as(name))
 
+  /** Planted doc ids start far above every real/rehearsal id (ScaleRehearsal
+    * tops out near 1e8), so planted rows can never become the canonical of a
+    * real doc and never collide with a real id.
+    */
+  private val PlantBase = 1000000000000L
+
+  /** Seven hazard docs the raw corpora lack: 2 null texts, a 1-token and a
+    * 2-token short text, and a 3-member exact-duplicate group (>= 3 tokens,
+    * so it MUST band and collapse). Tokens are corpus-disjoint (`zzq`
+    * prefix) so planted docs can only merge among themselves.
+    */
+  private def plantedDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dup = "zzqdup zzqone zzqtwo zzqthree"
+    Seq(
+      (PlantBase + 1, Option.empty[String]),
+      (PlantBase + 2, Option.empty[String]),
+      (PlantBase + 3, Some("zzqshort")),
+      (PlantBase + 4, Some("zzqa zzqb")),
+      (PlantBase + 5, Some(dup)),
+      (PlantBase + 6, Some(dup)),
+      (PlantBase + 7, Some(dup))
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+        lit("planted").as("source"),
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("n_chars"))
+  }
+
   /** Invariants over [[DedupOps.minhashAssign]], [[DedupOps.simhashAssign]]
-    * and [[DedupOps.minhashClusters]] on the `documents` table.
+    * and [[DedupOps.minhashClusters]] on the `documents` table plus the
+    * planted hazard docs (see [[plantedDocs]] — the oracle expectations are
+    * offset by the 7 planted rows / 1 planted exact-dup group).
     */
   def dedupInvariants(spark: SparkSession, dir: String): DataFrame =
-    dedupInvariants(t(spark, dir, "documents"))
+    dedupInvariants(t(spark, dir, "documents")
+      .unionByName(plantedDocs(spark)))
 
   /** Frame-based core of [[dedupInvariants]] — the fixture spec runs it on
     * a planted corpus (nulls / shorts / exact dups) the graded tables lack.
@@ -201,41 +236,66 @@ object InvariantOps {
     result
   }
 
+  // +7 = the planted hazard docs; +1 = the planted exact-dup group. The
+  // planted docs are what make the zero-expectation rows non-vacuous: a
+  // null/short-merge or exact-dup-split regression now flips a count ON
+  // THE GRADED INPUT, not only in the fixture spec.
   private def dedupInvariantsSql: String =
     """WITH expected(check_name, value) AS (VALUES
       |  ('clusters_coarser_than_1hop', 0),
-      |  ('clusters_distinct_docs', (SELECT COUNT(*) FROM documents)),
+      |  ('clusters_distinct_docs', (SELECT COUNT(*) + 7 FROM documents)),
       |  ('clusters_isdup_wrong', 0),
       |  ('clusters_label_gt_doc', 0),
       |  ('clusters_label_not_member', 0),
       |  ('clusters_nonfixpoint', 0),
-      |  ('clusters_rows', (SELECT COUNT(*) FROM documents)),
+      |  ('clusters_rows', (SELECT COUNT(*) + 7 FROM documents)),
       |  ('clusters_split_1hop_class', 0),
-      |  ('exact_dup_groups', (SELECT COUNT(*) FROM (SELECT text FROM documents WHERE text IS NOT NULL AND length(text) - length(replace(text, ' ', '')) + 1 >= 3 GROUP BY text HAVING COUNT(*) > 1) g)),
+      |  ('exact_dup_groups', (SELECT COUNT(*) + 1 FROM (SELECT text FROM documents WHERE text IS NOT NULL AND length(text) - length(replace(text, ' ', '')) + 1 >= 3 GROUP BY text HAVING COUNT(*) > 1) g)),
       |  ('exact_dup_split_clusters', 0),
       |  ('exact_dup_split_minhash', 0),
       |  ('minhash_canonical_gt_doc', 0),
       |  ('minhash_canonical_not_member', 0),
-      |  ('minhash_distinct_docs', (SELECT COUNT(*) FROM documents)),
+      |  ('minhash_distinct_docs', (SELECT COUNT(*) + 7 FROM documents)),
       |  ('minhash_isdup_wrong', 0),
       |  ('minhash_merged_no_shared_shingle', 0),
-      |  ('minhash_rows', (SELECT COUNT(*) FROM documents)),
+      |  ('minhash_rows', (SELECT COUNT(*) + 7 FROM documents)),
       |  ('minhash_short_or_null_merged', 0),
-      |  ('n_docs', (SELECT COUNT(*) FROM documents)),
+      |  ('n_docs', (SELECT COUNT(*) + 7 FROM documents)),
       |  ('simhash_canonical_gt_doc', 0),
       |  ('simhash_canonical_not_member', 0),
-      |  ('simhash_distinct_docs', (SELECT COUNT(*) FROM documents)),
+      |  ('simhash_distinct_docs', (SELECT COUNT(*) + 7 FROM documents)),
       |  ('simhash_merged_no_shared_chunk', 0),
       |  ('simhash_null_text_merged', 0),
-      |  ('simhash_rows', (SELECT COUNT(*) FROM documents)))
+      |  ('simhash_rows', (SELECT COUNT(*) + 7 FROM documents)))
       |SELECT check_name, CAST(value AS BIGINT) AS value
       |FROM expected ORDER BY check_name""".stripMargin
 
+  /** Four hazard vectors the raw table lacks: an identical triple (must be
+    * mutual candidates under ANY hyperplane family, verify at cosine = 1,
+    * and share one canonical) and a null vector (must survive every guard
+    * and stay canonical = self). Ids sit above [[PlantBase]] — never query
+    * ids (queries are vec_id < 20) and never a real vector's canonical.
+    */
+  private def plantedVecs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val a = Seq.tabulate(64)(i => math.sin(i + 1))
+    Seq(
+      (PlantBase + 1, Some(a)),
+      (PlantBase + 2, Some(a)),
+      (PlantBase + 3, Some(a)),
+      (PlantBase + 4, Option.empty[Seq[Double]])
+    ).toDF("vec_id", "v")
+      .select(col("vec_id"), lit(0).as("label"), col("v"))
+  }
+
   /** Invariants over [[SimilarityOps.embedNearDup]], [[SimilarityOps.lshTopK]]
-    * and [[SimilarityOps.ivfTopK]] on the `embeddings` table.
+    * and [[SimilarityOps.ivfTopK]] on the `embeddings` table plus the
+    * planted hazard vectors (see [[plantedVecs]] — oracle expectations are
+    * offset by the 4 planted rows / 3 identical pairs).
     */
   def embedInvariants(spark: SparkSession, dir: String): DataFrame =
-    embedInvariants(SimilarityOps.vectors(spark, dir))
+    embedInvariants(SimilarityOps.vectors(spark, dir)
+      .unionByName(plantedVecs(spark)))
 
   /** Frame-based core of [[embedInvariants]] over (vec_id, v) rows —
     * the fixture spec runs it on planted identical/null vectors.
@@ -307,21 +367,22 @@ object InvariantOps {
     result
   }
 
+  // +4 = planted hazard vectors; +3 = the planted identical triple's pairs.
   private def embedInvariantsSql: String =
     """WITH expected(check_name, value) AS (VALUES
-      |  ('identical_vec_pairs', (SELECT COALESCE(SUM((c * (c - 1)) // 2), 0)
+      |  ('identical_vec_pairs', (SELECT COALESCE(SUM((c * (c - 1)) // 2), 0) + 3
       |     FROM (SELECT COUNT(*) AS c FROM embeddings WHERE embedding IS NOT NULL GROUP BY embedding) g
       |     WHERE c > 1)),
       |  ('identical_vec_split', 0),
       |  ('ivf_ok_queries', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)),
       |  ('lsh_ok_queries', (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)),
-      |  ('n_vecs', (SELECT COUNT(*) FROM embeddings)),
+      |  ('n_vecs', (SELECT COUNT(*) + 4 FROM embeddings)),
       |  ('neardup_canonical_gt_id', 0),
       |  ('neardup_canonical_not_member', 0),
-      |  ('neardup_distinct_vecs', (SELECT COUNT(*) FROM embeddings)),
+      |  ('neardup_distinct_vecs', (SELECT COUNT(*) + 4 FROM embeddings)),
       |  ('neardup_isdup_wrong', 0),
       |  ('neardup_merged_below_threshold', 0),
-      |  ('neardup_rows', (SELECT COUNT(*) FROM embeddings)))
+      |  ('neardup_rows', (SELECT COUNT(*) + 4 FROM embeddings)))
       |SELECT check_name, CAST(value AS BIGINT) AS value
       |FROM expected ORDER BY check_name""".stripMargin
 
