@@ -171,6 +171,106 @@ object CurationOps {
       |SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
       |FROM copies WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin
 
+  /** Fixed-width document-length histogram per language — the corpus-shape
+    * diagnostic run before choosing curation thresholds. Pure two-key
+    * groupBy: map-side partial aggs collapse each partition to its
+    * (lang, bin) counts before the one shuffle; scan-speed at any scale.
+    */
+  def lengthHistogram(docs: DataFrame, width: Int = 100): DataFrame =
+    docs.groupBy(col("lang"), expr(s"n_chars div $width").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "bin")
+
+  private val lengthHistogramSql =
+    """SELECT lang, n_chars // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
+  /** ASCII text normalization: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim — the first pass of every text-cleaning
+    * pipeline. The raw corpus is already clean, so three planted messy
+    * docs (mixed case, punctuation, ragged spacing, a null) keep the
+    * grading non-vacuous; the oracle unions the same literals, so this
+    * stays a full SQL oracle, not a golden. Row-local expressions only —
+    * scan speed, zero shuffles beyond the presentation sort.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col("doc_id"), norm.as("norm_text"))
+      .withColumn("n_tokens",
+        when(col("norm_text").isNull || col("norm_text") === "", 0L)
+          .otherwise(size(split(col("norm_text"), " ")).cast("long")))
+      .orderBy("doc_id")
+  }
+
+  /** Planted messy docs for [[normalize]] — ids above every real id; the
+    * same literals appear in the oracle's UNION ALL.
+    */
+  private def messyDocs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (2000000000021L, Some("  Hello,  WORLD!!  This is a   TEST.  ")),
+      (2000000000022L, Some("MIXED-case;   punct: yes?  no...")),
+      (2000000000023L, Option.empty[String])
+    ).toDF("doc_id", "text")
+  }
+
+  private val normalizeSql =
+    """WITH all_docs(doc_id, text) AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  VALUES (2000000000021, '  Hello,  WORLD!!  This is a   TEST.  '),
+      |         (2000000000022, 'MIXED-case;   punct: yes?  no...'),
+      |         (2000000000023, NULL)),
+      |n AS (SELECT doc_id,
+      |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |          ' +', ' ', 'g')) AS norm_text
+      |      FROM all_docs)
+      |SELECT doc_id, norm_text,
+      |  CAST(CASE WHEN norm_text IS NULL OR norm_text = '' THEN 0
+      |       ELSE len(string_split(norm_text, ' ')) END AS BIGINT) AS n_tokens
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** Per-language 2-sigma length outliers with EXACT integer moments:
+    * flag = (n*x - s1)^2 * (n-1) > 4 * n * (n*s2 - s1^2), i.e.
+    * (x - mean)^2 > 4 * sample-variance cleared of divisions. Floating
+    * mean/stddev would put boundary docs at the mercy of summation order
+    * (Spark partial-agg merge vs DuckDB's), so both sides compute the
+    * comparison in exact integer arithmetic (decimal(38,0) / HUGEINT) and
+    * the flag cannot drift. n = 1 strata degenerate to 0 > 0 = no outlier
+    * on both sides. Scale: one groupBy for the moments, broadcast of the
+    * per-lang stats back over the scan — two passes, no window.
+    */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val stats = docs.groupBy(col("lang")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("n_chars")).cast("decimal(38,0)").as("s1"),
+      sum(col("n_chars") * col("n_chars")).cast("decimal(38,0)").as("s2"))
+    val x = col("n_chars").cast("decimal(38,0)")
+    val lhs = (col("n") * x - col("s1")) * (col("n") * x - col("s1")) *
+      (col("n") - lit(1))
+    val rhs = lit(4) * col("n") * (col("n") * col("s2") - col("s1") * col("s1"))
+    docs.join(broadcast(stats), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum((lhs > rhs).cast("long")), lit(0L)).as("n_outliers"))
+      .orderBy("lang")
+  }
+
+  private val lengthOutliersSql =
+    """WITH s AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(n_chars) AS HUGEINT) AS s1,
+      |    CAST(SUM(n_chars * n_chars) AS HUGEINT) AS s2
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(CASE WHEN (n * n_chars - s1) * (n * n_chars - s1) * (n - 1)
+      |         > 4 * n * (n * s2 - s1 * s1) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+      |FROM documents d JOIN s USING (lang)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q65_repetition_stats", Some(repetitionSql),
       (spark, dir) => repetitionStats(t(spark, dir, "documents"))),
@@ -179,5 +279,16 @@ object CurationOps {
       (spark, dir) => contamination(t(spark, dir, "documents"))),
 
     QueryDef("q67_mixture_sample", Some(mixtureSql),
-      (spark, dir) => mixtureSample(t(spark, dir, "documents"))))
+      (spark, dir) => mixtureSample(t(spark, dir, "documents"))),
+
+    QueryDef("q74_length_histogram", Some(lengthHistogramSql),
+      (spark, dir) => lengthHistogram(t(spark, dir, "documents"))),
+
+    QueryDef("q76_text_normalize", Some(normalizeSql),
+      (spark, dir) => normalize(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(messyDocs(spark)))),
+
+    QueryDef("q77_length_outliers", Some(lengthOutliersSql),
+      (spark, dir) => lengthOutliers(t(spark, dir, "documents"))))
 }

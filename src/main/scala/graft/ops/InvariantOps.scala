@@ -114,7 +114,11 @@ object InvariantOps {
     // rerunning minhashAssign + minhashClusters separately would pay the
     // signature scan + bucket window twice
     val (mh, cl) = DedupOps.minhashTiers(docs)
-    val sh = DedupOps.simhashAssign(docs).cache()
+    // eager, not a lazy cache: the final single action evaluates the
+    // simhash-consuming branches (stats, pairs, chunk re-verify)
+    // concurrently, and concurrent stages racing an unmaterialized cache
+    // each recompute the signature scan — measured ~2x on this gate
+    val sh = DedupOps.simhashAssign(docs).localCheckpoint(eager = true)
 
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
 
@@ -232,7 +236,7 @@ object InvariantOps {
       // materialize before dropping the caches the plan was built from
       .localCheckpoint(eager = true)
       .orderBy("check_name")
-    docs.unpersist(); sh.unpersist()
+    docs.unpersist()
     result
   }
 
@@ -305,7 +309,11 @@ object InvariantOps {
     val ids = v.select(col("vec_id"))
     val queries = v.where(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // forced eagerly for the same reason as q56's sh: three branches
+    // (stats, the cosine re-verify, the identical-vector lattice) would
+    // race the lazy cache and recompute the bucket self-join + verify pass
     val nd = SimilarityOps.embedNearDup(v, threshold = 0.95).cache()
+    nd.count()
     val lsh = SimilarityOps.lshTopK(v, queries, k = 5)
     val ivf = SimilarityOps.ivfTopK(v, queries, k = 5)
 
@@ -368,6 +376,93 @@ object InvariantOps {
   }
 
   // +4 = planted hazard vectors; +3 = the planted identical triple's pairs.
+  /** Gate over [[DedupOps.incrementalAssign]] (delta dedup of a new batch
+    * against an existing corpus). Batch split is doc_id % 10 == 7 (the
+    * "new" side). Planted: one exact-duplicate pair straddling the split
+    * (PlantBase+11 existing, PlantBase+17 new — corpus-disjoint tokens),
+    * so the must-match path is exercised at grading time. Checks:
+    *   - n_new / incr_rows: one output row per new-batch doc;
+    *   - matched_not_existing: every matched_id is an existing doc (0);
+    *   - exact_dup_missed: a new doc whose (>= 3-token) text equals an
+    *     existing doc's text MUST be matched — identical text gives
+    *     identical band keys (0);
+    *   - unexplained_match: every matched pair shares a shingle (0);
+    *   - null_or_short_matched: unbandable new docs stay unmatched (0).
+    */
+  def incrInvariants(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dup = "zzqinc zzqalpha zzqbeta zzqgamma zzqdelta"
+    val planted = Seq(
+      (PlantBase + 11, Some(dup)), // % 10 == 1 -> existing side
+      (PlantBase + 17, Some(dup))  // % 10 == 7 -> new side
+    ).toDF("doc_id", "text")
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .cache()
+    val existing = docs.where(col("doc_id") % 10 =!= 7)
+    val newB = docs.where(col("doc_id") % 10 === 7)
+    // eager: five check branches consume it in the one final action
+    val out = DedupOps.incrementalAssign(existing, newB)
+      .localCheckpoint(eager = true)
+
+    val nNew = newB.agg(count(lit(1)).as("n_new"))
+    val shortness = newB.select(col("doc_id"),
+      (col("text").isNull || size(split(col("text"), " ")) < 3).as("is_short"))
+    val outStats = out.join(shortness, "doc_id").agg(
+      count(lit(1)).as("incr_rows"),
+      countDistinct(col("doc_id")).as("incr_distinct_docs"),
+      zsum(col("is_known_dup") =!= col("matched_id").isNotNull.cast("int"))
+        .as("incr_flag_wrong"),
+      zsum(col("is_short") && col("matched_id").isNotNull)
+        .as("null_or_short_matched"))
+
+    // exact cross-split dups must be matched (identical signature ⇒
+    // identical band keys ⇒ bucket collision)
+    val exactMissed = newB
+      .where(col("text").isNotNull && size(split(col("text"), " ")) >= 3)
+      .join(existing.select(col("text")).distinct(), Seq("text"), "left_semi")
+      .join(out, Seq("doc_id"))
+      .agg(zsum(col("matched_id").isNull).as("exact_dup_missed"))
+
+    // every match must be explainable by a shared shingle (same argument
+    // as q56's minhash_merged_no_shared_shingle)
+    val pairs = out.where(col("matched_id").isNotNull)
+      .select(col("doc_id").as("a"), col("matched_id").as("b"))
+    val pairIds = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+    val shingleSets = DedupOps.shingles(docs.join(pairIds, Seq("doc_id"), "left_semi"))
+    val overlap = pairs
+      .join(shingleSets.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"), "left")
+      .join(shingleSets.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"), "left")
+      .agg(zsum(col("sa").isNull || col("sb").isNull ||
+          size(array_intersect(col("sa"), col("sb"))) === 0)
+        .as("unexplained_match"))
+
+    val result = Seq(nNew, outStats, exactMissed, overlap,
+        notMember(out.where(col("matched_id").isNotNull), "matched_id",
+          existing.select(col("doc_id")), "doc_id", "matched_not_existing"))
+      .map(stackChecks)
+      .reduce(_ unionByName _)
+      .localCheckpoint(eager = true)
+      .orderBy("check_name")
+    docs.unpersist()
+    result
+  }
+
+  // +1 on the new-batch counts = the planted new-side doc.
+  private def incrInvariantsSql: String =
+    """WITH expected(check_name, value) AS (VALUES
+      |  ('exact_dup_missed', 0),
+      |  ('incr_distinct_docs', (SELECT COUNT(*) + 1 FROM documents WHERE doc_id % 10 = 7)),
+      |  ('incr_flag_wrong', 0),
+      |  ('incr_rows', (SELECT COUNT(*) + 1 FROM documents WHERE doc_id % 10 = 7)),
+      |  ('matched_not_existing', 0),
+      |  ('n_new', (SELECT COUNT(*) + 1 FROM documents WHERE doc_id % 10 = 7)),
+      |  ('null_or_short_matched', 0),
+      |  ('unexplained_match', 0))
+      |SELECT check_name, CAST(value AS BIGINT) AS value
+      |FROM expected ORDER BY check_name""".stripMargin
+
   private def embedInvariantsSql: String =
     """WITH expected(check_name, value) AS (VALUES
       |  ('identical_vec_pairs', (SELECT COALESCE(SUM((c * (c - 1)) // 2), 0) + 3
@@ -392,6 +487,9 @@ object InvariantOps {
 
     QueryDef("q57_embed_invariants", Some(embedInvariantsSql),
       (spark, dir) => embedInvariants(spark, dir)),
+
+    QueryDef("q73_incr_dedup", Some(incrInvariantsSql),
+      (spark, dir) => incrInvariants(spark, dir)),
 
     // q41's golden freezes the HLL sketch value; this grades the exact
     // count against plain SQL and bounds the sketch's relative error in
