@@ -32,21 +32,42 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // Deterministic (sorted) order: `queries` is a HashMap, whose
+    // iteration order reshuffles whenever an entry is added — which used
+    // to move JIT-warmup attribution onto different queries every round
+    // and make per-query numbers incomparable across BENCH_r{N} files.
+    // Each query is timed as the min of `runs` back-to-back executions:
+    // the first execution of a plan pays its Janino/C2 compilation (which
+    // belongs to the session, not the operator — measured 2-4x on heavy
+    // plans) plus any transient host stall; the min is the steady-state
+    // cost the operator would have in a long-lived job.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed query must be loud: -1 timing + an errors entry + stderr,
       // never a silently-fast row (a regression would read as a speedup)
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-        }
-      val dt = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
-      // drop any blocks a query cached so queries stay isolated: storage
-      // otherwise accumulates across all ~50 queries and squeezes the
-      // unified-memory execution pool for everything downstream
-      spark.catalog.clearCache()
+      var err: Option[String] = None
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val r =
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            None
+          }
+        // drop any blocks a query cached so queries (and repeats) stay
+        // isolated: storage otherwise accumulates across all the queries
+        // and squeezes the unified-memory execution pool downstream.
+        // clearCache only covers CacheManager entries — localCheckpoint
+        // RDDs and broadcasts are reclaimed by the ContextCleaner only
+        // after their driver-side references are GC'd, so nudge a GC or
+        // the checkpoint-heavy queries accumulate storage blocks that
+        // squeeze execution memory for everything after them
+        spark.catalog.clearCache()
+        System.gc()
+        r
+      }
+      val dt = if (err.isEmpty && times.nonEmpty) times.min else -1.0
       (name, dt, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
