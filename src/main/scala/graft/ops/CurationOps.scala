@@ -271,6 +271,49 @@ object CurationOps {
       |FROM documents d JOIN s USING (lang)
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Blocked fuzzy matching over short metadata strings (part names):
+    * candidate pairs come only from (brand, first-token) blocks — the
+    * classic blocking step that bounds the quadratic pair fan-out by
+    * block occupancy, never the table size — then exact Levenshtein
+    * filters to distance <= maxDist and the pairs aggregate per brand.
+    * Cross-block near-matches (first token differs) are out of scope BY
+    * DESIGN; that tradeoff is what makes fuzzy dedup feasible at scale,
+    * and tightening it means adding blocks (e.g. last-token), not
+    * widening to all-pairs. Levenshtein is the built-in codegen'd
+    * expression on both engines — integer output, no float drift.
+    */
+  def fuzzyPairs(parts: DataFrame, maxDist: Int = 3): DataFrame = {
+    val p = parts.select(col("p_partkey"), col("p_brand"), col("p_name"),
+      split(col("p_name"), " ").getItem(0).as("tok"))
+    val a = p.select(col("p_brand"), col("tok"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("tok"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "tok"))
+      .where(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("dist") === 0).cast("long")).as("n_exact"),
+        sum((col("dist") >= 1).cast("long")).as("n_fuzzy"),
+        max(col("dist")).cast("long").as("max_dist"))
+      .orderBy("p_brand")
+  }
+
+  private val fuzzyPairsSql =
+    """WITH p AS (SELECT p_partkey, p_brand, p_name,
+      |    string_split(p_name, ' ')[1] AS tok FROM part),
+      |pairs AS (SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.tok = b.tok
+      |    AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  CAST(SUM(CASE WHEN dist >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+      |  CAST(MAX(dist) AS BIGINT) AS max_dist
+      |FROM pairs GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q65_repetition_stats", Some(repetitionSql),
       (spark, dir) => repetitionStats(t(spark, dir, "documents"))),
@@ -290,5 +333,8 @@ object CurationOps {
         .unionByName(messyDocs(spark)))),
 
     QueryDef("q77_length_outliers", Some(lengthOutliersSql),
-      (spark, dir) => lengthOutliers(t(spark, dir, "documents"))))
+      (spark, dir) => lengthOutliers(t(spark, dir, "documents"))),
+
+    QueryDef("q78_fuzzy_pairs", Some(fuzzyPairsSql),
+      (spark, dir) => fuzzyPairs(t(spark, dir, "part"))))
 }

@@ -294,6 +294,58 @@ object ExtendedOps {
           .orderBy("segment")
       }),
 
+    // Column profiling in the TALL shape: stack each row into
+    // (column_name, value-as-string) and run ONE two-level aggregate —
+    // never a 2N-wide aggregate (Janino megamorphic blowup) and never N
+    // countDistinct in one agg (a single Expand multiplies the scan N
+    // ways; stacking does the same multiply but keeps the plan a plain
+    // agg whose map-side combine collapses per-partition before the one
+    // shuffle). String casts are per-type injective, so n_distinct equals
+    // the native-type distinct count and the formatting never reaches the
+    // output.
+    QueryDef(
+      "q79_profile",
+      Some("""WITH u(column_name, v) AS (
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders)
+        |SELECT column_name,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+        |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin),
+      (spark, dir) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val args = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+        t(spark, dir, "orders")
+          .selectExpr(s"stack(${cols.length}, $args) AS (column_name, v)")
+          .groupBy("column_name")
+          .agg(coalesce(sum(col("v").isNull.cast("long")), lit(0L)).as("n_nulls"),
+            countDistinct(col("v")).as("n_distinct"))
+          .orderBy("column_name")
+      }),
+
+    // Arbitrary GROUPING SETS (rollup q36 and cube q71 are the fixed
+    // special cases): the two single-column marginals in one pass via a
+    // shared SQL text — one Expand x 2, one agg, one fact scan.
+    QueryDef(
+      "q80_grouping_sets",
+      Some("""SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""".stripMargin),
+      (spark, dir) => {
+        withViews(spark, dir, "orders")
+        spark.sql(
+          """SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+            |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, n""".stripMargin)
+      }),
+
     // FULL OUTER join — the one outer-join class no other graded query
     // exercises: reconcile per-customer revenue between two date halves,
     // keeping customers present in either half. Both inputs are already

@@ -29,7 +29,8 @@ object ScaleRehearsal {
     "q31_token_stats", "q32_fingerprint", "q51_dedup_clusters",
     "q52_vocab_top_terms", "q53_balanced_sample", "q61_tfidf_top_terms",
     "q27_ann_bruteforce", "q28_ann_lsh", "q43_embed_neardup",
-    "q47_ann_ivf", "q56_dedup_invariants", "q57_embed_invariants")
+    "q47_ann_ivf", "q56_dedup_invariants", "q57_embed_invariants",
+    "q65_repetition_stats", "q66_contamination", "q73_incr_dedup")
 
   private val OFFSET = 10000000L
 

@@ -145,4 +145,38 @@ class DedupSpec extends SparkSpec {
     val total = real.agg(sum("copies")).first().getLong(0)
     assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  test("incremental assign matches new docs against the existing corpus only") {
+    val existing = Seq(
+      (1L, base), (2L, other), (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (11L, base),                           // exact cross-side dup
+      (12L, nearDup),                        // near-dup of existing 1
+      (13L, other + " with novel suffix appended to change most shingles " +
+        "of the second half beyond the banding threshold entirely"),
+      (14L, "completely novel text about orchestrating container fleets " +
+        "schedulers bin packing preemption quotas and autoscaling loops " +
+        "that shares no shingles with anything in the existing corpus"),
+      (15L, "completely novel text about orchestrating container fleets " +
+        "schedulers bin packing preemption quotas and autoscaling loops " +
+        "that shares no shingles with anything in the existing corpus"),
+      (16L, null.asInstanceOf[String]),      // unbandable
+      (17L, "too short")                     // unbandable
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalAssign(existing, newBatch).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+    assert(out.size == 7, "one row per new-batch doc")
+    assert(out(11L).contains(1L), "exact cross-side dup must match existing")
+    assert(out(12L).contains(1L), "near-dup must match existing")
+    // 14/15 duplicate EACH OTHER but nothing existing: incremental dedup
+    // is one-sided by contract — within-batch dups are the batch's own
+    // dedup pass, not a corpus match
+    assert(out(14L).isEmpty && out(15L).isEmpty,
+      "within-batch dups must not match each other")
+    assert(out(16L).isEmpty && out(17L).isEmpty,
+      "null/short docs must stay unmatched")
+  }
 }
