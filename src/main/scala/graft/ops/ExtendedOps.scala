@@ -294,6 +294,36 @@ object ExtendedOps {
           .orderBy("segment")
       }),
 
+    // Distribution window functions (q35 grades rank/row_number; this
+    // grades the rest of the family): ntile / percent_rank / cume_dist /
+    // lead over a UNIQUE order key, so every function is deterministic —
+    // percent_rank and cume_dist are integer-ratio divisions ((r-1)/(n-1),
+    // c/n) that both engines evaluate identically in double. Input is the
+    // date-pruned recent slice, and the window partitions by priority, so
+    // the sort is per-partition and bounded — never a global unpartitioned
+    // window over the fact table.
+    QueryDef(
+      "q81_window_suite",
+      Some("""SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  lead(o_orderkey) OVER w AS next_key
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        t(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit("2001-06-01 00:00:00").cast("timestamp"))
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      }),
+
     // Column profiling in the TALL shape: stack each row into
     // (column_name, value-as-string) and run ONE two-level aggregate —
     // never a 2N-wide aggregate (Janino megamorphic blowup) and never N
