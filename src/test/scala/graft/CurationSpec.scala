@@ -81,4 +81,34 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("fuzzy pairs respect (brand, first-token) blocking") {
+    val parts = Seq(
+      (1L, "B1", "red widget"),
+      (2L, "B1", "red widgets"), // dist 1, same block as 1
+      (3L, "B1", "blu widget"),  // dist 3 vs "red widget" but first token differs -> blocked out
+      (4L, "B2", "red widget"),  // same name, different brand -> never paired with 1
+      (5L, "B1", "red widget")   // exact dup of 1, same block
+    ).toDF("p_partkey", "p_brand", "p_name")
+    val out = CurationOps.fuzzyPairs(parts).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // block (B1, red) = {1, 2, 5}: pairs (1,2) d1, (1,5) d0, (2,5) d1.
+    // (1,3) is within distance but cross-block -> excluded BY DESIGN;
+    // (1,4) is cross-brand -> excluded.
+    assert(out("B1") == ((3L, 1L, 2L, 1L)),
+      s"expected 3 pairs / 1 exact / 2 fuzzy / max dist 1, got $out")
+    assert(!out.contains("B2"), "singleton blocks produce no pairs")
+  }
+
+  test("exact-moment outliers flag the planted heavy tail only") {
+    val docs = (1 to 9).map(i => (i.toLong, "en", 100L)) ++
+      Seq((10L, "en", 1000L),   // ~2.8 sigma above the en mean -> flagged
+        (11L, "de", 5000L))     // singleton stratum: n=1 degenerates to no outlier
+    val out = CurationOps.lengthOutliers(
+      docs.toDF("doc_id", "lang", "n_chars")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("en") == ((10L, 1L)), s"exactly the planted outlier: $out")
+    assert(out("de") == ((1L, 0L)), s"singleton stratum has no outlier: $out")
+  }
 }

@@ -134,4 +134,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"bucket-min must be a window, not a join:\n$plan")
     assert(plan.contains("Window"))
   }
+
+  test("q75 full outer joins pre-aggregated inputs, not the fact table") {
+    val plan = planOf("q75_full_outer_reconcile")
+    assert(plan.contains("FullOuter"), s"expected full outer join in:\n$plan")
+    // both join inputs must already be aggregates: a partial HashAggregate
+    // below the join on each side means the join moves per-customer rows,
+    // never order history
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected SMJ full outer in:\n$plan")
+    val below = plan.substring(joinIdx)
+    assert(below.contains("HashAggregate"),
+      s"join inputs must be pre-aggregated:\n$plan")
+  }
+
+  test("q66 contamination probes via a broadcast semi-join (corpus never shuffles)") {
+    val plan = planOf("q66_contamination")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark shingle set must broadcast into a semi-join probe:\n$plan")
+  }
+
+  test("q79 profile plans one two-level aggregate, never an Expand") {
+    val plan = planOf("q79_profile")
+    // the tall stack shape replaces the N-countDistinct Expand; the only
+    // aggregation is partial+final on (column_name, v)
+    assert(!plan.contains("Expand"),
+      s"profiling must not plan a distinct Expand:\n$plan")
+    assert(plan.contains("HashAggregate") && plan.contains("partial"),
+      s"expected two-level aggregation in:\n$plan")
+  }
+
+  test("q81 window suite sorts per partition, never globally before the window") {
+    val plan = planOf("q81_window_suite")
+    assert(plan.contains("Window"), s"expected window in:\n$plan")
+    assert(plan.contains("hashpartitioning(o_orderpriority"),
+      s"window must partition by priority (bounded per-partition sorts):\n$plan")
+  }
 }
