@@ -294,6 +294,48 @@ object ExtendedOps {
           .orderBy("segment")
       }),
 
+    // Ordered distinct string aggregation (LISTAGG/STRING_AGG semantics)
+    // in the portable Spark-first form: collect_set partial-aggregates the
+    // (tiny, domain-bounded) distinct set map-side, sort_array makes the
+    // result order-deterministic under any partitioning, array_join
+    // renders. The wire carries per-group distinct sets, never rows.
+    QueryDef(
+      "q82_string_agg",
+      Some("""SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+              .as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")),
+
+    // approx_top_k: the mergeable heavy-hitters sketch — the single-pass
+    // answer to "top terms over 100 TB" when the full (term, count)
+    // groupBy would carry an unbounded vocabulary through the shuffle.
+    // Graded exactly: the corpus vocabulary is far under the tracked-item
+    // capacity, where the sketch's counts are exact by contract, and the
+    // output re-sorts (count desc, term) so ties cannot float. At real
+    // vocabulary scales the same plan degrades gracefully to approximate
+    // heavy hitters; the capacity is the knob.
+    QueryDef(
+      "q83_approx_top_terms",
+      Some("""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |      FROM documents WHERE text IS NOT NULL)
+        |GROUP BY term ORDER BY cnt DESC, term""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .agg(expr("approx_top_k(term, 10000, 10000)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("term"), col("e.count").as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))),
+
     // Distribution window functions (q35 grades rank/row_number; this
     // grades the rest of the family): ntile / percent_rank / cume_dist /
     // lead over a UNIQUE order key, so every function is deterministic —
