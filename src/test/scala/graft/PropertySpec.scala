@@ -88,4 +88,32 @@ class PropertySpec extends SparkSpec {
     assert(got.sameElements(expect),
       s"golden mismatch:\n got=${got.mkString("\n ")}\n want=${expect.mkString("\n ")}")
   }
+
+  private val messyGen: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaNumChar,
+    2 -> Gen.const(' '),
+    1 -> Gen.oneOf('!', ',', '.', ';', ':', '-', '_', '\'', '?'),
+    1 -> Gen.oneOf('A', 'Z', 'Q'))).map(_.mkString)
+
+  test("normalization is idempotent for arbitrary messy strings") {
+    val texts = (1 to 40).map(i =>
+      messyGen.pureApply(Gen.Parameters.default, Seed(7000L + i)))
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.ops.CurationOps.normalize(docs)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val twice = graft.ops.CurationOps.normalize(once)
+    val pairs = once.select(col("doc_id"), col("text").as("a"))
+      .join(twice.select(col("doc_id"), col("norm_text").as("b")), Seq("doc_id"))
+      .collect()
+    assert(pairs.length == 40)
+    pairs.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"normalize not idempotent: '${r.getString(1)}' vs '${r.getString(2)}'"))
+    // and the output alphabet is actually normalized
+    once.collect().foreach { r =>
+      val s = r.getString(1)
+      assert(s == null || s.matches("([a-z0-9]+( [a-z0-9]+)*)?"),
+        s"unnormalized residue in '$s'")
+    }
+  }
 }
