@@ -294,6 +294,91 @@ object ExtendedOps {
           .orderBy("segment")
       }),
 
+    // TPC-H Q3-shaped 3-way join + top-k: segment-filtered customers join
+    // orders join lineitem, aggregate revenue per order, top 10. The scale
+    // plan: both fact joins are co-keyed equi-joins (custkey, then
+    // orderkey); the segment filter prunes the customer side BEFORE its
+    // join (pushed to the scan); top-k plans as TakeOrderedAndProject —
+    // per-partition heaps, never a global sort of the aggregate. Unique
+    // orderkey tiebreak keeps the k-boundary deterministic under ties.
+    QueryDef(
+      "q85_shipping_priority",
+      Some(s"""SELECT l_orderkey, ${sqlMoneySum(REV)} AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      (spark, dir) => {
+        val cut = lit("2000-01-01 00:00:00").cast("timestamp")
+        t(spark, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+          .join(t(spark, dir, "orders").where(col("o_orderdate") < cut)
+              .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+                col("o_orderdate")),
+            Seq("c_custkey"))
+          .join(t(spark, dir, "lineitem").where(col("l_shipdate") > cut)
+              .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(moneySum(revenue).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      }),
+
+    // TPC-H Q5-shaped 6-way join: revenue by nation where the customer and
+    // the supplier share a nation, for one region and one year. The join
+    // graph mixes both scale classes deliberately: nation/region/supplier
+    // broadcast (dimension side — supplier is ~10 MB even at 100 TB scale
+    // factors), while customer-orders and orders-lineitem shuffle on their
+    // co-keys; the c_nationkey = s_nationkey condition rides the lineitem
+    // join as a residual filter, never a separate join. Date + region
+    // filters prune both fact inputs before any shuffle.
+    QueryDef(
+      "q86_local_supplier_volume",
+      Some(s"""SELECT n_name, ${sqlMoneySum(REV)} AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      (spark, dir) => {
+        val nations = t(spark, dir, "nation")
+          .join(t(spark, dir, "region").where(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val suppliers = t(spark, dir, "supplier")
+          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(t(spark, dir, "orders")
+              .where(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+            Seq("c_custkey"))
+          .join(t(spark, dir, "lineitem")
+              .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(suppliers),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(moneySum(revenue).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }),
+
     // Mergeable-sketch distinct counting (Datasketches HLL): per-group
     // sketches are built in one pass, then UNIONED — the pattern that
     // answers "distinct over any window" at 100 TB from stored per-day /

@@ -135,6 +135,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("q85 3-way join plans top-k as TakeOrderedAndProject") {
+    val plan = planOf("q85_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must plan as per-partition heaps, not a global sort:\n$plan")
+  }
+
+  test("q86 6-way join broadcasts the dimension chain") {
+    val plan = planOf("q86_local_supplier_volume")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier/nation/region chain must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"6-way join must stay equi-join only:\n$plan")
+  }
+
   test("q75 full outer joins pre-aggregated inputs, not the fact table") {
     val plan = planOf("q75_full_outer_reconcile")
     assert(plan.contains("FullOuter"), s"expected full outer join in:\n$plan")
