@@ -314,7 +314,52 @@ object CurationOps {
       |  CAST(MAX(dist) AS BIGINT) AS max_dist
       |FROM pairs GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Context-window chunking: split each document into fixed `window`-token
+    * chunks advancing by `stride` tokens (overlap = window - stride keeps
+    * boundary context in both neighbors) — the example-assembly step
+    * between curation and q63's sequence packing. Chunk count is
+    * 1 + ceil((n - window) / stride) for n > window, else 1, so every
+    * token lands in at least one chunk and the last chunk is never empty.
+    *
+    * Scale shape: row-local explode bounded by n/stride copies per doc —
+    * no shuffle, no window; the fan-out is the output size itself, which
+    * is the point of the operator. All-integer arithmetic + exact string
+    * slicing, so the full SQL oracle hashes identically.
+    */
+  def chunkDocs(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .withColumn("n", size(col("l")).cast("long"))
+      .withColumn("nc",
+        when(col("n") <= window, 1L)
+          .otherwise(expr(s"(n - $window + ${stride - 1}) div $stride") + 1L))
+      .select(col("doc_id"), col("l"), col("n"),
+        explode(expr("sequence(0L, nc - 1)")).as("chunk"))
+      .select(col("doc_id"), col("chunk").cast("int").as("chunk"),
+        least(lit(window.toLong), col("n") - lit(stride.toLong) * col("chunk"))
+          .as("n_chunk_tokens"),
+        expr(s"array_join(slice(l, 1 + $stride * chunk, " +
+          s"least($window, n - $stride * chunk)), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk")
+
+  private val chunkSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+      |    CASE WHEN len(l) <= 32 THEN 1
+      |         ELSE (len(l) - 32 + 23) // 24 + 1 END AS nc
+      |  FROM d),
+      |e AS (SELECT doc_id, l, n, unnest(generate_series(0, nc - 1)) AS chunk FROM c)
+      |SELECT doc_id, CAST(chunk AS INT) AS chunk,
+      |  CAST(LEAST(32, n - 24 * chunk) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(l[1 + 24 * chunk : 24 * chunk + LEAST(32, n - 24 * chunk)], ' ')
+      |    AS chunk_text
+      |FROM e ORDER BY doc_id, chunk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q91_doc_chunk", Some(chunkSql),
+      (spark, dir) => chunkDocs(t(spark, dir, "documents"))),
+
     QueryDef("q65_repetition_stats", Some(repetitionSql),
       (spark, dir) => repetitionStats(t(spark, dir, "documents"))),
 

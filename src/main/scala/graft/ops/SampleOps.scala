@@ -110,7 +110,47 @@ object SampleOps {
       .orderBy("split", "lang")
   }
 
+  /** Global training-order enumeration (distributed zipWithIndex): every
+    * doc gets a dense 1..n position in a deterministic shuffled order
+    * (md5 of the id — engine-independent, so the oracle is plain SQL).
+    *
+    * A naive `row_number() OVER (ORDER BY md5)` funnels the corpus
+    * through ONE reducer. Instead the md5's first two hex digits shard
+    * the order into 256 ranges: per-shard row_numbers run in parallel,
+    * a 256-row offset frame (cumulative shard counts) broadcasts back,
+    * and position = shard offset + within-shard rank. Because the shard
+    * key is a PREFIX of the sort key, (shard, h, id) order equals
+    * (h, id) order — the result is exactly the single global window's,
+    * but no reducer ever sorts more than ~1/256 of the corpus.
+    */
+  def globalIndex(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 2))
+    val offsets = keyed.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("shard", "off")
+    val wIn = Window.partitionBy("shard").orderBy("h", "doc_id")
+    keyed.join(broadcast(offsets), Seq("shard"))
+      .withColumn("global_idx", col("off") + row_number().over(wIn))
+      .select(col("doc_id"), col("global_idx"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Oracle = the naive single-window global order; the engine runs the
+    // sharded two-phase form (provably identical — shard is a prefix of
+    // the sort key).
+    QueryDef(
+      "q92_global_index",
+      Some("""SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS global_idx
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) => globalIndex(t(spark, dir, "documents"))),
+
     // Balanced corpus construction: k docs per language, hash-ordered.
     // xxhash64 is engine-specific -> literal golden oracle; SampleSpec
     // proves the two-phase plan equals the naive global window.

@@ -289,7 +289,45 @@ object SimilarityOps {
     // self when nothing is near). Deterministic -> literal golden oracle;
     // SimilaritySpec plants duplicated vectors and checks they collapse.
     QueryDef("q43_embed_neardup", literalOracle("q43_embed_neardup"),
-      (spark, dir) => embedNearDup(vectors(spark, dir), threshold = 0.95)))
+      (spark, dir) => embedNearDup(vectors(spark, dir), threshold = 0.95)),
+
+    // Int8 scalar quantization of the embedding column — the 4x storage /
+    // bandwidth cut every vector index applies before ANN. Graded the
+    // q58/q70 way: the quantized values are float-dependent, so the graded
+    // output carries engine-side CONTRACT violations (codes bounded in
+    // [-127, 127]; every element reconstructs within half a quantization
+    // step) plus SQL-recomputable row counts — a broken scale or rounding
+    // path flips a violation count on the graded input. Scale shape:
+    // row-local higher-order expressions, scan-speed, no shuffle.
+    QueryDef(
+      "q93_embed_quantize",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(embedding) AS BIGINT) AS n_quantized,
+        |  CAST(0 AS BIGINT) AS range_violations,
+        |  CAST(0 AS BIGINT) AS recon_violations
+        |FROM embeddings""".stripMargin),
+      (spark, dir) => {
+        val v = vectors(spark, dir)
+        // per-vector symmetric scale: max |x| maps to code 127; all-zero
+        // vectors take scale 1 (codes are all 0 and reconstruct exactly)
+        val q = v.withColumn("scale",
+            greatest(expr("array_max(transform(v, x -> abs(x)))") / 127d,
+              lit(java.lang.Double.MIN_NORMAL)))
+          .withColumn("codes",
+            expr("transform(v, x -> CAST(round(x / scale) AS INT))"))
+        // null vectors pass through as null codes; the per-row violation
+        // counts must not touch size(null) (legacy -1), so they are
+        // guarded to non-null rows
+        q.agg(count(lit(1)).as("n_vecs"),
+          count(col("codes")).as("n_quantized"),
+          coalesce(sum(when(col("codes").isNotNull,
+            expr("size(filter(codes, c -> c < -127 OR c > 127))").cast("long"))
+            .otherwise(0L)), lit(0L)).as("range_violations"),
+          coalesce(sum(when(col("codes").isNotNull, expr(
+            """size(filter(zip_with(v, codes, (x, c) -> abs(x - c * scale)),
+              |  e -> e > scale * 0.5000001))""".stripMargin).cast("long"))
+            .otherwise(0L)), lit(0L)).as("recon_violations"))
+      }))
 
   /** Near-dup assignment over embeddings. `bits <= 0` (default) scales
     * bucket count with corpus size via [[autoBits]] (floor 8) so the

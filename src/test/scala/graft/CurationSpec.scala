@@ -101,6 +101,30 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains("B2"), "singleton blocks produce no pairs")
   }
 
+  test("doc chunking: full coverage, correct overlap, exact reassembly") {
+    val text40 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, text40),                            // 40 tokens -> 2 chunks
+      (2L, "a b c"),                           // n <= window -> 1 chunk
+      (3L, (1 to 32).map(i => s"u$i").mkString(" ")), // exactly window -> 1 chunk
+      (4L, (1 to 33).map(i => s"v$i").mkString(" ")), // window+1 -> 2 chunks
+      (5L, null.asInstanceOf[String])          // excluded
+    ).toDF("doc_id", "text")
+    val out = CurationOps.chunkDocs(docs, window = 32, stride = 24).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(5L))
+    assert(byDoc(2L).map(_._4).toSeq == Seq("a b c"))
+    assert(byDoc(3L).length == 1 && byDoc(4L).length == 2)
+    // doc 1: chunk 0 = tokens 1..32, chunk 1 = tokens 25..40 (8-token overlap)
+    val c = byDoc(1L).sortBy(_._2)
+    assert(c.map(_._3).toSeq == Seq(32L, 16L))
+    assert(c(0)._4 == (1 to 32).map(i => s"t$i").mkString(" "))
+    assert(c(1)._4 == (25 to 40).map(i => s"t$i").mkString(" "))
+    // every token of every doc appears in at least one of its chunks
+    assert(c.flatMap(_._4.split(" ")).distinct.length == 40)
+  }
+
   test("exact-moment outliers flag the planted heavy tail only") {
     val docs = (1 to 9).map(i => (i.toLong, "en", 100L)) ++
       Seq((10L, "en", 1000L),   // ~2.8 sigma above the en mean -> flagged

@@ -90,4 +90,12 @@ class SimilaritySpec extends SparkSpec {
     assert(out(103L) == 102L)
     assert(out(100L) == 100L)
   }
+
+  test("q93 quantization contract holds on the corpus (violations = 0)") {
+    val row = SparkEntry.queries("q93_embed_quantize")(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_vecs") > 0)
+    assert(row.getAs[Long]("n_quantized") == row.getAs[Long]("n_vecs"))
+    assert(row.getAs[Long]("range_violations") == 0L)
+    assert(row.getAs[Long]("recon_violations") == 0L)
+  }
 }

@@ -85,6 +85,20 @@ class VocabSampleSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L, 5L -> 0L))
   }
 
+  test("global index: sharded two-phase equals the naive global window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = SampleOps.globalIndex(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = docs
+      .withColumn("global_idx", row_number().over(
+        Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .select("doc_id", "global_idx").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == naive.toSeq)
+    // dense 1..n enumeration
+    assert(got.map(_._2).sorted.toSeq == (1L to docs.count()).toSeq)
+  }
+
   test("hash split is exhaustive, disjoint, and a pure function of doc_id") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = SampleOps.hashSplit(docs).collect()
