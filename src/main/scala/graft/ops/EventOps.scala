@@ -53,7 +53,85 @@ object EventOps {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
 
+  /** Ordered conversion funnel view -> click -> purchase: a user counts at
+    * stage k only if stage k's first event is AT OR AFTER their first
+    * stage-(k-1) event — the product-analytics query proper sequencing
+    * makes non-trivial (a purchase before any click must not count).
+    *
+    * Scale shape: one filtered groupBy per stage (map-side combined, one
+    * shuffle each on user_id), each stage joining the previous stage's
+    * per-user frame on the same user_id key — co-keyed shuffles a cluster
+    * co-partitions, never a window over the raw stream. Stage frames are
+    * one row per user, monotonically shrinking down the funnel.
+    */
+  def funnel(ev: DataFrame): DataFrame = {
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    ev.agg(countDistinct(col("user_id")).as("users_total"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("users_view"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("users_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("users_purchase"))))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of a user's first event,
+    * cell (cohort, weeks_since) = distinct users of that cohort active in
+    * that week — the engagement matrix behind every retention curve.
+    * date_trunc('week') is Monday-based in both engines, so the week keys
+    * agree; weeks_since is exact integer day arithmetic.
+    *
+    * Scale shape: two shuffles on user_id (first-event agg + the distinct
+    * user-week frame), then one co-keyed join and a small (cohorts x
+    * weeks) aggregate. No windows.
+    */
+  def retention(ev: DataFrame): DataFrame = {
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        expr("datediff(CAST(w AS DATE), CAST(cw AS DATE)) div 7")
+          .cast("int").as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q94_funnel",
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS users_total,
+        |  (SELECT COUNT(*) FROM v) AS users_view,
+        |  (SELECT COUNT(*) FROM c) AS users_click,
+        |  (SELECT COUNT(*) FROM p) AS users_purchase""".stripMargin),
+      (spark, dir) => funnel(events(spark, dir))),
+
+    QueryDef(
+      "q95_retention",
+      Some("""WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |    FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST((CAST(a.w AS DATE) - CAST(f.cw AS DATE)) // 7 AS INT) AS weeks_since,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (spark, dir) => retention(events(spark, dir))),
+
     QueryDef(
       "q33_event_window",
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -132,5 +132,27 @@ object ShapeOps {
         a.join(b, a("k") <=> b("bk"))
           .select(col("k"), col("n_orders"), col("revenue"))
           .orderBy(col("k").asc_nulls_first)
-      }))
+      }),
+
+    // Regex function family — extract / replace / count with patterns
+    // both engines' regex dialects (Java util.regex vs RE2) evaluate
+    // identically: anchored capture groups, character classes, digit
+    // runs. Row-local, codegen'd, scan-speed; the group-by bounds the
+    // output by the (brand, first-token) domain, not the table.
+    QueryDef(
+      "q96_regex_stats",
+      Some("""SELECT regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(len(regexp_extract_all(p_name, '[aeiou]'))) AS BIGINT) AS n_vowels,
+        |  MIN(regexp_replace(p_name, '[aeiou]', '*', 'g')) AS sample_masked
+        |FROM part GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "part")
+          .groupBy(regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+            regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(expr("regexp_count(p_name, '[aeiou]')")).as("n_vowels"),
+            min(regexp_replace(col("p_name"), "[aeiou]", "*")).as("sample_masked"))
+          .orderBy("brand_num", "first_word")))
 }

@@ -185,4 +185,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(o_orderpriority"),
       s"window must partition by priority (bounded per-partition sorts):\n$plan")
   }
+
+  test("q87 unpivot plans a single Expand, no join") {
+    val plan = planOf("q87_unpivot")
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+    assert(!plan.contains("Join"), s"unpivot must not join:\n$plan")
+  }
+
+  test("q91 chunking is scan + generate, no join and no window") {
+    val plan = planOf("q91_doc_chunk")
+    assert(plan.contains("Generate"), s"expected explode Generate in:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"chunking must stay row-local:\n$plan")
+  }
+
+  test("q92 global index: corpus window is shard-partitioned") {
+    val plan = planOf("q92_global_index")
+    // the row_number over the corpus partitions by shard; the only
+    // unpartitioned window is the 256-row shard-offset frame above an
+    // aggregate
+    assert(plan.contains("hashpartitioning(shard"),
+      s"corpus window must partition by shard:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast back, not shuffle the corpus:\n$plan")
+  }
 }
