@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -133,6 +134,106 @@ object ShapeOps {
           .select(col("k"), col("n_orders"), col("revenue"))
           .orderBy(col("k").asc_nulls_first)
       }),
+
+    // Pearson correlation with EXACT integer/decimal moments: the six
+    // sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL — exact and
+    // partition-order-independent, where a native corr() would drift on
+    // double summation order between engines — and only the final
+    // formula runs in double, written as the SAME expression tree on
+    // both sides so the IEEE ops round identically. One map-side-combined
+    // groupBy; scan-speed at any scale (the q77 outlier pattern applied
+    // to bivariate statistics).
+    QueryDef(
+      "q97_corr_exact",
+      Some("""WITH s AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(l_quantity AS HUGEINT)) AS sx,
+        |    SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+        |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+        |    SUM(CAST(round(l_extendedprice * 100) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        // integer moments: quantity is integral, price sits on a 2dp grid
+        // -> cents; corr is scale-invariant, so the unit change is free
+        // and every sum is exact (DECIMAL(38,0) here = HUGEINT there)
+        val x = col("l_quantity").cast("decimal(38,0)")
+        val y = round(col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+        val s = t(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        def d(c: String) = col(c).cast("double")
+        s.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+            ((d("n") * d("sxy") - d("sx") * d("sy")) /
+              sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+                (d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      }),
+
+    // CDC changelog compaction (keep-latest upsert semantics): treat the
+    // event stream as a per-user changelog ordered by (ts, event_id),
+    // keep each key's LATEST change, and drop keys whose latest change is
+    // a delete ('error' here) — the compaction every CDC ingest runs
+    // before serving a snapshot. One shuffle on the key; the window sort
+    // is per-key and bounded by that key's change count, never global.
+    QueryDef(
+      "q98_cdc_compact",
+      Some("""WITH r AS (SELECT user_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |  CAST(value AS DOUBLE) AS last_value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin),
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        EventOps.events(spark, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("value").as("last_value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+          .orderBy("user_id")
+      }),
+
+    // Map-typed column surface: per-priority status->count map built with
+    // map_from_entries over collect_list, consumed with size /
+    // try_element_at (ANSI-safe on missing keys). The map stays inside
+    // the engine; the graded output is scalar extractions, which the
+    // oracle recomputes relationally — grading map SEMANTICS without
+    // betting on cross-engine map codecs. Domain-bounded collect_list
+    // (3 statuses), map-side combined.
+    QueryDef(
+      "q99_map_funcs",
+      Some("""SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(NULL AS BIGINT) AS n_missing_key
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("o_orderpriority")
+          .agg(map_from_entries(collect_list(struct(col("o_orderstatus"), col("c"))))
+            .as("m"))
+          .select(col("o_orderpriority"),
+            size(col("m")).as("n_statuses"),
+            expr("coalesce(try_element_at(m, 'O'), 0L)").as("n_open"),
+            expr("coalesce(try_element_at(m, 'F'), 0L)").as("n_filled"),
+            expr("try_element_at(m, 'ZZ')").as("n_missing_key"))
+          .orderBy("o_orderpriority")),
 
     // Regex function family — extract / replace / count with patterns
     // both engines' regex dialects (Java util.regex vs RE2) evaluate
