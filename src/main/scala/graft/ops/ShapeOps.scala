@@ -235,6 +235,45 @@ object ShapeOps {
             expr("try_element_at(m, 'ZZ')").as("n_missing_key"))
           .orderBy("o_orderpriority")),
 
+    // Calendar densification: build the full (day x status) grid from the
+    // data's own date bounds and left-join the daily aggregates so
+    // missing cells surface as explicit zeros — the reporting step every
+    // dashboard needs before charting (gaps read as zero, not absent).
+    // Scale shape: the fact table is touched ONCE by a partial-agged
+    // groupBy; everything after operates on calendar-bounded frames
+    // (days x statuses), which stay tiny at ANY corpus scale, so the
+    // cross join is a broadcast nested loop over ~10^3 rows by design.
+    QueryDef(
+      "q100_densify",
+      Some(s"""WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+        |    MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |dims AS (SELECT DISTINCT o_orderstatus AS status FROM orders),
+        |f AS (SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus AS status,
+        |    CAST(COUNT(*) AS BIGINT) AS n, ${sqlMoneySum("o_totalprice")} AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT spine.day, dims.status,
+        |  COALESCE(f.n, 0) AS n_orders, COALESCE(f.rev, 0.0) AS revenue
+        |FROM spine CROSS JOIN dims
+        |LEFT JOIN f ON f.day = spine.day AND f.status = dims.status
+        |ORDER BY spine.day, dims.status""".stripMargin),
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+          .select(col("o_orderdate").cast("date").as("day"),
+            col("o_orderstatus").as("status"), col("o_totalprice"))
+        val spine = o.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+        val dims = o.select("status").distinct()
+        val facts = o.groupBy("day", "status")
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("rev"))
+        spine.crossJoin(dims)
+          .join(facts, Seq("day", "status"), "left")
+          .select(col("day"), col("status"),
+            coalesce(col("n"), lit(0L)).as("n_orders"),
+            coalesce(col("rev"), lit(0.0)).as("revenue"))
+          .orderBy("day", "status")
+      }),
+
     // Regex function family — extract / replace / count with patterns
     // both engines' regex dialects (Java util.regex vs RE2) evaluate
     // identically: anchored capture groups, character classes, digit
