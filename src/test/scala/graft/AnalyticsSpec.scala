@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventOps, ShapeOps}
+
+/** Fixture-backed semantic pins for the product-analytics and exact-stats
+  * operators (q94/q95/q97/q98/q100): planted edge cases the synthetic
+  * events table may not contain, so the graded oracles are not the only
+  * line of defense.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: a purchase before any click never counts (ordering enforced)") {
+    val ev = Seq(
+      // user 1: proper view -> click -> purchase
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "click", ts("2024-01-01 10:05:00")),
+      (3L, 10L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: purchase BEFORE its click -> counts at click, not purchase
+      (4L, 20L, "view", ts("2024-01-01 09:00:00")),
+      (5L, 20L, "purchase", ts("2024-01-01 09:30:00")),
+      (6L, 20L, "click", ts("2024-01-01 10:00:00")),
+      // user 3: click with NO prior view -> never enters the funnel
+      (7L, 30L, "click", ts("2024-01-01 08:00:00")),
+      (8L, 30L, "purchase", ts("2024-01-01 08:30:00")),
+      // user 4: view only
+      (9L, 40L, "view", ts("2024-01-01 07:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventOps.funnel(ev).collect()(0)
+    assert(r.getAs[Long]("users_total") == 4)
+    assert(r.getAs[Long]("users_view") == 3)     // users 1, 2, 4
+    assert(r.getAs[Long]("users_click") == 2)    // users 1, 2 (3 has no view)
+    assert(r.getAs[Long]("users_purchase") == 1) // only user 1 is ordered
+  }
+
+  test("retention: cohort anchored to first event's week, weeks_since exact") {
+    val ev = Seq(
+      // user 1: first event Tue week0, active again week0 and week2
+      (1L, 1L, "view", ts("2024-01-02 10:00:00")),
+      (2L, 1L, "view", ts("2024-01-05 10:00:00")),
+      (3L, 1L, "view", ts("2024-01-16 10:00:00")),
+      // user 2: single event in week1
+      (4L, 2L, "view", ts("2024-01-10 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.retention(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // weeks are Monday-based: 2024-01-01 and 2024-01-08 are Mondays
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 2, 1L), ("2024-01-08", 0, 1L)))
+  }
+
+  test("q97 exact-moment corr matches native corr on the corpus within 1e-9") {
+    val got = SparkEntry.queries("q97_corr_exact")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val native = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == native.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - native(k)) < 1e-9, s"$k: exact $v vs native ${native(k)}")
+    }
+  }
+
+  test("CDC compaction: latest change wins, delete drops the key") {
+    val ev = Seq(
+      // user 1: two updates -> latest (value 2.0) survives
+      (1L, 1L, "view", 1.0, ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", 2.0, ts("2024-01-01 11:00:00")),
+      // user 2: update then delete -> key dropped
+      (3L, 2L, "view", 3.0, ts("2024-01-01 10:00:00")),
+      (4L, 2L, "error", 0.0, ts("2024-01-01 12:00:00")),
+      // user 3: delete then a LATER re-insert -> key survives with new value
+      (5L, 3L, "error", 0.0, ts("2024-01-01 10:00:00")),
+      (6L, 3L, "signup", 9.0, ts("2024-01-01 13:00:00")),
+      // user 4: same-ts tie broken by event_id (8 beats 7)
+      (7L, 4L, "view", 1.0, ts("2024-01-01 10:00:00")),
+      (8L, 4L, "click", 5.0, ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    // q98's fn reads from parquet; drive the same logic via the query body
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val out = ev.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.sortBy(_._1).toSeq == Seq(
+      (1L, "click", 2.0), (3L, "signup", 9.0), (4L, "click", 5.0)))
+  }
+
+  test("densify: full grid, zeros where no orders, sums preserved") {
+    val out = SparkEntry.queries("q100_densify")(spark, sf)
+    val rows = out.collect()
+    val days = rows.map(_.getDate(0).toString).distinct
+    val statuses = rows.map(_.getString(1)).distinct
+    // complete cross product
+    assert(rows.length == days.length * statuses.length)
+    // calendar is gapless
+    val ds = days.sorted
+    assert(java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(ds.head), java.time.LocalDate.parse(ds.last))
+      == ds.length - 1)
+    // densification adds cells, never counts
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == spark.read.parquet(s"$sf/orders.parquet").count())
+    assert(rows.exists(_.getLong(2) == 0L), "expected at least one zero-filled cell")
+  }
+}
