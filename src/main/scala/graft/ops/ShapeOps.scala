@@ -274,6 +274,43 @@ object ShapeOps {
           .orderBy("day", "status")
       }),
 
+    // RANGE window frame — the value-based frame class (q35/q81 grade only
+    // row-based frames): per-customer trailing-30-day revenue, the
+    // sliding-window balance every ledger/report needs. The frame is
+    // keyed on integer epoch-days (both engines' RANGE semantics over
+    // the same numeric domain, peer rows included identically), and the
+    // sum is decimal-exact before the final rounding. The window
+    // partitions by customer — per-partition bounded sorts, never a
+    // global sort.
+    QueryDef(
+      "q101_range_frame",
+      Some(s"""WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS day_idx,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+        |    AS trailing30_rev
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("day_idx")
+          .rangeBetween(-29, 0)
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("day"),
+            datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+              .cast("long").as("day_idx"),
+            col("o_totalprice"))
+          .withColumn("trailing30_rev",
+            round(sum(money(col("o_totalprice"))).over(w), 2).cast("double"))
+          .select("o_orderkey", "o_custkey", "day", "trailing30_rev")
+          .orderBy("o_orderkey")
+      }),
+
     // Regex function family — extract / replace / count with patterns
     // both engines' regex dialects (Java util.regex vs RE2) evaluate
     // identically: anchored capture groups, character classes, digit
