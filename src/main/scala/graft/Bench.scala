@@ -46,7 +46,7 @@ object Bench {
       // a failed query must be loud: -1 timing + an errors entry + stderr,
       // never a silently-fast row (a regression would read as a speedup)
       var err: Option[String] = None
-      val times = (1 to runs).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         val r =
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -67,6 +67,14 @@ object Bench {
         System.gc()
         r
       }
+      var times = (1 to runs).flatMap(_ => once())
+      // the heavy iterative plans (multi-action gates) see multi-second
+      // host stalls on otherwise-idle runs (measured: a count over a few
+      // hundred cached rows taking 6s); when the best of `runs` is still
+      // slow, take up to two more reps so the reported min reflects the
+      // operator's steady state rather than a stall draw
+      while (err.isEmpty && times.nonEmpty && times.min > 2.0 && times.length < runs + 2)
+        times = times ++ once()
       val dt = if (err.isEmpty && times.nonEmpty) times.min else -1.0
       (name, dt, err)
     }
