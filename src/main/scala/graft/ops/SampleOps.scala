@@ -110,6 +110,54 @@ object SampleOps {
       .orderBy("split", "lang")
   }
 
+  /** Weighted sampling WITHOUT replacement (per-stratum top-k by weight):
+    * the quality-weighted subset selection step — "keep the k best-ish
+    * docs per language, where better-scored docs win proportionally
+    * more often" — via the exponential race: doc i draws
+    * e_i = -ln(u_i) / w_i ~ Exp(w_i) with u_i a pure hash function of
+    * doc_id, and the k SMALLEST e_i win. This is the classic
+    * weighted-reservoir formulation, deterministic here (seeded by
+    * doc_id), so re-runs and repartitionings select the same docs.
+    *
+    * Scale shape (the q53 two-phase trick adapted to weights): a naive
+    * per-stratum window sorts every row through one reducer per stratum.
+    * Instead phase 1 broadcasts a per-stratum cutoff t = 16k / W
+    * (W = stratum weight sum): expected survivors = sum(1 - e^(-w_i t))
+    * <= t * W = 16k regardless of the weight distribution, and the k-th
+    * smallest e beats t with overwhelming probability when no single
+    * weight dominates (for max w_i / W <= 1/(32k) the survivor count
+    * concentrates at ~16k; the k-th arrival of the superposed race is
+    * Gamma-concentrated near k/W << t). Phase 2 runs the exact window
+    * over the ~16k survivors. Strata of <= 8k rows skip the cutoff and
+    * degrade to the exact window over everything — which also covers
+    * the pathological single-dominant-weight case at small n. If the
+    * precondition is ever violated (a stratum under-fills), the output
+    * has fewer than min(k, n) rows and the q102 contract oracle FAILS
+    * LOUDLY rather than silently under-sampling.
+    */
+  def weightedSample(docs: DataFrame, k: Int, strata: String,
+      weight: Column): DataFrame = {
+    val M = 1L << 40
+    val u = (pmod(xxhash64(col("doc_id")), lit(M)).cast("double") + 0.5) / M
+    val keyed = docs
+      .select(col(strata).as("stratum"), col("doc_id"), weight.cast("double").as("w"))
+      .where(col("w") > 0)
+      .withColumn("e", -log(u) / col("w"))
+    val cuts = keyed.groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("tw"))
+      .withColumn("cut",
+        when(col("n") <= 8L * k, lit(Double.MaxValue))
+          .otherwise(lit(16.0 * k) / col("tw")))
+      .select("stratum", "cut")
+    val survivors = keyed.join(broadcast(cuts), Seq("stratum"))
+      .where(col("e") <= col("cut"))
+    val w = Window.partitionBy("stratum").orderBy(col("e"), col("doc_id"))
+    survivors.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("stratum"), col("rnk"), col("doc_id"))
+      .orderBy("stratum", "rnk")
+  }
+
   /** Global training-order enumeration (distributed zipWithIndex): every
     * doc gets a dense 1..n position in a deterministic shuffled order
     * (md5 of the id — engine-independent, so the oracle is plain SQL).
@@ -169,6 +217,32 @@ object SampleOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096 AS BIGINT) AS pack_id
         |FROM d ORDER BY doc_id""".stripMargin),
       (spark, dir) => sequencePack(t(spark, dir, "documents"), cap = 4096L)),
+
+    // The weighted analogue of q59: hash/ln values are engine-side, so
+    // the oracle grades the CONTRACT — every stratum yields exactly
+    // min(k, |stratum|) distinct members of that stratum with dense
+    // ranks (weighted selection bias is pinned by VocabSampleSpec's
+    // planted heavy-weight fixture and naive-window equivalence).
+    QueryDef(
+      "q102_weighted_sample",
+      Some("""SELECT lang AS stratum,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_sampled,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS max_rnk,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_distinct_docs,
+        |  CAST(0 AS BIGINT) AS bad_members
+        |FROM documents WHERE n_chars > 0 GROUP BY lang ORDER BY stratum""".stripMargin),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        weightedSample(docs, k = 20, strata = "lang", weight = col("n_chars"))
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy("stratum")
+          .agg(count(lit(1)).as("n_sampled"),
+            max(col("rnk")).cast("long").as("max_rnk"),
+            countDistinct(col("doc_id")).as("n_distinct_docs"),
+            coalesce(sum((col("lang") =!= col("stratum")).cast("long")), lit(0L))
+              .as("bad_members"))
+          .orderBy("stratum")
+      }),
 
     QueryDef(
       "q64_hash_split",

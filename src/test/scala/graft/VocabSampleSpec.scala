@@ -99,6 +99,38 @@ class VocabSampleSpec extends SparkSpec {
     assert(got.map(_._2).sorted.toSeq == (1L to docs.count()).toSeq)
   }
 
+  test("weighted sample: two-phase cutoff equals the naive weighted window") {
+    // 5000 rows / 2 strata so the fast path (cutoff + survivors) actually
+    // runs (strata > 8k rows), with a 100x weight spread
+    val docs = spark.range(5000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "a").otherwise("b").as("lang"),
+        (col("id") % 100 + 1).as("wt"))
+    val got = SampleOps.weightedSample(docs, k = 20, strata = "lang", weight = col("wt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+
+    val M = 1L << 40
+    val u = (pmod(xxhash64(col("doc_id")), lit(M)).cast("double") + 0.5) / M
+    val w = Window.partitionBy("lang")
+      .orderBy((-log(u) / col("wt").cast("double")).asc, col("doc_id"))
+    val naive = docs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 20)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy("lang", "rnk")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("weighted sample: a dominant weight always wins its stratum") {
+    val docs = ((1 to 30).map(i => (i.toLong, "en", 1L)) :+ (99L, "en", 1000000000L))
+      .toDF("doc_id", "lang", "wt")
+    val out = SampleOps.weightedSample(docs, k = 5, strata = "lang", weight = col("wt"))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.length == 5)
+    assert(out.contains((1, 99L)),
+      s"the ~1e9-weight doc must rank first, got ${out.toSeq}")
+  }
+
   test("hash split is exhaustive, disjoint, and a pure function of doc_id") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = SampleOps.hashSplit(docs).collect()
