@@ -224,6 +224,44 @@ object ExtendedOps {
           .orderBy("o_orderpriority", "l_returnflag")
       }),
 
+    // Dynamic partition pruning + bucket co-location — the complete
+    // nightly-join shape of the 100 TB posture (SCALE.md): the fact table
+    // is stored partitioned by o_year AND bucketed by the join key; a
+    // dimension whose year set is computed at RUNTIME (from the lineitem
+    // ship calendar — 1999-02-01 is mid-year, so no static filter on the
+    // fact could express it) selects which partition directories to read,
+    // and Catalyst prunes the fact scan via a dynamicpruning subquery
+    // hung off the dim's broadcast exchange; the subsequent orderkey join
+    // reads bucket i against bucket i with no shuffle on either side.
+    // PlanSpec asserts both plan properties (the DPP partition filter and
+    // the exchange-free join); the oracle recomputes the same join from
+    // the source tables, so correctness covers the partitioned+bucketed
+    // write/read roundtrip end-to-end.
+    QueryDef(
+      "q103_dpp_join",
+      Some(s"""WITH dim AS (SELECT DISTINCT year(l_shipdate) AS o_year
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 49
+        |    AND l_shipdate >= TIMESTAMP '1999-02-01 00:00:00'),
+        |f AS (SELECT o_orderkey, o_orderpriority, year(o_orderdate) AS o_year
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  ${sqlMoneySum(REV)} AS revenue
+        |FROM f JOIN dim USING (o_year)
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val (fact, line) = dppFacts(spark, dir)
+        val dim = t(spark, dir, "lineitem")
+          .where(col("l_returnflag") === "R" && col("l_quantity") >= 49 &&
+            col("l_shipdate") >= lit("1999-02-01 00:00:00").cast("timestamp"))
+          .select(year(col("l_shipdate")).as("o_year")).distinct()
+        fact.join(broadcast(dim), Seq("o_year"))
+          .join(line.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), moneySum(revenue).as("revenue"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Semi/anti join: per nation, customers WITH vs WITHOUT a recent
     // order (left_semi / left_anti — the existence-join plan class no
     // other graded query exercises; Spark never materializes the match).
@@ -646,6 +684,47 @@ object ExtendedOps {
         "l_orderkey"),
       rewrite("orders", t(spark, dir, "orders")
         .select("o_orderkey", "o_orderpriority"), "o_orderkey"))
+  }
+
+  /** The q103 storage layout: orders partitioned by o_year AND bucketed
+    * (8 x o_orderkey); lineitem bucketed (8 x l_orderkey). Partitioning
+    * serves runtime pruning (DPP picks year directories), bucketing
+    * serves join co-location — one layout, both 100 TB levers. A bucket
+    * then holds one file per year directory, so the scan still reports
+    * HashPartitioning(o_orderkey, 8) (no exchange) but not sortedness —
+    * the merge join re-sorts per bucket, which is the expected cost of
+    * partitioned+bucketed storage. Projected to the graded columns before
+    * the write, as [[bucketedFacts]] does and for the same amortization
+    * reason.
+    */
+  def dppFacts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def reset(tbl: String): Unit = {
+      // same catalog + location reset as q42/q55/q62
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    val factTbl = "graft_q103_fact"
+    reset(factTbl)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year"))
+      .repartition(8, col("o_orderkey"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("o_year")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(factTbl)
+    val lineTbl = "graft_q103_line"
+    reset(lineTbl)
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(8, col("l_orderkey"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(lineTbl)
+    (spark.table(factTbl), spark.table(lineTbl))
   }
 
   /** Bucketized range join: for every purchase, count the clicks by the

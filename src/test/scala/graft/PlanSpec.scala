@@ -129,6 +129,24 @@ class PlanSpec extends SparkSpec {
       s"expected bucketed scans in:\n$plan")
   }
 
+  test("q103 prunes fact partitions at runtime (DPP) and joins buckets with no shuffle") {
+    val df = SparkEntry.queries("q103_dpp_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact scan's PartitionFilters must carry a dynamicpruning
+    // subquery fed by the dim's broadcast — runtime pruning, not static
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+    // the orderkey join must read bucket i against bucket i: no hash
+    // exchange on either join key anywhere in the plan (the only
+    // exchanges are the dim broadcast and the final agg/sort)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed orderkey join must not shuffle either fact side:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"expected bucketed scans in:\n$plan")
+  }
+
   test("q24 minhash plan has no join (single-pass window assignment)") {
     val plan = planOf("q24_dedup_minhash")
     assert(!plan.contains("Join"), s"bucket-min must be a window, not a join:\n$plan")
