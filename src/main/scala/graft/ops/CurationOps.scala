@@ -326,7 +326,13 @@ object CurationOps {
     * is the point of the operator. All-integer arithmetic + exact string
     * slicing, so the full SQL oracle hashes identically.
     */
-  def chunkDocs(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+  def chunkDocs(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
+    // the chunk-count / slice arithmetic below assumes a forward-moving
+    // stride that never skips tokens; outside that range the operator
+    // would silently violate the every-token-covered contract (stride >
+    // window) or loop on slice lengths <= 0, so misuse fails fast here
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkDocs requires 0 < stride <= window, got window=$window stride=$stride")
     docs.where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .withColumn("n", size(col("l")).cast("long"))
@@ -341,6 +347,7 @@ object CurationOps {
         expr(s"array_join(slice(l, 1 + $stride * chunk, " +
           s"least($window, n - $stride * chunk)), ' ')").as("chunk_text"))
       .orderBy("doc_id", "chunk")
+  }
 
   private val chunkSql =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l

@@ -112,13 +112,15 @@ object InvariantOps {
     val ids = docs.select(col("doc_id"))
     // one banded pass feeds both MinHash tiers (pre-materialized inside);
     // rerunning minhashAssign + minhashClusters separately would pay the
-    // signature scan + bucket window twice
-    val (mh, cl) = DedupOps.minhashTiers(docs)
+    // signature scan + bucket window twice. sortResult = false: this gate
+    // only joins/aggregates the frames, so the q51-style global sort
+    // would be a wasted range exchange + sampling job
+    val (mh, cl) = DedupOps.minhashTiers(docs, sortResult = false)
     // eager, not a lazy cache: the final single action evaluates the
     // simhash-consuming branches (stats, pairs, chunk re-verify)
     // concurrently, and concurrent stages racing an unmaterialized cache
     // each recompute the signature scan — measured ~2x on this gate
-    val sh = DedupOps.simhashAssign(docs).localCheckpoint(eager = true)
+    val sh = DedupOps.simhashAssign(docs, sort = false).localCheckpoint(eager = true)
 
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
 
@@ -224,14 +226,33 @@ object InvariantOps {
       zsum(col("km") > 1).as("exact_dup_split_minhash"),
       zsum(col("kc") > 1).as("exact_dup_split_clusters"))
 
-    val members = Seq(
-      notMember(mh, "canonical_id", ids, "doc_id", "minhash_canonical_not_member"),
-      notMember(sh, "canonical_id", ids, "doc_id", "simhash_canonical_not_member"),
-      notMember(cl, "cluster_id", ids, "doc_id", "clusters_label_not_member"))
+    // one anti-join for all three tiers' membership checks instead of
+    // three separate distinct+anti-join subtrees: tag each tier's
+    // referenced ids, anti-join the union once, and re-pivot the surviving
+    // tags to the three named counts (zeros preserved by the crossJoin
+    // with the constant tag frame)
+    val members = {
+      val tagged = mh.select(col("canonical_id").as("doc_id"),
+          lit("minhash_canonical_not_member").as("tag"))
+        .unionByName(sh.select(col("canonical_id").as("doc_id"),
+          lit("simhash_canonical_not_member").as("tag")))
+        .unionByName(cl.select(col("cluster_id").as("doc_id"),
+          lit("clusters_label_not_member").as("tag")))
+        .distinct()
+      val bad = tagged.join(ids, Seq("doc_id"), "left_anti")
+        .groupBy("tag").agg(count(lit(1)).as("bad"))
+      docsIn.sparkSession.range(1).selectExpr(
+          """explode(array('minhash_canonical_not_member',
+            |'simhash_canonical_not_member',
+            |'clusters_label_not_member')) AS tag""".stripMargin.replace("\n", " "))
+        .join(bad, Seq("tag"), "left")
+        .select(col("tag").as("check_name"),
+          coalesce(col("bad"), lit(0L)).as("value"))
+    }
 
     val result = (Seq(nDocs, mhStats, shStats, clStats,
-        mhOverlap, shChunk, clFix, clLattice, exStats) ++ members)
-      .map(stackChecks)
+        mhOverlap, shChunk, clFix, clLattice, exStats)
+      .map(stackChecks) :+ members)
       .reduce(_ unionByName _)
       // materialize before dropping the caches the plan was built from
       .localCheckpoint(eager = true)
@@ -312,7 +333,7 @@ object InvariantOps {
     // forced eagerly for the same reason as q56's sh: three branches
     // (stats, the cosine re-verify, the identical-vector lattice) would
     // race the lazy cache and recompute the bucket self-join + verify pass
-    val nd = SimilarityOps.embedNearDup(v, threshold = 0.95).cache()
+    val nd = SimilarityOps.embedNearDup(v, threshold = 0.95, sort = false).cache()
     nd.count()
     val lsh = SimilarityOps.lshTopK(v, queries, k = 5)
     val ivf = SimilarityOps.ivfTopK(v, queries, k = 5)
@@ -491,9 +512,11 @@ object InvariantOps {
     QueryDef("q73_incr_dedup", Some(incrInvariantsSql),
       (spark, dir) => incrInvariants(spark, dir)),
 
-    // q41's golden freezes the HLL sketch value; this grades the exact
-    // count against plain SQL and bounds the sketch's relative error in
-    // the oracle-checked output itself. The graded bound is derived from
+    // q41 grades the sketch's contract (bound + merge determinism); this
+    // gate grades the exact count against plain SQL and bounds the
+    // sketch's relative error in the oracle-checked output itself
+    // — kept separate so the §2.6 A6 surface row and the invariant-gate
+    // layer fail independently. The graded bound is derived from
     // the configured rsd (4x = a ~4-sigma envelope), not a hand-picked
     // constant: a 1-sigma bound is deterministic for the frozen corpus
     // (measured 0.4% at sf0.01) but could legitimately flip on a
@@ -550,9 +573,10 @@ object InvariantOps {
               lit(4.0) * col("n") / acc).cast("int").as("p99_within_bound"))
       }),
 
-    // q53's golden freezes the hash order; this grades the sampling
-    // CONTRACT in SQL: every stratum yields exactly min(k, |stratum|)
-    // distinct members of that stratum with dense ranks.
+    // q53 grades the sampler's contract + rerun determinism; this gate
+    // grades the same shape CONTRACT in SQL (every stratum yields exactly
+    // min(k, |stratum|) distinct members of that stratum with dense
+    // ranks) over the single-run output, so the two fail independently.
     QueryDef(
       "q59_sample_invariants",
       Some("""SELECT lang AS stratum,

@@ -514,14 +514,35 @@ object ReferenceOps {
           .orderBy("o_orderpriority")
       }),
 
-    // Scale tier of A6: approx_count_distinct (HLL) next to the exact count.
-    // Engine-specific sketch, but deterministic for fixed input -> literal
-    // golden oracle; the spec additionally bounds the error vs exact.
+    // Scale tier of A6: approx_count_distinct (HLL) next to the exact
+    // count. The sketch value is engine-side, so the oracle grades its
+    // CONTRACT instead of a frozen golden: the exact count from plain
+    // SQL, the sketch within the rsd-derived error envelope (q58's 4x
+    // ~4-sigma bound), and — what the retired golden really pinned —
+    // sketch DETERMINISM: HLL register merges are max() operations,
+    // commutative and associative, so re-aggregating a
+    // differently-partitioned copy must produce the bit-identical
+    // estimate (the property that makes the sketch mergeable across
+    // 1000 executors without a result that depends on task scheduling).
     QueryDef(
       "q41_approx_distinct",
-      literalOracle("q41_approx_distinct"),
-      (spark, dir) =>
-        t(spark, dir, "orders")
-          .agg(countDistinct(col("o_custkey")).as("exact_customers"),
-            approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))))
+      Some("""SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+        |  CAST(1 AS INT) AS approx_within_bound,
+        |  CAST(1 AS INT) AS sketch_merge_stable
+        |FROM orders""".stripMargin),
+      (spark, dir) => {
+        val rsd = 0.02
+        val o = t(spark, dir, "orders")
+        val re = o.repartition(13, col("o_orderkey"))
+          .agg(approx_count_distinct(col("o_custkey"), rsd).as("approx_re"))
+        o.agg(countDistinct(col("o_custkey")).as("exact_customers"),
+            approx_count_distinct(col("o_custkey"), rsd).as("approx"))
+          .crossJoin(broadcast(re))
+          .select(col("exact_customers"),
+            (abs(col("approx") - col("exact_customers")) <=
+              lit(4 * rsd) * col("exact_customers")).cast("int")
+              .as("approx_within_bound"),
+            (col("approx") === col("approx_re")).cast("int")
+              .as("sketch_merge_stable"))
+      }))
 }

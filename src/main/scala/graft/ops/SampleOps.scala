@@ -128,12 +128,13 @@ object SampleOps {
     * weight dominates (for max w_i / W <= 1/(32k) the survivor count
     * concentrates at ~16k; the k-th arrival of the superposed race is
     * Gamma-concentrated near k/W << t). Phase 2 runs the exact window
-    * over the ~16k survivors. Strata of <= 8k rows skip the cutoff and
-    * degrade to the exact window over everything — which also covers
-    * the pathological single-dominant-weight case at small n. If the
-    * precondition is ever violated (a stratum under-fills), the output
-    * has fewer than min(k, n) rows and the q102 contract oracle FAILS
-    * LOUDLY rather than silently under-sampling.
+    * over the ~16k survivors. The precondition is ENFORCED, not assumed:
+    * the cuts frame also aggregates max(w), and a stratum of <= 8k rows
+    * OR with a dominant weight (max w_i / W > 1/(32k)) skips the cutoff
+    * and runs the exact window over everything — so no weight
+    * distribution can under-fill phase 2. The q102 contract oracle
+    * additionally fails loudly if any stratum ever yields fewer than
+    * min(k, n) rows.
     */
   def weightedSample(docs: DataFrame, k: Int, strata: String,
       weight: Column): DataFrame = {
@@ -143,10 +144,16 @@ object SampleOps {
       .select(col(strata).as("stratum"), col("doc_id"), weight.cast("double").as("w"))
       .where(col("w") > 0)
       .withColumn("e", -log(u) / col("w"))
+    // the cutoff's concentration argument needs max w_i / W <= 1/(32k);
+    // rather than trusting callers to check it, the cuts frame aggregates
+    // max(w) too and any stratum violating the precondition (one dominant
+    // weight) routes to the exact-window path, same as small strata —
+    // the guard costs one extra agg column on an already-tiny frame
     val cuts = keyed.groupBy("stratum")
-      .agg(count(lit(1)).as("n"), sum(col("w")).as("tw"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("tw"), max(col("w")).as("mw"))
       .withColumn("cut",
-        when(col("n") <= 8L * k, lit(Double.MaxValue))
+        when(col("n") <= 8L * k || col("mw") * lit(32.0 * k) > col("tw"),
+          lit(Double.MaxValue))
           .otherwise(lit(16.0 * k) / col("tw")))
       .select("stratum", "cut")
     val survivors = keyed.join(broadcast(cuts), Seq("stratum"))
@@ -200,10 +207,43 @@ object SampleOps {
       (spark, dir) => globalIndex(t(spark, dir, "documents"))),
 
     // Balanced corpus construction: k docs per language, hash-ordered.
-    // xxhash64 is engine-specific -> literal golden oracle; SampleSpec
-    // proves the two-phase plan equals the naive global window.
-    QueryDef("q53_balanced_sample", literalOracle("q53_balanced_sample"),
-      (spark, dir) => balancedSample(t(spark, dir, "documents"), k = 20, strata = "lang")),
+    // xxhash64 is engine-side, so the oracle grades the CONTRACT the
+    // retired golden used to freeze: exact per-stratum counts, dense
+    // ranks, stratum-pure membership, and — the property the frozen
+    // output really pinned — DETERMINISM: re-running the sampler on a
+    // differently-partitioned copy of the corpus selects the identical
+    // (doc, rank) set, graded as a zero mismatch count over a full outer
+    // join of the two runs. VocabSampleSpec additionally proves the
+    // two-phase plan equals the naive global window.
+    QueryDef(
+      "q53_balanced_sample",
+      Some("""SELECT lang AS stratum,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_sampled,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS max_rnk,
+        |  CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_distinct_docs,
+        |  CAST(0 AS BIGINT) AS bad_members,
+        |  CAST(0 AS BIGINT) AS rerun_mismatch
+        |FROM documents GROUP BY lang ORDER BY stratum""".stripMargin),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val a = balancedSample(docs, k = 20, strata = "lang")
+        val b = balancedSample(docs.repartition(7, col("doc_id")),
+            k = 20, strata = "lang")
+          .withColumnRenamed("rnk", "rnk_b")
+        a.join(b, Seq("stratum", "doc_id"), "full_outer")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"), "left")
+          .groupBy("stratum")
+          .agg(
+            coalesce(sum(col("rnk").isNotNull.cast("long")), lit(0L)).as("n_sampled"),
+            max(col("rnk")).cast("long").as("max_rnk"),
+            countDistinct(when(col("rnk").isNotNull, col("doc_id"))).as("n_distinct_docs"),
+            coalesce(sum((col("lang") =!= col("stratum")).cast("long")), lit(0L))
+              .as("bad_members"),
+            coalesce(sum((coalesce(col("rnk"), lit(-1)) =!=
+              coalesce(col("rnk_b"), lit(-2))).cast("long")), lit(0L))
+              .as("rerun_mismatch"))
+          .orderBy("stratum")
+      }),
 
     // Oracle = the naive single-window prefix sum; the engine runs the
     // distributed two-phase form (provably identical, see sequencePack).

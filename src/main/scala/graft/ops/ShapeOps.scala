@@ -194,17 +194,7 @@ object ShapeOps {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
         |FROM r WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin),
-      (spark, dir) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        EventOps.events(spark, dir)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1 && col("event_type") =!= "error")
-          .select(col("user_id"), col("event_type").as("last_type"),
-            col("value").as("last_value"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
-          .orderBy("user_id")
-      }),
+      (spark, dir) => cdcCompact(EventOps.events(spark, dir))),
 
     // Map-typed column surface: per-priority status->count map built with
     // map_from_entries over collect_list, consumed with size /
@@ -332,4 +322,21 @@ object ShapeOps {
             sum(expr("regexp_count(p_name, '[aeiou]')")).as("n_vowels"),
             min(regexp_replace(col("p_name"), "[aeiou]", "*")).as("sample_masked"))
           .orderBy("brand_num", "first_word")))
+
+  /** The q98 body, shared with AnalyticsSpec's planted-edge-case fixture
+    * (same-ts tie, delete-then-reinsert) so an edit to the graded
+    * semantics — the tie-break, the 'error'-as-delete filter — breaks the
+    * unit test, not just the oracle. Expects a changelog with (user_id,
+    * event_id, event_type, value, ts).
+    */
+  def cdcCompact(changes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    changes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("user_id")
+  }
 }

@@ -336,7 +336,7 @@ object SimilarityOps {
     * and come out canonical = self.
     */
   def embedNearDup(corpus: DataFrame, threshold: Double,
-      tables: Int = 4, bits: Int = 0): DataFrame = {
+      tables: Int = 4, bits: Int = 0, sort: Boolean = true): DataFrame = {
     // parquet-footer rowcount only — see the same note in lshTopK
     val nBits = if (bits > 0) bits else autoBits(corpus.count(), floor = 8)
     val buckets = bucketsUdf(tables, nBits, 64)
@@ -361,10 +361,12 @@ object SimilarityOps {
     val neighbors = cand.select(col("vec_a").as("vec_id"), col("vec_b").as("other"))
       .unionByName(cand.select(col("vec_b").as("vec_id"), col("vec_a").as("other")))
       .groupBy("vec_id").agg(min(col("other")).as("min_neighbor"))
-    corpus.select(col("vec_id")).join(neighbors, Seq("vec_id"), "left")
+    val out = corpus.select(col("vec_id")).join(neighbors, Seq("vec_id"), "left")
       .select(col("vec_id"),
         least(col("vec_id"), coalesce(col("min_neighbor"), col("vec_id"))).as("canonical_id"))
       .withColumn("is_dup", (col("canonical_id") < col("vec_id")).cast("int"))
-      .orderBy("vec_id")
+    // global sort only for the hash-graded q43 output; the q57 gate
+    // joins/aggregates and skips the range exchange + sampling pass
+    if (sort) out.orderBy("vec_id") else out
   }
 }

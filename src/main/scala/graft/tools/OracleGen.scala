@@ -19,8 +19,8 @@ import org.apache.spark.sql.types._
 object OracleGen {
   val targets: Seq[String] = Seq(
     "q04_datagen", "q24_dedup_minhash", "q25_dedup_simhash", "q28_ann_lsh",
-    "q38_multimodal_decode", "q41_approx_distinct", "q43_embed_neardup",
-    "q47_ann_ivf", "q51_dedup_clusters", "q53_balanced_sample")
+    "q38_multimodal_decode", "q43_embed_neardup",
+    "q47_ann_ivf", "q51_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

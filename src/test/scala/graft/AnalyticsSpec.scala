@@ -83,12 +83,10 @@ class AnalyticsSpec extends SparkSpec {
       (7L, 4L, "view", 1.0, ts("2024-01-01 10:00:00")),
       (8L, 4L, "click", 5.0, ts("2024-01-01 10:00:00"))
     ).toDF("event_id", "user_id", "event_type", "value", "ts")
-    // q98's fn reads from parquet; drive the same logic via the query body
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-    val out = ev.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1 && col("event_type") =!= "error")
-      .select(col("user_id"), col("event_type"), col("value"))
+    // the EXACT graded body (ShapeOps.cdcCompact), not a re-implementation:
+    // an edit to q98's tie-break or delete filter must break this fixture
+    val out = graft.ops.ShapeOps.cdcCompact(ev)
+      .select(col("user_id"), col("last_type"), col("last_value"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(out.sortBy(_._1).toSeq == Seq(
       (1L, "click", 2.0), (3L, "signup", 9.0), (4L, "click", 5.0)))

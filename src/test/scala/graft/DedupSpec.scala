@@ -116,6 +116,87 @@ class DedupSpec extends SparkSpec {
     assert(ccC.forall { case (d, cl) => cl <= hopC(d) })
   }
 
+  test("deep chain past maxIters: warning fires, result under-merges, raising the cap converges") {
+    // A 90-doc cumulative-edit chain: doc i applies edits 1..i, TWO unique
+    // words per step at rotating positions (stride 11 over 120 words, the
+    // pair 3 apart, keeps nearby steps' shingle windows disjoint), so doc
+    // i vs doc j differ in ~6|i-j| shingles and LSH edge probability
+    // decays sharply with chain distance — the banding graph is a long
+    // path with short local shortcuts, whose min-label propagation needs
+    // far more rounds than maxIters=15. Everything is
+    // xxhash64-deterministic, so this is a fixed graph, not a flaky one.
+    val baseWords = (0 until 120).map(i => s"word$i").toArray
+    val chain = (0 until 90).map { i =>
+      val words = baseWords.clone()
+      (1 to i).foreach { s =>
+        words((s * 11) % 120) = s"edit${s}a"
+        words((s * 11 + 3) % 120) = s"edit${s}b"
+      }
+      (100L + i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    // ground truth: driver-side union-find over the banding's own edges
+    val ids = (0 until 90).map(100L + _)
+    val edges = DedupOps.minhashEdges(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(rx) = ry
+    }
+    val compMin = ids.groupBy(find).map { case (r, m) => r -> m.min }
+    val expect = ids.map(i => i -> compMin(find(i))).toMap
+
+    // fixture precondition: the graph really is deeper than the cap
+    // (min-label propagation reaches one hop per round from a 1-hop
+    // start, so depth <= 16 would make the cap vacuous here)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    def bfsDepth(from: Long): Int = {
+      var frontier = Set(from); val seen = scala.collection.mutable.Set(from)
+      var d = 0
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+          .filterNot(seen)
+        seen ++= frontier
+        if (frontier.nonEmpty) d += 1
+      }
+      d
+    }
+    val depth = compMin.values.toSeq.distinct.map(bfsDepth).max
+    assert(depth > 18,
+      s"fixture too shallow for the maxIters=15 cap (depth=$depth); re-tune the chain")
+
+    // (a) the default cap warns on stderr and leaves the chain under-merged
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val capped =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true))
+        DedupOps.minhashClusters(chain, maxIters = 15).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally System.setErr(realErr)
+    assert(errBuf.toString.contains("maxIters"),
+      s"expected the under-merge warning, stderr was: ${errBuf.toString.take(200)}")
+    assert(capped != expect, "a >15-deep chain must be under-merged at maxIters=15")
+    // under-merge is still a valid upper-bound labeling, never a wrong merge
+    assert(capped.forall { case (d, cl) => find(d) == find(cl) && cl <= d },
+      "capped labels must stay within the true component")
+
+    // (b) raising the cap converges to the union-find answer, silently
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    val full =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf2, true))
+        DedupOps.minhashClusters(chain, maxIters = 120).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally System.setErr(realErr)
+    assert(full == expect, "uncapped propagation must equal union-find closure")
+    assert(!errBuf2.toString.contains("maxIters"),
+      "converged run must not warn")
+  }
+
   test("null-text and short docs stay canonical=self instead of collapsing") {
     val withNull = docs.unionByName(Seq(
       (6L, null.asInstanceOf[String]),
