@@ -7,36 +7,63 @@ import graft.QueryDef
 import graft.util.Tables._
 
 /** Multimodal-column plumbing (SURVEY §7.4): media payloads are opaque
-  * `binary` columns with typed metadata alongside. The container has no
-  * image/audio codecs, so the DECODE step is a clearly-marked deterministic
-  * stub — but the Spark-side plumbing (binary schema, partition-wise batch
-  * decode via mapPartitions, feature-struct output) is real and tested.
-  * On a cluster the stub body is the only thing that changes (JNI/codec
-  * call), not the plan shape.
+  * `binary` columns with typed metadata alongside, decoded partition-wise
+  * into a feature struct. The decode is REAL: [[graft.functions.ImageCodec]]
+  * parses binary PPM (P6) and 24-bit BI_RGB BMP — header + pixel walk,
+  * pure JVM, no codec jars — and returns true dimensions and exact
+  * per-channel means; arbitrary bytes degrade to a format='unknown' row
+  * instead of a task failure. Only the media ACQUISITION is synthetic
+  * (the test tables carry no binary column, so [[mediaTable]] renders a
+  * deterministic valid image per document); on a cluster that one
+  * generator UDF is replaced by the real blob column and the decode path
+  * runs unchanged.
   */
 object MultimodalOps {
 
-  /** Decoded "media" features (stubbed). */
+  /** Decoded media features. Means are exact integer channel sums divided
+    * as doubles — bit-stable across partitionings and engines.
+    */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
+      format: String,
       width: Int,
       height: Int,
       channels: Int,
-      checksum: Long)
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
 
-  /** Simulated media table: the document text bytes standing in for an
-    * opaque payload (binary column + metadata columns).
+  /** Synthetic media acquisition: render each document a small real image
+    * (alternating P6 PPM / BMP by doc parity), sized and pixel-filled by a
+    * splitmix-style generator seeded from the text bytes — deterministic,
+    * so the golden oracle freezes a reproducible table. Null text yields a
+    * null payload (the corrupt-blob path stays graded).
     */
-  def mediaTable(docs: DataFrame): DataFrame =
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val render = udf((id: Long, text: String) =>
+      if (text == null) null
+      else {
+        val seed = text.getBytes("UTF-8")
+          .foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
+        val w = 4 + (seed % 9).toInt
+        val h = 4 + ((seed / 9) % 7).toInt
+        var x = seed * 6364136223846793005L + 1442695040888963407L
+        val pix = Array.fill(w * h * 3) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          (x >>> 56).toByte
+        }
+        if (id % 2 == 0) graft.functions.ImageCodec.encodePpm(w, h, pix)
+        else graft.functions.ImageCodec.encodeBmp(w, h, pix)
+      }: Array[Byte])
     docs.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      octet_length(col("text")).as("n_bytes"))
+      render(col("doc_id"), col("text")).as("payload"))
+  }
 
-  /** STUB decoder: a real implementation would hand `payload` to an image
-    * codec here. The fake is deterministic in the payload bytes so tests
-    * can pin it. Runs partition-wise (one iterator pass, no collect) —
-    * the exact shape a Pandas-UDF/mapInPandas decode takes in PySpark.
+  /** Partition-wise decode: one iterator pass per partition, no collect —
+    * the exact shape a mapInPandas/JNI codec call takes at scale. Total on
+    * arbitrary bytes: unparseable payloads become format='unknown' rows
+    * with zeroed features rather than failed tasks.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -44,11 +71,15 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          // ---- STUB: deterministic fake decode (no codecs in container) ----
-          val checksum = bytes.foldLeft(17L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
-          val w = 16 + (checksum % 64).toInt
-          val h = 16 + ((checksum / 64) % 64).toInt
-          MediaFeatures(id, bytes.length, w, h, channels = 3, checksum)
+          val n = if (bytes == null) 0 else bytes.length
+          graft.functions.ImageCodec.decode(bytes) match {
+            case Some(d) =>
+              val px = d.width.toLong * d.height
+              MediaFeatures(id, n, d.format, d.width, d.height, d.channels,
+                d.sumR.toDouble / px, d.sumG.toDouble / px, d.sumB.toDouble / px)
+            case None =>
+              MediaFeatures(id, n, "unknown", 0, 0, 0, 0.0, 0.0, 0.0)
+          }
         }
       }
   }
@@ -68,9 +99,12 @@ object MultimodalOps {
             hex(substring(encode(col("text"), "UTF-8"), 1, 8)).as("magic_hex"))
           .orderBy("doc_id")),
 
-    // Partition-wise stub decode: binary -> feature struct. JVM-side stub
-    // logic is deterministic in the payload bytes -> literal golden oracle;
-    // TextMultimodalSpec additionally pins determinism + schema.
+    // Partition-wise REAL decode (PPM/BMP header+pixel parse) of the
+    // deterministic synthetic media table: binary -> feature struct.
+    // Generator + decode are engine-side -> literal golden oracle;
+    // TextMultimodalSpec pins the decoder against hand-built images
+    // (known pixels, BMP row padding, truncation/corruption) and
+    // determinism under repartitioning.
     QueryDef("q38_multimodal_decode", literalOracle("q38_multimodal_decode"),
       (spark, dir) => {
         val feats = decodeFeatures(spark, mediaTable(t(spark, dir, "documents")))

@@ -43,10 +43,14 @@ object OracleGen {
     def sqlLit(v: Any): String = v match {
       case null => "NULL"
       case s: String => "'" + s.replace("'", "''") + "'"
-      case d: Double if d.isNaN => "'NaN'"
-      // bare Infinity is not a valid DuckDB VALUES token; the quoted string
-      // casts cleanly ('Infinity'::DOUBLE / '-Infinity'::DOUBLE)
-      case d: Double if d.isInfinite => "'" + d + "'"
+      // EVERY double goes through a quoted string, not a bare literal:
+      // DuckDB types a bare decimal token in VALUES as DECIMAL and the
+      // later CAST(... AS DOUBLE) rounds decimal->double, which can land
+      // one ULP off the Java value for non-terminating decimals (seen on
+      // q38's channel means); a VARCHAR->DOUBLE cast is a correctly-
+      // rounded parse of the shortest round-trip repr, bit-exact both
+      // ways. Also covers NaN/Infinity, which are not valid bare tokens.
+      case d: Double => "'" + d + "'"
       case x => x.toString
     }
 

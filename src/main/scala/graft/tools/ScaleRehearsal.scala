@@ -48,6 +48,13 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.contains("--skew-only")) {
+      val ok = skewRehearsal(spark)
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
+
     generate(spark, src, out, factor)
 
     // Per-query ratio bars. Default 10 (linear-ish for 10x data). Two
@@ -93,8 +100,98 @@ object ScaleRehearsal {
           "q26 25 / q52 15 — fixture-amplified, see comment)"
       else
         s"FAIL: over bar: ${over.map(r => f"${r._1}=${r._4}%.1f").mkString(", ")}")
+    val skewOk = skewRehearsal(spark)
     spark.stop()
-    if (over.nonEmpty) sys.exit(1)
+    if (over.nonEmpty || !skewOk) sys.exit(1)
+  }
+
+  /** AQE skew rehearsal (VERDICT r7 #4) at 10x SkewSpec's fixture: a 2M-row
+    * probe whose hot key owns 30% joins a 1k-row build side with broadcast
+    * disabled (the 100 TB fact-fact shape — neither side broadcasts).
+    * Three facts are demonstrated and printed as evidence for SCALE.md:
+    *   (a) AQE OFF: the hot key funnels through ONE reducer (max-part rows
+    *       ~= hot-key rows) — the failure mode salting/AQE must fix;
+    *   (b) AQE ON with the skew thresholds scaled to the fixture
+    *       (skewedPartitionThresholdInBytes/advisoryPartitionSizeInBytes
+    *       default to 256MB/64MB — executor-sized constants; at this
+    *       fixture's ~26MB hot partition the MECHANISM is what rehearses,
+    *       so both scale to 1MB): the join must plan skew=true and the
+    *       worst task's input must shrink by >= 4x;
+    *   (c) the explicit salted plan (q54's operator) stays row-identical
+    *       to the naive join at this scale — the engine's own skew weapon
+    *       agrees with the plain semantics even under a 30% hot key.
+    */
+  def skewRehearsal(spark: SparkSession): Boolean = {
+    val N = 2000000L
+    val HOT = 600000L
+    val probe = spark.range(N).select(
+      when(col("id") < HOT, 0L)
+        .otherwise(pmod(col("id"), lit(999L)) + 1).as("l_orderkey"),
+      col("id").as("l_linenumber"),
+      (col("id") % 97).cast("double").as("l_extendedprice"),
+      lit(0.0).as("l_discount")).cache()
+    val build = spark.range(1000).select(col("id").as("o_orderkey"),
+      concat(lit("prio-"), col("id") % 5).as("o_orderpriority")).cache()
+    probe.count(); build.count()
+
+    // run through df.queryExecution.toRdd, NOT df.rdd: Dataset.rdd builds
+    // a SEPARATE QueryExecution, so executing it would leave df's own
+    // adaptive plan unfinalized and the skew=true probe below would read
+    // the initial (pre-AQE) plan
+    def maxPartRows(df: DataFrame): Long =
+      df.queryExecution.toRdd
+        .mapPartitions(it => Iterator(it.size.toLong)).collect().max
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    def join(): DataFrame =
+      probe.join(build, col("l_orderkey") === col("o_orderkey"))
+
+    var naiveMax = 0L
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      naiveMax = maxPartRows(join())
+    }
+
+    var aqeMax = 0L
+    var skewPlanned = false
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val j = join()
+      aqeMax = maxPartRows(j)
+      skewPlanned = j.queryExecution.executedPlan.toString.contains("skew=true")
+    }
+
+    // salted-vs-naive equality at 10x the unit fixture (SkewSpec's bar)
+    var saltedEqual = false
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val cols = Seq("l_orderkey", "l_linenumber", "o_orderpriority")
+      val plain = join().select(cols.map(col): _*)
+      val salted = graft.ops.ExtendedOps.saltedOrderJoin(probe, build)
+        .select(cols.map(col): _*)
+      saltedEqual = salted.count() == plain.count() &&
+        salted.except(plain).isEmpty && plain.except(salted).isEmpty
+    }
+    probe.unpersist(); build.unpersist()
+
+    val ok = skewPlanned && naiveMax >= HOT && aqeMax * 4 < naiveMax && saltedEqual
+    println(f"${if (ok) "PASS" else "FAIL"}: skew rehearsal at 2M rows / 30%% hot key — " +
+      f"naive max-task rows=$naiveMax, AQE skew-split max=$aqeMax " +
+      f"(${naiveMax.toDouble / math.max(aqeMax, 1)}%.1fx better), " +
+      f"skew=true planned=$skewPlanned, salted==naive: $saltedEqual")
+    ok
   }
 
   /** Writes `factor`-times documents/embeddings tables under `out`. */

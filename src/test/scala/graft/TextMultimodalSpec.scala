@@ -51,7 +51,7 @@ class TextMultimodalSpec extends SparkSpec {
     assert(byDoc(3L) == Seq(("cherry", 2L, 2L, 3.0), ("durian", 1L, 1L, 3.0)))
   }
 
-  test("multimodal stub decode: deterministic, partition-count invariant") {
+  test("multimodal decode: deterministic, partition-count invariant, real formats") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val media = MultimodalOps.mediaTable(docs)
     val once = MultimodalOps.decodeFeatures(spark, media)
@@ -59,11 +59,47 @@ class TextMultimodalSpec extends SparkSpec {
     val again = MultimodalOps.decodeFeatures(spark, media.repartition(7))
       .collect().sortBy(_.doc_id)
     assert(once.sameElements(again), "decode must not depend on partitioning")
-    assert(once.forall(f => f.width >= 16 && f.height >= 16 && f.channels == 3))
-    // n_bytes matches the metadata column (binary plumbing is consistent)
-    val metaBytes = media.select("doc_id", "n_bytes")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(once.forall(f => metaBytes(f.doc_id) == f.n_bytes))
+    // every live doc renders a valid image; parity picks the format
+    val live = once.filter(_.format != "unknown")
+    assert(live.nonEmpty)
+    assert(live.forall(f => f.width >= 4 && f.height >= 4 && f.channels == 3))
+    assert(live.forall(f =>
+      f.format == (if (f.doc_id % 2 == 0) "ppm" else "bmp")))
+    assert(live.forall(f =>
+      f.mean_r >= 0 && f.mean_r <= 255 && f.mean_b >= 0 && f.mean_b <= 255))
+  }
+
+  test("image codec decodes hand-built PPM/BMP exactly and rejects corrupt bytes") {
+    import graft.functions.ImageCodec
+    // 2x2 PPM with known pixels: rows (R=10,G=20,B=30),(40,50,60) /
+    // (70,80,90),(100,110,120) -> means R=55 G=65 B=75
+    val pix = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+      .map(_.toByte)
+    val ppm = ImageCodec.decode(ImageCodec.encodePpm(2, 2, pix)).get
+    assert(ppm.format == "ppm" && ppm.width == 2 && ppm.height == 2)
+    assert((ppm.sumR, ppm.sumG, ppm.sumB) == (220L, 260L, 300L))
+    // PPM with comments + extra whitespace in the header parses too
+    val commented = ("P6\n# a comment\n 2\t2 # trailing\n255\n").getBytes("US-ASCII") ++ pix
+    assert(ImageCodec.decode(commented).contains(ppm))
+    // 3x2 BMP: odd width forces 4-byte row padding (rowSize 12, 3 pad
+    // bytes); encoder writes bottom-up BGR, decoder must recover the sums
+    val pix32 = Array.tabulate(3 * 2 * 3)(i => (i * 7 + 1).toByte)
+    val bmp = ImageCodec.decode(ImageCodec.encodeBmp(3, 2, pix32)).get
+    assert(bmp.format == "bmp" && bmp.width == 3 && bmp.height == 2)
+    val (er, eg, eb) = (0 until 6).foldLeft((0L, 0L, 0L)) { case ((r, g, b), p) =>
+      (r + (pix32(p * 3) & 0xff), g + (pix32(p * 3 + 1) & 0xff),
+        b + (pix32(p * 3 + 2) & 0xff))
+    }
+    assert((bmp.sumR, bmp.sumG, bmp.sumB) == ((er, eg, eb)))
+    // total on garbage: truncated pixel array, bad magic, wrong bpp, null
+    val truncated = ImageCodec.encodePpm(2, 2, pix).dropRight(1)
+    assert(ImageCodec.decode(truncated).isEmpty)
+    assert(ImageCodec.decode("JFIF not supported here".getBytes).isEmpty)
+    val bmp8 = ImageCodec.encodeBmp(3, 2, pix32).clone()
+    bmp8(28) = 8 // claim 8-bit palette -> must reject, not mis-walk
+    assert(ImageCodec.decode(bmp8).isEmpty)
+    assert(ImageCodec.decode(null).isEmpty)
+    assert(ImageCodec.decode(Array[Byte]('P', '6')).isEmpty)
   }
 
   test("multimodal meta magic_hex is the hex of the first 8 bytes") {
