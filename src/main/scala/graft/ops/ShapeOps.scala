@@ -321,7 +321,77 @@ object ShapeOps {
           .agg(count(lit(1)).as("n_parts"),
             sum(expr("regexp_count(p_name, '[aeiou]')")).as("n_vowels"),
             min(regexp_replace(col("p_name"), "[aeiou]", "*")).as("sample_masked"))
-          .orderBy("brand_num", "first_word")))
+          .orderBy("brand_num", "first_word")),
+
+    // Window NAVIGATION functions — the frame-sensitive class q81's
+    // distribution suite doesn't touch: first_value / last_value /
+    // nth_value per customer over (order date, unique key). last_value is
+    // deliberately graded over BOTH frames: the default frame (UNBOUNDED
+    // PRECEDING..CURRENT ROW, where last_value degenerates to the current
+    // row — the classic trap) and the explicit full-partition frame that
+    // gives the intended "customer's final order". Windows partition by
+    // customer, so every sort is per-partition and bounded.
+    QueryDef(
+      "q104_window_nav",
+      Some("""SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price_default_frame,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            last(col("o_totalprice")).over(w).as("last_price_default_frame"),
+            last(col("o_totalprice")).over(wf).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Multiset set operators — EXCEPT ALL / INTERSECT ALL, where
+    // MULTIPLICITY matters (q69 grades only the distinct variants): the
+    // per-half customer order bags, so a customer with 3 orders before
+    // the cut and 1 after contributes 2 rows to the h1 excess and 1 to
+    // the common multiset. Spark plans these as a count-aggregate +
+    // replicate-generate on the 8-byte key — never a driver-side set —
+    // so the shuffle carries one (key, count) row per distinct key.
+    QueryDef(
+      "q105_multiset_ops",
+      Some("""WITH h1 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |h2 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT segment, CAST(n AS BIGINT) AS n_rows FROM (
+        |  SELECT 'excess_pre' AS segment, COUNT(*) AS n
+        |    FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)
+        |  UNION ALL
+        |  SELECT 'excess_post', COUNT(*)
+        |    FROM (SELECT * FROM h2 EXCEPT ALL SELECT * FROM h1)
+        |  UNION ALL
+        |  SELECT 'common_multiset', COUNT(*)
+        |    FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2)
+        |) ORDER BY segment""".stripMargin),
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+        val h1 = o.where(col("o_orderdate") < cut).select("o_custkey")
+        val h2 = o.where(col("o_orderdate") >= cut).select("o_custkey")
+        def seg(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"))
+            .select(lit(name).as("segment"), col("n_rows"))
+        seg("excess_pre", h1.exceptAll(h2))
+          .unionByName(seg("excess_post", h2.exceptAll(h1)))
+          .unionByName(seg("common_multiset", h1.intersectAll(h2)))
+          .orderBy("segment")
+      }))
 
   /** The q98 body, shared with AnalyticsSpec's planted-edge-case fixture
     * (same-ts tie, delete-then-reinsert) so an edit to the graded
