@@ -391,7 +391,76 @@ object ShapeOps {
           .unionByName(seg("excess_post", h2.exceptAll(h1)))
           .unionByName(seg("common_multiset", h1.intersectAll(h2)))
           .orderBy("segment")
-      }))
+      }),
+
+    // OUTER generator semantics (explode_outer / LATERAL VIEW OUTER): a
+    // plain explode DROPS rows whose array is null — silently losing every
+    // null-text document from a token pipeline; the outer variant emits
+    // one null-token row instead. The raw corpora contain no null-text
+    // docs (q56's vacuity problem), so BOTH sides plant one — lang 'xx',
+    // id above every real id — making the null-carrier row non-vacuous at
+    // grading time: regress explode_outer to explode and the 'xx' group
+    // vanishes from the output. Graded per language so the oracle checks
+    // the token fan-out AND that no document vanished. The generate is
+    // row-local — fan-out is the output size, no shuffle before the
+    // bounded (lang) aggregate.
+    QueryDef(
+      "q106_explode_outer",
+      Some("""WITH docs AS (SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT 1000000000001, 'xx', NULL),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM docs WHERE text IS NOT NULL)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM docs LEFT JOIN toks USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      (spark, dir) => {
+        val planted = t(spark, dir, "documents").sparkSession.range(1)
+          .select(lit(1000000000001L).as("doc_id"), lit("xx").as("lang"),
+            lit(null).cast("string").as("text"))
+        t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .unionByName(planted)
+          .select(col("doc_id"), col("lang"),
+            explode_outer(split(col("text"), " ")).as("tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("tok").isNull.cast("long")), lit(0L)).as("n_null_rows"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("lang")
+      }),
+
+    // ANSI-safe try_* arithmetic: this engine runs with ANSI mode ON
+    // (Spark 4 default), where /0, numeric overflow, and bad casts THROW —
+    // the right default for a correctness-first engine, but an ingest
+    // pipeline needs the explicit non-throwing forms. Grades the three
+    // failure classes: try_divide (division by zero), try_cast (parse
+    // failure), try_add (long overflow), each surfaced as a null count
+    // the oracle recomputes relationally, plus one exact value aggregate
+    // (price/4 stays on the 4dp grid, so the decimal money sum is
+    // bit-stable). Row-local, scan-speed.
+    QueryDef(
+      "q107_try_arith",
+      Some(s"""SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+        |  CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+        |  CAST(SUM(CASE WHEN o_orderkey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_null,
+        |  ${sqlMoneySum("o_totalprice / 4")} AS quarter_sum
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            coalesce(sum(expr("try_divide(o_totalprice, o_orderkey % 7)").isNull
+              .cast("long")), lit(0L)).as("n_div_null"),
+            coalesce(sum(expr("try_cast(o_orderstatus AS INT)").isNull
+              .cast("long")), lit(0L)).as("n_cast_null"),
+            coalesce(sum(expr("try_add(9223372036854775807L, o_orderkey)").isNull
+              .cast("long")), lit(0L)).as("n_add_null"),
+            moneySum(col("o_totalprice") / 4).as("quarter_sum"))
+          .orderBy("o_orderpriority")))
 
   /** The q98 body, shared with AnalyticsSpec's planted-edge-case fixture
     * (same-ts tie, delete-then-reinsert) so an edit to the graded
