@@ -83,6 +83,12 @@ object ImageCodec {
     val hRaw = le32(22) // negative height = top-down; sums are order-free
     val h = math.abs(hRaw)
     if (w <= 0 || h <= 0 || le16(28) != 24 || le32(30) != 0) return None
+    // reject dimension claims that cannot fit a JVM byte array BEFORE the
+    // row arithmetic: w*3 overflows Int past ~715M and rowSize*h can
+    // overflow Long on crafted headers, which would corrupt the bounds
+    // check below and turn "total on arbitrary bytes" into an
+    // out-of-bounds crash
+    if (w > (Int.MaxValue - 3) / 3 || w.toLong * h > Int.MaxValue) return None
     val rowSize = ((w * 3 + 3) / 4) * 4
     if (off < 54 || off.toLong + rowSize.toLong * h > b.length) return None
     var (sr, sg, sb) = (0L, 0L, 0L)

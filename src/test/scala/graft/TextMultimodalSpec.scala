@@ -100,6 +100,13 @@ class TextMultimodalSpec extends SparkSpec {
     assert(ImageCodec.decode(bmp8).isEmpty)
     assert(ImageCodec.decode(null).isEmpty)
     assert(ImageCodec.decode(Array[Byte]('P', '6')).isEmpty)
+    // crafted header claiming ~1G-pixel width: the w*3 / rowSize*h
+    // arithmetic would overflow Int/Long — must reject cleanly, not crash
+    val huge = ImageCodec.encodeBmp(3, 2, pix32).clone()
+    huge(18) = 0; huge(19) = 0; huge(20) = 0; huge(21) = 0x40 // w = 2^30
+    assert(ImageCodec.decode(huge).isEmpty)
+    // PPM with an overflowing pixel-count claim rejects the same way
+    assert(ImageCodec.decode("P6\n1000000000 1000000000\n255\n".getBytes).isEmpty)
   }
 
   test("multimodal meta magic_hex is the hex of the first 8 bytes") {
