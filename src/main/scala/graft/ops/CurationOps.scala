@@ -363,6 +363,149 @@ object CurationOps {
       |    AS chunk_text
       |FROM e ORDER BY doc_id, chunk""".stripMargin
 
+  /** PII detection + redaction — the compliance pass every training-data
+    * pipeline runs before anything else. Three regex families (email,
+    * IPv4, NANP phone), each counted on the RAW text and then redacted
+    * sequentially email → ip → phone so a redaction marker can never feed
+    * a later pattern. The patterns use only the regex intersection that
+    * Java (Spark) and RE2 (DuckDB) evaluate identically: character
+    * classes, bounded repetition, `\b` — no lookaround, no backrefs.
+    *
+    * The raw corpus carries no PII, so five planted docs (emails with
+    * plus-addressing and digits, dotted/dashed/spaced phones, multiple
+    * IPs, a clean doc, a null) keep the grading non-vacuous; the oracle
+    * unions the same literals — full SQL oracle, no golden.
+    *
+    * Scale shape: row-local regex only — scan speed, zero shuffles beyond
+    * the presentation sort; at 100 TB this is a map-only pass that
+    * pipelines with whatever runs next.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+    val phoneRe = """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"""
+    def n(re: String) =
+      when(col("text").isNull, 0L)
+        .otherwise(regexp_count(col("text"), lit(re)).cast("long"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "[EMAIL]"),
+          ipRe, "[IP]"),
+        phoneRe, "[PHONE]")
+    docs.select(col("doc_id"), redacted.as("redacted"),
+        n(emailRe).as("n_emails"), n(ipRe).as("n_ips"),
+        n(phoneRe).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** Planted PII docs for [[piiRedact]] — ids above every real id; the
+    * same literals appear in the oracle's UNION ALL.
+    */
+  private def piiDocs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (3000000000031L, Some("mail alice.smith+work@example.com or bob99@mail.co today")),
+      (3000000000032L, Some("hosts 192.168.1.100 and 10.0.0.1 up; call 555-867-5309 or 555.123.4567")),
+      (3000000000033L, Some("reach us on 555 123 4567, fallback admin@ops.example.org at 172.16.0.254")),
+      (3000000000034L, Some("no pii here, just words and the number 12345")),
+      (3000000000035L, Option.empty[String])
+    ).toDF("doc_id", "text")
+  }
+
+  private val piiRedactSql =
+    """WITH all_docs(doc_id, text) AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  VALUES (3000000000031, 'mail alice.smith+work@example.com or bob99@mail.co today'),
+      |         (3000000000032, 'hosts 192.168.1.100 and 10.0.0.1 up; call 555-867-5309 or 555.123.4567'),
+      |         (3000000000033, 'reach us on 555 123 4567, fallback admin@ops.example.org at 172.16.0.254'),
+      |         (3000000000034, 'no pii here, just words and the number 12345'),
+      |         (3000000000035, NULL))
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted,
+      |  CAST(CASE WHEN text IS NULL THEN 0 ELSE
+      |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    END AS BIGINT) AS n_emails,
+      |  CAST(CASE WHEN text IS NULL THEN 0 ELSE
+      |    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+      |    END AS BIGINT) AS n_ips,
+      |  CAST(CASE WHEN text IS NULL THEN 0 ELSE
+      |    len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+      |    END AS BIGINT) AS n_phones
+      |FROM all_docs ORDER BY doc_id""".stripMargin
+
+  /** URL extraction + domain roll-up + blocklist filtering — the source-
+    * hygiene pass of a web-scale corpus: pull every URL out of the text,
+    * normalize to a registrable-ish domain (lowercase, strip `www.`),
+    * aggregate url/doc counts per domain, and drop blocklisted domains
+    * via a broadcast anti-join (the blocklist is tiny by nature — it
+    * never shuffles the corpus side).
+    *
+    * The raw corpus carries no URLs, so planted docs (multi-URL, www and
+    * bare variants of the same domain, blocklisted domains, a null) keep
+    * the grading non-vacuous; the oracle unions the same literals.
+    *
+    * Scale shape: extraction is row-local explode (bounded by URL count
+    * per doc); one shuffle on domain for the roll-up; blocklist broadcast.
+    */
+  def domainStats(docs: DataFrame): DataFrame = {
+    val urlRe = """https?://[A-Za-z0-9.-]+(/[^ ]*)?"""
+    val urls = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_replace(
+          lower(regexp_extract(col("url"), """https?://([A-Za-z0-9.-]+)""", 1)),
+          """^www\.""", "").as("domain"))
+    val blocklist = docs.sparkSession.createDataFrame(
+      blockedDomains.map(Tuple1(_))).toDF("domain")
+    urls.join(broadcast(blocklist), Seq("domain"), "left_anti")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("domain")
+  }
+
+  private val blockedDomains = Seq("spam.example.com", "tracker.bad.net")
+
+  /** Planted URL docs for [[domainStats]] — same literals in the oracle. */
+  private def urlDocs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (3000000000041L, Some("see https://spam.example.com/offer and https://docs.example.org/guide now")),
+      (3000000000042L, Some("links http://www.news-site.com/a/b then http://news-site.com/c end")),
+      (3000000000043L, Some("mixed https://News-Site.com/top https://tracker.bad.net/x http://api.example.org page")),
+      (3000000000044L, Some("plain text, no links at all")),
+      (3000000000045L, Option.empty[String])
+    ).toDF("doc_id", "text")
+  }
+
+  private val domainStatsSql =
+    """WITH all_docs(doc_id, text) AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  VALUES (3000000000041, 'see https://spam.example.com/offer and https://docs.example.org/guide now'),
+      |         (3000000000042, 'links http://www.news-site.com/a/b then http://news-site.com/c end'),
+      |         (3000000000043, 'mixed https://News-Site.com/top https://tracker.bad.net/x http://api.example.org page'),
+      |         (3000000000044, 'plain text, no links at all'),
+      |         (3000000000045, NULL)),
+      |u AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(/[^ ]*)?', 0)) AS url
+      |  FROM all_docs),
+      |d AS (SELECT doc_id,
+      |    regexp_replace(lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)),
+      |      '^www\.', '') AS domain
+      |  FROM u)
+      |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM d
+      |WHERE domain NOT IN ('spam.example.com', 'tracker.bad.net')
+      |GROUP BY domain ORDER BY domain""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q91_doc_chunk", Some(chunkSql),
       (spark, dir) => chunkDocs(t(spark, dir, "documents"))),
@@ -388,5 +531,15 @@ object CurationOps {
       (spark, dir) => lengthOutliers(t(spark, dir, "documents"))),
 
     QueryDef("q78_fuzzy_pairs", Some(fuzzyPairsSql),
-      (spark, dir) => fuzzyPairs(t(spark, dir, "part"))))
+      (spark, dir) => fuzzyPairs(t(spark, dir, "part"))),
+
+    QueryDef("q108_pii_redact", Some(piiRedactSql),
+      (spark, dir) => piiRedact(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(piiDocs(spark)))),
+
+    QueryDef("q109_domain_stats", Some(domainStatsSql),
+      (spark, dir) => domainStats(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(urlDocs(spark)))))
 }

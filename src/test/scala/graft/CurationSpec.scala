@@ -135,4 +135,41 @@ class CurationSpec extends SparkSpec {
     assert(out("en") == ((10L, 1L)), s"exactly the planted outlier: $out")
     assert(out("de") == ((1L, 0L)), s"singleton stratum has no outlier: $out")
   }
+
+  test("pii redaction: counts on raw text, sequential redaction, nulls safe") {
+    val docs = Seq(
+      (1L, "mail a.b+c@x-y.co and z9@d.org now"),
+      (2L, "hosts 10.0.0.1 192.168.100.200 call 555-867-5309"),
+      (3L, "dotted 555.123.4567 spaced 555 123 4567"),
+      (4L, "clean words, version 1.2 and number 12345"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CurationOps.piiRedact(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((Some("mail [EMAIL] and [EMAIL] now"), 2L, 0L, 0L)))
+    assert(out(2L) == ((Some("hosts [IP] [IP] call [PHONE]"), 0L, 2L, 1L)))
+    assert(out(3L) == ((Some("dotted [PHONE] spaced [PHONE]"), 0L, 0L, 2L)))
+    // "1.2" is neither a 4-octet IP nor a phone; no false positives
+    assert(out(4L) == ((Some("clean words, version 1.2 and number 12345"), 0L, 0L, 0L)))
+    assert(out(5L) == ((None, 0L, 0L, 0L)), "null text: null redacted, zero counts")
+  }
+
+  test("domain stats: www-strip + case-fold merge variants, blocklist drops") {
+    val docs = Seq(
+      (1L, "see https://spam.example.com/offer and https://docs.example.org/g"),
+      (2L, "links http://www.news-site.com/a/b then http://news-site.com/c"),
+      (3L, "mixed https://News-Site.com/top https://tracker.bad.net/x"),
+      (4L, "no links"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CurationOps.domainStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // www./case variants of news-site.com merge: 3 urls across docs 2+3
+    assert(out("news-site.com") == ((3L, 2L)), s"got $out")
+    assert(out("docs.example.org") == ((1L, 1L)))
+    assert(!out.contains("spam.example.com") && !out.contains("tracker.bad.net"),
+      "blocklisted domains are dropped")
+    assert(out.size == 2, s"nothing else surfaces: $out")
+  }
 }
