@@ -647,6 +647,36 @@ object ExtendedOps {
             round((col("revenue") - coalesce(col("prev_revenue"), lit(0.0)))
               .cast("decimal(18,4)"), 2).cast("double").as("delta"))
           .orderBy("day")
+      }),
+
+    // Bloom-filter semi-join pruning: the scale weapon for the dim-side
+    // regime BETWEEN broadcast and full shuffle. When the filtered dim
+    // key set is too big to broadcast as rows (100M keys = GBs) but its
+    // bloom filter is tiny (100M keys @1% fpp ~ 120 MB, linearly less at
+    // smaller counts), shipping the filter to every fact task and
+    // dropping ~99% of non-matching fact rows BEFORE the shuffle turns
+    // the join's exchange from O(fact) to O(matches + 1% fpp). The exact
+    // semi join afterwards kills the false positives, so the result is
+    // bit-identical to the plain semi join — which is the oracle.
+    QueryDef(
+      "q112_bloom_prune",
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  ${sqlMoneySum(REV)} AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        val keys = t(spark, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        bloomPrunedSemiJoin(t(spark, dir, "lineitem"), "l_orderkey", keys)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            moneySum(revenue).as("revenue"))
+          .orderBy("l_returnflag")
       }))
 
   /** Rewrites lineitem/orders as bucketed (8 x orderkey) sorted managed
@@ -783,5 +813,40 @@ object ExtendedOps {
     liS.join(oS,
       liS("l_orderkey") === oS("o_orderkey") && liS("salt") === oS("salt"))
       .drop("salt")
+  }
+
+  /** fact rows whose `factKey` appears in `keys` (single Long-typed key
+    * column), via a bloom prefilter + exact semi join.
+    *
+    * Phase 1 builds the filter on the KEY side (`stat.bloomFilter` is a
+    * distributed treeAggregate; only the filter bits — kilobytes to ~a
+    * hundred MB, never rows — come to the driver, the same movement
+    * pattern as a broadcast build). Phase 2 ships it to every fact task
+    * and drops non-candidates map-side, BEFORE the shuffle; phase 3 is
+    * the exact semi join over survivors (matches + ~fpp of the fact), so
+    * false positives never reach the output. The might-contain probe is
+    * a Scala UDF by necessity: Spark's own BloomFilterMightContain
+    * expression is internal-only, and the sketch probe is a bit-mix +
+    * two array reads per row — cheap enough that breaking codegen on the
+    * prefilter costs less than the shuffle it removes. Null keys never
+    * match (a null never equals a key in semi-join semantics).
+    *
+    * The extra `keys.count()` pass sizes the filter exactly; it scans
+    * the (small) key side only — at 100 TB the fact side dominates by
+    * orders of magnitude and is scanned once either way.
+    */
+  def bloomPrunedSemiJoin(fact: org.apache.spark.sql.DataFrame,
+      factKey: String,
+      keys: org.apache.spark.sql.DataFrame,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val keyCol = keys.columns.head
+    val expected = math.max(keys.count(), 64L)
+    val bf = keys.stat.bloomFilter(keyCol, expected, fpp)
+    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bcast.value.mightContainLong(k.longValue))
+    fact.where(mightContain(col(factKey)))
+      .join(keys.distinct().withColumnRenamed(keyCol, factKey),
+        Seq(factKey), "left_semi")
   }
 }

@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Text-format sources/sinks — JSONL and CSV, the two formats raw
+  * corpora actually arrive in before they ever become parquet (web-crawl
+  * dumps and API exports are JSONL; legacy warehouse extracts are CSV).
+  * The reference pipeline ingests via managed tables only (SURVEY §1.3),
+  * so this is §7.4 extension surface: a training-data engine that cannot
+  * ingest JSONL cannot start.
+  *
+  * Both queries grade round-trip fidelity through the driver's hash
+  * compare: documents (plus planted hazard docs — the raw corpus carries
+  * no quotes/newlines/backslashes/nulls, so without planting the escaping
+  * paths would be vacuously green) are written to the text format, read
+  * back with an EXPLICIT schema (schema-on-read; inference is a full
+  * extra pass over 100 TB and is banned from the scale path), and the
+  * read-back frame is compared against the parquet truth via the oracle.
+  *
+  * Scale shape: JSONL is the production path — line-delimited, so splits
+  * land on line boundaries and a 100 TB directory fans out to one task
+  * per 128 MB block with zero coordination. CSV with embedded newlines
+  * needs `multiLine`, which makes each FILE one task (non-splittable) —
+  * the CSV query documents that caveat and exists for interop fidelity,
+  * not throughput; newline-bearing text belongs in JSONL or parquet.
+  */
+object TextFormats {
+
+  /** Planted hazard docs exercising every escaping path: embedded
+    * newline, CR, tab, double quote, backslash, comma (CSV delimiter),
+    * non-ASCII (Latin-1 accent, CJK, astral-plane emoji → surrogate
+    * pairs in the JSON writer), a leading/trailing-space field, a null
+    * text, and an empty-string text (the classic CSV null-vs-empty
+    * trap). Ids sit above every real doc_id. The oracle unions the same
+    * literals (control chars via chr(n) so the SQL text stays on one
+    * line for the driver's JSON dump).
+    */
+  private def hazardDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (3000000000051L, Some("line one\nline two\rline three"), Some("en"), Some("web"), Some(28L)),
+      (3000000000052L, Some("tab\there \"quoted\" and back\\slash"), Some("en"), Some("web"), Some(31L)),
+      (3000000000053L, Some("comma, separated, values, inside"), Some("fr"), Some("api"), Some(32L)),
+      (3000000000054L, Some("unicode café 日本語 😀 end"), Some("ja"), Some("web"), Some(17L)),
+      (3000000000055L, Some("  padded with spaces  "), Some("de"), Some("feed"), Some(22L)),
+      (3000000000056L, Option.empty[String], Some("en"), Some("web"), Option.empty[Long]),
+      (3000000000057L, Some(""), Some("en"), Some("api"), Some(0L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** The same literals as [[hazardDocs]] on the DuckDB side. Control
+    * characters are spelled chr(10)/chr(13)/chr(9) so the SQL survives
+    * the driver's one-line JSON dump; the emoji is a UTF-8 literal (the
+    * dump is UTF-8 end to end).
+    */
+  private val hazardValuesSql =
+    """VALUES
+      |  (3000000000051, 'line one' || chr(10) || 'line two' || chr(13) || 'line three', 'en', 'web', 28),
+      |  (3000000000052, 'tab' || chr(9) || 'here "quoted" and back\slash', 'en', 'web', 31),
+      |  (3000000000053, 'comma, separated, values, inside', 'fr', 'api', 32),
+      |  (3000000000054, 'unicode café 日本語 😀 end', 'ja', 'web', 17),
+      |  (3000000000055, '  padded with spaces  ', 'de', 'feed', 22),
+      |  (3000000000056, NULL, 'en', 'web', NULL),
+      |  (3000000000057, '', 'en', 'api', 0)""".stripMargin
+
+  private def roundtripOracle: String =
+    s"""WITH all_docs(doc_id, text, lang, source, n_chars) AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM documents
+       |  UNION ALL
+       |  $hazardValuesSql)
+       |SELECT doc_id, text, lang, source, n_chars
+       |FROM all_docs ORDER BY doc_id""".stripMargin
+
+  /** Scratch directory under the session warehouse (same reclaim dance
+    * as q42: a previous run's directory may survive on disk).
+    */
+  private def scratch(spark: SparkSession, name: String): String = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    loc.toString
+  }
+
+  /** documents + hazards → JSONL on disk → read back with the explicit
+    * schema → full-width projection. The JSON writer escapes control
+    * chars and quotes, keeps one document per line regardless of
+    * embedded newlines (that is the format's whole point), and omits
+    * null fields (reader restores them as null).
+    */
+  def jsonlRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val dir = scratch(spark, "graft_q110_jsonl")
+    docs.write.mode(SaveMode.Overwrite).json(dir)
+    spark.read.schema(docs.schema).json(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** documents + hazards → RFC-4180 CSV (quote-doubling escape, header)
+    * → read back with the explicit schema. `multiLine=true` because the
+    * hazard set embeds newlines — correct but NON-SPLITTABLE (one task
+    * per file), which is exactly why the 100 TB ingest path is JSONL;
+    * this query grades that the CSV corner cases (quote doubling,
+    * delimiter-in-field, null-vs-empty) survive, not that CSV is fast.
+    * Null is spelled `\N` (the Hive sentinel) so it stays distinguishable
+    * from the empty string, which the writer emits quoted (`""`).
+    */
+  def csvRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val dir = scratch(spark, "graft_q111_csv")
+    docs.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "\"\"")
+      // the CSV WRITER trims whitespace by default — fidelity first
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+    spark.read.schema(docs.schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
+      .option("multiLine", "true")
+      .csv(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def withHazards(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .unionByName(hazardDocs(spark))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_jsonl_roundtrip", Some(roundtripOracle),
+      (spark, dir) => jsonlRoundtrip(spark, withHazards(spark, dir))),
+
+    QueryDef("q111_csv_roundtrip", Some(roundtripOracle),
+      (spark, dir) => csvRoundtrip(spark, withHazards(spark, dir))))
+}

@@ -33,6 +33,30 @@ class QueriesSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("bloom prefilter is a superset of matches, prunes, and the pruned " +
+    "semi join is row-identical to the plain semi join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val keys = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pruned = graft.ops.ExtendedOps.bloomPrunedSemiJoin(li, "l_orderkey", keys)
+    val plain = li.join(keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    // exact equality after the FP-killing semi join
+    assert(pruned.except(plain).isEmpty && plain.except(pruned).isEmpty)
+    // and the bloom phase alone actually pruned: candidate count sits
+    // between the true match count and the full fact count
+    val n = math.max(keys.count(), 64L)
+    val bf = keys.stat.bloomFilter("o_orderkey", n, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k.longValue))
+    val candidates = li.where(might(col("l_orderkey"))).count()
+    val matches = plain.count()
+    val total = li.count()
+    assert(candidates >= matches, "bloom filters have no false negatives")
+    assert(candidates < total, s"prefilter must prune ($candidates vs $total)")
+  }
+
   test("every query name has unique entry and oracle keys subset queries") {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size)
