@@ -506,6 +506,135 @@ object CurationOps {
       |WHERE domain NOT IN ('spam.example.com', 'tracker.bad.net')
       |GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** Canonical-representative selection: collapse docs whose NORMALIZED
+    * text (same transform as [[normalize]]) coincides — the
+    * case/punctuation/whitespace variants that exact dedup misses and
+    * near-dup dedup treats as a full similarity problem — and keep the
+    * richest raw copy per cluster (longest raw text, tiebreak min
+    * doc_id). Output is only the collapsed clusters (n_variants >= 2):
+    * the keep decision, not a full corpus rewrite.
+    *
+    * Scale shape: one shuffle on the normalized key; both windows
+    * (row_number + count) share the single per-key partition, and a
+    * cluster is at most a handful of variants, so the per-key sort is
+    * bounded. At 100 TB the key should be md5(norm) instead of the norm
+    * string to shrink the exchange — kept as the raw string here so the
+    * output is human-auditable; the md5 swap is a one-line projection.
+    *
+    * The raw corpus carries no case-variant duplicates, so planted
+    * variant clusters ([[variantDocs]]) keep the collapse non-vacuous;
+    * the singleton planted doc pins that lone docs never surface.
+    */
+  def canonicalize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val keyed = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), norm.as("norm_key"))
+    val byKey = Window.partitionBy("norm_key")
+    val pick = byKey.orderBy(length(col("text")).desc, col("doc_id").asc)
+    keyed
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_variants", count(lit(1)).over(byKey))
+      .where(col("rn") === 1 && col("n_variants") >= 2)
+      .select(col("norm_key"), col("doc_id").as("keep_id"),
+        col("n_variants").cast("long").as("n_variants"),
+        length(col("text")).cast("long").as("keep_chars"))
+      .orderBy("norm_key")
+  }
+
+  /** Planted variant clusters for [[canonicalize]] — two clusters whose
+    * members differ only in case/punctuation/spacing (so their normalized
+    * forms coincide exactly) plus one singleton that must NOT surface.
+    * Punctuation is always space-adjacent: the normalizer STRIPS
+    * non-alphanumerics (it does not replace them with spaces), so an
+    * intra-word dash would fuse tokens and break the cluster.
+    */
+  private def variantDocs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (2000000000031L, Some("The quick brown fox jumps over the lazy dog")),
+      (2000000000032L, Some("The QUICK, brown fox... jumps over the LAZY dog!!")),
+      (2000000000033L, Some("the   quick brown fox jumps over the lazy dog")),
+      (2000000000034L, Some("Deduplicate the corpus before training")),
+      (2000000000035L, Some("DEDUPLICATE the corpus, before training?!")),
+      (2000000000036L, Some("An unpaired document stands alone."))
+    ).toDF("doc_id", "text")
+  }
+
+  private val canonicalizeSql =
+    """WITH all_docs(doc_id, text) AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  VALUES (2000000000031, 'The quick brown fox jumps over the lazy dog'),
+      |         (2000000000032, 'The QUICK, brown fox... jumps over the LAZY dog!!'),
+      |         (2000000000033, 'the   quick brown fox jumps over the lazy dog'),
+      |         (2000000000034, 'Deduplicate the corpus before training'),
+      |         (2000000000035, 'DEDUPLICATE the corpus, before training?!'),
+      |         (2000000000036, 'An unpaired document stands alone.')),
+      |k AS (SELECT doc_id, text,
+      |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |          ' +', ' ', 'g')) AS norm_key
+      |      FROM all_docs WHERE text IS NOT NULL),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY norm_key
+      |                           ORDER BY len(text) DESC, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY norm_key) AS nv
+      |      FROM k)
+      |SELECT norm_key, doc_id AS keep_id, CAST(nv AS BIGINT) AS n_variants,
+      |  CAST(len(text) AS BIGINT) AS keep_chars
+      |FROM r WHERE rn = 1 AND nv >= 2 ORDER BY norm_key""".stripMargin
+
+  /** Temperature-weighted mixture rates (alpha = 0.5): each source's
+    * sampling rate is proportional to the SQUARE ROOT of its character
+    * mass — the standard multilingual/multi-source rebalancing that
+    * upweights small sources relative to proportional sampling without
+    * letting big sources drown the mix. Output: per-source mass, weight,
+    * rate, and the allocation of a 100M-char training budget.
+    *
+    * Cross-engine double determinism, by construction: the per-source
+    * mass is an exact integer sum; sqrt is IEEE correctly-rounded in
+    * both engines (this is WHY alpha is pinned at 0.5 — pow(x, alpha)
+    * carries no such guarantee for general alpha); and the total weight
+    * is a LEFT FOLD OVER THE SORTED weight array (`aggregate(array_sort(
+    * collect_list(w)))` here, `list_reduce(list_sort(list(w)))` in the
+    * oracle) rather than a free-order SUM — a parallel double sum is
+    * association-order-dependent, so this is the one place a plain
+    * aggregate could drift a ULP between engines. The fold is over one
+    * row per SOURCE (a handful), so the driver-sized collect_list is
+    * bounded by the source vocabulary, not the corpus.
+    *
+    * Scale shape: one shuffle to (source) — map-side combine collapses
+    * each partition to one row per source first — then a broadcast
+    * scalar join of the total. The budget floor() sits on irrational
+    * rate values (quotients of square roots of distinct integers), so
+    * it cannot straddle a representability boundary.
+    */
+  def temperatureMixture(docs: DataFrame, budgetChars: Long = 100000000L): DataFrame = {
+    val bySrc = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .withColumn("w", sqrt(col("n_chars_total").cast("double")))
+    val total = bySrc.agg(
+      expr("aggregate(array_sort(collect_list(w)), 0D, (a, x) -> a + x)").as("tw"))
+    bySrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_chars_total"),
+        col("w"), (col("w") / col("tw")).as("rate"),
+        floor(col("w") / col("tw") * lit(budgetChars.toDouble)).cast("long")
+          .as("alloc_chars"))
+      .orderBy("source")
+  }
+
+  private val temperatureMixtureSql =
+    """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *, sqrt(CAST(n_chars_total AS DOUBLE)) AS w FROM s),
+      |t AS (SELECT list_reduce(list_sort(list(w)), (a, x) -> a + x) AS tw FROM w)
+      |SELECT source, n_docs, n_chars_total, w, w / tw AS rate,
+      |  CAST(floor(w / tw * 100000000) AS BIGINT) AS alloc_chars
+      |FROM w, t ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q91_doc_chunk", Some(chunkSql),
       (spark, dir) => chunkDocs(t(spark, dir, "documents"))),
@@ -541,5 +670,13 @@ object CurationOps {
     QueryDef("q109_domain_stats", Some(domainStatsSql),
       (spark, dir) => domainStats(t(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
-        .unionByName(urlDocs(spark)))))
+        .unionByName(urlDocs(spark)))),
+
+    QueryDef("q113_canonical_rep", Some(canonicalizeSql),
+      (spark, dir) => canonicalize(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(variantDocs(spark)))),
+
+    QueryDef("q114_temperature_mix", Some(temperatureMixtureSql),
+      (spark, dir) => temperatureMixture(t(spark, dir, "documents"))))
 }

@@ -460,7 +460,43 @@ object ShapeOps {
             coalesce(sum(expr("try_add(9223372036854775807L, o_orderkey)").isNull
               .cast("long")), lit(0L)).as("n_add_null"),
             moneySum(col("o_totalprice") / 4).as("quarter_sum"))
-          .orderBy("o_orderpriority")))
+          .orderBy("o_orderpriority")),
+
+    // Top-N per group — the "3 most expensive items per return flag"
+    // shape — as a rank-filtered window, NOT a global sort: Spark 4's
+    // InferWindowGroupLimit rewrites the row_number<=N filter into a
+    // WindowGroupLimit that keeps only N rows per group PER MAP PARTITION
+    // before the shuffle (PlanSpec asserts the node), so the exchange
+    // moves at most N*partitions*groups rows instead of the fact table —
+    // the difference between a working and a melted-down nightly top-k
+    // at 100 TB. row_number (not rank) + full key tiebreak keeps the
+    // result deterministic; oracle = QUALIFY with the same ordering.
+    QueryDef(
+      "q115_topn_per_group",
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |FROM lineitem
+        |QUALIFY rn <= 3
+        |ORDER BY l_returnflag, rn""".stripMargin),
+      (spark, dir) => topNPerGroup(t(spark, dir, "lineitem"))))
+
+  /** The q115 body, shared with PlanSpec's WindowGroupLimit assertion:
+    * rank()/row_number() <= N predicates over a window are the ONLY
+    * window shape Spark can push below the exchange (group-limit
+    * inference), so this is the per-group top-k to reach for first; a
+    * groupBy + sort_array alternative would shuffle every row.
+    */
+  def topNPerGroup(li: org.apache.spark.sql.DataFrame, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= n)
+      .orderBy("l_returnflag", "rn")
+  }
 
   /** The q98 body, shared with AnalyticsSpec's planted-edge-case fixture
     * (same-ts tie, delete-then-reinsert) so an edit to the graded

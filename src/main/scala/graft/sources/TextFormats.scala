@@ -39,7 +39,7 @@ object TextFormats {
     * literals (control chars via chr(n) so the SQL text stays on one
     * line for the driver's JSON dump).
     */
-  private def hazardDocs(spark: SparkSession): DataFrame = {
+  private[sources] def hazardDocs(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
       (3000000000051L, Some("line one\nline two\rline three"), Some("en"), Some("web"), Some(28L)),
@@ -67,7 +67,7 @@ object TextFormats {
       |  (3000000000056, NULL, 'en', 'web', NULL),
       |  (3000000000057, '', 'en', 'api', 0)""".stripMargin
 
-  private def roundtripOracle: String =
+  private[sources] def roundtripOracle: String =
     s"""WITH all_docs(doc_id, text, lang, source, n_chars) AS (
        |  SELECT doc_id, text, lang, source, n_chars FROM documents
        |  UNION ALL
@@ -78,7 +78,7 @@ object TextFormats {
   /** Scratch directory under the session warehouse (same reclaim dance
     * as q42: a previous run's directory may survive on disk).
     */
-  private def scratch(spark: SparkSession, name: String): String = {
+  private[sources] def scratch(spark: SparkSession, name: String): String = {
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
@@ -130,7 +130,7 @@ object TextFormats {
       .orderBy("doc_id")
   }
 
-  private def withHazards(spark: SparkSession, dir: String): DataFrame =
+  private[sources] def withHazards(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .unionByName(hazardDocs(spark))
@@ -141,4 +141,31 @@ object TextFormats {
 
     QueryDef("q111_csv_roundtrip", Some(roundtripOracle),
       (spark, dir) => csvRoundtrip(spark, withHazards(spark, dir))))
+}
+
+/** ORC — the other columnar format Spark carries natively, and the one a
+  * migration from a Hive-era warehouse actually arrives in. Same planted
+  * hazard corpus and oracle as q110/q111: columnar formats store strings
+  * as raw bytes so the escaping hazards are trivially safe, but the
+  * roundtrip still grades the type mapping (nullable longs, null-vs-empty
+  * strings, non-ASCII) and the explicit-schema read path.
+  *
+  * Scale shape: ORC stripes are splittable like parquet row groups —
+  * one task per split, predicate pushdown and column pruning both
+  * supported by Spark's vectorized ORC reader — so unlike the CSV path
+  * there is no non-splittable caveat; it is a first-class 100 TB format.
+  */
+object ColumnarFormats {
+
+  def orcRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val dir = TextFormats.scratch(spark, "graft_q117_orc")
+    docs.write.mode(SaveMode.Overwrite).orc(dir)
+    spark.read.schema(docs.schema).orc(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q117_orc_roundtrip", Some(TextFormats.roundtripOracle),
+      (spark, dir) => orcRoundtrip(spark, TextFormats.withHazards(spark, dir))))
 }

@@ -172,4 +172,48 @@ class CurationSpec extends SparkSpec {
       "blocklisted domains are dropped")
     assert(out.size == 2, s"nothing else surfaces: $out")
   }
+
+  test("canonicalize: richest raw variant wins, singletons never surface") {
+    val docs = Seq(
+      (10L, "Hello world"),
+      (11L, "HELLO, world!!"),          // same normalized, longer raw -> wins
+      (12L, "hello   world"),
+      (20L, "a lone document"),          // singleton
+      (21L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CurationOps.canonicalize(docs).collect()
+    assert(out.length == 1, s"only the variant cluster surfaces: ${out.mkString(",")}")
+    assert(out.head.getAs[String]("norm_key") == "hello world")
+    assert(out.head.getAs[Long]("keep_id") == 11L, "longest raw text wins")
+    assert(out.head.getAs[Long]("n_variants") == 3L)
+    assert(out.head.getAs[Long]("keep_chars") == 14L)
+  }
+
+  test("canonicalize: equal-length variants tiebreak on min doc_id") {
+    val eq = Seq((30L, "Same; Length"), (31L, "same- length")) // both 12 chars
+      .toDF("doc_id", "text")
+    val out = CurationOps.canonicalize(eq).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("keep_id") == 30L,
+      s"min doc_id wins the tie: ${out.mkString(",")}")
+  }
+
+  test("temperature mixture: rates sum to 1, sqrt upweights small sources") {
+    val docs = Seq(
+      (1L, "s_big", 900L), (2L, "s_big", 900L), (3L, "s_big", 900L),
+      (4L, "s_big", 900L), (5L, "s_small", 400L)
+    ).map { case (id, s, n) => (id, s, n) }
+      .toDF("doc_id", "source", "n_chars")
+    val out = CurationOps.temperatureMixture(docs, budgetChars = 1000000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_chars_total"), r.getAs[Double]("rate"),
+          r.getAs[Long]("alloc_chars")))).toMap
+    val (bigMass, bigRate, bigAlloc) = out("s_big")
+    val (smallMass, smallRate, smallAlloc) = out("s_small")
+    assert(bigMass == 3600L && smallMass == 400L)
+    // sqrt weighting: 60/(60+20)=0.75 vs proportional 0.9 — small source
+    // rises from 0.1 to 0.25
+    assert(math.abs(bigRate - 0.75) < 1e-12 && math.abs(smallRate - 0.25) < 1e-12)
+    assert(math.abs(bigRate + smallRate - 1.0) < 1e-12, "rates sum to 1")
+    assert(bigAlloc == 750000L && smallAlloc == 250000L)
+  }
 }

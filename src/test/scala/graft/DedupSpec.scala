@@ -260,4 +260,32 @@ class DedupSpec extends SparkSpec {
     assert(out(16L).isEmpty && out(17L).isEmpty,
       "null/short docs must stay unmatched")
   }
+
+  test("repeated windows: cross-doc spans surface, within-doc repeats do not") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"      // 16 tokens
+    val docs = Seq(
+      (1L, s"prefix words $span"),
+      (2L, s"$span suffix words"),
+      (3L, s"a b $span c d"),
+      // internal-only repetition: the same 16-token window twice in ONE doc
+      (4L, s"$span $span"),
+      (5L, "a short unrelated document"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = DedupOps.repeatedWindows(docs).collect()
+    // every surfaced window must span >= 2 docs by contract
+    assert(out.forall(_.getAs[Long]("n_docs") >= 2), s"got ${out.mkString(",")}")
+    // the shared span's own window appears in docs 1,2,3 AND twice in 4
+    val shared = out.filter(_.getAs[Long]("n_docs") == 4)
+    assert(shared.length == 1, s"exactly one 4-doc window: ${out.mkString(",")}")
+    assert(shared.head.getAs[Long]("n_occurrences") == 5,
+      "three cross-doc occurrences plus two internal ones")
+    assert(shared.head.getAs[Long]("first_doc") == 1L)
+    // doc 4's OTHER windows (the ones crossing the seam) repeat only
+    // within doc 4 -> must not surface
+    assert(out.forall(r => !(r.getAs[Long]("n_docs") == 1)),
+      "within-doc-only repeats must not surface")
+  }
 }

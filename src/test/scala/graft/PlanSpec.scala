@@ -227,4 +227,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"shard offsets must broadcast back, not shuffle the corpus:\n$plan")
   }
+
+  test("q115 top-N per group pushes a WindowGroupLimit below the shuffle") {
+    val plan = planOf("q115_topn_per_group")
+    // InferWindowGroupLimit must rewrite rn<=3 into group-limit nodes —
+    // a Partial one before the exchange (per-map-partition top-3) and a
+    // Final one after; without it every fact row would shuffle
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown in:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected the pre-shuffle Partial group-limit in:\n$plan")
+  }
 }

@@ -93,4 +93,8 @@ class SourcesSpec extends SparkSpec {
   test("csv roundtrip preserves hazards incl. the null-vs-empty distinction") {
     assertHazardsSurvive(graft.sources.TextFormats.csvRoundtrip(spark, hazardFrame))
   }
+
+  test("orc roundtrip preserves hazards (columnar path, same contract)") {
+    assertHazardsSurvive(graft.sources.ColumnarFormats.orcRoundtrip(spark, hazardFrame))
+  }
 }
