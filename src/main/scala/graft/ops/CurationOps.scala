@@ -550,7 +550,7 @@ object CurationOps {
     * non-alphanumerics (it does not replace them with spaces), so an
     * intra-word dash would fuse tokens and break the cluster.
     */
-  private def variantDocs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  private[ops] def variantDocs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
       (2000000000031L, Some("The quick brown fox jumps over the lazy dog")),

@@ -110,6 +110,57 @@ object SampleOps {
       .orderBy("split", "lang")
   }
 
+  /** Cluster-aware train/val/test split — the leakage-correct refinement
+    * of [[hashSplit]]: when the corpus contains duplicate or
+    * trivially-variant documents, splitting by doc_id hash puts copies of
+    * the SAME content on both sides of the train/eval fence (the classic
+    * eval-contamination bug), so the split key must be the DUP-CLUSTER
+    * key, not the doc. Here the cluster key is the normalized text (the
+    * q113 canonicalize transform — catches exact and case/punct/spacing
+    * dups, and is engine-recomputable so this stays a FULL SQL oracle);
+    * for NEAR-dup awareness swap in minhashClusters' cluster id as the
+    * key — same split arithmetic, spec-pinned (SampleSpec) since minhash
+    * is engine-side. Split = first two md5 hex chars of the salted
+    * cluster key: 'cd'/256ths ~ 80% train, 26/256 ~ 10% val, rest test;
+    * every member of a cluster lands in the same split BY CONSTRUCTION
+    * (the split is a pure function of the cluster key).
+    *
+    * Scale shape: row-local key + hash arithmetic, one shuffle for the
+    * per-split aggregate; nothing iterative. Planted variant clusters
+    * (the q113 fixture) make the copies-stay-together property
+    * non-vacuous: a doc-keyed split scatters them (SampleSpec proves the
+    * planted cluster straddles under [[hashSplit]]'s key but not here),
+    * and here they move per-split counts the oracle recomputes exactly.
+    */
+  /** 80/10/10 split as a pure function of an arbitrary cluster key —
+    * byte thresholds on the first two salted-md5 hex chars. Shared by
+    * [[clusterAwareSplit]] and the minhash-cluster variant in SampleSpec.
+    */
+  def splitOf(key: Column): Column = {
+    val h = substring(md5(concat(lit("graft-split:"), key)), 1, 2)
+    when(h < "cd", "train").when(h < "e7", "val").otherwise("test")
+  }
+
+  /** Per-doc (doc_id, ckey, split) assignment — the q119 body before its
+    * per-split aggregate, factored out so SampleSpec pins the
+    * copies-stay-together semantics on the exact graded logic.
+    */
+  def clusterSplitAssign(docs: DataFrame): DataFrame = {
+    val ckey = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), ckey.as("ckey"))
+      .withColumn("split", splitOf(col("ckey")))
+  }
+
+  def clusterAwareSplit(docs: DataFrame): DataFrame =
+    clusterSplitAssign(docs)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ckey")).as("n_clusters"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("split")
+
   /** Weighted sampling WITHOUT replacement (per-stratum top-k by weight):
     * the quality-weighted subset selection step — "keep the k best-ish
     * docs per language, where better-scored docs win proportionally
@@ -294,5 +345,33 @@ object SampleOps {
         |    ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
-      (spark, dir) => hashSplit(t(spark, dir, "documents"))))
+      (spark, dir) => hashSplit(t(spark, dir, "documents"))),
+
+    QueryDef(
+      "q119_cluster_split",
+      Some("""WITH all_docs(doc_id, text) AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  VALUES (2000000000031, 'The quick brown fox jumps over the lazy dog'),
+        |         (2000000000032, 'The QUICK, brown fox... jumps over the LAZY dog!!'),
+        |         (2000000000033, 'the   quick brown fox jumps over the lazy dog'),
+        |         (2000000000034, 'Deduplicate the corpus before training'),
+        |         (2000000000035, 'DEDUPLICATE the corpus, before training?!'),
+        |         (2000000000036, 'An unpaired document stands alone.')),
+        |k AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |          ' +', ' ', 'g')) AS ckey
+        |      FROM all_docs WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, ckey, CASE
+        |        WHEN substr(md5('graft-split:' || ckey), 1, 2) < 'cd' THEN 'train'
+        |        WHEN substr(md5('graft-split:' || ckey), 1, 2) < 'e7' THEN 'val'
+        |        ELSE 'test' END AS split
+        |      FROM k)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin),
+      (spark, dir) => clusterAwareSplit(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(CurationOps.variantDocs(spark)))))
 }

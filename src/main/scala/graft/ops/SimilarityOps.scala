@@ -161,18 +161,11 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** IVF (inverted-file) ANN: partition the corpus into `cells` Voronoi
-    * cells around k-means centroids (seeded on the first `cells` vectors,
-    * `iters` Lloyd rounds), then answer queries by exact-reranking only the
-    * `probes` nearest cells. The scale path when LSH's data-oblivious
-    * buckets waste probes: centroids adapt to the data distribution.
-    * All DataFrame ops — centroid recompute is a posexplode + (cell, dim)
-    * mean + rebuild, assignment is a broadcast of the (tiny) centroid set.
+  /** n nearest centroid cells per row of `df`, by cosine; argmax
+    * aggregate for n=1, bounded window otherwise.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, probes: Int = 3, iters: Int = 2): DataFrame = {
-    def nearestCells(df: DataFrame, idCol: String, vcol: String,
-        centroids: DataFrame, n: Int): DataFrame = {
+  private def nearestCells(df: DataFrame, idCol: String, vcol: String,
+      centroids: DataFrame, n: Int): DataFrame = {
       val withSim = df.join(broadcast(centroids))
         .withColumn("csim", cosine(vcol, "cv"))
       if (n == 1) {
@@ -196,14 +189,17 @@ object SimilarityOps {
           .where(col("crnk") <= n)
           .drop("cv", "csim", "crnk")
       }
-    }
+  }
 
-    // seed centroids on the first `cells` vectors, refine with Lloyd rounds;
-    // each round's centroid set (`cells` rows, tiny) is materialized
-    // eagerly so every round — and both downstream assignment passes —
-    // plans against a flat cached relation instead of the nested Lloyd
-    // lineage (timing-neutral at sf0.1, but bounds plan depth at any
-    // iteration count)
+  /** Seed centroids on the first `cells` vectors, refine with `iters`
+    * Lloyd rounds; returns the (cell, cv) centroid frame. Each round's
+    * centroid set (`cells` rows, tiny) is materialized eagerly so every
+    * round — and the downstream assignment passes — plans against a flat
+    * cached relation instead of the nested Lloyd lineage (timing-neutral
+    * at sf0.1, but bounds plan depth at any iteration count). Shared by
+    * [[ivfTopK]] and [[semDedup]].
+    */
+  private def fitCentroids(corpus: DataFrame, cells: Int, iters: Int): DataFrame = {
     var centroids = corpus.where(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
       .cache()
@@ -229,7 +225,20 @@ object SimilarityOps {
       centroids.unpersist()
       centroids = means
     }
+    centroids
+  }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `cells` Voronoi
+    * cells around k-means centroids (seeded on the first `cells` vectors,
+    * `iters` Lloyd rounds), then answer queries by exact-reranking only the
+    * `probes` nearest cells. The scale path when LSH's data-oblivious
+    * buckets waste probes: centroids adapt to the data distribution.
+    * All DataFrame ops — centroid recompute is a posexplode + (cell, dim)
+    * mean + rebuild, assignment is a broadcast of the (tiny) centroid set.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, probes: Int = 3, iters: Int = 2): DataFrame = {
+    val centroids = fitCentroids(corpus, cells, iters)
     val corpusCells = nearestCells(corpus.select(col("vec_id"), col("v")),
         "vec_id", "v", centroids, 1)
       .select(col("vec_id"), col("v"), col("cell"))
@@ -244,6 +253,73 @@ object SimilarityOps {
       .where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means-cluster-then-threshold — fit `cells`
+    * centroids (shared [[fitCentroids]] machinery with q47's IVF), assign
+    * every vector to its nearest cell, and inside each cell drop the
+    * HIGHER-id member of every pair with cosine >= `threshold`, keeping
+    * its smallest qualifying partner as the representative. Output: one
+    * row per dropped vector (vec_id, kept_by, cell, max_sim).
+    *
+    * Near-dup pairs that straddle a cell boundary are missed BY DESIGN —
+    * that is SemDeDup's trade (bounded in-cell comparison instead of a
+    * global pair search); the LSH-bucketed q43 is the recall-oriented
+    * alternative, and SimilaritySpec pins both behaviors (same-cell twin
+    * collapses; a cross-cell twin survives).
+    *
+    * Scale shape: the pair join is an equi-join on `cell` over the
+    * NARROW (vec_id, cell) projection — vectors rejoin per side only for
+    * surviving candidate pairs, the embedNearDup trick — so the fan-out
+    * is sum over cells of |cell|^2/2, bounded by sizing `cells` ~ n/64
+    * ([[autoCells]]; data-dependent skew in cell sizes is the known
+    * SemDeDup caveat, at 100 TB you rebalance by splitting the fattest
+    * cells). Cosine is the codegen'd native expression; a dropped vector
+    * aggregates its pairs map-side.
+    */
+  def semDedup(corpus: DataFrame, threshold: Double = 0.95,
+      cells: Int = 0, iters: Int = 2): DataFrame = {
+    val k = if (cells > 0) cells else autoCells(corpus.count())
+    val centroids = fitCentroids(corpus, k, iters)
+    val slim = nearestCells(corpus.select(col("vec_id"), col("v")),
+        "vec_id", "v", centroids, 1)
+      .select(col("vec_id"), col("cell"))
+    val pairs = slim.as("a").join(slim.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.cell").as("cell"))
+    pairs
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .withColumn("sim", cosine("va", "vb"))
+      .where(col("sim") >= threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("kept_by"), min(col("cell")).as("cell"),
+        max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** cells ~ n/64: bounds expected in-cell pair fan-out to ~64n. */
+  def autoCells(n: Long): Int =
+    math.max(16, (n / 64L).toInt)
+
+  /** Planted semantic twins for q118 — the raw corpus has no cosine-0.95
+    * neighbors at sf0.01 (q43's assignment is all-self there), so without
+    * these the drop list would freeze empty and the golden would grade
+    * nothing. Exact-rational coordinates (no transcendentals), ids above
+    * every real vec_id so seeding is untouched: an identical pair (must
+    * collapse — identical vectors share a cell by construction, every
+    * centroid similarity ties and both tiebreak to the same cell) and a
+    * one-coordinate perturbation of the same vector (cosine ~0.9999).
+    */
+  private def twinVectors(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = (0 until 64).map(i => ((i * 37 + 11) % 101) / 101.0)
+    val near = base.updated(3, base(3) + 0.001)
+    Seq(
+      (9000000001L, base), (9000000002L, base), (9000000003L, near)
+    ).toDF("vec_id", "v")
   }
 
   private def queriesOf(v: DataFrame, n: Int): DataFrame =
@@ -290,6 +366,13 @@ object SimilarityOps {
     // SimilaritySpec plants duplicated vectors and checks they collapse.
     QueryDef("q43_embed_neardup", literalOracle("q43_embed_neardup"),
       (spark, dir) => embedNearDup(vectors(spark, dir), threshold = 0.95)),
+
+    // SemDeDup drop list over the corpus + planted twins (deterministic
+    // end to end: rational-coordinate twins, decimal-mean centroids ->
+    // literal golden; SimilaritySpec pins collapse/miss semantics).
+    QueryDef("q118_semdedup", literalOracle("q118_semdedup"),
+      (spark, dir) => semDedup(vectors(spark, dir).select(col("vec_id"), col("v"))
+        .unionByName(twinVectors(spark)))),
 
     // Int8 scalar quantization of the embedding column — the 4x storage /
     // bandwidth cut every vector index applies before ANN. Graded the

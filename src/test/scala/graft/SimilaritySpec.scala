@@ -91,6 +91,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(100L) == 100L)
   }
 
+  test("semdedup: same-cell twins collapse, cross-cell near-dups are missed") {
+    // seeds (vec_id < cells) pin 2 cells on orthogonal axes; a=[.8,.6]
+    // joins cell 0 and b=[.6,.8] joins cell 1, yet cos(a,b)=0.96 >= 0.95
+    // — the pair SemDeDup trades away. Twins identical to v0 share its
+    // cell by construction and must both collapse onto vec 0.
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // seed cell 0
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),   // seed cell 1
+      (2L, Seq(0.8, 0.6, 0.0, 0.0)),   // near-dup of 3, lands cell 0
+      (3L, Seq(0.6, 0.8, 0.0, 0.0)),   // near-dup of 2, lands cell 1
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),  // twin of 0
+      (11L, Seq(1.0, 0.0, 0.0, 0.0))   // twin of 0
+    ).toDF("vec_id", "v")
+    val out = SimilarityOps.semDedup(rows, threshold = 0.95, cells = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 0L, 11L -> 0L),
+      s"twins collapse onto 0; the 2-3 cross-cell pair is missed: $out")
+  }
+
   test("q93 quantization contract holds on the corpus (violations = 0)") {
     val row = SparkEntry.queries("q93_embed_quantize")(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_vecs") > 0)

@@ -145,4 +145,54 @@ class VocabSampleSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq.sorted == out.toSeq.sorted)
   }
+
+  test("cluster split: variant copies stay together where doc-key scatters them") {
+    import spark.implicits._
+    // ids 1-4 chosen so their md5 first-hex differs (c,c,e,a) — a
+    // doc-keyed 12/2/2 split scatters these four copies of one document
+    // across val/test/train, the eval-contamination bug q119 exists to
+    // prevent
+    val docs = Seq(
+      (1L, "Shared Content here"),
+      (2L, "shared content HERE!!"),
+      (3L, "shared,   content here"),
+      (4L, "SHARED CONTENT... here"),
+      (5L, "a different document entirely")
+    ).toDF("doc_id", "text")
+    val assigned = SampleOps.clusterSplitAssign(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(assigned.sizeIs == 5)
+    assert(Set(1L, 2L, 3L, 4L).map(assigned(_)._1).sizeIs == 1,
+      "variants share one cluster key")
+    assert(Set(1L, 2L, 3L, 4L).map(assigned(_)._2).sizeIs == 1,
+      "cluster members always land in one split")
+    // the doc-keyed split (q64's key) scatters the same four docs
+    val docKeyed = docs.select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
+      .withColumn("split", when(col("h") <= "b", "train")
+        .when(col("h") <= "d", "val").otherwise("test"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(docKeyed).size >= 2,
+      s"doc-keyed split must demonstrate the straddle: $docKeyed")
+  }
+
+  test("cluster split: minhash cluster ids compose with splitOf for near-dups") {
+    import spark.implicits._
+    val base = "the training corpus must be deduplicated before any split " +
+      "so that evaluation examples can never leak into the training side"
+    val near = base.replace("examples", "samples")
+    val docs = Seq(
+      (1L, base), (2L, near), (3L, base + " as everyone knows"),
+      (4L, "completely unrelated text about cooking pasta with fresh basil " +
+        "and a generous amount of parmesan cheese on top of everything")
+    ).toDF("doc_id", "text")
+    val withSplit = graft.ops.DedupOps.minhashClusters(docs)
+      .withColumn("split", SampleOps.splitOf(col("cluster_id").cast("string")))
+    val byCluster = withSplit.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(byCluster.forall(_._2 == 1L), "no cluster straddles splits")
+    assert(byCluster.exists(_._3 >= 2L),
+      s"fixture must contain a real multi-member cluster: ${byCluster.mkString(",")}")
+  }
 }
