@@ -32,7 +32,9 @@ object ScaleRehearsal {
     "q47_ann_ivf", "q56_dedup_invariants", "q57_embed_invariants",
     "q65_repetition_stats", "q66_contamination", "q73_incr_dedup",
     "q83_approx_top_terms", "q88_array_hof", "q91_doc_chunk",
-    "q92_global_index", "q93_embed_quantize", "q106_explode_outer")
+    "q92_global_index", "q93_embed_quantize", "q106_explode_outer",
+    "q113_canonical_rep", "q116_repeated_windows", "q118_semdedup",
+    "q119_cluster_split")
 
   private val OFFSET = 10000000L
 
