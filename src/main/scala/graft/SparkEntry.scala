@@ -14,7 +14,8 @@ object SparkEntry {
     ReferenceOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
       TextOps.defs ++ EventOps.defs ++ MultimodalOps.defs ++
       ExtendedOps.defs ++ SampleOps.defs ++ InvariantOps.defs ++
-      CurationOps.defs ++ ShapeOps.defs ++ graft.sources.TextFormats.defs ++
+      CurationOps.defs ++ ShapeOps.defs ++ MiningOps.defs ++
+      LayoutOps.defs ++ graft.sources.TextFormats.defs ++
       graft.sources.ColumnarFormats.defs
 
   /** Flagship query (A3 gold-category aggregate, SURVEY §7.2) on sf=0.001;

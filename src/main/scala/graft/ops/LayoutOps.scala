@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Data-layout operators: multi-dimensional clustering via the Z-order
+  * (Morton) space-filling curve. At 100 TB the win is file skipping —
+  * sorting a fact table by interleave(x, y) before writing makes BOTH
+  * `x` and `y` locally dense within every file, so parquet min/max
+  * footer stats prune scans filtered on EITHER dimension; a plain sort
+  * by x gives up all pruning on y. The curve math is pure bit
+  * arithmetic (codegen'd, row-local); the layout step is
+  * `repartitionByRange` on the z-value — the exact shape a writer would
+  * run before `.write.parquet`, and the one range exchange IS the
+  * clustering cost.
+  *
+  * The graded query (q124) pins the interleave math and its locality
+  * consequence cross-engine: per z-range bucket, the count, the exact
+  * z-min/max, and the per-dimension bounding boxes — computed by DuckDB
+  * from the SAME bit formula (the oracle SQL is generated from one
+  * Scala loop, so the two engines cannot drift). The skipping WIN
+  * (z-sorted files carry far smaller per-file bounding boxes than
+  * naturally-ordered files) is asserted in LayoutSpec, which compares
+  * summed bounding-box areas across layouts.
+  */
+object LayoutOps {
+
+  /** 2-D Morton interleave of the low `bits` bits of x and y: bit i of x
+    * lands at position 2i, bit i of y at 2i+1. Long-typed, row-local,
+    * whole-stage-codegen friendly (a fixed chain of shift/and/or).
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The same interleave as ANSI SQL text (DuckDB dialect shares the
+    * shift/and/or operators) — generated from one loop so the oracle
+    * formula cannot drift from [[zValue]].
+    */
+  def zValueSql(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  /** Cluster a frame along the curve: one range exchange on the z-value
+    * plus an in-partition sort — the write-side layout pass. Files
+    * written from the result carry tight min/max on both dimensions.
+    */
+  def zorderBy(df: DataFrame, x: Column, y: Column, numPartitions: Int,
+      bits: Int = 16): DataFrame = {
+    val z = zValue(pmod(x, lit(1L << bits)), pmod(y, lit(1L << bits)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** The q124 body: 32 z-range buckets (top 5 bits of the 32-bit curve)
+    * with exact z extents and per-dimension bounding boxes. One
+    * partial-agged shuffle on a 5-bit key; the interleave itself never
+    * leaves the scan stage.
+    */
+  def zBucketStats(li: DataFrame, bits: Int = 16): DataFrame = {
+    val mask = (1L << bits) - 1
+    val zv = zValue(col("l_partkey").bitwiseAND(lit(mask)),
+      col("l_suppkey").bitwiseAND(lit(mask)), bits)
+    li.select(col("l_partkey"), col("l_suppkey"), zv.as("zv"))
+      .groupBy(shiftright(col("zv"), 2 * bits - 5).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zv")).as("z_min"), max(col("zv")).as("z_max"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .orderBy("bucket")
+  }
+
+  private val q124Sql: String = {
+    val z = zValueSql("x", "y", 16)
+    s"""WITH k AS (SELECT l_partkey, l_suppkey,
+       |    l_partkey & 65535 AS x, l_suppkey & 65535 AS y FROM lineitem),
+       |z AS (SELECT l_partkey, l_suppkey, ($z) AS zv FROM k)
+       |SELECT CAST(zv >> 27 AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(zv) AS z_min, MAX(zv) AS z_max,
+       |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+       |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q124_zorder_stats",
+      Some(q124Sql),
+      (spark, dir) => zBucketStats(t(spark, dir, "lineitem"))))
+}

@@ -479,7 +479,35 @@ object ShapeOps {
         |FROM lineitem
         |QUALIFY rn <= 3
         |ORDER BY l_returnflag, rn""".stripMargin),
-      (spark, dir) => topNPerGroup(t(spark, dir, "lineitem"))))
+      (spark, dir) => topNPerGroup(t(spark, dir, "lineitem"))),
+
+    // SCD Type 2 dimension build from a changelog — the versioned-history
+    // counterpart of q98's keep-latest compaction: collapse consecutive
+    // identical states (change detection via lag), then effective-date
+    // each surviving version (valid_from / valid_to via lead, open-ended
+    // current row). The canonical warehouse shape for "what was this
+    // user's state on date D" queries. Scale shape: one shuffle on the
+    // key; both window passes share the same (user_id, ts, event_id)
+    // partitioning+sort, so Spark plans ONE exchange and per-key bounded
+    // sorts — never a global sort; the change-collapse filter shrinks the
+    // frame before the second window pass.
+    QueryDef(
+      "q120_scd2_dim",
+      Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |v AS (SELECT user_id, event_type AS state, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts_to
+        |  FROM ch)
+        |SELECT user_id, CAST(version AS INT) AS version, state,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(ts_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  CAST(CASE WHEN ts_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin),
+      (spark, dir) => scd2Dim(EventOps.events(spark, dir))))
 
   /** The q115 body, shared with PlanSpec's WindowGroupLimit assertion:
     * rank()/row_number() <= N predicates over a window are the ONLY
@@ -496,6 +524,32 @@ object ShapeOps {
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= n)
       .orderBy("l_returnflag", "rn")
+  }
+
+  /** The q120 body, shared with AnalyticsSpec's planted fixture (same-ts
+    * tie, single-event user, no-change run that must collapse to one
+    * version) so an edit to the graded semantics breaks the unit test,
+    * not just the oracle. Expects a changelog with (user_id, event_id,
+    * event_type, ts); emits one effective-dated row per state CHANGE —
+    * consecutive identical states collapse into the earlier version.
+    */
+  def scd2Dim(changes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val changed = changes
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNull || col("event_type") =!= col("prev"))
+    // second window over the collapsed frame: same partitioning, so the
+    // exchange is reused; the sort re-runs only over surviving rows
+    changed
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("ts_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("ts_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        when(col("ts_to").isNull, 1).otherwise(0).cast("int").as("is_current"))
+      .orderBy("user_id", "version")
   }
 
   /** The q98 body, shared with AnalyticsSpec's planted-edge-case fixture

@@ -34,7 +34,7 @@ object ScaleRehearsal {
     "q83_approx_top_terms", "q88_array_hof", "q91_doc_chunk",
     "q92_global_index", "q93_embed_quantize", "q106_explode_outer",
     "q113_canonical_rep", "q116_repeated_windows", "q118_semdedup",
-    "q119_cluster_split")
+    "q119_cluster_split", "q122_bpe_pairs", "q123_collocation_lift")
 
   private val OFFSET = 10000000L
 
@@ -73,7 +73,12 @@ object ScaleRehearsal {
     //     docs (real corpora are Heaps-law sublinear); (lang, term, df)
     //     partials + the vocab-bounded top-k window are linear in vocab.
     //     Bar 15.
-    val bars = Map("q26_ngram_jaccard" -> 25.0, "q52_vocab_top_terms" -> 15.0)
+    //   - q122/q123: the shuffled relations (distinct bigram pairs /
+    //     unigram vocabulary) grow ~10x here because the per-copy token
+    //     suffixes make every copy's vocabulary disjoint — real corpora
+    //     are Heaps-law sublinear. Same fixture arithmetic as q52: bar 15.
+    val bars = Map("q26_ngram_jaccard" -> 25.0, "q52_vocab_top_terms" -> 15.0,
+      "q122_bpe_pairs" -> 15.0, "q123_collocation_lift" -> 15.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query

