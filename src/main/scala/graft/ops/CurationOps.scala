@@ -678,5 +678,55 @@ object CurationOps {
         .unionByName(variantDocs(spark)))),
 
     QueryDef("q114_temperature_mix", Some(temperatureMixtureSql),
-      (spark, dir) => temperatureMixture(t(spark, dir, "documents"))))
+      (spark, dir) => temperatureMixture(t(spark, dir, "documents"))),
+
+    QueryDef("q125_equidepth_bins", Some(equidepthSql),
+      (spark, dir) => equidepthBins(t(spark, dir, "orders"))))
+
+  /** Deciles (1/10 .. 9/10); [[equidepthBins]] computes the same list
+    * for bins = 10, so the fraction literals — and therefore the
+    * interpolated boundary doubles — agree between the two engines.
+    */
+  private val decileFractions: Seq[Double] = (1 until 10).map(_ / 10.0)
+
+  /** Equi-depth (quantile) binning of order totals — the feature
+    * bucketization step ML preprocessing runs before hashing/embedding a
+    * numeric column. Exact interpolated decile boundaries (q49 pins
+    * Spark percentile ≡ DuckDB quantile_cont bitwise on this 2dp-grid
+    * data), then every row is assigned bin = 1 + #(boundaries < value)
+    * with a STRICT comparison on identical doubles — no ntile, so no
+    * global sort: the boundary array is one broadcast row and the
+    * assignment is a row-local lambda filter inside codegen. One
+    * partial-agged shuffle on the 10-value bin key. At 100 TB the only
+    * non-scan cost is the percentile aggregate itself (one pass +
+    * per-group sort inside the agg); swap in approx_percentile when a
+    * sketch boundary is acceptable.
+    */
+  def equidepthBins(orders: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val fr = (1 until bins).map(_.toDouble / bins)
+    val bounds = orders.agg(
+      expr(s"percentile(o_totalprice, array(${fr.mkString(", ")}))").as("bl"))
+    orders.crossJoin(broadcast(bounds))
+      .select(col("o_totalprice"),
+        (size(expr("filter(bl, b -> o_totalprice > b)")) + 1)
+          .cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("p_min"),
+        max(col("o_totalprice")).as("p_max"),
+        moneySum(col("o_totalprice")).as("rev"))
+      .orderBy("bin")
+  }
+
+  private val equidepthSql: String =
+    s"""WITH b AS (SELECT quantile_cont(o_totalprice,
+       |    [${decileFractions.mkString(", ")}]) AS bl FROM orders),
+       |a AS (SELECT o_totalprice,
+       |    CAST(len(list_filter(b.bl, x -> o_totalprice > x)) + 1 AS INT) AS bin
+       |  FROM orders, b)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(o_totalprice) AS p_min, MAX(o_totalprice) AS p_max,
+       |  ${sqlMoneySum("o_totalprice")} AS rev
+       |FROM a GROUP BY 1 ORDER BY bin""".stripMargin
 }

@@ -91,6 +91,19 @@ class MiningLayoutSpec extends SparkSpec {
     assert(zHit <= 8, s"z-order should confine the y band to few partitions, got $zHit")
   }
 
+  test("equi-depth bins: uniform 1..100 splits into ten bins of ten") {
+    val vals = (1 to 100).map(_.toDouble).toDF("o_totalprice")
+    val out = graft.ops.CurationOps.equidepthBins(vals).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1 to 10))
+    assert(out.forall(_._2 == 10L), s"expected 10 rows per bin: ${out.mkString(",")}")
+    // bins tile the domain: each bin's max is below the next bin's min
+    out.sliding(2).foreach {
+      case Array((_, _, _, hi), (_, _, lo, _)) => assert(hi < lo)
+      case _ => ()
+    }
+  }
+
   test("q124 bucket stats: 32 buckets, extents nested and consistent") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val rows = LayoutOps.zBucketStats(li).collect()
