@@ -10,4 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    fn: (SparkSession, String) => DataFrame)
+    fn: (SparkSession, String) => DataFrame) {
+  // Scala object vals initialize in declaration order: a defs Seq that
+  // forward-references an oracle-SQL val declared below it captures
+  // Some(null), which escapes SparkEntry's Option guard and NPEs only
+  // when Verify serializes oracle_sql.json. Fail at class-load instead.
+  require(name != null && name.nonEmpty, "QueryDef.name must be non-empty")
+  require(oracle == null || !oracle.contains(null),
+    s"$name: oracle is Some(null) — forward reference in the defs object?")
+}

@@ -635,6 +635,26 @@ object CurationOps {
       |  CAST(floor(w / tw * 100000000) AS BIGINT) AS alloc_chars
       |FROM w, t ORDER BY source""".stripMargin
 
+  /** Deciles (1/10 .. 9/10); [[equidepthBins]] computes the same list
+    * for bins = 10, so the fraction literals — and therefore the
+    * interpolated boundary doubles — agree between the two engines.
+    */
+  private val decileFractions: Seq[Double] = (1 until 10).map(_ / 10.0)
+
+  // NOTE: must be declared ABOVE `defs` — object vals initialize in
+  // declaration order, and a forward reference from the defs Seq would
+  // capture null into Some(...) (escapes the Option guard in SparkEntry).
+  private val equidepthSql: String =
+    s"""WITH b AS (SELECT quantile_cont(o_totalprice,
+       |    [${decileFractions.mkString(", ")}]) AS bl FROM orders),
+       |a AS (SELECT o_totalprice,
+       |    CAST(len(list_filter(b.bl, x -> o_totalprice > x)) + 1 AS INT) AS bin
+       |  FROM orders, b)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(o_totalprice) AS p_min, MAX(o_totalprice) AS p_max,
+       |  ${sqlMoneySum("o_totalprice")} AS rev
+       |FROM a GROUP BY 1 ORDER BY bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q91_doc_chunk", Some(chunkSql),
       (spark, dir) => chunkDocs(t(spark, dir, "documents"))),
@@ -683,12 +703,6 @@ object CurationOps {
     QueryDef("q125_equidepth_bins", Some(equidepthSql),
       (spark, dir) => equidepthBins(t(spark, dir, "orders"))))
 
-  /** Deciles (1/10 .. 9/10); [[equidepthBins]] computes the same list
-    * for bins = 10, so the fraction literals — and therefore the
-    * interpolated boundary doubles — agree between the two engines.
-    */
-  private val decileFractions: Seq[Double] = (1 until 10).map(_ / 10.0)
-
   /** Equi-depth (quantile) binning of order totals — the feature
     * bucketization step ML preprocessing runs before hashing/embedding a
     * numeric column. Exact interpolated decile boundaries (q49 pins
@@ -718,15 +732,4 @@ object CurationOps {
         moneySum(col("o_totalprice")).as("rev"))
       .orderBy("bin")
   }
-
-  private val equidepthSql: String =
-    s"""WITH b AS (SELECT quantile_cont(o_totalprice,
-       |    [${decileFractions.mkString(", ")}]) AS bl FROM orders),
-       |a AS (SELECT o_totalprice,
-       |    CAST(len(list_filter(b.bl, x -> o_totalprice > x)) + 1 AS INT) AS bin
-       |  FROM orders, b)
-       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-       |  MIN(o_totalprice) AS p_min, MAX(o_totalprice) AS p_max,
-       |  ${sqlMoneySum("o_totalprice")} AS rev
-       |FROM a GROUP BY 1 ORDER BY bin""".stripMargin
 }

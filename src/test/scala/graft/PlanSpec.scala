@@ -238,4 +238,47 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Partial"),
       s"expected the pre-shuffle Partial group-limit in:\n$plan")
   }
+
+  test("q120 SCD2 plans ONE exchange for both window passes") {
+    val plan = planOf("q120_scd2_dim")
+    // lag-collapse and lead/row_number share (user_id, ts, event_id)
+    // partitioning+sort: exactly one hashpartitioning exchange on
+    // user_id should appear (plus the presentation range sort)
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one user_id exchange, got $exchanges in:\n$plan")
+  }
+
+  test("q121 co-occurrence broadcasts the part dimension") {
+    val plan = planOf("q121_cooccur_brands")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
+  test("q122 BPE pairs: partial agg collapses pairs before the shuffle, top-k never sorts globally") {
+    val plan = planOf("q122_bpe_pairs")
+    assert(plan.contains("partial"), s"expected map-side combine in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k plan in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q124 z-order stats: the interleave stays in the scan stage (one shuffle on the bucket)") {
+    val plan = planOf("q124_zorder_stats")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (5-bit bucket agg), got $exchanges in:\n$plan")
+  }
+
+  test("q125 equi-depth binning broadcasts boundaries — no ntile global sort") {
+    val plan = planOf("q125_equidepth_bins")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"boundary row must broadcast:\n$plan")
+    // the only range exchange allowed is the final 10-row presentation
+    // sort; the fact table itself must not range-partition (ntile shape)
+    assert(!plan.contains("Window"),
+      s"no window/ntile may appear:\n$plan")
+  }
 }
