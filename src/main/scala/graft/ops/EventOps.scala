@@ -19,20 +19,30 @@ import graft.util.Tables._
   */
 object EventOps {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a nanos-since-epoch long and convert with
-    * exact integer division (a double division would lose precision at
-    * 1e18 ns) — sub-microsecond truncation is irrelevant to hour windows
-    * and 30-minute session gaps.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set in every harness builder: Bench, Verify, tools, TestSpark). Set
-    * at session construction, not here — a query function mutating session
-    * config would surprise a caller sharing the session concurrently.
+  /** Events loader, adaptive to the driver's data vintage. Earlier
+    * generations stored `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects — those are read as a nanos-since-epoch
+    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, still set in
+    * every harness builder for compatibility) and converted with exact
+    * integer division. Current generations store native timestamp[us],
+    * which both Spark and DuckDB read directly. Dispatch on the actual
+    * column type so either vintage works.
     */
-  def events(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // native timestamp[us] without UTC adjustment reads as NTZ; cast
+        // to the session-zone TIMESTAMP (session tz is UTC in every
+        // harness) so downstream LTZ-only functions (unix_micros, window
+        // bucketing) and timestamp-literal comparisons keep working
+        // unchanged across data vintages
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   def hourlyWindow(events: DataFrame): DataFrame =
     events

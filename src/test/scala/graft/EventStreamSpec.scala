@@ -48,8 +48,14 @@ class EventStreamSpec extends SparkSpec {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    // same data-vintage dispatch as EventOps.events: legacy int64-nanos
+    // generations need the µs conversion; native timestamp[us] reads as
+    // NTZ, which watermarks reject — cast to session-zone TIMESTAMP (UTC)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
