@@ -172,5 +172,43 @@ object EventOps {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin),
-      (spark, dir) => sessions(events(spark, dir))))
+      (spark, dir) => sessions(events(spark, dir))),
+
+    // Rolling 7-day distinct users per day — the DAU/WAU-style engagement
+    // metric. A window function can't express a sliding DISTINCT, and
+    // re-scanning the fact table once per day can't scale; instead each
+    // (user, day) contributes itself to the 7 window-end days it falls in.
+    QueryDef(
+      "q131_rolling_distinct",
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |b AS (SELECT MAX(day) AS max_day FROM ud),
+        |c AS (SELECT user_id, day + CAST(i AS INT) AS win_day
+        |      FROM ud, UNNEST(range(0, 7)) t(i))
+        |SELECT win_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+        |FROM c, b WHERE win_day <= b.max_day
+        |GROUP BY win_day ORDER BY win_day""".stripMargin),
+      (spark, dir) => rollingDistinctUsers(events(spark, dir))))
+
+  /** Distinct users over a trailing `width`-day window, one row per
+    * calendar day up to the last observed day. Scale shape: the raw event
+    * stream first collapses to DISTINCT (user, day) — one shuffle that
+    * shrinks the data to user-day granularity — then each row fans out
+    * exactly `width` times (bounded, row-local explode) and collapses
+    * again via count-distinct on the window day. No window function runs
+    * over fact-sized data and no day-by-day rescan happens; the trailing
+    * cutoff rides in as a broadcast one-row frame, not a driver collect.
+    */
+  def rollingDistinctUsers(ev: DataFrame, width: Int = 7): DataFrame = {
+    require(width > 0, s"window width must be positive, got $width")
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${width - 1}))")).as("win_day"))
+      .crossJoin(broadcast(maxDay))
+      .where(col("win_day") <= col("max_day"))
+      .groupBy("win_day")
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .orderBy("win_day")
+  }
 }

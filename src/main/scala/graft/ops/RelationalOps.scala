@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Correlated-subquery and multi-dimension analytic shapes — the classic
+  * warehouse query patterns (TPC-H Q4/Q17/Q8 style) the reference's
+  * single-table notebooks never reach but any analyst pointed at the same
+  * star schema writes on day one (aggregazioni surface 02:61-96 extended
+  * per SURVEY §7.4).
+  *
+  * These three queries exist to grade Catalyst's subquery DECORRELATION:
+  * q126/q127 are written as correlated SQL (EXISTS / scalar-aggregate
+  * subquery) and must execute as joins — a per-outer-row subquery
+  * re-execution would be a scale-killer at 100 TB. PlanSpec asserts the
+  * physical plans contain the decorrelated join operators and no
+  * iterative subquery nodes.
+  */
+object RelationalOps {
+
+  /** TPC-H Q4 shape: orders placed in 1997 that have at least one line
+    * shipped more than 90 days after the order date, counted by priority.
+    *
+    * Written as a correlated EXISTS on purpose: Catalyst rewrites it to a
+    * LEFT SEMI join of orders against lineitem on l_orderkey with the
+    * non-equi ship-lag predicate as the join condition. Scale shape: ONE
+    * shuffle pair on the order key (or a broadcast of the filtered order
+    * year if small); the semi join stops probing a key after the first
+    * match, so multi-line orders cost one emit. The date filter on orders
+    * is pushed to the parquet scan.
+    */
+  val existsPrioritySql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // DuckDB spells a day interval without quotes; everything else is shared.
+  private val existsPriorityOracle: String =
+    existsPrioritySql.replace("INTERVAL '90' DAY", "INTERVAL 90 DAY")
+
+  /** TPC-H Q17 shape: revenue from "small-quantity" lines of one brand —
+    * lines whose quantity is below half the average quantity ever ordered
+    * for that part.
+    *
+    * Written as a correlated scalar-aggregate subquery: Catalyst
+    * decorrelates it into a per-part AVG aggregate joined back to the
+    * filtered lineitem on l_partkey. Scale shape: the inner aggregate runs
+    * ONCE over lineitem (map-side partial combine, one shuffle on
+    * l_partkey), not once per outer row; the brand filter reduces the
+    * probe side via the broadcast part dimension before the threshold
+    * join. Bit-stability: quantities are integer-valued doubles, so the
+    * per-part double SUM is exact in any order, the AVG is one IEEE
+    * divide, and the 0.5× threshold compare cannot straddle an
+    * engine-dependent rounding boundary; revenue goes through the exact
+    * DECIMAL(18,4) money path.
+    */
+  val smallQtyRevenueSql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS small_qty_revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#12'
+      |  AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+      |                      FROM lineitem l2
+      |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** TPC-H Q8 shape: one nation's share of a part type's revenue among
+    * customers of one region, by order year.
+    *
+    * DataFrame-native multi-dimension join: part (type-filtered), the
+    * region→nation→customer chain, and supplier→nation are all broadcast
+    * (each is dimension-sized at any corpus scale); only
+    * lineitem⋈orders shuffles, on the order key. The share is
+    * numerator/denominator of two EXACT decimal sums cast to double and
+    * divided once — a single IEEE operation on identical inputs in both
+    * engines, so no rounding step is needed for bit-equality.
+    */
+  def marketShare(
+      li: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, part: DataFrame, nation: DataFrame,
+      region: DataFrame, targetNation: String = "NATION_7",
+      regionName: String = "ASIA", partType: String = "PROMO"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.where(col("r_name") === regionName)
+          .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val regionCust = customer
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val zero = lit(0).cast(DecimalType(18, 4))
+    li
+      .join(broadcast(part.where(col("p_type") === partType)
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === targetNation, money(revenue))
+          .otherwise(zero)), 2).cast("double").as("nation_vol"),
+        round(sum(money(revenue)), 2).cast("double").as("total_vol"),
+        (sum(when(col("supp_nation") === targetNation, money(revenue))
+          .otherwise(zero)).cast("double") /
+          sum(money(revenue)).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val marketShareOracle: String =
+    s"""WITH joined AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+      |    CAST($REV AS DECIMAL(18,4)) AS vol,
+      |    sn.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey)
+      |SELECT o_year,
+      |  CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+      |                      ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+      |    AS nation_vol,
+      |  CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS total_vol,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+      |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+      |FROM joined
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q126_exists_subquery",
+      Some(existsPriorityOracle),
+      (spark, dir) => {
+        withViews(spark, dir, "orders", "lineitem")
+        spark.sql(existsPrioritySql)
+      }),
+
+    QueryDef(
+      "q127_scalar_subquery",
+      Some(smallQtyRevenueSql),
+      (spark, dir) => {
+        withViews(spark, dir, "lineitem", "part")
+        spark.sql(smallQtyRevenueSql)
+      }),
+
+    QueryDef(
+      "q128_market_share",
+      Some(marketShareOracle),
+      (spark, dir) => marketShare(
+        t(spark, dir, "lineitem"), t(spark, dir, "orders"),
+        t(spark, dir, "customer"), t(spark, dir, "supplier"),
+        t(spark, dir, "part"), t(spark, dir, "nation"),
+        t(spark, dir, "region"))))
+}

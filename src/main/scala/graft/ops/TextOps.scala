@@ -150,7 +150,87 @@ object TextOps {
         |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin),
-      (spark, dir) => tfidfTopTerms(t(spark, dir, "documents"), k = 3)))
+      (spark, dir) => tfidfTopTerms(t(spark, dir, "documents"), k = 3)),
+
+    // Out-of-vocabulary rate against a corpus-derived top-K vocabulary —
+    // the tokenizer-coverage / gibberish-detection gate of a training-data
+    // pipeline (a doc whose tokens mostly fall outside the learned vocab is
+    // either foreign, corrupted, or machine noise). The synthetic corpus
+    // shares one 31-term vocabulary, so planted rare-token docs (the q116
+    // pattern) make the OOV tail non-vacuous; the rate is an int/int
+    // division cast to double — one IEEE op, bit-stable.
+    QueryDef(
+      "q129_oov_rate",
+      Some(oovRateSql),
+      (spark, dir) =>
+        oovRate(t(spark, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(oovPlantedDocs(spark)))))
+
+  /** Tokens that exist nowhere in the base corpus (which only generates
+    * lowercase dictionary words) — planted so the OOV tail is graded, not
+    * vacuous: one all-gibberish doc (rate 1.0), one half-and-half, one doc
+    * of common words only, one single-token doc. Same literals in the
+    * oracle's UNION ALL.
+    */
+  private def oovPlantedDocs(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(
+      (2000000000061L, Some("zxqv wqpk jjxr qqzt mvvw")),
+      (2000000000062L, Some("join hash row zxqv wqpk qqzt")),
+      (2000000000063L, Some("join hash row scan batch")),
+      (2000000000064L, Some("xylophoneqz"))
+    ).toDF("doc_id", "text")
+  }
+
+  /** Per-doc OOV stats against the top-`vocabSize` corpus terms (count
+    * DESC, term ASC tiebreak — a total order, so the vocabulary boundary
+    * is deterministic). Scale shape: the vocabulary is
+    * vocabulary-bounded (a top-K over term partial aggs, a
+    * TakeOrderedAndProject, never a corpus-sized sort) and rides to every
+    * executor as a BROADCAST hash side, so the token stream is scanned
+    * once, joined map-side with zero extra shuffle, and collapses to
+    * per-doc counts via one shuffle on doc_id.
+    */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, vocabSize: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tok = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  // def, not val: referenced from `defs` above it (declaration-order init)
+  private def oovRateSql: String =
+    """WITH all_docs(doc_id, text) AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  VALUES
+      |  (2000000000061, 'zxqv wqpk jjxr qqzt mvvw'),
+      |  (2000000000062, 'join hash row zxqv wqpk qqzt'),
+      |  (2000000000063, 'join hash row scan batch'),
+      |  (2000000000064, 'xylophoneqz')),
+      |tok AS (SELECT doc_id, tt.term
+      |        FROM all_docs, UNNEST(string_split(text, ' ')) AS tt(term)
+      |        WHERE text IS NOT NULL),
+      |vocab AS (SELECT term FROM (
+      |  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+      |  ORDER BY cnt DESC, term LIMIT 20)),
+      |j AS (SELECT tok.doc_id, tok.term, v.term AS vterm
+      |      FROM tok LEFT JOIN vocab v ON v.term = tok.term)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN vterm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN vterm IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Per-doc top-k terms by TF-IDF with linear idf (score = tf * N / df).
     * Scale shape: one explode that collapses straight back down to

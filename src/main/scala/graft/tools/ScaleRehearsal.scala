@@ -34,7 +34,9 @@ object ScaleRehearsal {
     "q83_approx_top_terms", "q88_array_hof", "q91_doc_chunk",
     "q92_global_index", "q93_embed_quantize", "q106_explode_outer",
     "q113_canonical_rep", "q116_repeated_windows", "q118_semdedup",
-    "q119_cluster_split", "q122_bpe_pairs", "q123_collocation_lift")
+    "q119_cluster_split", "q122_bpe_pairs", "q123_collocation_lift",
+    "q129_oov_rate", "q130_containment_pairs", "q132_term_drift",
+    "q133_inverted_index")
 
   private val OFFSET = 10000000L
 
@@ -77,8 +79,15 @@ object ScaleRehearsal {
     //     unigram vocabulary) grow ~10x here because the per-copy token
     //     suffixes make every copy's vocabulary disjoint — real corpora
     //     are Heaps-law sublinear. Same fixture arithmetic as q52: bar 15.
+    //   - q130: same rare-shingle candidate generation as q26, same
+    //     fixture-driven candidate amplification. Bar 25.
+    //   - q132/q133: vocabulary-bounded shuffles; the fixture's per-copy
+    //     token suffixes grow the vocabulary 10x (Heaps-law superlinear,
+    //     same arithmetic as q52). Bar 15.
     val bars = Map("q26_ngram_jaccard" -> 25.0, "q52_vocab_top_terms" -> 15.0,
-      "q122_bpe_pairs" -> 15.0, "q123_collocation_lift" -> 15.0)
+      "q122_bpe_pairs" -> 15.0, "q123_collocation_lift" -> 15.0,
+      "q130_containment_pairs" -> 25.0, "q132_term_drift" -> 15.0,
+      "q133_inverted_index" -> 15.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, EventOps, RelationalOps, TextOps}
+
+/** Targeted semantics for the round-8 additions: correlated-subquery
+  * decorrelation (q126/q127), the market-share join pyramid (q128), and
+  * the corpus ops on self-contained fixtures where the vocabulary /
+  * containment / calendar structure is fully controlled (the graded
+  * corpus runs are pinned by the DuckDB oracles; these pin the semantics
+  * on planted edge cases the corpus may not contain at every sf).
+  */
+class RelationalCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q126 correlated EXISTS decorrelates to a semi join") {
+    val plan = planOf("q126_exists_subquery")
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS should plan as a left semi join, not per-row subqueries:\n$plan")
+  }
+
+  test("q127 correlated scalar subquery decorrelates to an aggregate+join") {
+    val plan = planOf("q127_scalar_subquery")
+    assert(!plan.contains("ScalarSubquery"),
+      s"the per-part AVG must be decorrelated, not re-run per outer row:\n$plan")
+    assert(plan.contains("Join"), s"expected the decorrelated join in:\n$plan")
+  }
+
+  test("q127 threshold semantics: only below-half-average lines count") {
+    // part 1: quantities 10, 20 -> avg 15, half 7.5 -> nothing qualifies.
+    // part 2: quantities 2, 40 -> avg 21, half 10.5 -> the 2 qualifies.
+    val li = Seq((1L, 10.0, 100.0), (1L, 20.0, 100.0),
+      (2L, 2.0, 55.0), (2L, 40.0, 100.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    li.createOrReplaceTempView("lineitem")
+    Seq((1L, "Brand#12"), (2L, "Brand#12")).toDF("p_partkey", "p_brand")
+      .createOrReplaceTempView("part")
+    val out = spark.sql(RelationalOps.smallQtyRevenueSql).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 1L, "exactly one small-quantity line")
+    assert(out.head.getDouble(0) == 55.0)
+  }
+
+  test("q128 broadcasts every dimension side of the join pyramid") {
+    val plan = planOf("q128_market_share")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3,
+      s"part/region-nation-chain/supplier-nation should broadcast, got $broadcasts:\n$plan")
+  }
+
+  test("q128 share is numerator/denominator of the same decimal sums") {
+    val rows = SparkEntry.queries("q128_market_share")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nat >= 0 && nat <= tot, s"nation_vol within total: $r")
+      assert(share >= 0.0 && share <= 1.0, s"share in [0,1]: $r")
+      // rounded vols are 2dp views of the exact sums; share must agree
+      assert(math.abs(share - nat / tot) < 1e-2, s"share consistent: $r")
+    }
+  }
+
+  test("oov rate on a controlled vocabulary fixture") {
+    // vocab size 2 -> {aa, bb} (counts 3 and 2); cc and zz are OOV.
+    val docs = Seq(
+      (1L, Some("aa bb aa")), (2L, Some("aa bb cc")),
+      (3L, Some("zz zz")), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.oovRate(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 0L, 0.0)), s"all in vocab: ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)), s"one OOV token: ${out(2L)}")
+    assert(out(3L) == ((2L, 2L, 1.0)), s"all OOV: ${out(3L)}")
+    assert(!out.contains(4L), "null text excluded")
+  }
+
+  test("q129 planted gibberish docs surface with the expected rates") {
+    val out = SparkEntry.queries("q129_oov_rate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(2000000000061L) == 1.0, "all-gibberish doc rates 1.0")
+    assert(out(2000000000064L) == 1.0, "single gibberish token rates 1.0")
+    assert(out(2000000000062L) >= 0.5, "half-gibberish doc rates >= 0.5")
+  }
+
+  test("containment finds the quote asymmetrically, jaccard-style pairs both ways") {
+    val host = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val docs = Seq(
+      (1L, Some(host)),
+      (2L, Some("w5 w6 w7 w8 w9")), // verbatim span of doc 1
+      (3L, Some("x1 x2 x3 x4 x5")),
+      (4L, Some("x1 x2 x3 x4 x5"))) // exact dup of doc 3
+      .toDF("doc_id", "text")
+    val rows = DedupOps.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((2L, 1L)), s"quote contained in host: $rows")
+    assert(!rows.contains((1L, 2L)), s"host not contained in quote: $rows")
+    assert(rows.contains((3L, 4L)) && rows.contains((4L, 3L)),
+      s"exact dups contain each other both ways: $rows")
+  }
+
+  test("q130 planted quote pair surfaces on the graded corpus") {
+    val rows = SparkEntry.queries("q130_containment_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((2000000000072L, 2000000000071L)),
+      s"planted quote pair missing from $rows")
+    assert(!rows.contains((2000000000071L, 2000000000072L)),
+      "host must not be reported as contained in the quote")
+  }
+
+  test("term drift is exact cross-multiplied integer arithmetic") {
+    // side A (even ids): 'x' 3 of 4 tokens; side B (odd ids): 'x' 0 of 2.
+    // n_a=4, n_b=2 -> drift(x) = |3*2 - 0*4| = 6; drift(y) = |1*2-2*4| = 6.
+    val docs = Seq(
+      (0L, Some("x x y")), (2L, Some("x")), (1L, Some("y y")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusStatsOps.termDrift(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("x") == ((3L, 0L, 6L)), s"x drift: ${out("x")}")
+    assert(out("y") == ((1L, 2L, 6L)), s"y drift: ${out("y")}")
+  }
+
+  test("inverted index truncates postings at the cap, df counts all docs") {
+    val docs = (0L until 15L).map(i => (i, Some("common t" + (i % 3))))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusStatsOps.invertedIndex(docs, maxPostings = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out("common")._1 == 15L, "df counts every doc")
+    assert(out("common")._2 == "0,1,2,3,4,5,6,7,8,9", "postings capped at 10 sorted ids")
+    assert(out("t0") == ((5L, "0,3,6,9,12")), s"t0: ${out("t0")}")
+  }
+
+  test("rolling distinct users on a hand-computed calendar") {
+    val ev = Seq(
+      (100L, "2024-01-01 10:00:00"), (100L, "2024-01-01 11:00:00"),
+      (200L, "2024-01-03 09:00:00"), (100L, "2024-01-09 08:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val out = EventOps.rollingDistinctUsers(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day 1: {100}; day 3..7: {100, 200}; day 8: {200} (100's day-1 visit
+    // aged out); day 9: {100, 200}
+    assert(out("2024-01-01") == 1L)
+    assert(out("2024-01-03") == 2L)
+    assert(out("2024-01-07") == 2L)
+    assert(out("2024-01-08") == 1L)
+    assert(out("2024-01-09") == 2L)
+    assert(!out.contains("2024-01-10"), "no days past the last observed day")
+  }
+}
