@@ -103,9 +103,117 @@ object CorpusStatsOps {
       |SELECT d.term, d.df, p.postings
       |FROM d JOIN p USING (term) ORDER BY d.term""".stripMargin
 
+  /** Per-source 3-gram diversity (type-token ratio over word shingles):
+    * sources whose docs repeat the same phrasing — template farms, boiler-
+    * plate mirrors — score low and get down-weighted at mixture time.
+    * Counts are exact integers; the ratio is one int/int double division.
+    * Scale shape: occurrences collapse map-side to (source, shingle)
+    * partials before the one corpus-linear shuffle; distinct-vs-total both
+    * come off that relation, and the output is source-bounded.
+    */
+  def ngramDiversity(docs: DataFrame): DataFrame = {
+    val sh = docs.where(col("text").isNotNull)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(expr("transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("s"))
+    val perShingle = sh.groupBy("source", "s").agg(count(lit(1)).as("occ"))
+    perShingle.groupBy("source")
+      .agg(sum(col("occ")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("source")
+  }
+
+  private def ngramDiversitySql =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents
+      |      WHERE text IS NOT NULL
+      |        AND length(text) - length(replace(text, ' ', '')) + 1 >= 3),
+      |sh AS (SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM w, UNNEST(range(1, len(w) - 1)) t(i)),
+      |per AS (SELECT source, s, COUNT(*) AS occ FROM sh GROUP BY source, s)
+      |SELECT source, CAST(SUM(occ) AS BIGINT) AS n_shingles,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE) AS diversity
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  /** Cross-source exact-duplicate overlap: for every source pair, how many
+    * distinct contents both carry — the mirror-detection / provenance
+    * dedup matrix that decides which source to keep when corpora overlap.
+    * Scale shape: contents collapse to (hash, source) DISTINCT first; only
+    * hashes carried by >= 2 sources survive to the self-join (the rare
+    * band — unique content, however vast, never fans out), and per-hash
+    * fan-out is C(k, 2) with k <= |sources|. Output is source-pair
+    * bounded. The corpus has no natural cross-source dups, so planted
+    * mirrored docs (same literals in the oracle) keep the matrix
+    * non-vacuous: two texts shared by src0/src3, one by src1/src2/src4.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val hs = docs.where(col("text").isNotNull)
+      .select(md5(col("text")).as("h"), col("source"))
+      .distinct()
+    val shared = hs.groupBy("h").agg(count(lit(1)).as("k"))
+      .where(col("k") >= 2).select("h")
+    // NOT broadcast: dup-heavy web corpora can have a large shared-hash
+    // relation; the join is keyed on the hash (co-partitioned with hs)
+    val sharedHs = hs.join(shared, "h")
+    sharedHs.as("a").join(sharedHs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private def mirroredDocs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val textA = "mirrored boilerplate notice shared across two corpora"
+    val textB = "second mirrored passage carried by the same two corpora"
+    val textC = "three way syndicated content appearing in three corpora"
+    Seq(
+      (2000000000081L, Some(textA), "src0"),
+      (2000000000082L, Some(textA), "src3"),
+      (2000000000083L, Some(textB), "src0"),
+      (2000000000084L, Some(textB), "src3"),
+      (2000000000085L, Some(textC), "src1"),
+      (2000000000086L, Some(textC), "src2"),
+      (2000000000087L, Some(textC), "src4")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  private def sourceOverlapSql =
+    """WITH all_docs(text, source) AS (
+      |  SELECT text, source FROM documents
+      |  UNION ALL
+      |  VALUES
+      |  ('mirrored boilerplate notice shared across two corpora', 'src0'),
+      |  ('mirrored boilerplate notice shared across two corpora', 'src3'),
+      |  ('second mirrored passage carried by the same two corpora', 'src0'),
+      |  ('second mirrored passage carried by the same two corpora', 'src3'),
+      |  ('three way syndicated content appearing in three corpora', 'src1'),
+      |  ('three way syndicated content appearing in three corpora', 'src2'),
+      |  ('three way syndicated content appearing in three corpora', 'src4')),
+      |hs AS (SELECT DISTINCT md5(text) AS h, source FROM all_docs
+      |       WHERE text IS NOT NULL),
+      |shared AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) >= 2)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM (SELECT * FROM hs JOIN shared USING (h)) a
+      |JOIN (SELECT * FROM hs JOIN shared USING (h)) b
+      |  ON a.h = b.h AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q132_term_drift", Some(termDriftSql),
       (spark, dir) => termDrift(t(spark, dir, "documents"))),
     QueryDef("q133_inverted_index", Some(invertedIndexSql),
-      (spark, dir) => invertedIndex(t(spark, dir, "documents"))))
+      (spark, dir) => invertedIndex(t(spark, dir, "documents"))),
+    QueryDef("q134_ngram_diversity", Some(ngramDiversitySql),
+      (spark, dir) => ngramDiversity(t(spark, dir, "documents"))),
+    QueryDef("q135_source_overlap", Some(sourceOverlapSql),
+      (spark, dir) => sourceOverlap(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .unionByName(mirroredDocs(spark)))))
 }

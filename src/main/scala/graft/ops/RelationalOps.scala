@@ -149,6 +149,39 @@ object RelationalOps {
       |GROUP BY o_year
       |ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    * finalized multi-supplier order — one correlated EXISTS and one
+    * correlated NOT EXISTS (with an outer reference two scopes up, to
+    * o.o_orderdate) in the same query, the heaviest decorrelation
+    * pattern in the classic suite. Catalyst plans the EXISTS as a LEFT
+    * SEMI join and the NOT EXISTS as a LEFT ANTI join, both keyed on the
+    * order (asserted in RelationalCorpusSpec); lineitem is scanned three
+    * times but every arm shuffles on l_orderkey and aggregates map-side,
+    * and no per-outer-row re-execution survives planning. The
+    * ship-lag predicate mirrors q126's (the schema has no
+    * receipt/commit dates).
+    */
+  val soleLateSupplierSql: String =
+    """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name
+      |LIMIT 20""".stripMargin
+
+  private val soleLateSupplierOracle: String =
+    soleLateSupplierSql.replace("INTERVAL '60' DAY", "INTERVAL 60 DAY")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q126_exists_subquery",
@@ -164,6 +197,14 @@ object RelationalOps {
       (spark, dir) => {
         withViews(spark, dir, "lineitem", "part")
         spark.sql(smallQtyRevenueSql)
+      }),
+
+    QueryDef(
+      "q136_sole_late_supplier",
+      Some(soleLateSupplierOracle),
+      (spark, dir) => {
+        withViews(spark, dir, "supplier", "lineitem", "orders")
+        spark.sql(soleLateSupplierSql)
       }),
 
     QueryDef(

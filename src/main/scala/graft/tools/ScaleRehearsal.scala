@@ -36,7 +36,7 @@ object ScaleRehearsal {
     "q113_canonical_rep", "q116_repeated_windows", "q118_semdedup",
     "q119_cluster_split", "q122_bpe_pairs", "q123_collocation_lift",
     "q129_oov_rate", "q130_containment_pairs", "q132_term_drift",
-    "q133_inverted_index")
+    "q133_inverted_index", "q134_ngram_diversity", "q135_source_overlap")
 
   private val OFFSET = 10000000L
 

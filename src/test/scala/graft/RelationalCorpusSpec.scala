@@ -30,6 +30,41 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected the decorrelated join in:\n$plan")
   }
 
+  test("q136 Q21 shape decorrelates to semi + anti joins") {
+    val plan = planOf("q136_sole_late_supplier")
+    assert(plan.contains("LeftSemi"), s"EXISTS arm must be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS arm must be an anti join:\n$plan")
+  }
+
+  test("q136 semantics: sole late shipper on a multi-supplier order") {
+    // order 1 (status F): suppliers 10 (late) and 11 (on time) -> 10 counts.
+    // order 2 (status F): both suppliers late -> nobody counts.
+    // order 3 (status F): single-supplier, late -> no co-supplier, excluded.
+    // order 4 (status O): late but not finalized, excluded.
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    Seq(
+      (1L, 10L, t("2024-01-01"), t("2024-06-01")),
+      (1L, 11L, t("2024-01-01"), t("2024-01-15")),
+      (2L, 10L, t("2024-01-01"), t("2024-06-01")),
+      (2L, 11L, t("2024-01-01"), t("2024-06-02")),
+      (3L, 12L, t("2024-01-01"), t("2024-06-01")),
+      (4L, 13L, t("2024-01-01"), t("2024-06-01")))
+      .toDF("l_orderkey", "l_suppkey", "odate", "l_shipdate")
+      .createOrReplaceTempView("lineitem_fixture")
+    spark.sql("SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem_fixture")
+      .createOrReplaceTempView("lineitem")
+    Seq((1L, "F", t("2024-01-01")), (2L, "F", t("2024-01-01")),
+      (3L, "F", t("2024-01-01")), (4L, "O", t("2024-01-01")))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+      .createOrReplaceTempView("orders")
+    Seq((10L, "S10"), (11L, "S11"), (12L, "S12"), (13L, "S13"))
+      .toDF("s_suppkey", "s_name").createOrReplaceTempView("supplier")
+    val out = spark.sql(RelationalOps.soleLateSupplierSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("S10" -> 1L), s"only the sole late shipper counts: $out")
+  }
+
   test("q127 threshold semantics: only below-half-average lines count") {
     // part 1: quantities 10, 20 -> avg 15, half 7.5 -> nothing qualifies.
     // part 2: quantities 2, 40 -> avg 21, half 10.5 -> the 2 qualifies.
@@ -132,6 +167,28 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(out("common")._1 == 15L, "df counts every doc")
     assert(out("common")._2 == "0,1,2,3,4,5,6,7,8,9", "postings capped at 10 sorted ids")
     assert(out("t0") == ((5L, "0,3,6,9,12")), s"t0: ${out("t0")}")
+  }
+
+  test("ngram diversity separates template spam from diverse text") {
+    val docs = Seq(
+      // 6 tokens -> 4 trigram occurrences, all identical -> diversity 1/4
+      (1L, Some("spam spam spam spam spam spam"), "template"),
+      // 6 distinct tokens -> 4 distinct trigrams -> diversity 1.0
+      (2L, Some("one two three four five six"), "diverse"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.CorpusStatsOps.ngramDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("template") == ((4L, 1L, 0.25)), s"template: ${out("template")}")
+    assert(out("diverse") == ((4L, 4L, 1.0)), s"diverse: ${out("diverse")}")
+  }
+
+  test("q135 planted mirrored docs produce the expected overlap matrix") {
+    val rows = SparkEntry.queries("q135_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("src0", "src3")) == 2L, s"two shared texts: $rows")
+    assert(rows(("src1", "src2")) == 1L && rows(("src1", "src4")) == 1L &&
+      rows(("src2", "src4")) == 1L, s"three-way syndication pairs: $rows")
   }
 
   test("rolling distinct users on a hand-computed calendar") {
