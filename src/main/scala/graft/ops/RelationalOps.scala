@@ -182,6 +182,48 @@ object RelationalOps {
   private val soleLateSupplierOracle: String =
     soleLateSupplierSql.replace("INTERVAL '60' DAY", "INTERVAL 60 DAY")
 
+  /** Order-independent per-partition table checksum — the anti-entropy /
+    * migration-validation primitive: two engines (or two replicas, or
+    * pre/post-migration copies) agree on a partition iff its (rows,
+    * checksum) pair agrees, without moving the data. Each row folds a
+    * canonical '|'-joined string through the q32 polynomial fingerprint
+    * (row-local, codegen'd, cross-engine parity already graded); the
+    * partition checksum is the SUM of row fingerprints — commutative, so
+    * partition order, task order, and merge order are all irrelevant.
+    * fp < 1000003 keeps any realistic partition's sum far from BIGINT
+    * range. Scale shape: scan-speed map side, one tiny
+    * month-cardinality shuffle.
+    */
+  def partitionChecksum(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("rowstr", concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_orderstatus"),
+        col("o_orderpriority"), date_format(col("o_orderdate"), "yyyy-MM-dd")))
+      .withColumn("fp", expr(
+        "aggregate(transform(split(rowstr, '\\\\|'), " +
+          "t -> CAST(length(t) * 131 + ascii(t) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000003)"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("fp")).as("checksum"))
+      .orderBy("month")
+
+  private val partitionChecksumOracle: String =
+    """WITH rows_ AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(
+      |          string_split(
+      |            CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |            o_orderpriority || '|' || strftime(o_orderdate, '%Y-%m-%d'),
+      |            '|'),
+      |          t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000003) AS fp
+      |  FROM orders)
+      |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(fp) AS BIGINT) AS checksum
+      |FROM rows_ GROUP BY month ORDER BY month""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q126_exists_subquery",
@@ -206,6 +248,11 @@ object RelationalOps {
         withViews(spark, dir, "supplier", "lineitem", "orders")
         spark.sql(soleLateSupplierSql)
       }),
+
+    QueryDef(
+      "q137_partition_checksum",
+      Some(partitionChecksumOracle),
+      (spark, dir) => partitionChecksum(t(spark, dir, "orders"))),
 
     QueryDef(
       "q128_market_share",

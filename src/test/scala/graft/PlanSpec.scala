@@ -239,6 +239,15 @@ class PlanSpec extends SparkSpec {
       s"expected the pre-shuffle Partial group-limit in:\n$plan")
   }
 
+  test("q133 inverted-index posting cap pushes a WindowGroupLimit") {
+    // same rewrite as q115: the rn <= maxPostings filter must become a
+    // per-partition group limit so a hot term's posting candidates are
+    // bounded map-side, never fully sorted at one reducer
+    val plan = planOf("q133_inverted_index")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown in:\n$plan")
+  }
+
   test("q120 SCD2 plans ONE exchange for both window passes") {
     val plan = planOf("q120_scd2_dim")
     // lag-collapse and lead/row_number share (user_id, ts, event_id)

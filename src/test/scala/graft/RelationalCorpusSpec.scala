@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.{DedupOps, EventOps, RelationalOps, TextOps}
+import graft.util.Tables.t
 
 /** Targeted semantics for the round-8 additions: correlated-subquery
   * decorrelation (q126/q127), the market-share join pyramid (q128), and
@@ -63,6 +64,27 @@ class RelationalCorpusSpec extends SparkSpec {
     val out = spark.sql(RelationalOps.soleLateSupplierSql).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("S10" -> 1L), s"only the sole late shipper counts: $out")
+  }
+
+  test("partition checksum is order-independent and mutation-sensitive") {
+    val orders = t(spark, sf, "orders")
+    val base = RelationalOps.partitionChecksum(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val shuffled = RelationalOps.partitionChecksum(orders.repartition(13))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(base == shuffled, "checksum must not depend on partitioning/order")
+    // flip one row's status: exactly that row's month must change
+    val mutated = RelationalOps.partitionChecksum(
+      orders.withColumn("o_orderstatus",
+        when(col("o_orderkey") === orders.select(min(col("o_orderkey")))
+          .collect().head.getLong(0), lit("MUTATED"))
+          .otherwise(col("o_orderstatus")))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val changed = base.keySet.filter(m => base(m) != mutated(m))
+    assert(changed.size == 1,
+      s"one mutated row must flip exactly its own month: $changed")
+    assert(base(changed.head)._1 == mutated(changed.head)._1,
+      "row count unchanged; only the checksum moves")
   }
 
   test("q127 threshold semantics: only below-half-average lines count") {
