@@ -224,6 +224,39 @@ object RelationalOps {
       |  CAST(SUM(fp) AS BIGINT) AS checksum
       |FROM rows_ GROUP BY month ORDER BY month""".stripMargin
 
+  /** Gap-filled monthly revenue series via WITH RECURSIVE — the recursive
+    * CTE surface (new in Spark 4), exercised on the one shape where
+    * recursion is bounded by the CALENDAR, not the data: the month index
+    * series between min and max order months (pure integer recursion,
+    * ~100 steps for an 8-year span at ANY corpus size), left-joined to
+    * the monthly aggregate with COALESCE 0 for silent months. The SQL
+    * text is dialect-neutral (EXTRACT, %, floor, decimal money path) and
+    * runs VERBATIM in both engines — logic parity is the contract.
+    */
+  val recursiveCalendarSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT CAST(MIN(EXTRACT(YEAR FROM o_orderdate) * 12 +
+      |              EXTRACT(MONTH FROM o_orderdate) - 1) AS INT) AS lo,
+      |         CAST(MAX(EXTRACT(YEAR FROM o_orderdate) * 12 +
+      |              EXTRACT(MONTH FROM o_orderdate) - 1) AS INT) AS hi
+      |  FROM orders),
+      |m(idx) AS (
+      |  SELECT lo FROM b
+      |  UNION ALL
+      |  SELECT idx + 1 FROM m, b WHERE idx < hi),
+      |rev AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12 +
+      |         EXTRACT(MONTH FROM o_orderdate) - 1 AS INT) AS idx,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |      AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT m.idx AS month_idx,
+      |  CAST(floor(m.idx / 12) AS INT) AS year,
+      |  CAST(m.idx % 12 + 1 AS INT) AS month,
+      |  COALESCE(rev.revenue, 0.0) AS revenue
+      |FROM m LEFT JOIN rev ON rev.idx = m.idx
+      |ORDER BY month_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q126_exists_subquery",
@@ -247,6 +280,14 @@ object RelationalOps {
       (spark, dir) => {
         withViews(spark, dir, "supplier", "lineitem", "orders")
         spark.sql(soleLateSupplierSql)
+      }),
+
+    QueryDef(
+      "q138_recursive_calendar",
+      Some(recursiveCalendarSql),
+      (spark, dir) => {
+        withViews(spark, dir, "orders")
+        spark.sql(recursiveCalendarSql)
       }),
 
     QueryDef(

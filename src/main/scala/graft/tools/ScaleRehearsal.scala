@@ -36,7 +36,8 @@ object ScaleRehearsal {
     "q113_canonical_rep", "q116_repeated_windows", "q118_semdedup",
     "q119_cluster_split", "q122_bpe_pairs", "q123_collocation_lift",
     "q129_oov_rate", "q130_containment_pairs", "q132_term_drift",
-    "q133_inverted_index", "q134_ngram_diversity", "q135_source_overlap")
+    "q133_inverted_index", "q134_ngram_diversity", "q135_source_overlap",
+    "q139_prefix_jaccard")
 
   private val OFFSET = 10000000L
 
@@ -87,7 +88,7 @@ object ScaleRehearsal {
     val bars = Map("q26_ngram_jaccard" -> 25.0, "q52_vocab_top_terms" -> 15.0,
       "q122_bpe_pairs" -> 15.0, "q123_collocation_lift" -> 15.0,
       "q130_containment_pairs" -> 25.0, "q132_term_drift" -> 15.0,
-      "q133_inverted_index" -> 15.0)
+      "q133_inverted_index" -> 15.0, "q139_prefix_jaccard" -> 25.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query

@@ -288,4 +288,39 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => !(r.getAs[Long]("n_docs") == 1)),
       "within-doc-only repeats must not surface")
   }
+
+  test("prefix-filter jaccard join is COMPLETE: equals brute-force all-pairs") {
+    // the theorem the q139 doc comment claims, checked against the full
+    // quadratic shingle join on the real sf0.001 corpus plus the planted
+    // common-span family (pairs sharing ONLY df>5 shingles — the exact
+    // case q26's rare-band candidate path misses by design)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(DedupOps.commonSpanDocs(spark))
+    val out = DedupOps.prefixJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sets = docs.where(col("text").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' '))
+      .filter(_._2.length >= 3)
+      .map { case (id, toks) =>
+        id -> toks.sliding(3).map(_.mkString(" ")).toSet }
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = (sa & sb).size
+      if 10 * c >= 3 * (sa.size + sb.size - c)
+    } yield (a, b)).toSet
+    assert(out == brute,
+      s"missing=${(brute -- out).take(5)} extra=${(out -- brute).take(5)}")
+    assert(out.contains((2000000000097L, 2000000000098L)),
+      "the common-shingle-only planted pair must be found (completeness)")
+    // and the rare-band heuristic genuinely cannot see that pair — the
+    // superiority claim, pinned
+    val q26 = DedupOps.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!q26.contains((2000000000097L, 2000000000098L)),
+      "rare-band candidates should miss the common-span pair; if this " +
+        "fires, the planted family no longer exercises the gap")
+  }
 }

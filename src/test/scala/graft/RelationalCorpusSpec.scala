@@ -66,6 +66,20 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(out == Map("S10" -> 1L), s"only the sole late shipper counts: $out")
   }
 
+  test("q138 recursive calendar fills gap months with zero revenue") {
+    import java.sql.Timestamp
+    Seq((1L, Timestamp.valueOf("2024-01-15 00:00:00"), 10.0),
+      (2L, Timestamp.valueOf("2024-04-02 00:00:00"), 20.5))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .createOrReplaceTempView("orders")
+    val out = spark.sql(RelationalOps.recursiveCalendarSql).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(out.size == 4, s"Jan..Apr inclusive: $out")
+    assert(out((2024, 1)) == 10.0 && out((2024, 4)) == 20.5)
+    assert(out((2024, 2)) == 0.0 && out((2024, 3)) == 0.0,
+      s"silent months must appear with zero revenue: $out")
+  }
+
   test("partition checksum is order-independent and mutation-sensitive") {
     val orders = t(spark, sf, "orders")
     val base = RelationalOps.partitionChecksum(orders).collect()
