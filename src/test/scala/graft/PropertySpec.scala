@@ -116,4 +116,36 @@ class PropertySpec extends SparkSpec {
         s"unnormalized residue in '$s'")
     }
   }
+
+  test("prefix-filter jaccard join equals brute force on random corpora") {
+    // the q139 completeness theorem under scalacheck-random corpora —
+    // tiny vocabularies and doc lengths chosen to make high-Jaccard
+    // pairs (the regime where a missed candidate would hide) common
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen: Gen[String] = for {
+      len <- Gen.choose(3, 12)
+      toks <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    (1 to 3).foreach { i =>
+      val texts = Gen.listOfN(40, docGen)
+        .pureApply(Gen.Parameters.default, Seed(4200L + i))
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, Option(t)) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.DedupOps.prefixJaccardPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = texts.zipWithIndex.collect {
+        case (t, id) if t.split(' ').length >= 3 =>
+          id.toLong -> t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+      }
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        c = (sa & sb).size
+        if 10 * c >= 3 * (sa.size + sb.size - c)
+      } yield (a, b)).toSet
+      assert(out == brute,
+        s"seed ${4200 + i}: missing=${(brute -- out).take(5)} " +
+          s"extra=${(out -- brute).take(5)}")
+    }
+  }
 }
