@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Library entry point for Spark's extension mechanism: deploying with
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * installs graft's native SQL functions into EVERY session on the
+  * cluster — including SQL-only clients that never touch the Scala API —
+  * without code changes. This is the standard distribution channel for
+  * third-party Spark libraries; `VectorFunctions.register` remains the
+  * per-session programmatic alternative. Must stay a zero-arg public
+  * class (Spark instantiates it reflectively from the conf string).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -17,4 +17,13 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply the function injections collected in `ext` to a live session's
+    * registry — lets a test prove a SparkSessionExtensions entry point
+    * (normally applied only at session construction from
+    * `spark.sql.extensions`) registers what it claims, without tearing
+    * down the shared test session. `registerFunctions` is private[sql].
+    */
+  def applyInjectedFunctions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }
