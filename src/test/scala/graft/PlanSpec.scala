@@ -239,6 +239,13 @@ class PlanSpec extends SparkSpec {
       s"expected the pre-shuffle Partial group-limit in:\n$plan")
   }
 
+  test("q13 multi-distinct aggregate rewrites through Expand") {
+    // RewriteDistinctAggregates: three countDistinct columns in one agg
+    // must become one Expand + double aggregation, not three scans
+    val plan = planOf("q13_distinct_count")
+    assert(plan.contains("Expand"), s"expected Expand rewrite in:\n$plan")
+  }
+
   test("q133 inverted-index posting cap pushes a WindowGroupLimit") {
     // same rewrite as q115: the rn <= maxPostings filter must become a
     // per-partition group limit so a hot term's posting candidates are
