@@ -55,6 +55,31 @@ object MiningOps {
       .limit(k)
   }
 
+  /** 3-itemset support: unordered brand TRIPLES bought within one order —
+    * the next Apriori lattice level above q121's pairs (the support
+    * counts that seed association-rule mining). Scale shape identical to
+    * q121 with one more self-join arm: all three sides are the SAME
+    * deduped (order, brand) frame keyed on the order (co-partitioned
+    * after one shuffle), per-order fan-out is bounded by
+    * C(items-per-order, 3) <= 35 at TPC-H's <= 7 lines/order, and the
+    * output lattice by C(|brands|, 3) — the top-k is a
+    * TakeOrderedAndProject over a dimension-bounded relation at any
+    * corpus scale.
+    */
+  def brandTriples(li: DataFrame, part: DataFrame, k: Int = 50): DataFrame = {
+    val ob = orderBrands(li, part)
+    val a = ob.select(col("okey"), col("brand").as("brand_a"))
+    val b = ob.select(col("okey"), col("brand").as("brand_b"))
+    val c = ob.select(col("okey"), col("brand").as("brand_c"))
+    a.join(b, Seq("okey")).where(col("brand_a") < col("brand_b"))
+      .join(c, Seq("okey")).where(col("brand_b") < col("brand_c"))
+      .groupBy("brand_a", "brand_b", "brand_c")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("brand_a").asc,
+        col("brand_b").asc, col("brand_c").asc)
+      .limit(k)
+  }
+
   /** Tokenized corpus (documents with text, split on single spaces —
     * the same tokenization q88/q29-q31 grade, identical to the oracle's
     * string_split).
@@ -137,6 +162,20 @@ object MiningOps {
         |ORDER BY support DESC, brand_a, brand_b LIMIT 100""".stripMargin),
       (spark, dir) =>
         brandPairs(t(spark, dir, "lineitem"), t(spark, dir, "part"))),
+
+    QueryDef(
+      "q140_brand_triples",
+      Some("""WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT a.brand AS brand_a, b.brand AS brand_b, c.brand AS brand_c,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM ob a
+        |JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |JOIN ob c ON b.okey = c.okey AND b.brand < c.brand
+        |GROUP BY 1, 2, 3
+        |ORDER BY support DESC, brand_a, brand_b, brand_c LIMIT 50""".stripMargin),
+      (spark, dir) =>
+        brandTriples(t(spark, dir, "lineitem"), t(spark, dir, "part"))),
 
     QueryDef(
       "q122_bpe_pairs",

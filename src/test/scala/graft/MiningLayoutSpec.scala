@@ -25,6 +25,23 @@ class MiningLayoutSpec extends SparkSpec {
     assert(out == Map(("A", "B") -> 2L, ("A", "C") -> 2L, ("B", "C") -> 1L))
   }
 
+  test("brand triples: only orders carrying all three brands count") {
+    val li = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L),              // A,B,C
+      (2L, 101L), (2L, 102L), (2L, 103L), (2L, 103L),  // A,B,C (dup line)
+      (3L, 101L), (3L, 102L),                          // pair only
+      (4L, 101L), (4L, 102L), (4L, 103L), (4L, 104L)   // A,B,C,D -> 4 triples
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq((101L, "A"), (102L, "B"), (103L, "C"), (104L, "D"))
+      .toDF("p_partkey", "p_brand")
+    val out = MiningOps.brandTriples(li, part).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      ("A", "B", "C") -> 3L, ("A", "B", "D") -> 1L,
+      ("A", "C", "D") -> 1L, ("B", "C", "D") -> 1L), s"got $out")
+  }
+
   test("BPE pairs: adjacent counts, short and null docs contribute nothing") {
     val docs = Seq(
       (1L, Some("a b a b")), // pairs: "a b", "b a", "a b"
