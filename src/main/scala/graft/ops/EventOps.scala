@@ -188,7 +188,34 @@ object EventOps {
         |SELECT win_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
         |FROM c, b WHERE win_day <= b.max_day
         |GROUP BY win_day ORDER BY win_day""".stripMargin),
-      (spark, dir) => rollingDistinctUsers(events(spark, dir))))
+      (spark, dir) => rollingDistinctUsers(events(spark, dir))),
+
+    // Data-freshness report: how far each event stream lags the most
+    // recent arrival — the staleness monitor every ingest pipeline pages
+    // on. Whole-minute lag via integer epoch-millisecond division
+    // (exact, engine-identical); the global high-water mark rides in as
+    // a broadcast one-row frame. Scan-speed, type-cardinality output.
+    QueryDef(
+      "q142_freshness",
+      Some("""WITH t AS (SELECT event_type, MAX(ts) AS latest
+        |            FROM events GROUP BY event_type),
+        |g AS (SELECT MAX(latest) AS global_latest FROM t)
+        |SELECT t.event_type,
+        |  strftime(t.latest, '%Y-%m-%d %H:%M:%S') AS latest,
+        |  (epoch_ms(g.global_latest) - epoch_ms(t.latest)) // 60000
+        |    AS minutes_behind
+        |FROM t, g ORDER BY t.event_type""".stripMargin),
+      (spark, dir) => {
+        val perType = events(spark, dir)
+          .groupBy("event_type").agg(max(col("ts")).as("latest"))
+        val global = perType.agg(max(col("latest")).as("global_latest"))
+        perType.crossJoin(broadcast(global))
+          .select(col("event_type"),
+            date_format(col("latest"), "yyyy-MM-dd HH:mm:ss").as("latest"),
+            expr("(unix_millis(global_latest) - unix_millis(latest)) div 60000")
+              .as("minutes_behind"))
+          .orderBy("event_type")
+      }))
 
   /** Distinct users over a trailing `width`-day window, one row per
     * calendar day up to the last observed day. Scale shape: the raw event

