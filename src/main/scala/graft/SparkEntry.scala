@@ -15,7 +15,7 @@ object SparkEntry {
       TextOps.defs ++ EventOps.defs ++ MultimodalOps.defs ++
       ExtendedOps.defs ++ SampleOps.defs ++ InvariantOps.defs ++
       CurationOps.defs ++ ShapeOps.defs ++ MiningOps.defs ++
-      RelationalOps.defs ++ CorpusStatsOps.defs ++
+      RelationalOps.defs ++ CorpusStatsOps.defs ++ StatOps.defs ++
       LayoutOps.defs ++ graft.sources.TextFormats.defs ++
       graft.sources.ColumnarFormats.defs
 

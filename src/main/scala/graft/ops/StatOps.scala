@@ -1,0 +1,283 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Statistical profiling and maintenance-shaped analytics (SURVEY §7.4
+  * extension tier): robust outlier detection, digit-distribution
+  * profiling, inequality/concentration measures, incremental aggregate
+  * maintenance, event-sequence transition matrices, and time-decayed
+  * scoring.
+  *
+  * Exactness doctrine (the q97/q141 pattern): every sum that crosses a
+  * shuffle runs on an integer/decimal grid (cents, shifted-integer
+  * weights) so it is order-independent and engine-identical; doubles
+  * appear only in a final projection where BOTH engines evaluate the
+  * SAME expression tree over the SAME exact inputs, so every IEEE op
+  * rounds identically.
+  */
+object StatOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // Robust outlier detection via median absolute deviation: the
+    // classic "3 sigma" rule done with medians so a single corrupt
+    // batch cannot drag the threshold. Two bounded passes: per-type
+    // median of cents (exact: interpolation of integers is a half-grid
+    // value, exact in double), then per-type MAD over the derived
+    // absolute deviations (quarter-grid, still exact). The per-type
+    // stats frames are event_type-cardinality rows -> broadcast back;
+    // the fact table streams through scan-speed. 4.4478 = 3 * 1.4826
+    // (the normal-consistency constant) pre-folded to one literal so
+    // both engines parse the identical double.
+    QueryDef(
+      "q143_mad_outliers",
+      Some("""WITH c AS (SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |       WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |      FROM c GROUP BY event_type),
+        |d AS (SELECT c.event_type, m.med, abs(c.cents - m.med) AS dev
+        |      FROM c JOIN m USING (event_type)),
+        |a AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |      FROM d GROUP BY event_type)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  d.med AS median_cents, a.mad AS mad_cents,
+        |  CAST(SUM(CASE WHEN d.dev > 4.4478 * a.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN a USING (event_type)
+        |GROUP BY d.event_type, d.med, a.mad
+        |ORDER BY d.event_type""".stripMargin),
+      (spark, dir) => madOutliers(EventOps.events(spark, dir))),
+
+    // Benford first-digit profile across money measures — the
+    // fraud/corruption screen over ingested financial columns. The
+    // digit comes from the decimal string of the exact cents integer
+    // (no log10, whose libm rounding differs across engines); counts
+    // are exact and the observed share is one double division. The
+    // per-measure share window runs over <= 9 rows.
+    QueryDef(
+      "q144_benford",
+      Some("""WITH u AS (
+        |  SELECT 'o_totalprice' AS measure,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |  UNION ALL
+        |  SELECT 'l_extendedprice',
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem),
+        |g AS (SELECT measure,
+        |        CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM u GROUP BY 1, 2)
+        |SELECT measure, digit, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY measure) AS DOUBLE)
+        |    AS share
+        |FROM g ORDER BY measure, digit""".stripMargin),
+      (spark, dir) => {
+        val o = t(spark, dir, "orders").select(
+          lit("o_totalprice").as("measure"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val l = t(spark, dir, "lineitem").select(
+          lit("l_extendedprice").as("measure"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        o.unionByName(l)
+          .withColumn("digit",
+            substring(col("cents").cast("string"), 1, 1).cast("int"))
+          .groupBy("measure", "digit").agg(count(lit(1)).as("n"))
+          .withColumn("share", col("n").cast("double") /
+            sum("n").over(Window.partitionBy("measure")).cast("double"))
+          .orderBy("measure", "digit")
+      }),
+
+    // Revenue concentration: Gini coefficient + top-decile share over
+    // per-customer revenue. Gini via the rank formula
+    // (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) with x sorted asc and
+    // ties broken by custkey — every moment accumulates in decimal
+    // cents (exact, order-independent), the two divisions happen once
+    // on identical doubles. The unpartitioned rank window runs over the
+    // CUSTOMER AGGREGATE (dimension-bounded, q92 doctrine), never the
+    // fact table; at 1000x the frame is |customers| rows, not |orders|.
+    QueryDef(
+      "q145_concentration",
+      Some("""WITH r AS (SELECT o_custkey,
+        |         SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+        |       FROM orders GROUP BY o_custkey),
+        |k AS (SELECT cents,
+        |        ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+        |        COUNT(*) OVER () AS n
+        |      FROM r)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  CAST(2 * SUM(cents * i) - (MAX(n) + 1) * SUM(cents) AS DOUBLE)
+        |    / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS gini,
+        |  CAST(SUM(CASE WHEN i > n - (n + 9) // 10 THEN cents ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(SUM(cents) AS DOUBLE) AS top_decile_share
+        |FROM k""".stripMargin),
+      (spark, dir) => concentration(t(spark, dir, "orders"))),
+
+    // Incremental aggregate maintenance: the 100 TB pattern where the
+    // nightly gold table is NEVER recomputed from scratch — per-group
+    // partial states (count, exact decimal sum, max) are mergeable
+    // monoids, so state(old) merged with state(new-batch) must equal
+    // the full recompute, which is exactly what the oracle grades (it
+    // recomputes from all rows; the engine only merges partials).
+    // Decimal sums make the merge exact, hence order- and
+    // batching-insensitive.
+    QueryDef(
+      "q146_incr_agg_state",
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_price,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 2) AS avg_price,
+        |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS latest_order
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val orders = t(spark, dir, "orders")
+        val old = orders.filter(col("o_orderkey") % 10 =!= 0)
+        val batch = orders.filter(col("o_orderkey") % 10 === 0)
+        mergeAggState(aggState(old).unionByName(aggState(batch)))
+      }),
+
+    // Event-sequence transition matrix (first-order Markov): for each
+    // (prev_type -> type) pair, the count and conditional probability.
+    // The lag window shuffles once on user_id (the natural key — scales
+    // with users); counts are exact and each probability is one double
+    // division. Ties at identical timestamps break on event_id so the
+    // sequence is deterministic on both engines.
+    QueryDef(
+      "q147_markov_transitions",
+      Some("""WITH s AS (SELECT event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |       FROM events),
+        |g AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type)
+        |    AS DOUBLE) AS p
+        |FROM g ORDER BY prev_type, event_type""".stripMargin),
+      (spark, dir) => markovTransitions(EventOps.events(spark, dir))),
+
+    // Half-life time-decayed engagement score: score(u) = sum over u's
+    // last-30-day events of value * 2^(-days_behind) — the recency
+    // weighting every ranking/retention model wants. Kept EXACT by
+    // integer scaling: value_cents * 2^(30-d) accumulates in decimal
+    // (d in [0,30], so the weight is an exact power-of-two long), and
+    // one final division by the constant 100*2^30 lands the true score.
+    // The global high-water day rides in as a broadcast one-row frame.
+    QueryDef(
+      "q148_decayed_score",
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS HUGEINT) AS cents FROM events),
+        |m AS (SELECT MAX(day) AS max_day FROM e),
+        |f AS (SELECT user_id, cents,
+        |        date_diff('day', day, max_day) AS d
+        |      FROM e, m WHERE date_diff('day', day, max_day) <= 30)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents * (1::HUGEINT << (30 - d))) AS DOUBLE)
+        |    / 107374182400.0 AS decayed_score
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (spark, dir) => decayedScore(EventOps.events(spark, dir))))
+
+  /** q143 body (shared with StatsSpec's planted-outlier fixture).
+    * Expects (event_type, value); emits per-type robust stats + outlier
+    * count at the 3-sigma-equivalent MAD threshold.
+    */
+  def madOutliers(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("value").isNotNull).select(col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val med = c.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5d)").as("med"))
+    val d = c.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = d.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5d)").as("mad"))
+    d.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med").as("median_cents"),
+        col("mad").as("mad_cents"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** q145 body (shared with StatsSpec's equality / single-owner
+    * fixtures). Expects orders-shaped (o_custkey, o_totalprice) columns.
+    */
+  def concentration(orders: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rev = orders
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast(dec)).as("cents"))
+    val ranked = rev.select(col("o_custkey"), col("cents"),
+      row_number().over(Window.orderBy(col("cents"), col("o_custkey"))).as("i"),
+      count(lit(1)).over(Window.partitionBy()).as("n"))
+    ranked.agg(
+      max(col("n")).as("n_customers"),
+      sum(col("cents")).cast("long").as("total_cents"),
+      ((lit(2).cast(dec) * sum(col("cents") * col("i").cast(dec)) -
+        (max(col("n")) + 1).cast(dec) * sum(col("cents"))).cast("double") /
+        (max(col("n")).cast("double") * sum(col("cents")).cast("double")))
+        .as("gini"),
+      (sum(when(col("i") > col("n") - expr("(n + 9) div 10"), col("cents"))
+        .otherwise(lit(0).cast(dec))).cast("double") /
+        sum(col("cents")).cast("double")).as("top_decile_share"))
+  }
+
+  /** Mergeable per-group aggregate state for q146: count + exact decimal
+    * sum + max form a commutative monoid, so any batching of the input
+    * merges to the same state.
+    */
+  def aggState(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_part"),
+      sum(money(col("o_totalprice"))).as("sum_part"),
+      max(col("o_orderdate")).as("max_part"))
+
+  /** Merge a union of q146 partial states and finalize presentation
+    * columns. Merging is the SAME monoid ops over the partials.
+    */
+  def mergeAggState(states: DataFrame): DataFrame =
+    states.groupBy("o_orderpriority")
+      .agg(sum(col("n_part")).as("n"),
+        sum(col("sum_part")).as("total"),
+        max(col("max_part")).as("latest"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("total"), 2).cast("double").as("total_price"),
+        round(col("total").cast("double") / col("n"), 2).as("avg_price"),
+        date_format(col("latest"), "yyyy-MM-dd").as("latest_order"))
+      .orderBy("o_orderpriority")
+
+  /** q147 body (shared with StatsSpec's hand-computed chain fixture). */
+  def markovTransitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("prev_type")).cast("double"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** q148 body (shared with StatsSpec's exact-powers fixture). */
+  def decayedScore(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), to_date(col("ts")).as("day"),
+      round(col("value") * 100, 0).cast("decimal(38,0)").as("cents"))
+    val maxd = e.agg(max(col("day")).as("max_day"))
+    e.crossJoin(broadcast(maxd))
+      .withColumn("d", datediff(col("max_day"), col("day")))
+      .filter(col("d") <= 30)
+      .withColumn("wcents",
+        col("cents") * expr("shiftleft(CAST(1 AS BIGINT), 30 - d)").cast("decimal(38,0)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("wcents")).as("num"))
+      .select(col("user_id"), col("n_events"),
+        (col("num").cast("double") / lit(107374182400.0)).as("decayed_score"))
+      .orderBy("user_id")
+  }
+}

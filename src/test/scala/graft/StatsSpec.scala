@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.StatOps
+
+/** Fixture pins for the q143-q148 statistical tier. Every test drives the
+  * EXACT graded body (the shared StatOps.* functions — the q98 lesson),
+  * checked against values computed by hand or by an independently coded
+  * plain-Scala path.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("MAD outliers: planted spike flagged, tight cluster untouched") {
+    // type 'a': 9 values at 100 cents +- <=2, one wild spike at 10000.
+    // median = 100, deviations {0,0,1,1,1,2,2,2,2(?)...} — compute by hand:
+    // values (cents): 98,99,99,100,100,100,101,101,102, 10000
+    // sorted devs from med=100: 0,0,0,1,1,1,1,2,2,9900 -> MAD = 1.0
+    // threshold 4.4478 -> only the 9900 deviation is an outlier.
+    // type 'b': constant values -> MAD 0, nothing beats a zero threshold
+    // times 4.4478 except nothing (dev>0 impossible), n_outliers = 0.
+    val a = Seq(0.98, 0.99, 0.99, 1.00, 1.00, 1.00, 1.01, 1.01, 1.02, 100.00)
+      .map(("a", _))
+    val b = Seq.fill(5)(("b", 2.00))
+    val out = StatOps.madOutliers((a ++ b).toDF("event_type", "value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("a") == ((10L, 100.0, 1.0, 1L)),
+      s"type a stats: ${out("a")}")
+    assert(out("b") == ((5L, 200.0, 0.0, 0L)), s"type b stats: ${out("b")}")
+  }
+
+  test("MAD outliers: null values are ignored, not counted or flagged") {
+    val rows = Seq(("a", Some(1.00)), ("a", Some(1.02)), ("a", None),
+      ("a", Some(0.98)), ("a", Some(50.0)))
+    val out = StatOps.madOutliers(rows.toDF("event_type", "value")).head()
+    // cents 98,100,102,5000 (null dropped): med=101, devs 1,1,3,4899
+    // sorted devs 1,1,3,4899 -> mad=(1+3)/2=2 -> thr 8.8956 -> one outlier
+    assert(out.getLong(1) == 4L && out.getLong(4) == 1L,
+      s"null row leaked into n or outliers: $out")
+  }
+
+  test("concentration: perfect equality ~0, single-owner (n-1)/n, top share") {
+    // drives the EXACT graded body (StatOps.concentration) on hand frames
+    // with analytically known Gini values
+    def run(cents: Seq[Long]) = {
+      val df = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c / 100.0) }
+        .toDF("o_custkey", "o_totalprice")
+      val r = StatOps.concentration(df).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    val (n0, s0, g0, _) = run(Seq.fill(10)(500L))
+    assert(n0 == 10 && s0 == 5000 && math.abs(g0) < 1e-12,
+      s"equal shares gini $g0")
+    // one owner of everything among 5: gini = (n-1)/n = 0.8; the top
+    // decile is ceil(5/10)=1 customer holding share 1.0
+    val (n1, _, g1, t1) = run(Seq(0L, 0L, 0L, 0L, 1000L))
+    assert(n1 == 5 && math.abs(g1 - 0.8) < 1e-12 && t1 == 1.0,
+      s"single-owner $g1 $t1")
+    // 15 customers: the integer-div decile is (15+9) div 10 = 2 top
+    // customers — pins the `div` (not fp `/`) threshold arithmetic
+    val cents15 = (1L to 15L).map(_ * 100L)
+    val (_, s2, _, t2) = run(cents15)
+    assert(t2 == (15.0 + 14.0) * 100.0 / s2.toDouble, s"15-cust decile $t2")
+  }
+
+  test("incremental agg state: any batching merges to the full recompute") {
+    val orders = Seq(
+      (1L, "HIGH", 10.00, ts("2024-01-01 00:00:00")),
+      (2L, "HIGH", 20.50, ts("2024-01-03 00:00:00")),
+      (3L, "LOW", 5.25, ts("2024-01-02 00:00:00")),
+      (4L, "LOW", 4.75, ts("2024-01-05 00:00:00")),
+      (5L, "HIGH", 0.01, ts("2024-01-04 00:00:00"))
+    ).toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+
+    val full = StatOps.mergeAggState(StatOps.aggState(orders))
+    // three different batchings, including a batch that misses a group
+    val splits = Seq(
+      orders.filter($"o_orderkey" <= 2) -> orders.filter($"o_orderkey" > 2),
+      orders.filter($"o_orderkey" % 2 === 0) -> orders.filter($"o_orderkey" % 2 =!= 0),
+      orders.filter($"o_orderkey" === 5) -> orders.filter($"o_orderkey" =!= 5))
+    for ((a, b) <- splits) {
+      val merged = StatOps.mergeAggState(
+        StatOps.aggState(a).unionByName(StatOps.aggState(b)))
+      assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+        "merged state diverged from full recompute")
+    }
+    val h = full.collect().map(r => r.getString(0) -> r).toMap
+    assert(h("HIGH").getLong(1) == 3 && h("HIGH").getDouble(2) == 30.51)
+    assert(h("HIGH").getString(4) == "2024-01-04")
+  }
+
+  test("markov transitions: hand-computed chain, ties broken by event_id") {
+    val ev = Seq(
+      // user 1: view -> click -> view  (same-ts tie: event_id orders them)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:00:01"), 1L, "click"),
+      (3L, ts("2024-01-01 10:00:01"), 1L, "view"),
+      // user 2: view -> view
+      (4L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 11:00:05"), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = StatOps.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // transitions: view->click (u1), click->view (u1 tie), view->view (u2)
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "view") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0))), s"matrix: $out")
+  }
+
+  test("decayed score: exact powers of two, 30-day cutoff enforced") {
+    val ev = Seq(
+      // user 1: 1.00 today (w=1), 2.00 one day back (w=1/2), 4.00 two
+      // days back (w=1/4) -> score = 1 + 1 + 1 = 3.0 exactly
+      (1L, ts("2024-03-31 12:00:00"), 1L, 1.00),
+      (2L, ts("2024-03-30 01:00:00"), 1L, 2.00),
+      (3L, ts("2024-03-29 23:59:59"), 1L, 4.00),
+      // user 2: one event exactly 30 days back (kept, w=2^-30) and one
+      // 31 days back (dropped by the window)
+      (4L, ts("2024-03-01 00:00:00"), 2L, 1.00),
+      (5L, ts("2024-02-29 23:00:00"), 2L, 99.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = StatOps.decayedScore(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 3.0)), s"user 1: ${out(1L)}")
+    assert(out(2L)._1 == 1L && out(2L)._2 == math.pow(2.0, -30),
+      s"user 2 must keep only the day-30 event at weight 2^-30: ${out(2L)}")
+  }
+}
