@@ -64,6 +64,32 @@ object Pipeline {
       .partitionBy("order_date")
       .format("parquet").saveAsTable(table)
 
+  /** Dynamic partition overwrite — the idempotent daily-reprocess
+    * primitive at 100 TB: replace ONLY the date partitions present in
+    * `batch`, leaving every other partition's files untouched (static
+    * overwrite mode would truncate the whole table). Re-running the same
+    * batch is a no-op on the rest of the table, so a failed day can be
+    * replayed forever without touching history. PipelineSpec pins both
+    * properties (untouched partitions survive byte-identically; replay
+    * is idempotent).
+    */
+  def overwriteDayPartitions(spark: SparkSession, batch: DataFrame,
+      table: String = s"${silverTable}_bydate"): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // insertInto is positional (and rejects partitionBy): align the batch
+    // to the table's column order, partition column last
+    val cols = spark.table(table).columns
+    try batch.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite).insertInto(table)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   // ---- Quality suite C2: report-only, never drops rows (ref 01:168-206) ----
 
   final case class QualityReport(

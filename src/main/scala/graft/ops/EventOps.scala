@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -215,7 +216,39 @@ object EventOps {
             expr("(unix_millis(global_latest) - unix_millis(latest)) div 60000")
               .as("minutes_behind"))
           .orderBy("event_type")
-      }))
+      }),
+
+    // Session path mining: the top navigation sequences across gap-based
+    // sessions — the product-analytics primitive behind "how do users
+    // reach purchase". Reuses q34's session rule (a session breaks when
+    // the gap is STRICTLY over 30 minutes, integer epoch-ms arithmetic so
+    // the boundary is exact); each session contributes its first 8 event
+    // types joined '>' (the cap bounds path cardinality AND row width —
+    // no unbounded collect). Scale shape: one shuffle on user_id for the
+    // session windows, one on the bounded path string for the count; the
+    // top-k is TakeOrdered, never a global sort.
+    QueryDef(
+      "q150_session_paths",
+      Some("""WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |x AS (SELECT user_id, ts, event_id, event_type,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s),
+        |r AS (SELECT user_id, sess, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM x),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY user_id, sess)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+      (spark, dir) => sessionPaths(events(spark, dir))))
 
   /** Distinct users over a trailing `width`-day window, one row per
     * calendar day up to the last observed day. Scale shape: the raw event
@@ -237,5 +270,42 @@ object EventOps {
       .groupBy("win_day")
       .agg(countDistinct(col("user_id")).as("n_users_7d"))
       .orderBy("win_day")
+  }
+
+  /** q150 body (shared with EventStreamSpec-style fixtures in
+    * AnalyticsSpec): gap-based sessions (STRICT 30-minute rule, integer
+    * epoch-ms), each truncated to its first `maxLen` event types and
+    * joined '>', counted, top `topK` by (count desc, path). array_sort
+    * over (ts, event_id, type) structs reproduces the window order inside
+    * the collected session — event_id is unique so the trailing type
+    * field never decides.
+    */
+  def sessionPaths(ev: DataFrame, gapMs: Long = 1800000L, maxLen: Int = 8,
+      topK: Int = 20): DataFrame = {
+    require(gapMs > 0 && maxLen > 0 && topK > 0,
+      s"positive gapMs/maxLen/topK required, got $gapMs/$maxLen/$topK")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("ms", expr("unix_millis(ts)"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > gapMs, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // cap BEFORE collecting: the row_number window shares the
+      // (user_id, sess) hash partitioning with the groupBy below, and a
+      // pathological million-event bot session contributes 8 rows, not a
+      // million-element array
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "sess").orderBy(col("ts"), col("event_id"))))
+      .where(col("rn") <= maxLen)
+      .groupBy("user_id", "sess")
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("evs"))
+      .select(expr(
+        s"array_join(slice(transform(array_sort(evs), e -> e.event_type), 1, $maxLen), '>')")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(topK)
   }
 }

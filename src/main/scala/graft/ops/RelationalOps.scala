@@ -268,7 +268,35 @@ object RelationalOps {
       |FROM bounded LEFT JOIN rev ON rev.idx = bounded.idx
       |ORDER BY month_idx""".stripMargin
 
+  /** TPC-H Q11 shape: parts whose revenue exceeds a global-share
+    * threshold — a scalar subquery in HAVING. Catalyst must plan the
+    * subquery as ONE independent aggregate broadcast into the having
+    * filter, never a per-group re-execution. The threshold comparison is
+    * decimal-vs-decimal (both sums exact, 0.001 parses as an exact
+    * decimal literal in both dialects), so the HAVING boundary has no
+    * floating-point ambiguity. Shared verbatim text: Spark executes this
+    * SQL directly and DuckDB grades the identical string.
+    */
+  val revenueShareSql: String =
+    """SELECT l_partkey,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) >
+      |  (SELECT SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |     AS DECIMAL(18,4))) * 0.001 FROM lineitem)
+      |ORDER BY revenue DESC, l_partkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q149_revenue_share_having",
+      Some(revenueShareSql),
+      (spark, dir) => {
+        withViews(spark, dir, "lineitem")
+        spark.sql(revenueShareSql)
+      }),
+
     QueryDef(
       "q126_exists_subquery",
       Some(existsPriorityOracle),

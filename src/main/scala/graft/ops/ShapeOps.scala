@@ -46,6 +46,34 @@ object ShapeOps {
         |FROM m""".stripMargin),
       (spark, dir) => welchTTest(EventOps.events(spark, dir))),
 
+    // SCD2 point-in-time lookup: the lakehouse join every fact pipeline
+    // runs nightly — attach the dimension version that was ACTIVE at the
+    // fact's event time, not today's. Composes q120's version build with
+    // a user-keyed join whose interval predicate rides as a residual
+    // condition. Timestamps stay at raw microsecond precision through
+    // the join (strings would truncate to seconds and blur boundaries);
+    // formatting happens only in the output projection.
+    QueryDef(
+      "q152_scd2_lookup",
+      Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |v AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT p.event_id, p.user_id, CAST(v.version AS INT) AS version,
+        |  v.state,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN v ON p.user_id = v.user_id AND p.ts >= v.valid_from
+        |      AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+        |ORDER BY p.event_id""".stripMargin),
+      (spark, dir) => scd2Lookup(EventOps.events(spark, dir))),
+
     // UNPIVOT / melt — the inverse reshaping of q48's pivot, as the real
     // Dataset.unpivot operator (plans as a single Expand over the scan:
     // each row fans out to one row per measure with NO shuffle and no
@@ -563,7 +591,22 @@ object ShapeOps {
     * event_type, ts); emits one effective-dated row per state CHANGE —
     * consecutive identical states collapse into the earlier version.
     */
-  def scd2Dim(changes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def scd2Dim(changes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scd2Versions(changes)
+      .select(col("user_id"), col("version"), col("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("ts_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        when(col("ts_to").isNull, 1).otherwise(0).cast("int").as("is_current"))
+      .orderBy("user_id", "version")
+
+  /** The q120 version-interval core with RAW microsecond timestamps —
+    * shared by scd2Dim (which only adds presentation formatting) and the
+    * q152 point-in-time lookup join (which needs exact-precision interval
+    * bounds, not second-truncated strings). Emits (user_id, version,
+    * state, ts, ts_to) where [ts, ts_to) intervals partition each user's
+    * timeline from their first change onward.
+    */
+  def scd2Versions(changes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
     val changed = changes
@@ -575,11 +618,30 @@ object ShapeOps {
       .withColumn("version", row_number().over(w).cast("int"))
       .withColumn("ts_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("version"),
-        col("event_type").as("state"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
-        date_format(col("ts_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
-        when(col("ts_to").isNull, 1).otherwise(0).cast("int").as("is_current"))
-      .orderBy("user_id", "version")
+        col("event_type").as("state"), col("ts"), col("ts_to"))
+  }
+
+  /** q152 body (shared with AnalyticsSpec's boundary fixture): attribute
+    * each purchase event to the SCD2 dimension version active at its
+    * timestamp. The half-open [valid_from, valid_to) intervals partition
+    * each user's timeline, so every purchase matches EXACTLY one version
+    * (a purchase is itself a change candidate, so none precedes its
+    * user's first version). Scale shape: equi-join on user_id with the
+    * interval predicate as a residual condition — the dimension side is
+    * per-user version rows (bounded), the fact side shuffles once.
+    */
+  def scd2Lookup(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dim = scd2Versions(events)
+      .select(col("user_id").as("d_user"), col("version"), col("state"),
+        col("ts").as("valid_from"), col("ts_to").as("valid_to"))
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("version"), col("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("event_id")
   }
 
   /** The q98 body, shared with AnalyticsSpec's planted-edge-case fixture

@@ -181,7 +181,38 @@ object StatOps {
         |  CAST(SUM(cents * (1::HUGEINT << (30 - d))) AS DOUBLE)
         |    / 107374182400.0 AS decayed_score
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin),
-      (spark, dir) => decayedScore(EventOps.events(spark, dir))))
+      (spark, dir) => decayedScore(EventOps.events(spark, dir))),
+
+    // Contingency table with chi-square contributions: is event mix
+    // independent of the A/B cohort? Observed counts are exact; margins
+    // come from integer window sums over the CELL frame (cohorts ×
+    // types rows, not the fact table); expected = row*col/N and the
+    // per-cell (O-E)^2/E run in double over identical exact inputs.
+    // Deliberately emits PER-CELL contributions, not the summed
+    // statistic: a cross-row double sum would be addition-order
+    // dependent, per-cell values are bit-stable on both engines (the
+    // q141 Welch test covers the scalar-statistic form).
+    QueryDef(
+      "q151_chi_square_cells",
+      Some("""WITH cells AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT cohort, event_type, n,
+        |  CAST(SUM(n) OVER (PARTITION BY cohort) AS DOUBLE)
+        |    * CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    / CAST(SUM(n) OVER () AS DOUBLE) AS expected,
+        |  (CAST(n AS DOUBLE) - CAST(SUM(n) OVER (PARTITION BY cohort) AS DOUBLE)
+        |      * CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / CAST(SUM(n) OVER () AS DOUBLE))
+        |  * (CAST(n AS DOUBLE) - CAST(SUM(n) OVER (PARTITION BY cohort) AS DOUBLE)
+        |      * CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / CAST(SUM(n) OVER () AS DOUBLE))
+        |  / (CAST(SUM(n) OVER (PARTITION BY cohort) AS DOUBLE)
+        |      * CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / CAST(SUM(n) OVER () AS DOUBLE)) AS chi_contrib
+        |FROM cells ORDER BY cohort, event_type""".stripMargin),
+      (spark, dir) => contingencyChi(EventOps.events(spark, dir))))
 
   /** q143 body (shared with StatsSpec's planted-outlier fixture).
     * Expects (event_type, value); emits per-type robust stats + outlier
@@ -252,6 +283,27 @@ object StatOps {
         round(col("total").cast("double") / col("n"), 2).as("avg_price"),
         date_format(col("latest"), "yyyy-MM-dd").as("latest_order"))
       .orderBy("o_orderpriority")
+
+  /** q151 body (shared with StatsSpec's hand-computed 2x2 fixture).
+    * The expected/chi_contrib doubles are built from ONE shared expected
+    * expression so Spark's projection matches the oracle's repeated text
+    * op-for-op.
+    */
+  def contingencyChi(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .withColumn("cohort",
+        when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      .groupBy("cohort", "event_type").agg(count(lit(1)).as("n"))
+    val rowN = sum("n").over(Window.partitionBy("cohort")).cast("double")
+    val colN = sum("n").over(Window.partitionBy("event_type")).cast("double")
+    val totN = sum("n").over(Window.partitionBy()).cast("double")
+    val expected = rowN * colN / totN
+    val o = col("n").cast("double")
+    cells.select(col("cohort"), col("event_type"), col("n"),
+      expected.as("expected"),
+      ((o - expected) * (o - expected) / expected).as("chi_contrib"))
+      .orderBy("cohort", "event_type")
+  }
 
   /** q147 body (shared with StatsSpec's hand-computed chain fixture). */
   def markovTransitions(ev: DataFrame): DataFrame = {

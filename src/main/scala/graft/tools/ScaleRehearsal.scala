@@ -37,7 +37,13 @@ object ScaleRehearsal {
     "q119_cluster_split", "q122_bpe_pairs", "q123_collocation_lift",
     "q129_oov_rate", "q130_containment_pairs", "q132_term_drift",
     "q133_inverted_index", "q134_ngram_diversity", "q135_source_overlap",
-    "q139_prefix_jaccard")
+    "q139_prefix_jaccard",
+    // statistical tier (round 8): events/orders/lineitem scale 10x with
+    // users/customers/orderkeys disjoint per copy, so per-key windows see
+    // constant work and dimension-bounded frames grow linearly
+    "q141_ab_ttest", "q142_freshness", "q143_mad_outliers", "q144_benford",
+    "q145_concentration", "q146_incr_agg_state", "q147_markov_transitions",
+    "q148_decayed_score")
 
   private val OFFSET = 10000000L
 
@@ -247,5 +253,37 @@ object ScaleRehearsal {
     embCopies.reduce(_ unionByName _)
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    // The statistical tier's tables (round 8). Copies shift every entity
+    // key (user, customer, orderkey) by a disjoint offset: the scaled
+    // corpus has `factor`-times the entities with UNCHANGED per-entity
+    // history — the real growth mode of an event lake, and the shape that
+    // keeps per-key windows (q147) constant-work while dimension-bounded
+    // frames (q145's customer rank window) grow linearly.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until factor).map { c =>
+      if (c == 0) ev
+      else ev.withColumn("event_id", col("event_id") + lit(c * OFFSET))
+        .withColumn("user_id", col("user_id") + lit(c * OFFSET))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until factor).map { c =>
+      if (c == 0) ord
+      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(c * OFFSET))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * OFFSET))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until factor).map { c =>
+      if (c == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(c * OFFSET))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
   }
 }

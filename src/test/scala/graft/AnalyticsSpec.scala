@@ -171,4 +171,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == spark.read.parquet(s"$sf/orders.parquet").count())
     assert(rows.exists(_.getLong(2) == 0L), "expected at least one zero-filled cell")
   }
+
+  test("SCD2 lookup: each purchase hits exactly the version active at its ts") {
+    // user 1: view(t0) -> purchase(t1, inside v1) -> click(t2, opens v2)
+    //         -> purchase(t3, inside v2's open interval)
+    // user 2: purchase IS the first event (opens v1, must match v1)
+    // boundary: user 3's purchase shares its EXACT ts with a state change
+    //           (the purchase itself opens v2) -> must land in v2, not v1
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "purchase", 1.0),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0),
+      (4L, ts("2024-01-01 10:15:00"), 1L, "purchase", 1.0),
+      (5L, ts("2024-01-02 09:00:00"), 2L, "purchase", 1.0),
+      (6L, ts("2024-01-03 08:00:00"), 3L, "view", 1.0),
+      (7L, ts("2024-01-03 08:30:00"), 3L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.ShapeOps.scd2Lookup(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3))))
+      .toMap
+    // every purchase matched exactly once
+    assert(out.keySet == Set(2L, 4L, 5L, 7L), s"matched: ${out.keySet}")
+    assert(out(2L) == ((1L, 2, "purchase")),
+      s"purchase at its own change ts must open its version: ${out(2L)}")
+    assert(out(4L) == ((1L, 4, "purchase")), s"${out(4L)}")
+    assert(out(5L) == ((2L, 1, "purchase")),
+      s"first-event purchase must match version 1: ${out(5L)}")
+    assert(out(7L) == ((3L, 2, "purchase")), s"${out(7L)}")
+  }
+
+  test("session paths: strict 30-min gap, 8-type truncation, tie order") {
+    val base = ts("2024-01-01 10:00:00").getTime
+    def at(ms: Long) = new Timestamp(base + ms)
+    val ev =
+      // user 1, session 1: exactly 30:00 gap does NOT split (strict >)
+      Seq((1L, at(0L), 1L, "view"), (2L, at(1800000L), 1L, "click"),
+        // 30:00.001 gap DOES split -> session 2
+        (3L, at(3600001L), 1L, "purchase")) ++
+        // user 2: 10 events in one session -> path truncated to first 8
+        (0 until 10).map(i => (10L + i, at(i * 1000L), 2L, s"e$i"))
+    val out = graft.ops.EventOps.sessionPaths(
+      ev.toDF("event_id", "ts", "user_id", "event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "view>click" -> 1L,
+      "purchase" -> 1L,
+      "e0>e1>e2>e3>e4>e5>e6>e7" -> 1L), s"paths: $out")
+  }
 }

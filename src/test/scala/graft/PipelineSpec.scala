@@ -103,4 +103,63 @@ class PipelineSpec extends SparkSpec {
     val second = q42.fn(spark, sf).collect()
     assert(first.sameElements(second))
   }
+
+  test("dynamic partition overwrite: only the batch's day is replaced, replay idempotent") {
+    Pipeline.initialLoad(spark, n = 300, seed = 5L)
+    val tbl = s"${silverTable}_dynov"
+    Pipeline.rebuildSilverPartitioned(spark, tbl)
+    val dates = spark.table(tbl).select("order_date").distinct()
+      .collect().map(_.getDate(0)).sortBy(_.getTime)
+    assert(dates.length >= 2, "fixture needs at least two date partitions")
+    val target = dates.head
+    val others = dates.tail.toSet
+
+    def partFiles: Map[String, Long] = {
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+          .location.toString).getPath)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = partFiles
+    val untouchedBefore = before.filter(!_._1.contains(s"order_date=$target"))
+    assert(untouchedBefore.nonEmpty)
+
+    // replacement batch for ONE day (materialized — Spark rejects
+    // overwriting a table that the write plan also reads)
+    val batchRows = spark.table(tbl)
+      .where(col("order_date") === lit(target))
+      .withColumn("total_amount", round(col("total_amount") * 2, 2))
+      .collect()
+    val origTargetCount = batchRows.length
+    assert(origTargetCount > 0)
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(batchRows.toIndexedSeq),
+      spark.table(tbl).schema)
+
+    Pipeline.overwriteDayPartitions(spark, batch, tbl)
+
+    // untouched partitions: the very same files, byte-for-byte (mtimes)
+    val after = partFiles
+    val untouchedAfter = after.filter(!_._1.contains(s"order_date=$target"))
+    assert(untouchedAfter == untouchedBefore,
+      "files outside the replaced partition must not be rewritten")
+    // replaced partition carries the new content; the rest still reads
+    assert(spark.table(tbl).count() == 300)
+    val doubled = spark.table(tbl)
+      .where(col("order_date") === lit(target)).count()
+    assert(doubled == origTargetCount)
+    assert(spark.table(tbl).select("order_date").distinct().count()
+      == others.size + 1)
+
+    // replay the same batch: content converges (idempotent)
+    val snapshot = spark.table(tbl).orderBy("order_id").collect()
+    Pipeline.overwriteDayPartitions(spark, batch, tbl)
+    val replay = spark.table(tbl).orderBy("order_id").collect()
+    assert(snapshot.sameElements(replay), "replaying a day must be a no-op")
+  }
 }

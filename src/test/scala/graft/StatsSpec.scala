@@ -114,6 +114,26 @@ class StatsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1.0))), s"matrix: $out")
   }
 
+  test("chi-square cells: hand-computed 2x2, margins and contributions") {
+    // cohort A (even users): 30 view, 10 click; cohort B: 10 view, 10 click
+    // margins: rowA=40 rowB=20 colView=40 colClick=20 N=60
+    // E(A,view)=40*40/60=26.666..; contrib=(30-E)^2/E
+    val rows =
+      Seq.fill(30)((2L, "view")) ++ Seq.fill(10)((2L, "click")) ++
+        Seq.fill(10)((3L, "view")) ++ Seq.fill(10)((3L, "click"))
+    val out = StatOps.contingencyChi(rows.toDF("user_id", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val eAV = 40.0 * 40.0 / 60.0
+    assert(out(("A", "view"))._1 == 30L)
+    assert(math.abs(out(("A", "view"))._2 - eAV) < 1e-12)
+    assert(math.abs(out(("A", "view"))._3 - (30 - eAV) * (30 - eAV) / eAV) < 1e-12)
+    val eBC = 20.0 * 20.0 / 60.0
+    assert(math.abs(out(("B", "click"))._2 - eBC) < 1e-12)
+    assert(out.size == 4, s"expected 4 cells, got ${out.keys}")
+  }
+
   test("decayed score: exact powers of two, 30-day cutoff enforced") {
     val ev = Seq(
       // user 1: 1.00 today (w=1), 2.00 one day back (w=1/2), 4.00 two
