@@ -297,4 +297,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"no window/ntile may appear:\n$plan")
   }
+
+  test("q143 MAD: both stats frames broadcast back, fact never re-shuffles") {
+    val plan = planOf("q143_mad_outliers")
+    // the dev frame feeds both the MAD aggregate and the final count, so
+    // the med join's subtree can appear twice in the unexecuted text —
+    // what matters is that every stats join broadcasts
+    val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bcasts >= 2, s"expected the med+mad joins to broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"type-cardinality stats must never sort-merge:\n$plan")
+  }
+
+  test("q149 HAVING subquery executes ONE independent aggregate, no per-group rerun") {
+    val df = SparkEntry.queries("q149_revenue_share_having")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scalar threshold appears as a single (reused) subquery node;
+    // a correlated rewrite would surface joins or repeated aggregates
+    val subq = "Subquery".r.findAllIn(plan).length
+    assert(subq >= 1, s"expected a scalar subquery node:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"threshold must not join row-by-row:\n$plan")
+  }
+
+  test("q150 session paths: top-k is TakeOrdered, collect is capped below it") {
+    val plan = planOf("q150_session_paths")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 paths must not global-sort:\n$plan")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Filter"),
+      s"the rn<=8 cap must run before collect_list:\n$plan")
+  }
+
+  test("q152 SCD2 lookup joins on the user key with the interval as residual") {
+    val plan = planOf("q152_scd2_lookup")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"point-in-time lookup must be a keyed join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must ride the equi-join as a residual:\n$plan")
+  }
 }
