@@ -148,4 +148,93 @@ class PropertySpec extends SparkSpec {
           s"extra=${(out -- brute).take(5)}")
     }
   }
+
+  test("markov transition rows partition the per-prev mass on random event logs") {
+    val evGen = for {
+      user <- Gen.choose(1L, 8L)
+      secs <- Gen.choose(0L, 3600L)
+      tpe <- Gen.oneOf("view", "click", "purchase")
+    } yield (user, secs, tpe)
+    (1 to 3).foreach { i =>
+      val raw = Gen.listOfN(120, evGen)
+        .pureApply(Gen.Parameters.default, Seed(5100L + i))
+      val ev = raw.zipWithIndex.map { case ((u, s, t), id) =>
+        (id.toLong, new java.sql.Timestamp(1700000000000L + s * 1000L), u, t)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val rows = graft.ops.StatOps.markovTransitions(ev).collect()
+      // per-prev probabilities sum to 1 and total transitions = N - users
+      rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+        val p = rs.map(_.getDouble(3)).sum
+        assert(math.abs(p - 1.0) < 1e-9, s"prev=$prev mass $p")
+      }
+      val nUsers = raw.map(_._1).distinct.size
+      assert(rows.map(_.getLong(2)).sum == raw.size - nUsers,
+        "every non-first event is exactly one transition")
+    }
+  }
+
+  test("gini stays in [0,(n-1)/n] and concentration is partitioning-invariant") {
+    val revGen = for {
+      cust <- Gen.choose(1L, 40L)
+      price <- Gen.choose(100, 99999).map(_ / 100.0)
+    } yield (cust, price)
+    (1 to 3).foreach { i =>
+      val raw = Gen.listOfN(150, revGen)
+        .pureApply(Gen.Parameters.default, Seed(5200L + i))
+      val df = raw.toDF("o_custkey", "o_totalprice")
+      val a = graft.ops.StatOps.concentration(df).head()
+      val n = a.getLong(0).toDouble
+      assert(a.getDouble(2) >= -1e-12 && a.getDouble(2) <= (n - 1) / n + 1e-12,
+        s"gini out of range: ${a.getDouble(2)} for n=$n")
+      assert(a.getDouble(3) > 0 && a.getDouble(3) <= 1.0 + 1e-12)
+      // exactness claim: identical bits under a different partitioning
+      val b = graft.ops.StatOps.concentration(df.repartition(7)).head()
+      assert(a == b, s"partitioning changed the result: $a vs $b")
+    }
+  }
+
+  test("decayed score and MAD outliers are partitioning-invariant (exactness)") {
+    val evGen = for {
+      user <- Gen.choose(1L, 10L)
+      day <- Gen.choose(0L, 40L) // some beyond the 30-day cutoff
+      v <- Gen.choose(1, 50000).map(_ / 100.0)
+      tpe <- Gen.oneOf("view", "click")
+    } yield (user, day, v, tpe)
+    (1 to 3).foreach { i =>
+      val raw = Gen.listOfN(200, evGen)
+        .pureApply(Gen.Parameters.default, Seed(5300L + i))
+      val ev = raw.zipWithIndex.map { case ((u, d, v, t), id) =>
+        (id.toLong, new java.sql.Timestamp(1700000000000L + d * 86400000L),
+          u, t, v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        (graft.ops.StatOps.decayedScore(df).collect().toSeq,
+          graft.ops.StatOps.madOutliers(df).collect().toSeq)
+      val (s1, m1) = rows(ev)
+      val (s2, m2) = rows(ev.repartition(9))
+      assert(s1 == s2, "decayed score must be bit-identical under repartition")
+      assert(m1 == m2, "MAD stats must be bit-identical under repartition")
+      m1.foreach(r => assert(r.getLong(4) <= r.getLong(1),
+        "outliers cannot exceed the group count"))
+    }
+  }
+
+  test("incremental agg state merges to the full recompute for random splits") {
+    val orders = Pipeline.silverTransform(sample(5400L).toDF())
+      .select(col("order_id").as("o_orderkey_s"), col("category"),
+        col("total_amount"), col("order_date"))
+      .select(expr("CAST(SUBSTRING(o_orderkey_s, 5) AS BIGINT)").as("o_orderkey"),
+        col("category").as("o_orderpriority"),
+        col("total_amount").as("o_totalprice"),
+        col("order_date").cast("timestamp").as("o_orderdate"))
+    val full = graft.ops.StatOps.mergeAggState(graft.ops.StatOps.aggState(orders))
+    (1 to 3).foreach { m =>
+      val a = orders.filter(pmod(col("o_orderkey"), lit(m + 2)) === 0)
+      val b = orders.filter(pmod(col("o_orderkey"), lit(m + 2)) =!= 0)
+      val merged = graft.ops.StatOps.mergeAggState(
+        graft.ops.StatOps.aggState(a).unionByName(graft.ops.StatOps.aggState(b)))
+      assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+        s"modulus ${m + 2} batching diverged")
+    }
+  }
 }
