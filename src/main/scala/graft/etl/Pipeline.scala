@@ -124,6 +124,29 @@ object Pipeline {
       categoryCount = wide.getAs[Long]("_cats"))
   }
 
+  /** In-flight quality metrics via `Observation`: the SAME invariants the
+    * C2 report computes, collected DURING another action's single pass
+    * over the data instead of by a second scan. At 100 TB the quality
+    * suite must not double the pipeline's IO — Observation attaches the
+    * aggregates to the write/collect job already running, for free. The
+    * caller runs ONE action on the returned frame (e.g. the silver
+    * write), then reads `metrics`. PipelineSpec pins equality with the
+    * two-pass qualityReport. (Duplicate-id detection needs its own
+    * shuffle and stays in the C2 report — an observation is per-row
+    * aggregation only.)
+    */
+  def observedQuality(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_quality")
+    val cols = df.columns.toSeq
+    val aggs = Seq(
+      count(lit(1)).as("_rows"),
+      min(col("total_amount")).as("_min"),
+      max(col("total_amount")).as("_max"),
+      moneyAvg(col("total_amount")).as("_avg")) ++
+      cols.map(c => count(when(col(c).isNull, lit(1))).as(s"null_$c"))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   // ---- Gold: aggregates (ref 02:31-76, 03:103-127) ----
 
   /** Category/city analytics (ref 02:56, 02:63). Column name standardized on

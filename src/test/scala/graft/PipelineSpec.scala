@@ -162,4 +162,23 @@ class PipelineSpec extends SparkSpec {
     val replay = spark.table(tbl).orderBy("order_id").collect()
     assert(snapshot.sameElements(replay), "replaying a day must be a no-op")
   }
+
+  test("observed quality metrics ride the write pass and match the two-pass report") {
+    Pipeline.initialLoad(spark, n = 400, seed = 11L)
+    val silver = spark.table(silverTable)
+    val (observed, obs) = Pipeline.observedQuality(silver)
+    // ONE action: the parquet write the pipeline runs anyway
+    val outDir = java.nio.file.Files.createTempDirectory("graft-obs-out").toString
+    observed.write.mode("overwrite").parquet(outDir)
+    val m = obs.get
+    val direct = Pipeline.qualityReport(silver)
+    assert(m("_rows") == direct.rowCount)
+    assert(m("_min") == direct.minAmount && m("_max") == direct.maxAmount)
+    assert(m("_avg") == direct.avgAmount)
+    silver.columns.foreach { c =>
+      assert(m(s"null_$c") == direct.nullCounts(c), s"null count drift on $c")
+    }
+    // and the written data is untouched by the observation
+    assert(spark.read.parquet(outDir).count() == direct.rowCount)
+  }
 }
