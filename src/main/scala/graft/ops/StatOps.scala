@@ -212,7 +212,28 @@ object StatOps {
         |      * CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
         |      / CAST(SUM(n) OVER () AS DOUBLE)) AS chi_contrib
         |FROM cells ORDER BY cohort, event_type""".stripMargin),
-      (spark, dir) => contingencyChi(EventOps.events(spark, dir))))
+      (spark, dir) => contingencyChi(EventOps.events(spark, dir))),
+
+    // Transition think-time: for each (prev -> next) event-type pair, how
+    // long users pause between them (median). The q147 lag window plus
+    // the q49 exact-interpolation median over INTEGER second gaps
+    // (epoch-ms difference, integer-divided by 1000 — exact on both
+    // engines; interpolating integers lands on the half grid, exact in
+    // double). One shuffle on user_id, then a type-pair-cardinality agg.
+    QueryDef(
+      "q153_transition_time",
+      Some("""WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER w AS prev_type,
+        |    LAG(epoch_ms(ts)) OVER w AS prev_ms,
+        |    epoch_ms(ts) AS ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont((ms - prev_ms) // 1000, 0.5) AS median_gap_s
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin),
+      (spark, dir) => transitionTime(EventOps.events(spark, dir))))
 
   /** q143 body (shared with StatsSpec's planted-outlier fixture).
     * Expects (event_type, value); emits per-type robust stats + outlier
@@ -313,6 +334,20 @@ object StatOps {
       .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
       .withColumn("p", col("n").cast("double") /
         sum("n").over(Window.partitionBy("prev_type")).cast("double"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** q153 body (shared with StatsSpec's hand-computed gaps fixture). */
+  def transitionTime(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("ms", expr("unix_millis(ts)"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .withColumn("gap_s", expr("(ms - prev_ms) div 1000"))
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(gap_s, 0.5d)").as("median_gap_s"))
       .orderBy("prev_type", "event_type")
   }
 

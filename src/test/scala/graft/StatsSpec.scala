@@ -134,6 +134,24 @@ class StatsSpec extends SparkSpec {
     assert(out.size == 4, s"expected 4 cells, got ${out.keys}")
   }
 
+  test("transition think-time: hand-computed gaps, exact half-grid median") {
+    val ev = Seq(
+      // user 1: view -(10s)-> click -(20s)-> view; user 2: view -(40s)-> click
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:00:10"), 1L, "click"),
+      (3L, ts("2024-01-01 10:00:30"), 1L, "view"),
+      (4L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 11:00:40"), 2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = StatOps.transitionTime(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // view->click gaps {10, 40} -> median 25.0 (half-grid interpolation)
+    assert(out == Map(
+      ("view", "click") -> ((2L, 25.0)),
+      ("click", "view") -> ((1L, 20.0))), s"got $out")
+  }
+
   test("decayed score: exact powers of two, 30-day cutoff enforced") {
     val ev = Seq(
       // user 1: 1.00 today (w=1), 2.00 one day back (w=1/2), 4.00 two
