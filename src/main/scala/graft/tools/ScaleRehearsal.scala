@@ -44,7 +44,7 @@ object ScaleRehearsal {
     "q141_ab_ttest", "q142_freshness", "q143_mad_outliers", "q144_benford",
     "q145_concentration", "q146_incr_agg_state", "q147_markov_transitions",
     "q148_decayed_score", "q149_revenue_share_having", "q150_session_paths",
-    "q151_chi_square_cells", "q152_scd2_lookup")
+    "q151_chi_square_cells", "q152_scd2_lookup", "q153_transition_time")
 
   private val OFFSET = 10000000L
 
