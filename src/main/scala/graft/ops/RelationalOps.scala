@@ -288,7 +288,63 @@ object RelationalOps {
       |     AS DECIMAL(18,4))) * 0.001 FROM lineitem)
       |ORDER BY revenue DESC, l_partkey""".stripMargin
 
+  /** TPC-H Q22 shape: high-balance customers who have gone QUIET — above
+    * the average positive balance (scalar subquery threshold) with no
+    * order since 2000 (correlated NOT EXISTS → LeftAnti join), rolled up
+    * by nation. The threshold is an exact decimal sum divided once in
+    * double (identical on both engines); the anti join's date predicate
+    * pushes to the orders scan. Complements q126 (EXISTS/semi) and q136
+    * (semi+anti on suppliers) with the anti + scalar-threshold + rollup
+    * composition.
+    */
+  val lapsedCustomersSql: String =
+    """WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+      |    AS DOUBLE) / COUNT(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS totacctbal
+      |FROM customer c
+      |WHERE c.c_acctbal > (SELECT avg_bal FROM thr)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** TPC-H Q15 shape: the top supplier(s) by lineitem revenue — a scalar
+    * MAX subquery over a DERIVED aggregate (the CTE appears as both join
+    * input and subquery source). Revenue stays decimal through the
+    * equality test, so the "ties keep every winner" contract is exact,
+    * never a double ULP lottery.
+    */
+  val topSupplierSql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+      |      AS total_rev
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |  CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_rev
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q154_lapsed_customers",
+      Some(lapsedCustomersSql),
+      (spark, dir) => {
+        withViews(spark, dir, "customer", "orders")
+        spark.sql(lapsedCustomersSql)
+      }),
+
+    QueryDef(
+      "q155_top_supplier",
+      Some(topSupplierSql),
+      (spark, dir) => {
+        withViews(spark, dir, "supplier", "lineitem")
+        spark.sql(topSupplierSql)
+      }),
+
     QueryDef(
       "q149_revenue_share_having",
       Some(revenueShareSql),

@@ -328,6 +328,25 @@ class PlanSpec extends SparkSpec {
       s"the rn<=8 cap must run before collect_list:\n$plan")
   }
 
+  test("q154 lapsed customers: anti join with the date predicate pushed to orders") {
+    val df = SparkEntry.queries("q154_lapsed_customers")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must decorrelate to an anti join:\n$plan")
+    assert(plan.replaceAll("\\s", "").contains("PushedFilters:[IsNotNull(o_custkey),GreaterThanOrEqual(o_orderdate")
+      || plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter must reach the orders scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q155 top supplier: scalar MAX over the derived aggregate, no rescan join loop") {
+    val plan = planOf("q155_top_supplier")
+    assert("Subquery".r.findAllIn(plan).nonEmpty,
+      s"expected a scalar subquery for the max:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"max threshold must not join row-by-row:\n$plan")
+  }
+
   test("q152 SCD2 lookup joins on the user key with the interval as residual") {
     val plan = planOf("q152_scd2_lookup")
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
