@@ -233,7 +233,23 @@ object StatOps {
         |FROM s WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
         |ORDER BY prev_type, event_type""".stripMargin),
-      (spark, dir) => transitionTime(EventOps.events(spark, dir))))
+      (spark, dir) => transitionTime(EventOps.events(spark, dir))),
+
+    // Exact distinct via bitmap aggregation — the EXACT counterpart of
+    // the q41 HLL tier. Dense integer keys bucket into 32k-bit bitmaps
+    // (bitmap_bucket_number / bitmap_bit_position), each (group, bucket)
+    // builds its bitmap map-side, and popcounts sum to the exact
+    // distinct count. At 100 TB this is how warehouses keep exact
+    // uniques affordable: the shuffle carries fixed-size bitmaps, not
+    // user ids, and bucket bitmaps merge by OR (associative, so partial
+    // aggregation applies). Graded against the naive COUNT(DISTINCT) —
+    // the bitmap path must be EXACTLY equal, not approximately.
+    QueryDef(
+      "q156_bitmap_distinct",
+      Some("""SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (spark, dir) => bitmapDistinct(EventOps.events(spark, dir))))
 
   /** q143 body (shared with StatsSpec's planted-outlier fixture).
     * Expects (event_type, value); emits per-type robust stats + outlier
@@ -336,6 +352,19 @@ object StatOps {
         sum("n").over(Window.partitionBy("prev_type")).cast("double"))
       .orderBy("prev_type", "event_type")
   }
+
+  /** q156 body (shared with StatsSpec's bucket-boundary fixture): exact
+    * distinct keys per group through 32k-bit bucketed bitmaps.
+    */
+  def bitmapDistinct(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      expr("bitmap_bucket_number(user_id)").as("buck"),
+      expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy("event_type", "buck")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"))
+      .orderBy("event_type")
 
   /** q153 body (shared with StatsSpec's hand-computed gaps fixture). */
   def transitionTime(ev: DataFrame): DataFrame = {

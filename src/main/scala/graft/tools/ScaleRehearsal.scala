@@ -44,7 +44,8 @@ object ScaleRehearsal {
     "q141_ab_ttest", "q142_freshness", "q143_mad_outliers", "q144_benford",
     "q145_concentration", "q146_incr_agg_state", "q147_markov_transitions",
     "q148_decayed_score", "q149_revenue_share_having", "q150_session_paths",
-    "q151_chi_square_cells", "q152_scd2_lookup", "q153_transition_time")
+    "q151_chi_square_cells", "q152_scd2_lookup", "q153_transition_time",
+    "q154_lapsed_customers", "q155_top_supplier")
 
   private val OFFSET = 10000000L
 
@@ -286,5 +287,20 @@ object ScaleRehearsal {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+
+    // customers shift with orders' o_custkey offsets (q154's anti join
+    // stays key-consistent at 10x entities); supplier is an unscaled
+    // dimension (lineitem keeps l_suppkey, so q155 sees 10x revenue over
+    // the same supplier set)
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    (0 until factor).map { c =>
+      if (c == 0) cust
+      else cust.withColumn("c_custkey", col("c_custkey") + lit(c * OFFSET))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
+
+    spark.read.parquet(s"$src/supplier.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
   }
 }

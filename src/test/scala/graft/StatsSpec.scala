@@ -152,6 +152,18 @@ class StatsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 20.0))), s"got $out")
   }
 
+  test("bitmap distinct: exact across bucket boundaries and duplicates") {
+    // ids straddling the 32768-bit bucket boundary plus heavy dups; the
+    // bitmap path must equal a plain distinct count exactly
+    val ids = Seq(1L, 1L, 1L, 32767L, 32768L, 32769L, 65536L, 100000L,
+      100000L, 5L)
+    val ev = ids.map(("click", _)) ++ Seq(("view", 7L), ("view", 7L))
+    val out = StatOps.bitmapDistinct(ev.toDF("event_type", "user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("click" -> ids.distinct.size.toLong, "view" -> 1L),
+      s"got $out")
+  }
+
   test("decayed score: exact powers of two, 30-day cutoff enforced") {
     val ev = Seq(
       // user 1: 1.00 today (w=1), 2.00 one day back (w=1/2), 4.00 two
