@@ -249,7 +249,24 @@ object StatOps {
       Some("""SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-      (spark, dir) => bitmapDistinct(EventOps.events(spark, dir))))
+      (spark, dir) => bitmapDistinct(EventOps.events(spark, dir))),
+
+    // Incremental exact distinct: per-DAY bitmap states OR-merged over a
+    // trailing 14-day window — the exact-arithmetic twin of q84's HLL
+    // union algebra. A nightly pipeline materializes one bitmap per
+    // (group, day, bucket); "distinct users last N days" then merges N
+    // small states (bitmap_or_agg) instead of rescanning N days of raw
+    // events, and unlike HLL the answer is EXACT. Graded against naive
+    // COUNT(DISTINCT) over the same window.
+    QueryDef(
+      "q157_bitmap_rollup",
+      Some("""WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events)
+        |SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_recent
+        |FROM events, m
+        |WHERE CAST(ts AS DATE) >= mx - 14
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (spark, dir) => bitmapRollup(EventOps.events(spark, dir))))
 
   /** q143 body (shared with StatsSpec's planted-outlier fixture).
     * Expects (event_type, value); emits per-type robust stats + outlier
@@ -365,6 +382,33 @@ object StatOps {
       .groupBy("event_type")
       .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"))
       .orderBy("event_type")
+
+  /** q157's daily state build: one bitmap per (event_type, day, bucket) —
+    * what a nightly job would persist. Shared with the rollup and the
+    * StatsSpec cross-day-dedup fixture.
+    */
+  def dailyBitmapState(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), to_date(col("ts")).as("day"),
+      expr("bitmap_bucket_number(user_id)").as("buck"),
+      expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy("event_type", "day", "buck")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+
+  /** q157 body: OR-merge the trailing-14-day daily states and popcount.
+    * The raw table is touched ONLY by the state build; the rollup works
+    * on states.
+    */
+  def bitmapRollup(ev: DataFrame, windowDays: Int = 14): DataFrame = {
+    val states = dailyBitmapState(ev)
+    val maxd = states.agg(max(col("day")).as("max_day"))
+    states.crossJoin(broadcast(maxd))
+      .where(col("day") >= date_sub(col("max_day"), windowDays))
+      .groupBy("event_type", "buck")
+      .agg(expr("bitmap_or_agg(bm)").as("merged"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(merged)")).cast("long").as("n_users_recent"))
+      .orderBy("event_type")
+  }
 
   /** q153 body (shared with StatsSpec's hand-computed gaps fixture). */
   def transitionTime(ev: DataFrame): DataFrame = {

@@ -164,6 +164,24 @@ class StatsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("bitmap rollup: cross-day OR-merge dedups, window boundary inclusive") {
+    val ev = Seq(
+      // user 1 active on 3 in-window days -> counts ONCE
+      (1L, ts("2024-03-31 10:00:00"), 1L, "click"),
+      (2L, ts("2024-03-25 10:00:00"), 1L, "click"),
+      (3L, ts("2024-03-20 10:00:00"), 1L, "click"),
+      // user 2 exactly at max_day - 14 -> included
+      (4L, ts("2024-03-17 08:00:00"), 2L, "click"),
+      // user 3 one day beyond the window -> excluded
+      (5L, ts("2024-03-16 23:59:59"), 3L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = StatOps.bitmapRollup(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("click" -> 2L), s"got $out")
+    // and the state build really is one bitmap row per (type, day, bucket)
+    assert(StatOps.dailyBitmapState(ev).count() == 5L)
+  }
+
   test("decayed score: exact powers of two, 30-day cutoff enforced") {
     val ev = Seq(
       // user 1: 1.00 today (w=1), 2.00 one day back (w=1/2), 4.00 two
