@@ -45,7 +45,8 @@ object ScaleRehearsal {
     "q145_concentration", "q146_incr_agg_state", "q147_markov_transitions",
     "q148_decayed_score", "q149_revenue_share_having", "q150_session_paths",
     "q151_chi_square_cells", "q152_scd2_lookup", "q153_transition_time",
-    "q154_lapsed_customers", "q155_top_supplier")
+    "q154_lapsed_customers", "q155_top_supplier", "q156_bitmap_distinct",
+    "q157_bitmap_rollup")
 
   private val OFFSET = 10000000L
 
