@@ -266,7 +266,54 @@ object StatOps {
         |FROM events, m
         |WHERE CAST(ts AS DATE) >= mx - 14
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
-      (spark, dir) => bitmapRollup(EventOps.events(spark, dir))))
+      (spark, dir) => bitmapRollup(EventOps.events(spark, dir))),
+
+    // Fulfillment-lag percentiles: order date -> line ship date, exact
+    // integer day gaps through a fact-fact equi-join, p50/p90 by the
+    // q49 interpolation rule (exact on integer inputs). The join
+    // shuffles both sides once on the order key; the percentile state is
+    // per-priority. The logistics-SLA query every ops dashboard runs.
+    QueryDef(
+      "q158_fulfillment_lag",
+      Some("""WITH l AS (SELECT o.o_orderpriority,
+        |    date_diff('day', o.o_orderdate, li.l_shipdate) AS lag_d
+        |  FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  quantile_cont(lag_d, 0.5) AS p50_days,
+        |  quantile_cont(lag_d, 0.9) AS p90_days,
+        |  CAST(MAX(lag_d) AS BIGINT) AS max_days
+        |FROM l GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val lag = t(spark, dir, "orders")
+          .join(t(spark, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority"),
+            datediff(col("l_shipdate"), col("o_orderdate")).as("lag_d"))
+        lag.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            expr("percentile(lag_d, 0.5d)").as("p50_days"),
+            expr("percentile(lag_d, 0.9d)").as("p90_days"),
+            max(col("lag_d")).cast("long").as("max_days"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Frequency-of-frequencies (order-size distribution): how many
+    // orders have k lines — two CHAINED aggregations, the Good-Turing /
+    // degree-distribution primitive. The second agg runs over the
+    // already-collapsed per-order frame, and its key cardinality is the
+    // max basket size (tiny), so the second shuffle is trivial at any
+    // scale.
+    QueryDef(
+      "q159_order_size_dist",
+      Some("""WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM c GROUP BY n_lines ORDER BY n_lines""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+          .groupBy("n_lines").agg(count(lit(1)).as("n_orders"))
+          .orderBy("n_lines")))
 
   /** q143 body (shared with StatsSpec's planted-outlier fixture).
     * Expects (event_type, value); emits per-type robust stats + outlier

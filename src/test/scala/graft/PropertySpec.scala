@@ -219,6 +219,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bitmap distinct equals plain countDistinct on random id sets") {
+    val idGen = Gen.oneOf(
+      Gen.choose(0L, 100L),                  // dense small ids (dup-heavy)
+      Gen.choose(32700L, 32900L),            // straddles the bucket boundary
+      Gen.choose(1L << 32, (1L << 32) + 500L)) // far bucket
+    (1 to 3).foreach { i =>
+      val ids = Gen.listOfN(300, idGen)
+        .pureApply(Gen.Parameters.default, Seed(5500L + i))
+      val ev = ids.map(("t", _)).toDF("event_type", "user_id")
+      val viaBitmap = graft.ops.StatOps.bitmapDistinct(ev).head().getLong(1)
+      assert(viaBitmap == ids.distinct.size.toLong,
+        s"seed ${5500 + i}: bitmap=$viaBitmap true=${ids.distinct.size}")
+    }
+  }
+
   test("incremental agg state merges to the full recompute for random splits") {
     val orders = Pipeline.silverTransform(sample(5400L).toDF())
       .select(col("order_id").as("o_orderkey_s"), col("category"),
