@@ -248,7 +248,39 @@ object EventOps {
         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
-      (spark, dir) => sessionPaths(events(spark, dir))))
+      (spark, dir) => sessionPaths(events(spark, dir))),
+
+    // SLIDING (overlapping) time windows — the hopping-window mode q33's
+    // tumbling windows don't exercise: a 1-hour window every 15 minutes,
+    // each event landing in exactly width/slide = 4 windows. Spark's
+    // `window(ts, width, slide)` plans this as a bounded row-local
+    // Expand (4 rows per event) followed by a normal hash aggregate —
+    // no self-join, no range join, and the fan-out constant is fixed by
+    // the window spec, not the data. The oracle reproduces the same
+    // epoch-aligned window starts with generate_series.
+    QueryDef(
+      "q160_sliding_window",
+      Some("""WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+        |w AS (SELECT (ms // 900000) * 900000 AS aligned, value FROM e),
+        |x AS (SELECT unnest(generate_series(aligned - 2700000, aligned,
+        |         900000)) AS ws, value FROM w)
+        |SELECT strftime(make_timestamp(ws * 1000), '%Y-%m-%d %H:%M:%S')
+        |    AS win_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS total_value
+        |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin),
+      (spark, dir) =>
+        events(spark, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value").cast(DecimalType(18, 6))), 2)
+              .cast("double").as("total_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("win_start"),
+            col("n_events"), col("total_value"))
+          .orderBy("win_start")))
 
   /** Distinct users over a trailing `width`-day window, one row per
     * calendar day up to the last observed day. Scale shape: the raw event

@@ -347,6 +347,14 @@ class PlanSpec extends SparkSpec {
       s"max threshold must not join row-by-row:\n$plan")
   }
 
+  test("q160 sliding windows fan out via a bounded Expand, never a join") {
+    val plan = planOf("q160_sliding_window")
+    assert(plan.contains("Expand"),
+      s"width/slide fan-out must be a row-local Expand:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"sliding windows must not join events to a window table:\n$plan")
+  }
+
   test("q152 SCD2 lookup joins on the user key with the interval as residual") {
     val plan = planOf("q152_scd2_lookup")
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
