@@ -46,7 +46,8 @@ object ScaleRehearsal {
     "q148_decayed_score", "q149_revenue_share_having", "q150_session_paths",
     "q151_chi_square_cells", "q152_scd2_lookup", "q153_transition_time",
     "q154_lapsed_customers", "q155_top_supplier", "q156_bitmap_distinct",
-    "q157_bitmap_rollup")
+    "q157_bitmap_rollup", "q158_fulfillment_lag", "q159_order_size_dist",
+    "q160_sliding_window")
 
   private val OFFSET = 10000000L
 
