@@ -313,7 +313,46 @@ object StatOps {
         t(spark, dir, "lineitem")
           .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
           .groupBy("n_lines").agg(count(lit(1)).as("n_orders"))
-          .orderBy("n_lines")))
+          .orderBy("n_lines")),
+
+    // Month-over-month revenue trend: absolute delta, growth rate, and
+    // cumulative share — the BI trend triple. Every sum is an exact
+    // decimal (monthly partials, the running cumulative over the
+    // deterministic month order, and the grand total via an unbounded
+    // frame), so lag deltas and both divisions run over identical exact
+    // inputs on both engines. All windows live on the MONTH frame
+    // (calendar-bounded ~84 rows), never the fact table.
+    QueryDef(
+      "q161_revenue_trend",
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(rev - LAG(rev) OVER (ORDER BY month), 2) AS DOUBLE)
+        |    AS delta,
+        |  CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+        |    / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS growth,
+        |  CAST(SUM(rev) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+        |      AS DOUBLE)
+        |    / CAST(SUM(rev) OVER () AS DOUBLE) AS cum_share
+        |FROM m ORDER BY month""".stripMargin),
+      (spark, dir) => {
+        val w = Window.orderBy("month")
+        val m = t(spark, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(money(col("o_totalprice"))).as("rev"))
+        m.select(col("month"),
+          round(col("rev"), 2).cast("double").as("revenue"),
+          round(col("rev") - lag(col("rev"), 1).over(w), 2).cast("double")
+            .as("delta"),
+          ((col("rev") - lag(col("rev"), 1).over(w)).cast("double") /
+            lag(col("rev"), 1).over(w).cast("double")).as("growth"),
+          (sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") /
+            sum(col("rev")).over(Window.partitionBy()).cast("double"))
+            .as("cum_share"))
+          .orderBy("month")
+      }))
 
   /** q143 body (shared with StatsSpec's planted-outlier fixture).
     * Expects (event_type, value); emits per-type robust stats + outlier

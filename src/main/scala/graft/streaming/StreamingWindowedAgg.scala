@@ -33,12 +33,18 @@ object StreamingWindowedAgg {
       schema: StructType,
       tsCol: String = "ts",
       delay: String = "30 minutes",
-      width: String = "1 hour"): StreamingQuery =
+      width: String = "1 hour",
+      slide: String = null): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(landingDir)
       .withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), width), col("event_type"))
+      // slide == null -> tumbling; a shorter slide gives HOPPING windows
+      // (q160's batch mode under the same watermark/append contract —
+      // each of the width/slide overlapping windows finalizes and emits
+      // independently once the watermark passes ITS end)
+      .groupBy(window(col(tsCol), width,
+        if (slide == null) width else slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double")
           .as("sum_value"))

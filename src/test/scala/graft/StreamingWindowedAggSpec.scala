@@ -69,4 +69,36 @@ class StreamingWindowedAggSpec extends SparkSpec {
       ("12", "click", 1L, 8.0)),
       s"late event must not appear or mutate emitted windows, got ${readOut().toSeq}")
   }
+
+  test("hopping windows: each overlapping window finalizes independently, once") {
+    val landing = Files.createTempDirectory("graft-hop-landing").toString
+    val out = Files.createTempDirectory("graft-hop-out").toString
+    val ckpt = Files.createTempDirectory("graft-hop-ckpt").toString
+
+    // 1h window, 30m slide: an event at 10:15 lands in windows starting
+    // 09:30 and 10:00. The 12:00 pusher moves the watermark to 11:30,
+    // finalizing both (ends 10:30/11:00 <= 11:30) — two rows, same event
+    // counted in each, emitted exactly once.
+    Seq(("click", 2.0, ts(10, 15)), ("view", 1.0, ts(12, 0)))
+      .toDF("event_type", "value", "ts")
+      .write.mode("append").parquet(landing)
+    StreamingWindowedAgg.windowedAggAvailableNow(spark, landing, out, ckpt,
+      schema, tsCol = "ts", delay = "30 minutes", width = "1 hour",
+      slide = "30 minutes").awaitTermination(120000)
+
+    val rows = spark.read
+      .schema(StructType(Seq(
+        StructField("window_start", TimestampType),
+        StructField("window_end", TimestampType),
+        StructField("event_type", StringType),
+        StructField("n_events", LongType),
+        StructField("sum_value", DoubleType))))
+      .parquet(out)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 16),
+        r.getString(2), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("09:30", "click", 1L, 2.0), ("10:00", "click", 1L, 2.0)),
+      s"got ${rows.toSeq}")
+  }
 }
