@@ -47,7 +47,7 @@ object ScaleRehearsal {
     "q151_chi_square_cells", "q152_scd2_lookup", "q153_transition_time",
     "q154_lapsed_customers", "q155_top_supplier", "q156_bitmap_distinct",
     "q157_bitmap_rollup", "q158_fulfillment_lag", "q159_order_size_dist",
-    "q160_sliding_window")
+    "q160_sliding_window", "q161_revenue_trend")
 
   private val OFFSET = 10000000L
 
