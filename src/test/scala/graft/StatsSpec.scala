@@ -152,6 +152,37 @@ class StatsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 20.0))), s"got $out")
   }
 
+  test("fulfillment lag: join fan-out and interpolated percentiles by hand") {
+    // one order with 4 lines (gaps 1,2,3,10 days) and one with a single
+    // line (gap 5): p50 of {1,2,3,10} = 2.5 (interpolation), p90 =
+    // 0.9*(n-1)=2.7 -> 3 + 0.7*(10-3) = 7.9; the single-line group's
+    // percentiles collapse to the value itself
+    val orders = Seq(
+      (100L, "HIGH", ts("2024-01-01 00:00:00")),
+      (200L, "LOW", ts("2024-02-01 00:00:00"))
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lines = Seq(
+      (100L, ts("2024-01-02 00:00:00")), (100L, ts("2024-01-03 00:00:00")),
+      (100L, ts("2024-01-04 00:00:00")), (100L, ts("2024-01-11 00:00:00")),
+      (200L, ts("2024-02-06 00:00:00"))
+    ).toDF("l_orderkey", "l_shipdate")
+    import org.apache.spark.sql.functions._
+    val lag = orders.join(lines, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_d"))
+    val out = lag.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(lag_d, 0.5d)").as("p50"),
+        expr("percentile(lag_d, 0.9d)").as("p90"),
+        max(col("lag_d")).cast("long").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("HIGH")._1 == 4L && out("HIGH")._2 == 2.5 &&
+      math.abs(out("HIGH")._3 - 7.9) < 1e-9 && out("HIGH")._4 == 10L,
+      s"HIGH: ${out("HIGH")}")
+    assert(out("LOW") == ((1L, 5.0, 5.0, 5L)), s"LOW: ${out("LOW")}")
+  }
+
   test("bitmap distinct: exact across bucket boundaries and duplicates") {
     // ids straddling the 32768-bit bucket boundary plus heavy dups; the
     // bitmap path must equal a plain distinct count exactly
