@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // events.ts is parquet TIMESTAMP(NANOS); see EventOps.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // every harness (Verify/ScaleRehearsal/SparkSpec) pins UTC so the
+      // NTZ->TIMESTAMP casts and date_format queries are machine-
+      // independent; bench must match or its numbers time a different plan
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -104,6 +108,11 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, _, _, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size}$errJson,"queries":$qs,"means":$means,"reps":$reps,"sf":"$sfDir"}""")
+    // the driver captures only the TAIL of sbt output; with 160+ queries
+    // the full line above can get truncated mid-map and lose the headline
+    // (it happened to BENCH_r08). Repeat the short machine-readable
+    // summary LAST so it always survives tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"nqueries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // a SQL-only client can call cosine_sim with any arity; without
+        // this check exprs(1) dies with IndexOutOfBoundsException instead
+        // of an analysis-time error naming the function
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
   }
 }

@@ -75,19 +75,28 @@ object Pipeline {
     */
   def overwriteDayPartitions(spark: SparkSession, batch: DataFrame,
       table: String = s"${silverTable}_bydate"): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Dynamic overwrite must not mutate the caller's session conf: a
+    // concurrent writer sharing the session could observe dynamic
+    // semantics it never asked for (or have its own dynamic mode
+    // reverted). The writer option `partitionOverwriteMode` does NOT
+    // work here — `insertInto` builds an InsertIntoStatement that
+    // carries no writer options (verified against Spark 4.1's
+    // DataFrameWriter bytecode; the option is honored only by
+    // path-based saves). So scope the conf to a CLONED session
+    // (`newSession`: own SQLConf, shared catalog/warehouse) and rebind
+    // the batch to it via its RDD — the one extra Row serialization is
+    // noise against a daily batch write.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // insertInto is positional (and rejects partitionBy): align the batch
     // to the table's column order, partition column last
-    val cols = spark.table(table).columns
-    try batch.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val cols = s2.table(table).columns
+    s2.createDataFrame(batch.rdd, batch.schema)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Overwrite).insertInto(table)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // the write refreshed s2's file-index cache, not the caller's —
+    // without this the caller's next scan can chase deleted file names
+    spark.catalog.refreshTable(table)
   }
 
   // ---- Quality suite C2: report-only, never drops rows (ref 01:168-206) ----

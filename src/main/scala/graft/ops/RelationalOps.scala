@@ -185,14 +185,15 @@ object RelationalOps {
   /** Order-independent per-partition table checksum — the anti-entropy /
     * migration-validation primitive: two engines (or two replicas, or
     * pre/post-migration copies) agree on a partition iff its (rows,
-    * checksum) pair agrees, without moving the data. Each row folds a
-    * canonical '|'-joined string through the q32 polynomial fingerprint
-    * (row-local, codegen'd, cross-engine parity already graded); the
-    * partition checksum is the SUM of row fingerprints — commutative, so
-    * partition order, task order, and merge order are all irrelevant.
-    * fp < 1000003 keeps any realistic partition's sum far from BIGINT
-    * range. Scale shape: scan-speed map side, one tiny
-    * month-cardinality shuffle.
+    * checksum) pair agrees, without moving the data. Each row folds EVERY
+    * character of a canonical '|'-joined string through a polynomial hash
+    * (row-local, codegen'd; an earlier draft folded only each field's
+    * length and first character, which missed any length-preserving edit
+    * past position 1 — e.g. a day-of-month change); the partition
+    * checksum is the SUM of row fingerprints — commutative, so partition
+    * order, task order, and merge order are all irrelevant. fp < 1000003
+    * keeps any realistic partition's sum far from BIGINT range. Scale
+    * shape: scan-speed map side, one tiny month-cardinality shuffle.
     */
   def partitionChecksum(orders: DataFrame): DataFrame =
     orders
@@ -200,9 +201,8 @@ object RelationalOps {
         col("o_orderkey").cast("string"), col("o_orderstatus"),
         col("o_orderpriority"), date_format(col("o_orderdate"), "yyyy-MM-dd")))
       .withColumn("fp", expr(
-        "aggregate(transform(split(rowstr, '\\\\|'), " +
-          "t -> CAST(length(t) * 131 + ascii(t) AS BIGINT)), " +
-          "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000003)"))
+        "aggregate(sequence(1, length(rowstr)), CAST(0 AS BIGINT), " +
+          "(a, i) -> (a * 131 + ascii(substring(rowstr, i, 1))) % 1000003)"))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_rows"), sum(col("fp")).as("checksum"))
       .orderBy("month")
@@ -213,12 +213,14 @@ object RelationalOps {
       |    list_reduce(
       |      list_prepend(CAST(0 AS BIGINT),
       |        list_transform(
-      |          string_split(
+      |          generate_series(1, length(
+      |            CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |            o_orderpriority || '|' || strftime(o_orderdate, '%Y-%m-%d'))),
+      |          i -> CAST(ascii(substring(
       |            CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
       |            o_orderpriority || '|' || strftime(o_orderdate, '%Y-%m-%d'),
-      |            '|'),
-      |          t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))),
-      |      (a, b) -> (a * 31 + b) % 1000003) AS fp
+      |            CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 131 + b) % 1000003) AS fp
       |  FROM orders)
       |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(fp) AS BIGINT) AS checksum

@@ -53,25 +53,24 @@ object StreamingUpsert {
           .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
       else b.limit(0)
 
-    // merge = latest row per key across old state + new changes; the
-    // result is materialized before the overwrite because the write
-    // reads the same partitions it replaces
-    val merged = latestPerKey(current.unionByName(b)).cache()
-    merged.count()
+    // merge = latest row per key across old state + new changes. The
+    // write reads the same partitions it replaces, so the merged result
+    // must be DURABLY cut off from its lineage before the overwrite:
+    // cache() is not enough (an evicted block or lost executor would
+    // recompute from the very parquet files the overwrite is deleting,
+    // corrupting the table mid-write). localCheckpoint(eager) writes the
+    // blocks out and truncates lineage, so recomputation can never reach
+    // the overwritten files.
+    val merged = latestPerKey(current.unionByName(b)).localCheckpoint(eager = true)
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // dynamic overwrite scoped to THIS write via the writer option —
+    // mutating the session-global conf (even try/finally-restored) races
+    // with concurrent writers sharing the session, which could observe
+    // dynamic semantics they never asked for
     try merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(tableDir)
-    finally {
-      merged.unpersist()
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    finally merged.unpersist()
   }
 
   /** Read the serving table as consumers see it: tombstones filtered. */

@@ -99,6 +99,21 @@ class RelationalCorpusSpec extends SparkSpec {
       s"one mutated row must flip exactly its own month: $changed")
     assert(base(changed.head)._1 == mutated(changed.head)._1,
       "row count unchanged; only the checksum moves")
+    // length-preserving edit past each field's first character — the
+    // exact class a (length, first-char)-only fingerprint cannot see;
+    // the full character fold must catch it
+    val sneaky = RelationalOps.partitionChecksum(
+      orders.withColumn("o_orderpriority",
+        when(col("o_orderkey") === orders.select(min(col("o_orderkey")))
+          .collect().head.getLong(0),
+          // I/O/U: at least one occurs in every TPC-H priority value
+          // (URGENT, HIGH, MEDIUM, NOT SPECIFIED, LOW), never position 1
+          translate(col("o_orderpriority"), "IOU", "JPV"))
+          .otherwise(col("o_orderpriority")))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sneakyChanged = base.keySet.filter(m => base(m) != sneaky(m))
+    assert(sneakyChanged.size == 1,
+      s"length-preserving mid-string edit must still flip its month: $sneakyChanged")
   }
 
   test("q127 threshold semantics: only below-half-average lines count") {
