@@ -330,7 +330,147 @@ object RelationalOps {
       |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
       |ORDER BY s.s_suppkey""".stripMargin
 
+  /** TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    * the zero class — the left-outer count that q159's lineitem-only
+    * frequency-of-frequencies cannot see (an order with no lines, a
+    * customer with no orders, simply vanish from an inner-join count).
+    * The priority filter lives in the JOIN CONDITION, not a WHERE — a
+    * WHERE on the right side after the join would silently turn the
+    * outer join back into an inner one for filtered customers.
+    *
+    * Scale shape: one shuffle pair on the customer key for the outer
+    * join, then two chained aggregations — the second runs over the
+    * already-collapsed per-customer frame and its key cardinality is
+    * the max order count per customer (tiny at any scale).
+    */
+  def custOrderDist(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.where(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private val custOrderDistOracle: String =
+    """WITH c AS (
+      |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM c GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q19 shape: revenue from three disjoint (brand, size-band,
+    * quantity-band) channels — ONE join predicate that is an OR of ANDs
+    * mixing columns from both sides. This is the CNF-pushdown stress:
+    * the optimizer must factor the part-only conjuncts out of the
+    * disjunction and push `(brand=12 AND size<=5) OR (brand=23 AND
+    * size<=10) OR ...` below the join into the part scan, or every
+    * lineitem row joins against the full part table before any
+    * filtering. PlanSpec pins the part-side pushdown; the SQL text runs
+    * verbatim in both engines.
+    */
+  val disjunctiveBandsSql: String =
+    """SELECT
+      |  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q9 shape: profit roll-up by supplier nation and order year
+    * over LIKE-filtered parts. The schema has no partsupp, so unit cost
+    * is proxied as 60% of the part's retail price — the shape under
+    * grading is the 4-table star join with a mixed-side profit
+    * expression, not the cost model. Scale shape: part (LIKE-filtered),
+    * supplier and nation broadcast; lineitem⋈orders is the one real
+    * shuffle, on the order key; the (nation, year) group-by frame is
+    * dimension×calendar bounded.
+    */
+  val profitRollupSql: String =
+    """SELECT n.n_name AS nation,
+      |  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+      |  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |    - 0.6 * p.p_retailprice * l.l_quantity
+      |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q20 shape: suppliers who DOMINATE a part's shipped volume —
+    * a nested IN (name-filtered part keys) inside an IN over a derived
+    * per-(supplier, part) aggregate, gated by a scalar subquery
+    * CORRELATED to that derived table (15% of the part's total volume —
+    * calibrated so the dominant tier is non-empty at sf0.01, where a
+    * part's lines spread across many suppliers).
+    * The remaining decorrelation class after q126/q127/q136/q154/q155:
+    * Catalyst must rewrite the correlated threshold into a per-part
+    * aggregate joined back, and both INs into semi joins — no
+    * per-outer-row re-execution. Quantities are integer-valued doubles,
+    * so every sum is exact and the 0.15x compare cannot straddle a
+    * rounding boundary.
+    */
+  val dominantSupplierSql: String =
+    """SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT sp.l_suppkey FROM (
+      |    SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      |    FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'blue%')
+      |    GROUP BY l_suppkey, l_partkey) sp
+      |  WHERE sp.qty > (SELECT 0.15 * SUM(l2.l_quantity)
+      |                  FROM lineitem l2
+      |                  WHERE l2.l_partkey = sp.l_partkey))
+      |ORDER BY s.s_suppkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q162_cust_order_dist",
+      Some(custOrderDistOracle),
+      (spark, dir) => custOrderDist(
+        t(spark, dir, "customer"), t(spark, dir, "orders"))),
+
+    QueryDef(
+      "q163_disjunctive_bands",
+      Some(disjunctiveBandsSql),
+      (spark, dir) => {
+        withViews(spark, dir, "lineitem", "part")
+        spark.sql(disjunctiveBandsSql)
+      }),
+
+    QueryDef(
+      "q164_profit_rollup",
+      Some(profitRollupSql),
+      (spark, dir) => {
+        withViews(spark, dir, "lineitem", "part", "supplier", "nation", "orders")
+        spark.sql(profitRollupSql)
+      }),
+
+    QueryDef(
+      "q165_dominant_supplier",
+      Some(dominantSupplierSql),
+      (spark, dir) => {
+        withViews(spark, dir, "supplier", "lineitem", "part")
+        spark.sql(dominantSupplierSql)
+      }),
+
     QueryDef(
       "q154_lapsed_customers",
       Some(lapsedCustomersSql),

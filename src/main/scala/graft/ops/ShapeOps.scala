@@ -254,6 +254,27 @@ object ShapeOps {
         |ORDER BY user_id""".stripMargin),
       (spark, dir) => cdcCompact(EventOps.events(spark, dir))),
 
+    // Batch-parity grade for the STREAMING upsert sink: replay the whole
+    // event changelog through StreamingUpsert's foreachBatch serving-table
+    // build — four hash-interleaved landing files forced through separate
+    // micro-batches (maxFilesPerTrigger=1), so every batch carries events
+    // from the full time range and the cross-batch merge + tombstone
+    // ordering actually fires — then grade the final served table against
+    // q98's CDC-compaction oracle. The continuous path and the batch path
+    // must agree on the exact same snapshot; this graduates the upsert
+    // sink from spec-pinned to oracle-graded.
+    QueryDef(
+      "q168_upsert_replay",
+      Some("""WITH r AS (SELECT user_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |  CAST(value AS DOUBLE) AS last_value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin),
+      (spark, dir) => upsertReplay(spark, dir)),
+
     // Map-typed column surface: per-priority status->count map built with
     // map_from_entries over collect_list, consumed with size /
     // try_element_at (ANSI-safe on missing keys). The map stays inside
@@ -642,6 +663,32 @@ object ShapeOps {
       .select(col("event_id"), col("user_id"), col("version"), col("state"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
       .orderBy("event_id")
+  }
+
+  /** q168 body: land the changelog as four event-id-hash-interleaved
+    * parquet files, run the streaming upsert over them one file per
+    * micro-batch, and read the serving table back. Hash interleaving
+    * (not time ranges) is deliberate: every micro-batch then spans the
+    * whole time range, so later batches carry stragglers that are OLDER
+    * than already-upserted state — the resurrection case the tombstone
+    * retention exists for. Fresh temp dirs per run keep bench repeats
+    * and verify reruns independent.
+    */
+  def upsertReplay(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-replay")
+    val (landing, table, ckpt) =
+      (s"$base/landing", s"$base/table", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    ev.repartition(4, pmod(col("event_id"), lit(4)))
+      .write.parquet(landing)
+    graft.streaming.StreamingUpsert.upsertAvailableNow(
+      spark, landing, table, ckpt, ev.schema,
+      nBuckets = 8, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    graft.streaming.StreamingUpsert.serve(spark, table).orderBy("user_id")
   }
 
   /** The q98 body, shared with AnalyticsSpec's planted-edge-case fixture

@@ -325,7 +325,51 @@ object SimilarityOps {
   private def queriesOf(v: DataFrame, n: Int): DataFrame =
     v.where(col("vec_id") < n).select(col("vec_id").as("q_id"), col("v").as("qv"))
 
+  /** q166: the SQL-TEXT path of the native cosine expression — the same
+    * brute-force top-k contract as q27, but the similarity is computed by
+    * `cosine_sim(...)` inside `spark.sql` on a session whose function
+    * registry was populated through the GraftExtensions entry point
+    * (GraftBridge.applyInjectedFunctions — the same injection
+    * `--conf spark.sql.extensions=graft.GraftExtensions` performs at
+    * session build). Closes the last untested seam: cluster installation
+    * → SQL resolution → codegen'd expression → graded result. The
+    * BROADCAST hint keeps the 20-row query side off the shuffle, matching
+    * bruteForceTopK's explicit broadcast.
+    */
+  private val cosineSqlText: String =
+    """WITH q AS (SELECT vec_id AS q_id,
+      |    transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id < 20),
+      |s AS (SELECT /*+ BROADCAST(q) */ q.q_id, e.vec_id,
+      |    cosine_sim(q.qv, transform(e.embedding, x -> CAST(x AS DOUBLE)))
+      |      AS sim
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+      |r AS (SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+      |      AS rnk
+      |  FROM s)
+      |SELECT q_id, rnk, vec_id FROM r WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q166_cosine_sim_sql",
+      Some("""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+        |        list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, vec_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT q_id, rnk, vec_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+      (spark, dir) => {
+        val ext = new org.apache.spark.sql.SparkSessionExtensions
+        new graft.GraftExtensions()(ext)
+        org.apache.spark.sql.GraftBridge.applyInjectedFunctions(ext, spark)
+        withViews(spark, dir, "embeddings")
+        spark.sql(cosineSqlText)
+      }),
+
     QueryDef(
       "q27_ann_bruteforce",
       Some("""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),

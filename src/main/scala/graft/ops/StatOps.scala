@@ -379,15 +379,38 @@ object StatOps {
 
   /** q145 body (shared with StatsSpec's equality / single-owner
     * fixtures). Expects orders-shaped (o_custkey, o_totalprice) columns.
+    *
+    * The Gini rank is the q92 two-phase distributed rank, NOT a naive
+    * `row_number() OVER (ORDER BY cents)`: the per-customer aggregate
+    * grows with the data, and a single unpartitioned window would drag
+    * billions of rows through one task at 100 TB. Shard key =
+    * `floor(log1p(cents) * 64)` — deterministic (no data-dependent cut
+    * points that could recompute differently on a retried branch),
+    * MONOTONIC in cents (so (shard, cents, custkey) order equals
+    * (cents, custkey) order and the composed rank is exactly the global
+    * one), and bounded (≤8192 cells; ~1.6% relative-value bands, so a
+    * smooth revenue distribution spreads evenly). Per-shard row_numbers
+    * run in parallel; the only unpartitioned window left runs over the
+    * ≤8192-row shard-count frame (bounded by construction — PlanSpec's
+    * window sweep allowlists exactly this class).
     */
   def concentration(orders: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val rev = orders
       .groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast(dec)).as("cents"))
-    val ranked = rev.select(col("o_custkey"), col("cents"),
-      row_number().over(Window.orderBy(col("cents"), col("o_custkey"))).as("i"),
-      count(lit(1)).over(Window.partitionBy()).as("n"))
+    val keyed = rev.withColumn("shard",
+      least(lit(8191), greatest(lit(0),
+        floor(log1p(col("cents").cast("double")) * 64))).cast("int"))
+    val offsets = keyed.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .select(col("shard"),
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("off"),
+        sum(col("cnt")).over(Window.partitionBy()).as("n"))
+    val wIn = Window.partitionBy("shard").orderBy(col("cents"), col("o_custkey"))
+    val ranked = keyed.join(broadcast(offsets), Seq("shard"))
+      .withColumn("i", col("off") + row_number().over(wIn))
     ranked.agg(
       max(col("n")).as("n_customers"),
       sum(col("cents")).cast("long").as("total_cents"),

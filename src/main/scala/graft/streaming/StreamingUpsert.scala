@@ -87,13 +87,19 @@ object StreamingUpsert {
       tableDir: String,
       checkpointDir: String,
       schema: StructType,
-      nBuckets: Int = 16): StreamingQuery =
-    spark.readStream
-      .schema(schema)
+      nBuckets: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    // Trigger.AvailableNow honors maxFilesPerTrigger, so a replay can be
+    // forced through several micro-batches (exercising cross-batch
+    // merge/tombstone ordering) instead of one catch-all batch
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(landingDir)
       .writeStream
       .foreachBatch(upsertBatch(tableDir, nBuckets) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

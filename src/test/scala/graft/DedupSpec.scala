@@ -289,6 +289,32 @@ class DedupSpec extends SparkSpec {
       "within-doc-only repeats must not surface")
   }
 
+  test("longest shared span: diagonal runs chain, disjoint spans stay separate runs") {
+    import spark.implicits._
+    // 20-token shared span -> 5 consecutive width-16 windows -> one run
+    // of 5 -> longest = 5 + 15 = 20
+    val span20 = "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 " +
+      "w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    // a second, DISJOINT 16-token span shared by the same pair at
+    // unrelated offsets -> its own run (different diagonal/island)
+    val span16 = "x01 x02 x03 x04 x05 x06 x07 x08 x09 x10 " +
+      "x11 x12 x13 x14 x15 x16"
+    val docs = Seq(
+      (1L, s"$span20 filler a b c d e f g h $span16"),
+      (2L, s"unrelated lead tokens here $span20 middle junk words $span16 tail"),
+      (3L, "a completely unrelated document with enough tokens to window " +
+        "but nothing shared across any of the planted documents above ok")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.longestSharedSpans(docs).collect()
+    assert(out.length == 1, s"only the (1,2) pair may surface: ${out.mkString(",")}")
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("longest_span_tokens") == 20L,
+      s"5-window run must read back as 20 tokens: $r")
+    assert(r.getAs[Long]("n_runs") == 2L,
+      s"the disjoint 16-token span is a separate run: $r")
+  }
+
   test("prefix-filter jaccard join is COMPLETE: equals brute-force all-pairs") {
     // the theorem the q139 doc comment claims, checked against the full
     // quadratic shingle join on the real sf0.001 corpus plus the planted

@@ -106,6 +106,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("unpartitioned windows appear only over frames bounded by construction") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    // An unpartitioned window funnels its whole input through ONE task, so
+    // it is legal only when the frame is bounded by CONSTRUCTION — an
+    // aggregate over a calendar/digit/shard-grid key whose cardinality
+    // cannot grow with the data. Every query here must justify its bound;
+    // anything NOT listed that plans an unpartitioned window is the q145
+    // bug class (a single task sorting a frame that scales with the data).
+    // The map value documents the bound; the assertion is exact set
+    // equality so the list can't rot in either direction.
+    val allowed = Map(
+      "q72_daily_delta" -> "calendar frame: one row per day after a date agg",
+      "q92_global_index" -> "256-row md5-prefix shard-count frame",
+      "q145_concentration" -> "<=8192-row log-grid shard-count frame (Gini rank itself is shard-partitioned)",
+      "q151_chi_square_cells" -> "cohort x event_type contingency cells (both domains enumerable)",
+      "q161_revenue_trend" -> "calendar frame: one row per month after a month agg")
+    val offenders = SparkEntry.all.flatMap { q =>
+      val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
+        .collectWithSubqueries {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }
+      if (unpart.nonEmpty) Some(q.name) else None
+    }.toSet
+    assert(offenders == allowed.keySet,
+      s"unpartitioned-window set drifted.\n  unexpected: ${(offenders -- allowed.keySet).toSeq.sorted}\n  stale allowlist: ${(allowed.keySet -- offenders).toSeq.sorted}")
+  }
+
   test("q60 range join plans as pure equi-joins, never a nested loop") {
     val plan = planOf("q60_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
@@ -353,6 +380,32 @@ class PlanSpec extends SparkSpec {
       s"width/slide fan-out must be a row-local Expand:\n$plan")
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       s"sliding windows must not join events to a window table:\n$plan")
+  }
+
+  test("q163 disjunctive bands: both sides of the OR-of-ANDs push below the join") {
+    val plan = planOf("q163_disjunctive_bands")
+    val flat = plan.replaceAll("\\s", "")
+    // CNF extraction must factor the part-only conjuncts out of the
+    // disjunction and push them into the part scan... (PushedFilters
+    // strings are truncated in toString, so pin the stable PREFIX of the
+    // pushed disjunction, not its tail)
+    assert(flat.contains("Or(Or(And(EqualTo(p_brand"),
+      s"part-side OR-of-ANDs must reach the part scan:\n$plan")
+    // ...and the quantity bands into the lineitem scan, so neither side
+    // joins unfiltered rows
+    assert(flat.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity-band disjunction must reach the lineitem scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the filtered part side must broadcast:\n$plan")
+  }
+
+  test("q165 dominant supplier: correlated threshold decorrelates, INs become semi joins") {
+    val plan = planOf("q165_dominant_supplier")
+    assert(plan.contains("LeftSemi"),
+      s"the IN chains must plan as semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the correlated 15% threshold must join per part, not per row:\n$plan")
   }
 
   test("q152 SCD2 lookup joins on the user key with the interval as residual") {

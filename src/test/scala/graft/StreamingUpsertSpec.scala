@@ -114,4 +114,16 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(StreamingUpsert.serve(spark, table).collect()
       .find(_.getLong(0) == target).get.getString(1) == "purchase")
   }
+
+  test("q168 replay equals batch CDC compaction on the real event table") {
+    // the graded query's own body at the smallest sf: the multi-batch
+    // streaming replay must land on EXACTLY the snapshot the one-shot
+    // batch window computes
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.ops.ShapeOps.upsertReplay(spark, sf).collect()
+    val batch = graft.ops.ShapeOps.cdcCompact(
+      graft.ops.EventOps.events(spark, sf)).collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      s"streamed=${streamed.length} batch=${batch.length}")
+  }
 }
