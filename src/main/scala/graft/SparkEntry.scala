@@ -16,7 +16,8 @@ object SparkEntry {
       ExtendedOps.defs ++ SampleOps.defs ++ InvariantOps.defs ++
       CurationOps.defs ++ ShapeOps.defs ++ MiningOps.defs ++
       RelationalOps.defs ++ CorpusStatsOps.defs ++ StatOps.defs ++
-      LayoutOps.defs ++ graft.sources.TextFormats.defs ++
+      LayoutOps.defs ++ WarehouseOps.defs ++ TimeSeriesOps.defs ++
+      graft.sources.TextFormats.defs ++
       graft.sources.ColumnarFormats.defs
 
   /** Flagship query (A3 gold-category aggregate, SURVEY §7.2) on sf=0.001;

@@ -1,0 +1,284 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Round-9 time-series tier: seasonality anomalies, CUSUM changepoint
+  * scan, gap-aware autocorrelation, inter-order gap distribution, and
+  * last-touch attribution — the monitoring-on-a-pipeline surface
+  * (`03:141-152` extended per SURVEY §7.4).
+  *
+  * Bit-stability doctrine (shared with StatOps): every statistic is
+  * computed from EXACT integer sums (counts, scaled residuals), with
+  * doubles entering only in a final, identically-shaped expression tree —
+  * each IEEE op is correctly rounded, so identical trees over exact
+  * integer inputs produce identical bits in Spark and DuckDB. No double
+  * is ever AGGREGATED (that would be partition-order dependent).
+  */
+object TimeSeriesOps {
+
+  /** Daily order counts — the shared base series. One shuffle on the
+    * day key; the frame is calendar-bounded from then on.
+    */
+  private def dailyOrders(orders: DataFrame): DataFrame =
+    orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Day-of-week seasonality anomalies: the 10 days that deviate most
+    * from their weekday's mean, by z-score. The per-weekday moments
+    * (n, Σc, Σc²) are exact BIGINT sums over the day-aggregated series;
+    * z = (n·c − Σc) / (n · σ) is assembled in ONE shared expression tree
+    * (cast → divide → sqrt → multiply → divide), so both engines emit
+    * identical bits. (At 100 TB the BIGINT Σc² would move to
+    * DECIMAL(38,0); counts here keep n·Σc² far below 2^63.)
+    *
+    * Scale shape: one shuffle to the day grain, then a 7-row weekday
+    * aggregate broadcast back over the calendar-bounded day frame.
+    */
+  def dowAnomalies(orders: DataFrame): DataFrame = {
+    val daily = dailyOrders(orders)
+      // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek:
+      // 0=Sunday..6=Saturday — subtract 1 so the texts agree.
+      .withColumn("dow", (dayofweek(col("day")) - lit(1)).cast("int"))
+    val stats = daily.groupBy("dow").agg(
+      count(lit(1)).as("n"),
+      sum(col("cnt")).as("s"),
+      sum(col("cnt") * col("cnt")).as("ss"))
+    daily.join(broadcast(stats), Seq("dow"))
+      .withColumn("z",
+        (col("n") * col("cnt") - col("s")).cast("double") /
+          (col("n").cast("double") *
+            sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+              (col("n") * (col("n") - lit(1))).cast("double"))))
+      .select(col("day"), col("dow"), col("cnt"), col("z"))
+      .orderBy(abs(col("z")).desc, col("day"))
+      .limit(10)
+  }
+
+  private val dowAnomaliesOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |d2 AS (SELECT day, CAST(dayofweek(day) AS INT) AS dow, cnt FROM daily),
+      |stats AS (
+      |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cnt) AS BIGINT) AS s,
+      |    CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      |  FROM d2 GROUP BY dow)
+      |SELECT d2.day, d2.dow, d2.cnt,
+      |  CAST(n * cnt - s AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) *
+      |      SQRT(CAST(n * ss - s * s AS DOUBLE) /
+      |           CAST(n * (n - 1) AS DOUBLE))) AS z
+      |FROM d2 JOIN stats ON stats.dow = d2.dow
+      |ORDER BY ABS(CAST(n * cnt - s AS DOUBLE) /
+      |  (CAST(n AS DOUBLE) *
+      |    SQRT(CAST(n * ss - s * s AS DOUBLE) /
+      |         CAST(n * (n - 1) AS DOUBLE)))) DESC, d2.day
+      |LIMIT 10""".stripMargin
+
+  /** CUSUM changepoint scan over the daily order-count series: the
+    * running sum of scaled deviations N·c_t − T (N days, T total orders —
+    * integers, so the cusum is EXACT and order-independent), reporting
+    * the 5 days where |cusum| peaks. A level shift in the series puts
+    * its onset at the global |cusum| maximum — the classic
+    * mean-change estimator.
+    *
+    * Scale shape: the cumulative window is unpartitioned BUT runs over
+    * the day-aggregated frame — one row per calendar day, bounded by the
+    * span of time, not data volume (PlanSpec allowlists it under that
+    * justification, like q72).
+    */
+  def cusumChangepoint(orders: DataFrame): DataFrame = {
+    val daily = dailyOrders(orders)
+    val tot = daily.agg(
+      count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev", col("n_days") * col("cnt") - col("total"))
+      .withColumn("cusum", sum(col("dev")).over(w))
+      .select(col("day"), col("cnt"), col("cusum"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+      .limit(5)
+  }
+
+  private val cusumOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(cnt) AS BIGINT) AS total FROM daily),
+      |c AS (
+      |  SELECT day, cnt,
+      |    CAST(SUM(n_days * cnt - total) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cusum
+      |  FROM daily CROSS JOIN tot)
+      |SELECT day, cnt, cusum FROM c
+      |ORDER BY ABS(cusum) DESC, day
+      |LIMIT 5""".stripMargin
+
+  /** Gap-aware autocorrelation of the daily order-count series at lags
+    * 1 and 7 days. Pairing is a SELF-JOIN on day = day + lag (not a
+    * positional window), so calendar gaps pair nothing instead of
+    * pairing wrong neighbours, and the plan needs no unpartitioned
+    * window at all. Pearson r is assembled from six exact BIGINT sums
+    * in one shared expression tree — bit-identical across engines.
+    *
+    * Scale shape: the day-grain series is calendar-bounded, so both
+    * join sides broadcast; each lag collapses to a single-row aggregate
+    * map-side.
+    */
+  def dailyAutocorr(orders: DataFrame): DataFrame = {
+    val daily = dailyOrders(orders)
+    def lagCorr(k: Int): DataFrame = {
+      val a = daily.select(col("day"), col("cnt").as("x"))
+      val b = daily.select(col("day").as("day2"), col("cnt").as("y"))
+      a.join(broadcast(b), date_add(col("day"), k) === col("day2"))
+        .agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(
+          lit(k).as("lag"), col("n").as("n_pairs"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("acf"))
+    }
+    lagCorr(1).unionByName(lagCorr(7)).orderBy("lag")
+  }
+
+  private val autocorrOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT k.lag, a.cnt AS x, b.cnt AS y
+      |  FROM (VALUES (1), (7)) k(lag)
+      |  JOIN daily a ON TRUE
+      |  JOIN daily b ON b.day = a.day + CAST(k.lag AS INT)),
+      |m AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY lag)
+      |SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+      |FROM m ORDER BY lag""".stripMargin
+
+  /** Inter-order gap distribution: per-customer days-between-orders via
+    * LAG over (customer, date) — the window partitions on the CUSTOMER
+    * key, so frames are per-customer order counts (data-bounded per key,
+    * parallel across keys) — then a week-bucket histogram with an exact
+    * integer mean (Σgap / n, one IEEE divide).
+    */
+  def orderGapHistogram(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("gap", datediff(to_date(col("o_orderdate")), to_date(col("prev"))))
+      .withColumn("gap_wk", least(floor(col("gap") / 7).cast("int"), lit(8)))
+      .groupBy("gap_wk")
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap")).as("gap_days"),
+        (sum(col("gap")).cast("double") / count(lit(1))).as("mean_gap"))
+      .orderBy("gap_wk")
+  }
+
+  private val orderGapOracle: String =
+    """WITH g AS (
+      |  SELECT date_diff('day',
+      |      CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders),
+      |b AS (SELECT LEAST(CAST(FLOOR(gap / 7) AS INT), 8) AS gap_wk, gap
+      |  FROM g WHERE gap IS NOT NULL)
+      |SELECT gap_wk, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(gap) AS BIGINT) AS gap_days,
+      |  CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap
+      |FROM b GROUP BY gap_wk ORDER BY gap_wk""".stripMargin
+
+  /** Last-touch attribution: each purchase event is attributed to the
+    * same user's most recent STRICTLY PRIOR click, bucketed by
+    * click-to-purchase lag. The "most recent prior click" is a running
+    * MAX(CASE) over a (user, time)-ordered window with a 1-PRECEDING
+    * upper bound — per-user frames, parallel across users; no self-join
+    * of the event stream against itself.
+    */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("bucket",
+        when(col("last_click").isNull, "never_clicked")
+          .when(col("ts") <= col("last_click") + expr("INTERVAL '1' HOUR"),
+            "within_1h")
+          .when(col("ts") <= col("last_click") + expr("INTERVAL '24' HOUR"),
+            "within_1d")
+          .when(col("ts") <= col("last_click") + expr("INTERVAL '168' HOUR"),
+            "within_7d")
+          .otherwise("stale"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("bucket")
+  }
+
+  private val attributionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    MAX(CASE WHEN event_type = 'click' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_click
+      |  FROM events),
+      |p AS (
+      |  SELECT CASE
+      |      WHEN last_click IS NULL THEN 'never_clicked'
+      |      WHEN ts <= last_click + INTERVAL 1 HOUR THEN 'within_1h'
+      |      WHEN ts <= last_click + INTERVAL 24 HOUR THEN 'within_1d'
+      |      WHEN ts <= last_click + INTERVAL 168 HOUR THEN 'within_7d'
+      |      ELSE 'stale' END AS bucket,
+      |    user_id
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q176_dow_anomalies", Some(dowAnomaliesOracle),
+      (spark, dir) => dowAnomalies(t(spark, dir, "orders"))),
+
+    QueryDef("q177_cusum_changepoint", Some(cusumOracle),
+      (spark, dir) => cusumChangepoint(t(spark, dir, "orders"))),
+
+    QueryDef("q178_daily_autocorr", Some(autocorrOracle),
+      (spark, dir) => dailyAutocorr(t(spark, dir, "orders"))),
+
+    QueryDef("q181_last_touch", Some(attributionOracle),
+      (spark, dir) => lastTouchAttribution(EventOps.events(spark, dir))),
+
+    QueryDef("q182_order_gaps", Some(orderGapOracle),
+      (spark, dir) => orderGapHistogram(t(spark, dir, "orders"))))
+}

@@ -121,7 +121,8 @@ class PlanSpec extends SparkSpec {
       "q92_global_index" -> "256-row md5-prefix shard-count frame",
       "q145_concentration" -> "<=8192-row log-grid shard-count frame (Gini rank itself is shard-partitioned)",
       "q151_chi_square_cells" -> "cohort x event_type contingency cells (both domains enumerable)",
-      "q161_revenue_trend" -> "calendar frame: one row per month after a month agg")
+      "q161_revenue_trend" -> "calendar frame: one row per month after a month agg",
+      "q177_cusum_changepoint" -> "calendar frame: cumulative sum over one row per day after a date agg")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {
