@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Vocabulary-model surface: character-n-gram language-model scoring
+  * (the KenLM-style perplexity-filter stage of a pretraining data
+  * pipeline, scored here with exact integer statistics) over the
+  * `documents` corpus (training-data-pipeline surface, SURVEY §7.4).
+  */
+object VocabModelOps {
+
+  /** Char-trigram LM corpus scoring: train trigram counts on the even
+    * half of the corpus (a deterministic key split — never sample() —
+    * so both engines see the same training set), then score the odd
+    * half per language: trigram coverage (share of score-side trigrams
+    * the model has seen) and the mean training frequency of the known
+    * ones. This is the shape of a perplexity quality filter with the
+    * float log-prob replaced by exact integer statistics: coverage and
+    * mean-frequency rank documents the same way at grading time without
+    * aggregating IEEE doubles (which would be partition-order
+    * dependent); the two ratios are each ONE double divide over exact
+    * BIGINTs.
+    *
+    * Scale shape: trigram extraction is map-side (transform + explode,
+    * no shuffle); the trained model aggregates once on the trigram key
+    * and is VOCABULARY-bounded (≤ charset³ distinct trigrams) so it
+    * broadcasts into the score side at any corpus scale; the per-lang
+    * roll-up is vocabulary-bounded too.
+    */
+  def charTrigramScore(docs: DataFrame): DataFrame = {
+    val base = docs.where(col("text").isNotNull && length(col("text")) >= 3)
+    def tris(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tri"))
+    val model = tris(base.where(col("doc_id") % 2 === 0))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+    tris(base.where(col("doc_id") % 2 === 1))
+      .join(broadcast(model), Seq("tri"), "left")
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tri"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(coalesce(col("c"), lit(0L))).as("mass"))
+      .withColumn("coverage",
+        col("n_known").cast("double") / col("n_tri").cast("double"))
+      .withColumn("mean_known_freq",
+        col("mass").cast("double") / col("n_known").cast("double"))
+      .orderBy("lang")
+  }
+
+  private val charTrigramOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  WHERE text IS NOT NULL AND length(text) >= 3),
+      |train AS (
+      |  SELECT unnest(list_transform(generate_series(1, length(text) - 2),
+      |    i -> substring(text, CAST(i AS INT), 3))) AS tri
+      |  FROM base WHERE doc_id % 2 = 0),
+      |model AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS c FROM train GROUP BY tri),
+      |score AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, length(text) - 2),
+      |      i -> substring(text, CAST(i AS INT), 3))) AS tri
+      |  FROM base WHERE doc_id % 2 = 1),
+      |agg AS (
+      |  SELECT s.lang,
+      |    CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tri,
+      |    CAST(SUM(CASE WHEN m.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_known,
+      |    CAST(SUM(COALESCE(m.c, 0)) AS BIGINT) AS mass
+      |  FROM score s LEFT JOIN model m ON m.tri = s.tri
+      |  GROUP BY s.lang)
+      |SELECT lang, n_docs, n_tri, n_known, mass,
+      |  CAST(n_known AS DOUBLE) / CAST(n_tri AS DOUBLE) AS coverage,
+      |  CAST(mass AS DOUBLE) / CAST(n_known AS DOUBLE) AS mean_known_freq
+      |FROM agg ORDER BY lang""".stripMargin
+
+  /** Three rounds of byte-pair-encoding vocabulary induction over the
+    * corpus word vocabulary: count weighted adjacent symbol pairs, merge
+    * the most frequent pair (count desc, pair asc — a total order, so
+    * the winner is deterministic), re-tokenize, repeat. q122 graded the
+    * FIRST iteration's pair statistics; this grades the actual iterative
+    * merge loop — the part where BPE implementations disagree (greedy
+    * non-overlapping application, e.g. "a a a" merges to ["aa","a"]).
+    *
+    * The greedy re-tokenization is a LEFT-TO-RIGHT FOLD over each word's
+    * symbol list (Spark `aggregate` HOF / DuckDB `list_reduce` — both
+    * fold the same direction): if the accumulated sequence ends with
+    * symbol A and the next symbol is B, replace that tail with AB, else
+    * append. Identical fold ⇒ identical tokenization in both engines —
+    * no reliance on string replace() scan semantics.
+    *
+    * Scale shape: the word-vocabulary frame is VOCABULARY-bounded, not
+    * corpus-bounded — the corpus-sized explode collapses to (word, cnt)
+    * in the first aggregate and every later round moves pair counts
+    * weighted by those word counts. Each round's argmax is a 1-row
+    * TakeOrdered broadcast back via crossJoin (never a driver collect);
+    * an at-scale implementation would localCheckpoint the vocabulary
+    * between rounds (as q51's connected components does) — at 3 rounds
+    * the replayed lineage is cheaper than the checkpoint.
+    */
+  def bpeMergeRounds(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "bpeMergeRounds: need at least one round")
+    var vocab = docs.where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = vocab
+        .where(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("wcnt"))
+      val best = pairs.orderBy(col("wcnt").desc, col("pair").asc).limit(1)
+      merges += best.select(lit(r).as("round"), col("pair"), col("wcnt"))
+      vocab = vocab
+        .crossJoin(broadcast(best.select(
+          expr("element_at(split(pair, ' '), 1)").as("best_a"),
+          expr("element_at(split(pair, ' '), 2)").as("best_b"))))
+        .withColumn("toks", split(expr(
+          """aggregate(toks, '', (acc, t) ->
+            |  CASE WHEN acc = '' THEN t
+            |    WHEN acc = best_a AND t = best_b THEN concat(best_a, best_b)
+            |    WHEN endswith(acc, concat(' ', best_a)) AND t = best_b
+            |      THEN concat(substring(acc, 1, length(acc) - length(best_a)),
+            |                  concat(best_a, best_b))
+            |    ELSE concat(acc, ' ', t) END)""".stripMargin), " "))
+        .select(col("w"), col("cnt"), col("toks"))
+    }
+    merges.result().reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  // DuckDB replays the identical three rounds unrolled: list_reduce has
+  // no explicit init, but folding from the first element is equivalent
+  // to Spark's ''-seeded fold (the first CASE arm only seeds the
+  // accumulator). Tokens never contain spaces, so the ends_with tail
+  // check detects exactly the token boundary.
+  private val bpeMergeOracle: String = {
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""p$i AS (
+         |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS wcnt FROM (
+         |    SELECT cnt, unnest(list_transform(
+         |      generate_series(1, length(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS pair
+         |    FROM $prev WHERE length(toks) >= 2) GROUP BY pair),
+         |b$i AS (SELECT pair, wcnt FROM p$i ORDER BY wcnt DESC, pair LIMIT 1),
+         |v$i AS (
+         |  SELECT w, cnt, string_split(list_reduce(toks, (acc, t) ->
+         |    CASE WHEN acc = string_split(b$i.pair, ' ')[1]
+         |           AND t = string_split(b$i.pair, ' ')[2]
+         |      THEN replace(b$i.pair, ' ', '')
+         |      WHEN ends_with(acc, ' ' || string_split(b$i.pair, ' ')[1])
+         |           AND t = string_split(b$i.pair, ' ')[2]
+         |      THEN substring(acc, 1,
+         |          length(acc) - length(string_split(b$i.pair, ' ')[1])) ||
+         |        replace(b$i.pair, ' ', '')
+         |      ELSE acc || ' ' || t END), ' ') AS toks
+         |  FROM $prev CROSS JOIN b$i)""".stripMargin
+    }
+    s"""WITH v0 AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    list_transform(generate_series(1, length(w)),
+       |      i -> substring(w, CAST(i AS INT), 1)) AS toks
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE text IS NOT NULL)
+       |  WHERE w <> '' GROUP BY w),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT * FROM (
+       |  SELECT 1 AS round, pair, wcnt FROM b1
+       |  UNION ALL SELECT 2, pair, wcnt FROM b2
+       |  UNION ALL SELECT 3, pair, wcnt FROM b3)
+       |ORDER BY round""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q179_char_lm", Some(charTrigramOracle),
+      (spark, dir) => charTrigramScore(t(spark, dir, "documents"))),
+
+    QueryDef("q180_bpe_merges", Some(bpeMergeOracle),
+      (spark, dir) => bpeMergeRounds(t(spark, dir, "documents"))))
+}

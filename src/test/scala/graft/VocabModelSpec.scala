@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.ops.VocabModelOps
+
+/** Pins the vocabulary-model operators' semantics on hand-computable
+  * fixtures — the cases where BPE implementations classically diverge
+  * (greedy non-overlapping merge application) and the char-LM's
+  * train/score split contract.
+  */
+class VocabModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("BPE merge application is greedy left-to-right non-overlapping") {
+    // "aaa" tokenizes to [a,a,a]: the pair (a,a) occurs at two positions
+    // but greedy application merges only the FIRST, giving [aa,a] — an
+    // all-positions replace would give the wrong round-2 statistics.
+    val docs = Seq((0L, "aaa aaa b")).toDF("doc_id", "text")
+    val merges = VocabModelOps.bpeMergeRounds(docs, rounds = 2).collect()
+    assert(merges.toSeq == Seq(
+      // round 1: "a a" seen twice per "aaa" occurrence, weighted 2 words
+      Row(1, "a a", 4L),
+      // round 2 only exists because round 1 under-merged: [aa, a]
+      Row(2, "aa a", 2L)))
+  }
+
+  test("BPE merges compose: the merged symbol participates in later rounds") {
+    val docs = Seq((0L, "abab abab abab cd")).toDF("doc_id", "text")
+    val merges = VocabModelOps.bpeMergeRounds(docs, rounds = 3).collect()
+    // round 1 merges (a,b) -> ab twice per word: [ab, ab];
+    // round 2 merges (ab,ab) -> abab — only possible post-merge
+    assert(merges(0).getString(1) == "a b" && merges(0).getLong(2) == 6L)
+    assert(merges(1).getString(1) == "ab ab" && merges(1).getLong(2) == 3L)
+  }
+
+  test("char LM: a score doc fully covered by training has coverage 1.0") {
+    val docs = Seq(
+      (0L, "en", "abcdef"), // train (even doc_id)
+      (1L, "en", "abcd")    // score (odd): trigrams abc, bcd ⊂ train
+    ).toDF("doc_id", "lang", "text")
+    val r = VocabModelOps.charTrigramScore(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_tri") == 2L)
+    assert(row.getAs[Long]("n_known") == 2L)
+    assert(row.getAs[Double]("coverage") == 1.0)
+    assert(row.getAs[Double]("mean_known_freq") == 1.0)
+  }
+
+  test("char LM: unseen trigrams lower coverage, never the known mass") {
+    val docs = Seq(
+      (0L, "en", "abcdef"),
+      (1L, "en", "abcxyz") // abc known; bcx, cxy, xyz unseen
+    ).toDF("doc_id", "lang", "text")
+    val row = VocabModelOps.charTrigramScore(docs).collect()(0)
+    assert(row.getAs[Long]("n_tri") == 4L)
+    assert(row.getAs[Long]("n_known") == 1L)
+    assert(row.getAs[Double]("coverage") == 0.25)
+  }
+}
