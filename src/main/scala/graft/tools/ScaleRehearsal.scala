@@ -47,7 +47,19 @@ object ScaleRehearsal {
     "q151_chi_square_cells", "q152_scd2_lookup", "q153_transition_time",
     "q154_lapsed_customers", "q155_top_supplier", "q156_bitmap_distinct",
     "q157_bitmap_rollup", "q158_fulfillment_lag", "q159_order_size_dist",
-    "q160_sliding_window", "q161_revenue_trend")
+    "q160_sliding_window", "q161_revenue_trend",
+    // round 9: warehouse shapes (scaled facts, unscaled broadcast dims),
+    // time-series tier (calendar-bounded frames, per-key windows), and
+    // the vocabulary-model pair (fixture grows the vocab 10x — q52's
+    // arithmetic — so q180 carries the 15 bar; q167's shared-window
+    // candidates amplify like q26's, bar 25)
+    "q162_cust_order_dist", "q163_disjunctive_bands", "q164_profit_rollup",
+    "q165_dominant_supplier", "q167_longest_shared_span",
+    "q169_shipband_priority", "q170_promo_share", "q171_supplier_cnt",
+    "q172_large_orders", "q173_volume_shipping", "q174_min_bal_supplier",
+    "q175_returned_items", "q176_dow_anomalies", "q177_cusum_changepoint",
+    "q178_daily_autocorr", "q179_char_lm", "q180_bpe_merges",
+    "q181_last_touch", "q182_order_gaps")
 
   private val OFFSET = 10000000L
 
@@ -98,7 +110,8 @@ object ScaleRehearsal {
     val bars = Map("q26_ngram_jaccard" -> 25.0, "q52_vocab_top_terms" -> 15.0,
       "q122_bpe_pairs" -> 15.0, "q123_collocation_lift" -> 15.0,
       "q130_containment_pairs" -> 25.0, "q132_term_drift" -> 15.0,
-      "q133_inverted_index" -> 15.0, "q139_prefix_jaccard" -> 25.0)
+      "q133_inverted_index" -> 15.0, "q139_prefix_jaccard" -> 25.0,
+      "q167_longest_shared_span" -> 25.0, "q180_bpe_merges" -> 15.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query
@@ -302,7 +315,11 @@ object ScaleRehearsal {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
 
-    spark.read.parquet(s"$src/supplier.parquet")
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
+    // unscaled dimensions (part/nation/region, like supplier): the
+    // warehouse tier's joins keep dimension-sized broadcast sides at 10x
+    Seq("supplier", "part", "nation", "region").foreach { name =>
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    }
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TimeSeriesOps, WarehouseOps}
+
+/** Plan pins + boundary fixtures for the round-9 warehouse and
+  * time-series tiers (the graded corpus runs are pinned by the DuckDB
+  * oracles; these pin decorrelation shapes and the edges a corpus draw
+  * may not exercise at every sf).
+  */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q171 NOT IN denylist plans as an anti join, never a NL re-probe") {
+    val plan = planOf("q171_supplier_cnt")
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must become a (null-aware) anti join:\n$plan")
+  }
+
+  test("q174 correlated MIN decorrelates to an aggregate joined back") {
+    val plan = planOf("q174_min_bal_supplier")
+    assert(!plan.contains("ScalarSubquery"),
+      s"the per-part MIN must not re-run per outer row:\n$plan")
+    assert(plan.contains("min("), s"expected the decorrelated MIN agg in:\n$plan")
+  }
+
+  test("q172 HAVING-IN subquery plans as a semi join against the aggregate") {
+    val plan = planOf("q172_large_orders")
+    assert(plan.contains("LeftSemi"),
+      s"the order-key IN must be a semi join:\n$plan")
+  }
+
+  test("q179 trained trigram model broadcasts into the score side") {
+    val plan = planOf("q179_char_lm")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the charset-bounded model must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  test("q176 weekday moments broadcast back over the day frame") {
+    val plan = planOf("q176_dow_anomalies")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 7-row weekday stats must broadcast:\n$plan")
+  }
+
+  test("q169 band boundary: shipping at exactly +30 days is SLOW (strict <)") {
+    val ts = (s: String) => Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, ts("1997-03-01 00:00:00"), "1-URGENT"),
+      (2L, ts("1997-03-01 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("1997-03-31 00:00:00")), // +30 days exactly -> SLOW
+      (2L, ts("1997-03-30 23:59:59"))) // inside 30 days -> FAST
+      .toDF("l_orderkey", "l_shipdate")
+    val out = WarehouseOps.shipBandPriority(li, orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("FAST", 0L, 1L), ("SLOW", 1L, 0L)))
+  }
+
+  test("q181 attribution: same-ts click with a smaller event id attributes; " +
+    "the 1h boundary is inclusive") {
+    val ts = (s: String) => Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: click at the same ts as the purchase, earlier event_id
+      (1L, 10L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, 11L, ts("2024-01-01 10:00:00"), "purchase"),
+      // user 2: click exactly one hour before -> within_1h (<=)
+      (2L, 20L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, 21L, ts("2024-01-01 10:00:00"), "purchase"),
+      // user 3: never clicked
+      (3L, 30L, ts("2024-01-01 10:00:00"), "purchase"),
+      // user 4: click one second past the hour -> within_1d
+      (4L, 40L, ts("2024-01-01 08:59:59"), "click"),
+      (4L, 41L, ts("2024-01-01 10:00:00"), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = TimeSeriesOps.lastTouchAttribution(events)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map(
+      "within_1h" -> 2L, "within_1d" -> 1L, "never_clicked" -> 1L))
+  }
+
+  test("q177 CUSUM is exact: a planted level shift peaks at its onset") {
+    // 10 days at 2 orders/day then 10 days at 6/day: |cusum| peaks at the
+    // last low day (the classic mean-change estimator's argmax).
+    val rows = (1 to 10).flatMap(d => Seq.fill(2)(d)) ++
+      (11 to 20).flatMap(d => Seq.fill(6)(d))
+    val orders = rows.zipWithIndex.map { case (d, i) =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
+    }.toDF("o_orderkey", "o_orderdate")
+    val top = TimeSeriesOps.cusumChangepoint(orders).collect()
+    assert(top.head.getDate(0).toString == "2024-01-10")
+    // dev on low days = 20*2 - 80 = -40 each; cusum at day 10 = -400
+    assert(top.head.getLong(2) == -400L)
+  }
+
+  test("q178 autocorrelation of a perfectly alternating series is -1 at " +
+    "lag 1 and +1 at lag 7 is absent (gap-aware pairing skips gaps)") {
+    // days 1..14 alternating 2,4 orders; remove day 8 so lag-7 pairs drop
+    // the gap instead of mispairing positions
+    val counts = Map(1 -> 2, 2 -> 4, 3 -> 2, 4 -> 4, 5 -> 2, 6 -> 4,
+      7 -> 2, 9 -> 2, 10 -> 4, 11 -> 2, 12 -> 4, 13 -> 2, 14 -> 4)
+    val orders = counts.toSeq.flatMap { case (d, n) =>
+      (1 to n).map(i => (d * 100L + i, Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")))
+    }.toDF("o_orderkey", "o_orderdate")
+    val r = TimeSeriesOps.dailyAutocorr(orders).collect()
+      .map(row => row.getInt(0) -> (row.getLong(1), row.getDouble(2))).toMap
+    // lag 1: r is -1 up to the sqrt rounding of a non-square moment (120)
+    assert(math.abs(r(1)._2 + 1.0) < 1e-12,
+      s"alternating series must have lag-1 acf ~ -1: $r")
+    // lag 7: day 8 missing kills pairs (1,8) and (8,15); day d pairs with
+    // d+7 for d in 2..7 -> 6 pairs, all (x,y) = (c, opposite c) -> acf -1
+    assert(r(7)._1 == 6L && r(7)._2 == -1.0, s"gap-aware lag-7: $r")
+  }
+}
