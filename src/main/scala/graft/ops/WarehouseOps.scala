@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -237,7 +238,72 @@ object WarehouseOps {
       |ORDER BY p.revenue DESC, c.c_custkey
       |LIMIT 20""".stripMargin
 
+  /** Per-nation Pareto frontier (skyline) of customers over (total
+    * revenue, order count): a customer is on the frontier iff no other
+    * customer of the same nation has ≥ revenue AND ≥ orders with one
+    * strictly greater. Computed with the sort-based skyline: order each
+    * nation by (revenue desc, orders desc, key) and keep a point iff its
+    * order count strictly exceeds the running MAX over all
+    * higher-revenue-or-tied-earlier points — one pass, no self-join, no
+    * O(n²) dominance test. Exact-duplicate points collapse to the first
+    * by key (the tiebreak makes the rule total and deterministic).
+    * Revenue stays EXACT DECIMAL through the sort and the dominance
+    * compare; the double cast happens only in the output projection.
+    *
+    * Scale shape: one shuffle to the (customer) grain, one to the
+    * nation partitioning for the window; per-nation frames are
+    * data-bounded but the pass is a linear scan after the sort — the
+    * standard distributed skyline building block.
+    */
+  def paretoCustomers(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"),
+        count(lit(1)).as("n_orders"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev").desc, col("n_orders").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perCust
+      .withColumn("max_prev", max(col("n_orders")).over(w))
+      .where(col("max_prev").isNull || col("n_orders") > col("max_prev"))
+      .select(col("n_name"), col("c_custkey"),
+        round(col("rev"), 2).cast("double").as("revenue"), col("n_orders"))
+      .orderBy(col("n_name"), col("revenue").desc, col("c_custkey"))
+  }
+
+  private val paretoOracle: String =
+    """WITH pc AS (
+      |  SELECT n.n_name, c.c_custkey,
+      |    SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY n.n_name, c.c_custkey),
+      |sk AS (
+      |  SELECT n_name, c_custkey, rev, n_orders,
+      |    MAX(n_orders) OVER (PARTITION BY n_name
+      |      ORDER BY rev DESC, n_orders DESC, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
+      |  FROM pc)
+      |SELECT n_name, c_custkey, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+      |  n_orders
+      |FROM sk WHERE max_prev IS NULL OR n_orders > max_prev
+      |ORDER BY n_name, revenue DESC, c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q183_pareto_frontier",
+      Some(paretoOracle),
+      (spark, dir) => paretoCustomers(
+        t(spark, dir, "orders"), t(spark, dir, "customer"),
+        t(spark, dir, "nation"))),
+
     QueryDef(
       "q169_shipband_priority",
       Some(shipBandPriorityOracle),

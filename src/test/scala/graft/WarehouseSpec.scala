@@ -85,6 +85,29 @@ class WarehouseSpec extends SparkSpec {
       "within_1h" -> 2L, "within_1d" -> 1L, "never_clicked" -> 1L))
   }
 
+  test("q183 skyline: dominated points drop, ties on one axis survive, " +
+    "exact duplicates collapse to the first key") {
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // points per customer: 10 -> (300, 1); 20 -> (200, 2);
+    // 30 -> (200, 2) exact duplicate of 20 (collapses to key 20);
+    // 40 -> (180, 1) dominated by 20 on both axes;
+    // 50 -> (300, 1) exact duplicate of 10; 60 -> (160, 3) frontier
+    // (fewer revenue, strictly more orders than every higher point).
+    val orders = Seq(
+      (1L, 10L, 300.0), (2L, 20L, 150.0), (3L, 20L, 50.0),
+      (4L, 30L, 100.0), (5L, 30L, 100.0), (6L, 40L, 180.0),
+      (7L, 50L, 300.0), (8L, 60L, 100.0), (9L, 60L, 50.0), (10L, 60L, 10.0))
+      .map { case (ok, ck, v) => (ok, ck, v, ts) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val customer = Seq(10L, 20L, 30L, 40L, 50L, 60L)
+      .map(c => (c, 0)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((0, "NATION_0")).toDF("n_nationkey", "n_name")
+    val got = graft.ops.WarehouseOps.paretoCustomers(orders, customer, nation)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == Set((10L, 300.0, 1L), (20L, 200.0, 2L), (60L, 160.0, 3L)),
+      s"got $got")
+  }
+
   test("q177 CUSUM is exact: a planted level shift peaks at its onset") {
     // 10 days at 2 orders/day then 10 days at 6/day: |cusum| peaks at the
     // last low day (the classic mean-change estimator's argmax).
