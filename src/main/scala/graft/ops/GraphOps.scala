@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Graph analytics over a derived entity graph (SURVEY §7.4 extension
+  * tier): bounded-hop BFS reachability and an integer-exact PageRank
+  * power iteration. The reference has no graph operators; these are the
+  * two primitives a lineage/link-analysis pass over a 100 TB corpus
+  * needs beyond q51's connected components — "how far is X from Y"
+  * (frontier propagation) and "which nodes matter" (full relaxation).
+  *
+  * The graph is DERIVED from the facts: a directed trade edge
+  * cust-nation -> supp-nation for each nation's top-3 partner nations by
+  * lineitem count (count desc, dst key asc tiebreak — deterministic).
+  * Scale shape: the expensive step is the fact-fact edge aggregation —
+  * orders×lineitem join on orderkey, then groupBy (src, dst) where
+  * partial aggregation crushes the pair counts map-side to a
+  * dimension-bounded relation (≤ nations² rows) before the shuffle. The
+  * iterations that follow run on that bounded relation: each round is a
+  * broadcast-sized join, so a 1000-executor cluster pays the fact scan
+  * once and the graph loop costs nothing. A document-scale graph (web
+  * links, citation edges) runs the SAME loop with the edge relation left
+  * shuffle-partitioned and per-round localCheckpoint — the q51 doctrine.
+  */
+object GraphOps {
+
+  /** Directed trade edges: top-`k` supplier nations per customer nation
+    * by lineitem count; `outdeg` rides along for the PageRank divide.
+    */
+  def tradeEdges(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"top-k partner count must be positive, got $k")
+    val pairs = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("n_lines"))
+    val byVolume = Window.partitionBy(col("src"))
+      .orderBy(col("n_lines").desc, col("dst").asc)
+    val top = pairs.withColumn("rnk", row_number().over(byVolume))
+      .where(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("n_lines"))
+    top.withColumn("outdeg",
+      count(lit(1)).over(Window.partitionBy(col("src"))))
+  }
+
+  /** Shared oracle fragment: the same edge derivation in DuckDB SQL. */
+  private def edgesSql(k: Int): String =
+    s"""pairs AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |    CAST(s.s_nationkey AS BIGINT) AS dst, COUNT(*) AS n_lines
+       |  FROM orders o
+       |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT src, dst, n_lines,
+       |    COUNT(*) OVER (PARTITION BY src) AS outdeg
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+       |          ORDER BY n_lines DESC, dst ASC) AS rnk
+       |        FROM pairs)
+       |  WHERE rnk <= $k)""".stripMargin
+
+  /** Bounded-hop BFS: minimum hop distance from `source` over the trade
+    * graph, up to `maxHops`. Classic frontier expansion — round h joins
+    * only the hop-(h-1) frontier against the edge relation, unions into
+    * the visited set, and keeps the min distance; rows already seen at a
+    * smaller distance never re-expand (the `left_anti` prune), so each
+    * round's join input is the NEW frontier only. On a billion-node graph
+    * the visited set stays hash-partitioned on the node id across rounds
+    * (one shuffle per round, no growing lineage — localCheckpoint per
+    * round caps the plan; at this dimension-bounded size the loop is
+    * broadcast-shaped and the checkpoint is skipped).
+    */
+  def bfsHops(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = e.sparkSession.range(1)
+      .select(lit(source).as("nation"), lit(0).cast("int").as("hops"))
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(e, frontier("nation") === e("src"))
+        .select(col("dst").as("nation"), lit(h).cast("int").as("hops"))
+        .distinct()
+        .join(visited.select("nation"), Seq("nation"), "left_anti")
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    visited.groupBy("nation").agg(min(col("hops")).as("hops"))
+  }
+
+  /** Integer-exact PageRank power iteration. Ranks live on a fixed
+    * micro-unit grid (1e6 = 1.0) and every redistribution is BIGINT
+    * arithmetic — `(rank * 85) div (100 * outdeg)` — so each iteration is
+    * order-independent, engine-identical, and mergeable across any
+    * partitioning (the q97/q141 exactness doctrine applied to an
+    * iterative fixed point; floats would drift by summation order).
+    * Damping 0.85 as the exact ratio 85/100; the flooring leak (at most
+    * outdeg-1 micro-units per node per round) is deterministic in both
+    * engines. Dangling-in-degree-only nodes absorb rank (documented leak,
+    * standard in push-style formulations).
+    */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be non-negative, got $iterations")
+    val e = edges.select(col("src"), col("dst"), col("outdeg"))
+    val nodes = e.select(col("src").as("nation"))
+      .unionByName(e.select(col("dst").as("nation")))
+      .distinct()
+    var ranks = nodes.select(col("nation"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = ranks.join(e, ranks("nation") === e("src"))
+        .select(col("dst").as("nation"),
+          expr("(rank * 85) div (100 * outdeg)").as("c"))
+        .groupBy("nation")
+        .agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(contrib, Seq("nation"), "left_outer")
+        .select(col("nation"),
+          (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("rank"))
+    }
+    ranks
+  }
+
+  private val bfsOracle: String =
+    s"""WITH RECURSIVE ${edgesSql(3)},
+       |walk(nation, hops) AS (
+       |  SELECT CAST(0 AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, walk.hops + 1
+       |  FROM walk JOIN e ON e.src = walk.nation
+       |  WHERE walk.hops < 4),
+       |bfs AS (SELECT nation, MIN(hops) AS hops FROM walk GROUP BY nation)
+       |SELECT n.n_name AS nation, CAST(bfs.hops AS INT) AS hops
+       |FROM bfs JOIN nation n ON n.n_nationkey = bfs.nation
+       |ORDER BY hops, nation""".stripMargin
+
+  private val pageRankOracle: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT nodes.nation,
+         |    150000 + COALESCE(SUM(f.c), 0) AS rank
+         |  FROM nodes
+         |  LEFT JOIN (SELECT e.dst, (r.rank * 85) // (100 * e.outdeg) AS c
+         |             FROM e JOIN $prev r ON r.nation = e.src) f
+         |    ON f.dst = nodes.nation
+         |  GROUP BY nodes.nation)""".stripMargin
+    s"""WITH ${edgesSql(3)},
+       |nodes AS (SELECT src AS nation FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT nation, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT n.n_name AS nation, CAST(r3.rank AS BIGINT) AS rank_micros
+       |FROM r3 JOIN nation n ON n.n_nationkey = r3.nation
+       |ORDER BY rank_micros DESC, nation""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Bounded 4-hop BFS from nation 0 over the top-3 trade graph; the
+    // oracle walks the same edges with a recursive CTE. min() over the
+    // union of rounds == true BFS distance because round h only ever
+    // labels nodes at distance exactly h or revisits (pruned).
+    QueryDef("q185_trade_hops", Some(bfsOracle),
+      (spark, dir) => {
+        val hops = bfsHops(
+          tradeEdges(t(spark, dir, "orders"), t(spark, dir, "lineitem"),
+            t(spark, dir, "customer"), t(spark, dir, "supplier")),
+          source = 0L, maxHops = 4)
+        hops.join(broadcast(t(spark, dir, "nation")),
+            hops("nation") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("hops"))
+          .orderBy(col("hops"), col("nation"))
+      }),
+
+    // Three integer-exact PageRank rounds over the same graph; the
+    // oracle unrolls the iterations as chained CTEs with the identical
+    // BIGINT floor-divide redistribution.
+    QueryDef("q186_trade_pagerank", Some(pageRankOracle),
+      (spark, dir) => {
+        val ranks = pageRank(
+          tradeEdges(t(spark, dir, "orders"), t(spark, dir, "lineitem"),
+            t(spark, dir, "customer"), t(spark, dir, "supplier")),
+          iterations = 3)
+        ranks.join(broadcast(t(spark, dir, "nation")),
+            ranks("nation") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("rank").as("rank_micros"))
+          .orderBy(col("rank_micros").desc, col("nation"))
+      }))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+
+/** Pins for the graph tier: edge derivation bounds, BFS minimality on a
+  * hand-built graph with a shortcut, and the integer PageRank invariants
+  * (cycle fixed point, exact hand-computed star ranks, mass bound).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    val e = pairs.toDF("src", "dst")
+    e.withColumn("n_lines", lit(1L))
+      .withColumn("outdeg",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+  }
+
+  test("tradeEdges keeps at most k partners per source with outdeg attached") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val s = spark.read.parquet(s"$sf/supplier.parquet")
+    val e = GraphOps.tradeEdges(o, l, c, s, k = 3).cache()
+    val perSrc = e.groupBy("src")
+      .agg(count(lit(1)).as("n"), max("outdeg").as("od"), min("outdeg").as("od2"))
+      .collect()
+    assert(perSrc.nonEmpty)
+    perSrc.foreach { r =>
+      assert(r.getAs[Long]("n") <= 3)
+      assert(r.getAs[Long]("od") === r.getAs[Long]("n"))
+      assert(r.getAs[Long]("od2") === r.getAs[Long]("n"))
+    }
+    e.unpersist()
+  }
+
+  test("bfsHops takes the shortcut, honors maxHops, and keeps min distance") {
+    // chain 1->2->3->4->5->6 plus shortcut 1->4: dist(4)=1, dist(5)=2,
+    // dist(6)=3; with maxHops=2 node 6 (and anything farther) is absent.
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 1L -> 4L)
+    val d4 = GraphOps.bfsHops(e, source = 1L, maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(d4 === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2, 6L -> 3))
+    val d2 = GraphOps.bfsHops(e, source = 1L, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(d2 === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("pageRank: a 2-cycle is a fixed point of the integer iteration") {
+    val e = edges(1L -> 2L, 2L -> 1L)
+    val r = GraphOps.pageRank(e, iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    // each node redistributes (1e6 * 85) div 100 = 850000 to the other,
+    // plus the 150000 base: exactly 1e6 again, every round
+    assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: hand-computed star ranks after two rounds") {
+    // a -> b, a -> c (outdeg 2); b and c dangle (absorb only).
+    val e = edges(1L -> 2L, 1L -> 3L)
+    val r1 = GraphOps.pageRank(e, iterations = 1).as[(Long, Long)].collect().toMap
+    // a: base only = 150000; b,c: 150000 + (1000000*85) div 200 = 575000
+    assert(r1 === Map(1L -> 150000L, 2L -> 575000L, 3L -> 575000L))
+    val r2 = GraphOps.pageRank(e, iterations = 2).as[(Long, Long)].collect().toMap
+    // a: 150000; b,c: 150000 + (150000*85) div 200 = 213750
+    assert(r2 === Map(1L -> 150000L, 2L -> 213750L, 3L -> 213750L))
+  }
+
+  test("pageRank mass never exceeds the initial allocation") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val s = spark.read.parquet(s"$sf/supplier.parquet")
+    val e = GraphOps.tradeEdges(o, l, c, s, k = 3)
+    val ranks = GraphOps.pageRank(e, iterations = 3)
+    val n = ranks.count()
+    val total = ranks.agg(sum("rank")).as[Long].head()
+    // flooring and dangling-node absorption only ever LOSE mass; the
+    // per-round base is the guaranteed floor
+    assert(total <= n * 1000000L)
+    assert(total >= n * 150000L)
+  }
+}
