@@ -352,7 +352,85 @@ object StatOps {
             sum(col("rev")).over(Window.partitionBy()).cast("double"))
             .as("cum_share"))
           .orderBy("month")
-      }))
+      }),
+
+    // Mergeable equi-width histogram quantile estimates: the
+    // distributed-quantile primitive for when exact interpolation
+    // (q49/q158) is too expensive — per-DAY 64-bin count states merge by
+    // plain addition into the global histogram (associative, so the
+    // merge tree can follow any partitioning; the Spark side DELIBERATELY
+    // routes through the per-day states while the oracle aggregates
+    // directly — equal results ARE the mergeability proof), then p50/p90/
+    // p99 interpolate inside the located bin. Exactness: bins, cumulative
+    // counts and target ranks are all BIGINT; doubles appear only in the
+    // final interpolation where both engines evaluate the same expression
+    // tree over the same integers. The cumulative window runs over the
+    // 64-row bin frame (fixed by construction -> PlanSpec allowlist).
+    QueryDef(
+      "q188_hist_quantiles",
+      Some("""WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi, COUNT(*) AS n
+        |      FROM cents),
+        |binned AS (SELECT LEAST(63, ((c.cents - b.lo) * 64)
+        |             // (b.hi - b.lo + 1)) AS bin
+        |           FROM cents c, b),
+        |h AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+        |ch AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+        |         COALESCE(SUM(cnt) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cumb
+        |       FROM h),
+        |qs(q, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |                           ('p99', 99, 100)),
+        |t AS (SELECT q, (b.n * num + den - 1) // den AS t, b.lo, b.hi
+        |      FROM qs, b)
+        |SELECT t.q, CAST(ch.bin AS INT) AS bin,
+        |  t.lo + (ch.bin * (t.hi - t.lo + 1)) // 64 AS lo_cents,
+        |  t.t AS target_rank, ch.cum AS cum_count,
+        |  CAST(t.lo + (ch.bin * (t.hi - t.lo + 1)) // 64 AS DOUBLE)
+        |    + (CAST(t.t - ch.cumb AS DOUBLE) / CAST(ch.cnt AS DOUBLE))
+        |      * (CAST(t.hi - t.lo + 1 AS DOUBLE) / 64.0) AS est_cents
+        |FROM t JOIN ch ON ch.cum >= t.t AND ch.cumb < t.t
+        |ORDER BY q""".stripMargin),
+      (spark, dir) => histQuantiles(t(spark, dir, "orders"))))
+
+  /** q188 body (shared with StatsSpec's merge-equivalence fixture). */
+  def histQuantiles(orders: DataFrame): DataFrame = {
+    val cents = orders.select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("d"))
+    val bounds = cents.agg(min(col("cents")).as("lo"),
+      max(col("cents")).as("hi"), count(lit(1)).as("n"))
+    val binned = cents.crossJoin(broadcast(bounds))
+      .select(col("d"),
+        expr("least(63L, ((cents - lo) * 64) div (hi - lo + 1))").as("bin"))
+    // per-day partial states (the mergeable sketch), then the merge
+    val dayStates = binned.groupBy("d", "bin").agg(count(lit(1)).as("cnt"))
+    val merged = dayStates.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+    val binW = Window.orderBy("bin")
+    val ch = merged.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(binW).as("cum"),
+      coalesce(sum(col("cnt")).over(
+          binW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("cumb"))
+    val qs = bounds.sparkSession.sql(
+      "SELECT * FROM VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)" +
+        " AS qs(q, num, den)")
+    val targets = qs.crossJoin(broadcast(bounds))
+      .select(col("q"), expr("(n * num + den - 1) div den").as("t"),
+        col("lo"), col("hi"))
+    targets.join(broadcast(ch), col("cum") >= col("t") && col("cumb") < col("t"))
+      .select(col("q"), col("bin").cast("int").as("bin"),
+        expr("lo + (bin * (hi - lo + 1)) div 64").as("lo_cents"),
+        col("t").as("target_rank"), col("cum").as("cum_count"),
+        (expr("CAST(lo + (bin * (hi - lo + 1)) div 64 AS DOUBLE)") +
+          (col("t") - col("cumb")).cast("double") / col("cnt").cast("double") *
+            (expr("CAST(hi - lo + 1 AS DOUBLE)") / lit(64.0)))
+          .as("est_cents"))
+      .orderBy("q")
+  }
 
   /** q143 body (shared with StatsSpec's planted-outlier fixture).
     * Expects (event_type, value); emits per-type robust stats + outlier

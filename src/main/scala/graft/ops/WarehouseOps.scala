@@ -296,7 +296,55 @@ object WarehouseOps {
       |FROM sk WHERE max_prev IS NULL OR n_orders > max_prev
       |ORDER BY n_name, revenue DESC, c_custkey""".stripMargin
 
+  /** Per-segment top-k orders through the custom bounded top-k aggregate
+    * ([[graft.functions.BoundedTopK]]) — a TypedImperativeAggregate whose
+    * buffer never exceeds k rows, so the partial (map-side) pass trims
+    * each partition's contribution to k per group BEFORE the exchange.
+    * Contrast with the window formulation (the oracle): ROW_NUMBER over
+    * PARTITION BY segment sorts the ENTIRE fact table inside 5 giant hash
+    * partitions — the exact single-task-sort shape the q92/q145 doctrine
+    * bans at 100 TB. Here the exchange moves ≤ k×partitions rows per
+    * group and nothing ever sorts more than 2k elements at once.
+    * Ordering (cents desc, orderkey asc) is total, so the merge is
+    * associative/commutative and the result partitioning-independent
+    * (pinned by TopKAggSpec).
+    */
+  def topOrdersPerSegment(
+      orders: DataFrame, customer: DataFrame, k: Int = 5): DataFrame = {
+    val topk = graft.functions.TopKAggregate.topK(k)
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      .groupBy("segment")
+      .agg(topk(col("cents"), col("o_orderkey")).as("top"))
+      .select(col("segment"),
+        posexplode(arrays_zip(col("top.values"), col("top.ids"))))
+      .select(col("segment"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.values").as("cents"), col("col.ids").as("o_orderkey"))
+      .orderBy(col("segment"), col("rnk"))
+  }
+
+  private val topOrdersOracle: String =
+    """SELECT segment, CAST(rnk AS INT) AS rnk, cents, o_orderkey
+      |FROM (
+      |  SELECT c.c_mktsegment AS segment,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+      |    o.o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+      |      ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT) DESC,
+      |        o.o_orderkey ASC) AS rnk
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |WHERE rnk <= 5
+      |ORDER BY segment, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q187_topk_orders",
+      Some(topOrdersOracle),
+      (spark, dir) => topOrdersPerSegment(
+        t(spark, dir, "orders"), t(spark, dir, "customer"))),
+
     QueryDef(
       "q183_pareto_frontier",
       Some(paretoOracle),

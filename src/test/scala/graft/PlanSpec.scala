@@ -122,7 +122,8 @@ class PlanSpec extends SparkSpec {
       "q145_concentration" -> "<=8192-row log-grid shard-count frame (Gini rank itself is shard-partitioned)",
       "q151_chi_square_cells" -> "cohort x event_type contingency cells (both domains enumerable)",
       "q161_revenue_trend" -> "calendar frame: one row per month after a month agg",
-      "q177_cusum_changepoint" -> "calendar frame: cumulative sum over one row per day after a date agg")
+      "q177_cusum_changepoint" -> "calendar frame: cumulative sum over one row per day after a date agg",
+      "q188_hist_quantiles" -> "64-row bin frame: cumulative counts over a fixed 64-bin histogram")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+
 import graft.ops.StatOps
 
 /** Fixture pins for the q143-q148 statistical tier. Every test drives the
@@ -230,5 +232,34 @@ class StatsSpec extends SparkSpec {
     assert(out(1L) == ((3L, 3.0)), s"user 1: ${out(1L)}")
     assert(out(2L)._1 == 1L && out(2L)._2 == math.pow(2.0, -30),
       s"user 2 must keep only the day-30 event at weight 2^-30: ${out(2L)}")
+  }
+
+  test("hist quantiles: day-state merge equals a direct histogram, any partitioning") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val base = StatOps.histQuantiles(o).collect().toSeq
+    assert(base.size === 3)
+    val reparted = StatOps.histQuantiles(o.repartition(7, col("o_custkey")))
+      .collect().toSeq
+    assert(reparted === base, "histogram states must merge associatively")
+    // ranks/bins are consistent: cum_count >= target_rank, est inside bin
+    base.foreach { r =>
+      assert(r.getAs[Long]("cum_count") >= r.getAs[Long]("target_rank"))
+      val lo = r.getAs[Long]("lo_cents").toDouble
+      assert(r.getAs[Double]("est_cents") >= lo)
+    }
+  }
+
+  test("hist quantiles: a planted uniform grid interpolates exactly") {
+    // cents 100..6500 step 100 (64 values): lo=100, hi=6500, R=6401,
+    // every bin gets exactly one value; p50 target rank 32 lands in the
+    // bin holding 3200 -> est = lo_bin + 1.0 * (R/64)
+    val vals = (1 to 64).map(i => (i.toLong, (i * 100).toDouble / 100.0 * 100.0))
+    val o = vals.toDF("o_custkey", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(lit("2024-01-01")))
+    val out = StatOps.histQuantiles(o).collect()
+      .map(r => r.getAs[String]("q") -> r).toMap
+    assert(out("p50").getAs[Long]("target_rank") === 32L)
+    assert(out("p50").getAs[Long]("cum_count") === 32L)
+    assert(out("p99").getAs[Long]("target_rank") === 64L)
   }
 }
