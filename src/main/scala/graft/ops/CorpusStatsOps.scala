@@ -269,7 +269,73 @@ object CorpusStatsOps {
       |FROM sh JOIN fo USING (sh)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Phrase search through a POSITIONAL posting intersection — the
+    * primitive q133's doc-level inverted index lacks: find exact
+    * multi-word phrases by joining the first word's postings against the
+    * second word's at position+1. Phase 1 picks the query phrases (top-3
+    * corpus bigrams — map-side adjacent-pair extraction, one count
+    * shuffle, global top-k = TakeOrderedAndProject, never a full sort);
+    * phase 2 is the graded primitive: the positional index is probed
+    * ONLY for the phrase terms (broadcast semi-join prune — at 100 TB
+    * the index is term-bucketed and only the queried terms' postings
+    * ever move), then postings intersect on (doc_id, pos+1). The oracle
+    * recomputes matches by direct bigram extraction — equality proves
+    * the index path finds exactly the adjacent occurrences.
+    */
+  def phraseMatch(docs: DataFrame, topPhrases: Int = 3): DataFrame = {
+    require(topPhrases > 0, s"topPhrases must be positive, got $topPhrases")
+    val texts = docs.where(col("text").isNotNull)
+    // phase 1: choose the phrases (bigram counts never touch a join)
+    val phrases = texts
+      .where(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))""".stripMargin))
+        .as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("phrase").asc)
+      .limit(topPhrases)
+      .select(col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"))
+    // phase 2: positional postings, probed only for the phrase terms
+    val toks = texts.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val p1 = toks.join(broadcast(phrases),
+        toks("term") === phrases("w1"))
+      .select(col("phrase"), col("w2"), col("doc_id"), col("pos"))
+    val p2 = toks.select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+      col("term").as("term2"))
+    p1.join(p2,
+        col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1 &&
+          col("term2") === col("w2"))
+      .groupBy("phrase")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("phrase")
+  }
+
+  private val phraseMatchSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i + 1])) AS phrase
+      |       FROM w WHERE len(w) >= 2),
+      |top AS (SELECT phrase FROM (SELECT phrase, COUNT(*) AS n FROM bg
+      |          GROUP BY phrase)
+      |        ORDER BY n DESC, phrase ASC LIMIT 3)
+      |SELECT b.phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  MIN(doc_id) AS first_doc
+      |FROM bg b JOIN top USING (phrase)
+      |GROUP BY b.phrase ORDER BY phrase""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q190_phrase_match", Some(phraseMatchSql),
+      (spark, dir) => phraseMatch(t(spark, dir, "documents"))),
     QueryDef("q184_ngram_novelty", Some(ngramNoveltySql),
       (spark, dir) => ngramNovelty(t(spark, dir, "documents"))),
     QueryDef("q132_term_drift", Some(termDriftSql),

@@ -84,7 +84,93 @@ object MultimodalOps {
       }
   }
 
+  /** Decoded audio facts for the graded output: header fields the
+    * acquisition derived from SQL-visible metadata (so a full DuckDB
+    * oracle can recompute them) plus exact integer payload statistics.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      format: String,
+      sample_rate: Int,
+      n_samples: Int,
+      duration_us: Long,
+      peak: Int,
+      sum_sq: Long)
+
+  /** Synthetic audio acquisition: a mono 16-bit PCM square wave per
+    * document whose header/payload parameters are functions of
+    * SQL-visible metadata ONLY — rate = 8000 + 1000·(doc_id mod 4),
+    * n_samples = 50 + (n_chars mod 100), amplitude = 1000 + 3000·(doc_id
+    * mod 7) — so unlike the image tier's seeded-noise golden, the WAV
+    * decode grades against a FULL DuckDB oracle: peak must equal the
+    * amplitude and sum_sq must equal n·amp² or the parse is wrong. Odd
+    * doc_ids get a LIST/INFO chunk between fmt and data, putting the
+    * decoder's chunk walk inside the graded path. Null text → null
+    * payload (the corrupt-blob row stays graded as format='unknown').
+    */
+  def audioTable(docs: DataFrame): DataFrame = {
+    val render = udf((id: Long, nChars: Long, hasText: Boolean) =>
+      if (!hasText) null
+      else {
+        val rate = (8000 + 1000 * (id % 4)).toInt
+        val n = (50 + (nChars % 100)).toInt
+        val amp = (1000 + (id % 7) * 3000).toShort
+        val samples = Array.tabulate(n)(i =>
+          if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+        graft.functions.AudioCodec.encodeWav(rate, samples,
+          junkChunk = id % 2 == 1)
+      }: Array[Byte])
+    docs.select(col("doc_id"),
+      render(col("doc_id"), coalesce(col("n_chars"), lit(0L)),
+        col("text").isNotNull).as("payload"))
+  }
+
+  /** Partition-wise audio decode — same iterator shape as the image
+    * tier (one pass, no collect; the slot a JNI/ffmpeg call takes at
+    * scale). duration_us is integer microseconds (BIGINT floor divide,
+    * engine-identical).
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          graft.functions.AudioCodec.decode(bytes) match {
+            case Some(w) =>
+              AudioFeatures(id, "wav16", w.sampleRate, w.nSamples,
+                w.nSamples.toLong * 1000000L / w.sampleRate, w.peak, w.sumSq)
+            case None => AudioFeatures(id, "unknown", 0, 0, 0L, 0, 0L)
+          }
+        }
+      }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // REAL WAV decode (RIFF chunk walk + PCM sample scan) of the
+    // metadata-parameterized synthetic audio table, graded by a full
+    // SQL oracle that recomputes every field from documents metadata.
+    QueryDef(
+      "q189_audio_decode",
+      Some("""SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN 'unknown' ELSE 'wav16' END AS format,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |    ELSE 8000 + 1000 * (doc_id % 4) END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |    ELSE 50 + (n_chars % 100) END AS INT) AS n_samples,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |    ELSE ((50 + (n_chars % 100)) * 1000000)
+        |      // (8000 + 1000 * (doc_id % 4)) END AS BIGINT) AS duration_us,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |    ELSE 1000 + (doc_id % 7) * 3000 END AS INT) AS peak,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |    ELSE (50 + (n_chars % 100)) * (1000 + (doc_id % 7) * 3000)
+        |      * (1000 + (doc_id % 7) * 3000) END AS BIGINT) AS sum_sq
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        decodeAudio(spark, audioTable(t(spark, dir, "documents")))
+          .toDF().orderBy("doc_id")),
+
     // Metadata extraction stays in codegen'd built-ins: byte length and a
     // "magic bytes" hex prefix straight off the binary column.
     QueryDef(

@@ -259,4 +259,23 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(out("2024-01-09") == 2L)
     assert(!out.contains("2024-01-10"), "no days past the last observed day")
   }
+
+  test("phrase match: planted corpus, index intersection finds exact adjacencies") {
+    import graft.ops.CorpusStatsOps
+    val docs = Seq(
+      (1L, "red fox red fox red"),   // "red fox" x2, "fox red" x2
+      (2L, "red fox"),               // "red fox" x1
+      (3L, "fox red"),               // "fox red" x1
+      (4L, "red red red"),           // "red red" x2 (overlapping adjacency)
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CorpusStatsOps.phraseMatch(docs, topPhrases = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // counts: "red fox" 3, "fox red" 3, "red red" 2 -> top 3 by (n desc, phrase)
+    assert(out.keySet === Set("red fox", "fox red", "red red"))
+    assert(out("red fox") === ((2L, 3L, 1L)))
+    assert(out("fox red") === ((2L, 3L, 1L)))
+    assert(out("red red") === ((1L, 2L, 4L)))
+  }
 }

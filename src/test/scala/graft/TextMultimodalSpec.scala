@@ -121,4 +121,54 @@ class TextMultimodalSpec extends SparkSpec {
       assert(r.getString(2) == expect)
     }
   }
+
+  test("audio codec: hand-built WAV decodes exactly, junk chunks skipped") {
+    import graft.functions.AudioCodec
+    val samples = Array[Short](100, -200, 300, -32768)
+    val plain = AudioCodec.decode(AudioCodec.encodeWav(8000, samples)).get
+    assert(plain.sampleRate === 8000 && plain.channels === 1 &&
+      plain.bitsPerSample === 16 && plain.nSamples === 4)
+    assert(plain.peak === 32768)
+    assert(plain.sumSq === 100L * 100 + 200L * 200 + 300L * 300 +
+      32768L * 32768)
+    // LIST/INFO chunk between fmt and data must not change the result
+    val walked = AudioCodec.decode(
+      AudioCodec.encodeWav(8000, samples, junkChunk = true)).get
+    assert(walked === plain)
+  }
+
+  test("audio codec is total: corrupt, truncated and null bytes yield None") {
+    import graft.functions.AudioCodec
+    assert(AudioCodec.decode(null).isEmpty)
+    assert(AudioCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioCodec.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    val good = AudioCodec.encodeWav(8000, Array[Short](1, 2, 3, 4))
+    assert(AudioCodec.decode(good.take(good.length - 3)).isEmpty,
+      "truncated data chunk must not decode")
+    // stereo / non-PCM / 8-bit headers are rejected, not misread
+    val stereo = good.clone()
+    stereo(22) = 2 // channels field (RIFF 12 + chunk header 8 + audioFormat 2)
+    assert(AudioCodec.decode(stereo).isEmpty)
+  }
+
+  test("audio decode: synth params recovered bit-exactly, repartition invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = MultimodalOps.decodeAudio(spark,
+      MultimodalOps.audioTable(docs)).collect()
+    assert(out.nonEmpty)
+    val meta = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { f =>
+      val n = 50 + (meta(f.doc_id) % 100)
+      val amp = 1000 + (f.doc_id % 7) * 3000
+      assert(f.format === "wav16")
+      assert(f.sample_rate === 8000 + 1000 * (f.doc_id % 4))
+      assert(f.n_samples === n)
+      assert(f.peak === amp)
+      assert(f.sum_sq === n * amp * amp)
+    }
+    val re = MultimodalOps.decodeAudio(spark,
+      MultimodalOps.audioTable(docs.repartition(7))).collect()
+    assert(re.sortBy(_.doc_id).toSeq === out.sortBy(_.doc_id).toSeq)
+  }
 }
