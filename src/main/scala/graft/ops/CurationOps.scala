@@ -655,7 +655,140 @@ object CurationOps {
        |  ${sqlMoneySum("o_totalprice")} AS rev
        |FROM a GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** Per-document quality-gate mask: five independent drop reasons as a
+    * bitmask — bit 0 short (n_chars < 150), bit 1 few tokens (< 25),
+    * bit 2 low alpha ratio (10·alpha < 7·n_chars, cross-multiplied
+    * integers so no double threshold can drift between engines), bit 3
+    * repetitive (top token > 20% of tokens), bit 4 language off the
+    * allowlist. The mask — not a boolean — is the useful artifact: it
+    * answers "why was each doc dropped" and makes filter ablations a
+    * GROUP BY instead of a pipeline re-run.
+    *
+    * Scale shape: one doc_id-keyed shuffle for the per-doc top-token
+    * count (map-side combine collapses each doc's token multiset to its
+    * type counts first — q65's shape); every other signal is scan-speed
+    * row-local arithmetic.
+    */
+  def qualityMask(docs: DataFrame): DataFrame = {
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("ntok"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"),
+        col("text"))
+    val topTok = base
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_tok"))
+    base.join(topTok, Seq("doc_id"))
+      .withColumn("mask",
+        when(col("n_chars") < 150, 1).otherwise(0) +
+          when(col("ntok") < 25, 2).otherwise(0) +
+          when(col("alpha") * 10 < col("n_chars") * 7, 4).otherwise(0) +
+          when(col("max_tok") * 5 > col("ntok"), 8).otherwise(0) +
+          when(!col("lang").isInCollection(Seq("en", "es", "de", "fr")), 16)
+            .otherwise(0))
+      .select(col("doc_id"), col("source"), col("ntok"), col("mask"))
+  }
+
+  private val maskSqlCte: String =
+    """base AS (SELECT doc_id, source, lang, n_chars,
+      |    len(string_split(text, ' ')) AS ntok,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+      |  FROM documents WHERE text IS NOT NULL),
+      |tt AS (SELECT doc_id, MAX(c) AS max_tok FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c
+      |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |    WHERE text IS NOT NULL GROUP BY doc_id, tok) GROUP BY doc_id),
+      |m AS (SELECT b.doc_id, b.source, b.ntok,
+      |    (CASE WHEN b.n_chars < 150 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN b.ntok < 25 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN 10 * b.alpha < 7 * b.n_chars THEN 4 ELSE 0 END)
+      |  + (CASE WHEN 5 * tt.max_tok > b.ntok THEN 8 ELSE 0 END)
+      |  + (CASE WHEN b.lang NOT IN ('en', 'es', 'de', 'fr') THEN 16
+      |     ELSE 0 END) AS mask
+      |  FROM base b JOIN tt USING (doc_id))""".stripMargin
+
+  /** q191: per-source audit of the quality gates — kept count, one count
+    * per reason bit, and the multi-reason overlap (popcount >= 2).
+    */
+  def filterReasons(docs: DataFrame): DataFrame =
+    qualityMask(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mask") === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(when((col("mask").bitwiseAND(1)) =!= 0, 1L).otherwise(0L))
+          .as("n_short"),
+        sum(when((col("mask").bitwiseAND(2)) =!= 0, 1L).otherwise(0L))
+          .as("n_few_tokens"),
+        sum(when((col("mask").bitwiseAND(4)) =!= 0, 1L).otherwise(0L))
+          .as("n_low_alpha"),
+        sum(when((col("mask").bitwiseAND(8)) =!= 0, 1L).otherwise(0L))
+          .as("n_repetitive"),
+        sum(when((col("mask").bitwiseAND(16)) =!= 0, 1L).otherwise(0L))
+          .as("n_lang"),
+        sum(when(bit_count(col("mask")) >= 2, 1L).otherwise(0L))
+          .as("n_multi"))
+      .orderBy("source")
+
+  private val filterReasonsSql: String =
+    s"""WITH $maskSqlCte
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN (mask & 1) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_short,
+       |  CAST(SUM(CASE WHEN (mask & 2) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_few_tokens,
+       |  CAST(SUM(CASE WHEN (mask & 4) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_low_alpha,
+       |  CAST(SUM(CASE WHEN (mask & 8) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_repetitive,
+       |  CAST(SUM(CASE WHEN (mask & 16) != 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_lang,
+       |  CAST(SUM(CASE WHEN bit_count(mask) >= 2 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_multi
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  /** q192: single-filter ablation — for each reason, how many flagged
+    * docs would return if JUST that filter were disabled (mask == its
+    * bit alone) and how many tokens that recovers. The broadcast 5-row
+    * reason relation fans each flagged doc to its reasons; the corpus
+    * never moves twice.
+    */
+  def filterAblation(docs: DataFrame): DataFrame = {
+    val reasons = docs.sparkSession.sql(
+      "SELECT * FROM VALUES ('short', 1), ('few_tokens', 2), " +
+        "('low_alpha', 4), ('repetitive', 8), ('lang_offlist', 16)" +
+        " AS r(reason, bit)")
+    qualityMask(docs)
+      .join(broadcast(reasons), expr("(mask & bit) != 0"))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("docs_flagged"),
+        sum(when(col("mask") === col("bit"), 1L).otherwise(0L))
+          .as("docs_solely"),
+        sum(when(col("mask") === col("bit"), col("ntok").cast("long"))
+          .otherwise(0L)).as("tokens_recovered"))
+      .orderBy("reason")
+  }
+
+  private val filterAblationSql: String =
+    s"""WITH $maskSqlCte,
+       |r(reason, bit) AS (VALUES ('short', 1), ('few_tokens', 2),
+       |  ('low_alpha', 4), ('repetitive', 8), ('lang_offlist', 16))
+       |SELECT reason, CAST(COUNT(*) AS BIGINT) AS docs_flagged,
+       |  CAST(SUM(CASE WHEN mask = bit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_solely,
+       |  CAST(SUM(CASE WHEN mask = bit THEN ntok ELSE 0 END) AS BIGINT)
+       |    AS tokens_recovered
+       |FROM m JOIN r ON (mask & bit) != 0
+       |GROUP BY reason ORDER BY reason""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q191_filter_reasons", Some(filterReasonsSql),
+      (spark, dir) => filterReasons(t(spark, dir, "documents"))),
+
+    QueryDef("q192_filter_ablation", Some(filterAblationSql),
+      (spark, dir) => filterAblation(t(spark, dir, "documents"))),
+
     QueryDef("q91_doc_chunk", Some(chunkSql),
       (spark, dir) => chunkDocs(t(spark, dir, "documents"))),
 

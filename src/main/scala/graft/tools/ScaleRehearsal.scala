@@ -59,7 +59,16 @@ object ScaleRehearsal {
     "q172_large_orders", "q173_volume_shipping", "q174_min_bal_supplier",
     "q175_returned_items", "q176_dow_anomalies", "q177_cusum_changepoint",
     "q178_daily_autocorr", "q179_char_lm", "q180_bpe_merges",
-    "q181_last_touch", "q182_order_gaps")
+    "q181_last_touch", "q182_order_gaps",
+    // round 9 session 2: skyline/novelty, graph tier (fact-derived edges,
+    // dimension-bounded iterations), bounded top-k aggregate, mergeable
+    // histogram quantiles, audio decode, positional phrase search (its
+    // bigram vocabulary grows 10x under the per-copy token suffixes —
+    // q52's Heaps-law arithmetic, bar 15)
+    "q183_pareto_frontier", "q184_ngram_novelty", "q185_trade_hops",
+    "q186_trade_pagerank", "q187_topk_orders", "q188_hist_quantiles",
+    "q189_audio_decode", "q190_phrase_match", "q191_filter_reasons",
+    "q192_filter_ablation")
 
   private val OFFSET = 10000000L
 
@@ -111,7 +120,8 @@ object ScaleRehearsal {
       "q122_bpe_pairs" -> 15.0, "q123_collocation_lift" -> 15.0,
       "q130_containment_pairs" -> 25.0, "q132_term_drift" -> 15.0,
       "q133_inverted_index" -> 15.0, "q139_prefix_jaccard" -> 25.0,
-      "q167_longest_shared_span" -> 25.0, "q180_bpe_merges" -> 15.0)
+      "q167_longest_shared_span" -> 25.0, "q180_bpe_merges" -> 15.0,
+      "q184_ngram_novelty" -> 15.0, "q190_phrase_match" -> 15.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query

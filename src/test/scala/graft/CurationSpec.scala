@@ -216,4 +216,34 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(bigRate + smallRate - 1.0) < 1e-12, "rates sum to 1")
     assert(bigAlloc == 750000L && smallAlloc == 250000L)
   }
+
+  test("quality mask: each planted doc trips exactly its designed reasons") {
+    import graft.ops.CurationOps
+    // letter-only tokens so the alpha ratio stays high by construction
+    def toks(n: Int) = List.tabulate(n)(i => ("" + ('a' + i % 26).toChar) * 3)
+    val long = ("wx" :: toks(50)).mkString(" ")  // len 202, 51 toks, alpha .75
+    val short = ("wx" :: toks(30)).mkString(" ") // len 122 < 150, rest passes
+    val digits = (1 to 30).map(i => i.toString * 3).mkString(" ") // alpha 0
+    val docs = Seq(
+      (1L, long, "en", "s0"),            // kept: mask 0
+      (2L, short, "en", "s0"),           // short only: mask 1
+      (3L, "a a a", "en", "s0"),         // short+few+alpha+repetitive: 15
+      (4L, digits, "en", "s1"),          // low alpha only: mask 4
+      (5L, long, "zh", "s1"),            // lang off-list only: mask 16
+      (6L, null.asInstanceOf[String], "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        coalesce(length(col("text")).cast("long"), lit(0L)))
+    val masks = CurationOps.qualityMask(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("mask")).toMap
+    assert(masks === Map(1L -> 0, 2L -> 1, 3L -> 15, 4L -> 4, 5L -> 16))
+    val abl = CurationOps.filterAblation(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(abl("short") === ((2L, 1L, 31L)))
+    assert(abl("few_tokens") === ((1L, 0L, 0L)), "doc 3 multi-reason: not solely")
+    assert(abl("low_alpha") === ((2L, 1L, 30L)))
+    assert(abl("repetitive") === ((1L, 0L, 0L)))
+    assert(abl("lang_offlist") === ((1L, 1L, 51L)))
+  }
 }
