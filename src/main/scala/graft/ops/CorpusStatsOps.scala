@@ -305,8 +305,13 @@ object CorpusStatsOps {
     val p1 = toks.join(broadcast(phrases),
         toks("term") === phrases("w1"))
       .select(col("phrase"), col("w2"), col("doc_id"), col("pos"))
-    val p2 = toks.select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
-      col("term").as("term2"))
+    // prune the second posting side to the phrase terms BEFORE the
+    // positional join: without this the full token stream shuffles on
+    // (doc_id, pos) just to be discarded by the term2 = w2 predicate
+    val p2 = toks.join(broadcast(phrases.select(col("w2").as("term"))),
+        Seq("term"), "left_semi")
+      .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+        col("term").as("term2"))
     p1.join(p2,
         col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1 &&
           col("term2") === col("w2"))
