@@ -266,7 +266,89 @@ object TimeSeriesOps {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution — the
+    * credit-splitting sibling of q181's last-touch: each purchase
+    * distributes its value across the user's clicks in the preceding 7
+    * days in integer BASIS POINTS (first 4000, last 4000, middles share
+    * 2000 with the division remainder pinned to the first middle), so
+    * every credit is exact BIGINT arithmetic that sums identically under
+    * any partitioning — the q97/q141 doctrine applied to money splits
+    * (a double 0.4 split would leak ulps per touch).
+    *
+    * Scale shape: ONE user-keyed shuffle joins purchases to clicks with
+    * the 7-day bound as a residual range predicate (q152's SCD2 shape —
+    * per-user frames are retention-bounded); the rank/size windows
+    * partition by purchase id (touch lists are session-sized). Channel
+    * comes from the click's JSON props (q44's extraction, k mod 5).
+    */
+  def positionAttribution(events: DataFrame): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"),
+        concat(lit("ch"),
+          get_json_object(col("props"), "$.k").cast("int") % 5).as("channel"))
+    val j = p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") < col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL '7' DAY"))
+    val byPurchase = Window.partitionBy(col("p_id"))
+    val r = j
+      .withColumn("rnk", row_number().over(
+        byPurchase.orderBy(col("c_ts"), col("c_id"))))
+      .withColumn("m", count(lit(1)).over(byPurchase))
+    val b = r.withColumn("bp", expr(
+      """CASE WHEN m = 1 THEN 10000
+        |     WHEN m = 2 THEN 5000
+        |     WHEN rnk = 1 OR rnk = m THEN 4000
+        |     ELSE 2000 div (m - 2)
+        |       + CASE WHEN rnk = 2 THEN 2000 % (m - 2) ELSE 0 END
+        |END""".stripMargin))
+    b.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rnk") === col("m"), 1L).otherwise(0L)).as("n_last"),
+        sum(expr("(cents * bp) div 10000")).as("attributed_cents"),
+        sum(col("bp")).as("sum_bp"))
+      .orderBy("channel")
+  }
+
+  private val positionAttributionOracle: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts,
+      |    'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INT) % 5
+      |      AS VARCHAR) AS channel
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.p_id, p.cents, c.c_id, c.c_ts, c.channel
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY p_id) AS m
+      |  FROM j),
+      |b AS (SELECT channel, cents, rnk, m,
+      |    CASE WHEN m = 1 THEN 10000
+      |         WHEN m = 2 THEN 5000
+      |         WHEN rnk = 1 OR rnk = m THEN 4000
+      |         ELSE 2000 // (m - 2)
+      |           + CASE WHEN rnk = 2 THEN 2000 % (m - 2) ELSE 0 END
+      |    END AS bp
+      |  FROM r)
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |  CAST(SUM(CASE WHEN rnk = m THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+      |  CAST(SUM((cents * bp) // 10000) AS BIGINT) AS attributed_cents,
+      |  CAST(SUM(bp) AS BIGINT) AS sum_bp
+      |FROM b GROUP BY channel ORDER BY channel""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q193_position_attribution", Some(positionAttributionOracle),
+      (spark, dir) => positionAttribution(EventOps.events(spark, dir))),
+
     QueryDef("q176_dow_anomalies", Some(dowAnomaliesOracle),
       (spark, dir) => dowAnomalies(t(spark, dir, "orders"))),
 

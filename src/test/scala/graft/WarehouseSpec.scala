@@ -140,4 +140,42 @@ class WarehouseSpec extends SparkSpec {
     // d+7 for d in 2..7 -> 6 pairs, all (x,y) = (c, opposite c) -> acf -1
     assert(r(7)._1 == 6L && r(7)._2 == -1.0, s"gap-aware lag-7: $r")
   }
+
+  test("position attribution: hand-computed U-shaped splits, remainder to first middle") {
+    import graft.ops.TimeSeriesOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: purchase 100.00 with 5 clicks in window -> bp 4000, then
+    // middles share 2000: 2000 div 3 = 666, remainder 2 to the first
+    // middle (rnk 2 gets 668), last 4000. one click outside 7d ignored.
+    // user 2: purchase 10.00 with ONE click -> 10000 bp.
+    // user 3: purchase with clicks only AFTER it -> no rows at all.
+    val ev = Seq(
+      (1L, ts("2024-03-01 00:00:00"), 1L, "click", 0.0, """{"k": 0}"""),  // stale
+      (2L, ts("2024-03-09 10:00:00"), 1L, "click", 0.0, """{"k": 1}"""),
+      (3L, ts("2024-03-09 11:00:00"), 1L, "click", 0.0, """{"k": 2}"""),
+      (4L, ts("2024-03-09 12:00:00"), 1L, "click", 0.0, """{"k": 3}"""),
+      (5L, ts("2024-03-09 13:00:00"), 1L, "click", 0.0, """{"k": 4}"""),
+      (6L, ts("2024-03-09 14:00:00"), 1L, "click", 0.0, """{"k": 5}"""),  // k%5=0
+      (7L, ts("2024-03-10 00:00:00"), 1L, "purchase", 100.0, """{"k": 9}"""),
+      (8L, ts("2024-03-10 00:00:00"), 2L, "click", 0.0, """{"k": 7}"""),  // ch2
+      (9L, ts("2024-03-10 01:00:00"), 2L, "purchase", 10.0, """{"k": 9}"""),
+      (10L, ts("2024-03-10 02:00:00"), 3L, "click", 0.0, """{"k": 0}"""),
+      (11L, ts("2024-03-10 01:00:00"), 3L, "purchase", 50.0, """{"k": 9}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = TimeSeriesOps.positionAttribution(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // user-1 ranks: e2 ch1 bp4000, e3 ch2 bp668, e4 ch3 bp666,
+    //               e5 ch4 bp666, e6 ch0 bp4000 (last); cents 10000
+    // credit = cents * bp div 10000 = bp (cents == 10000)
+    assert(out("ch1") === ((1L, 1L, 0L, 4000L, 4000L)))
+    // ch2 carries user 1's first-middle touch (668 bp) AND user 2's solo
+    // touch (rnk 1 == m -> counts as both first and last; credit 1000)
+    assert(out("ch2") === ((2L, 1L, 1L, 668L + 1000L, 668L + 10000L)))
+    assert(out("ch3") === ((1L, 0L, 0L, 666L, 666L)))
+    assert(out("ch4") === ((1L, 0L, 0L, 666L, 666L)))
+    assert(out("ch0") === ((1L, 0L, 1L, 4000L, 4000L)))
+    assert(out.keySet === Set("ch0", "ch1", "ch2", "ch3", "ch4"))
+  }
 }
