@@ -440,7 +440,111 @@ object RelationalOps {
       |                  WHERE l2.l_partkey = sp.l_partkey))
       |ORDER BY s.s_suppkey""".stripMargin
 
+  /** Snapshot diff (q194): classify every key across two table versions
+    * as added / removed / changed / unchanged, with per-column change
+    * counts — the validation primitive behind CDC reconciliation and
+    * "what did this backfill actually touch" audits. The comparison is
+    * null-safe per column (a null never hides a change).
+    *
+    * Scale shape: ONE co-partitioned shuffle pair (full outer join on
+    * the key — with both versions bucketed on the key, q62's layout,
+    * zero exchanges); the classification and per-column counts are
+    * row-local CASE arithmetic that combines map-side. The "new"
+    * version here derives deterministically from orders (drop keys
+    * ≡0 mod 97, bump price on ≡0 mod 101, re-key a ≡0 mod 103 slice
+    * +90M as inserts) so both engines construct bit-identical inputs.
+    */
+  def snapshotDiff(oldV: DataFrame, newV: DataFrame): DataFrame = {
+    val o = oldV.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("old_price"),
+      col("o_orderstatus").as("old_status"),
+      col("o_orderpriority").as("old_prio"))
+    val n = newV.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("new_price"),
+      col("o_orderstatus").as("new_status"),
+      col("o_orderpriority").as("new_prio"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(
+        when(col("old_price").isNull && col("old_status").isNull &&
+          col("old_prio").isNull, "added")
+          .when(col("new_price").isNull && col("new_status").isNull &&
+            col("new_prio").isNull, "removed")
+          .when(col("old_price") <=> col("new_price") &&
+            col("old_status") <=> col("new_status") &&
+            col("old_prio") <=> col("new_prio"), "unchanged")
+          .otherwise("changed").as("class"),
+        (!(col("old_price") <=> col("new_price"))).cast("long").as("d_price"),
+        (!(col("old_status") <=> col("new_status"))).cast("long").as("d_status"),
+        (!(col("old_prio") <=> col("new_prio"))).cast("long").as("d_prio"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("class") === "changed", col("d_price")).otherwise(0L))
+          .as("price_changes"),
+        sum(when(col("class") === "changed", col("d_status")).otherwise(0L))
+          .as("status_changes"),
+        sum(when(col("class") === "changed", col("d_prio")).otherwise(0L))
+          .as("prio_changes"))
+      .orderBy("class")
+  }
+
+  /** The deterministic "version 2" of orders both engines derive. */
+  def mutatedOrders(orders: DataFrame): DataFrame =
+    orders.where(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .unionByName(
+        orders.where(col("o_orderkey") % 103 === 0)
+          .select((col("o_orderkey") + 90000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus"), col("o_orderpriority")))
+
+  private val snapshotDiffOracle: String =
+    """WITH newv AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 != 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 90000000, o_totalprice, o_orderstatus,
+      |    o_orderpriority
+      |  FROM orders WHERE o_orderkey % 103 = 0),
+      |j AS (
+      |  SELECT
+      |    CASE
+      |      WHEN o.o_orderkey IS NULL THEN 'added'
+      |      WHEN n.o_orderkey IS NULL THEN 'removed'
+      |      WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+      |       AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+      |       AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+      |        THEN 'unchanged'
+      |      ELSE 'changed' END AS class,
+      |    CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |      THEN 1 ELSE 0 END AS d_price,
+      |    CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      |      THEN 1 ELSE 0 END AS d_status,
+      |    CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+      |      THEN 1 ELSE 0 END AS d_prio
+      |  FROM orders o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+      |SELECT class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CASE WHEN class = 'changed' THEN d_price ELSE 0 END)
+      |    AS BIGINT) AS price_changes,
+      |  CAST(SUM(CASE WHEN class = 'changed' THEN d_status ELSE 0 END)
+      |    AS BIGINT) AS status_changes,
+      |  CAST(SUM(CASE WHEN class = 'changed' THEN d_prio ELSE 0 END)
+      |    AS BIGINT) AS prio_changes
+      |FROM j GROUP BY class ORDER BY class""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q194_table_diff",
+      Some(snapshotDiffOracle),
+      (spark, dir) => {
+        val o = t(spark, dir, "orders")
+        snapshotDiff(o, mutatedOrders(o))
+      }),
+
     QueryDef(
       "q162_cust_order_dist",
       Some(custOrderDistOracle),

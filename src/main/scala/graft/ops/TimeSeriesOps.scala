@@ -345,7 +345,62 @@ object TimeSeriesOps {
       |  CAST(SUM(bp) AS BIGINT) AS sum_bp
       |FROM b GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** Group-wise least-squares trend (q195): per-nation revenue slope
+    * over calendar months, computed as AGGREGATION — the five exact
+    * integer sums (n, Σx, Σy, Σxy, Σx²) with x = months since 1995-01
+    * and y = month-revenue cents, then ONE closed-form projection:
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). No per-group sort, no
+    * window, no iterative solver: regression over a trillion rows is
+    * two map-side-combining shuffles (day grid → month grid → nation
+    * sums) and a 25-row final projection. Doubles appear only in that
+    * final shared expression tree (the q97/q141 doctrine); all sums
+    * cross shuffles as BIGINT on the cents grid.
+    */
+  def trendSlopes(
+      orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val monthly = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    monthly.groupBy("n_name")
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_name"), col("n_months"),
+        ((col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_cents_per_month"),
+        col("sy").as("total_cents"))
+      .orderBy("n_name")
+  }
+
+  private val trendSlopesOracle: String =
+    """WITH monthly AS (
+      |  SELECT n.n_name,
+      |    CAST((year(o.o_orderdate) - 1995) * 12
+      |      + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+      |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |s AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM monthly GROUP BY n_name)
+      |SELECT n_name, n_months,
+      |  CAST(n_months * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope_cents_per_month,
+      |  CAST(sy AS BIGINT) AS total_cents
+      |FROM s ORDER BY n_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q195_trend_slopes", Some(trendSlopesOracle),
+      (spark, dir) => trendSlopes(t(spark, dir, "orders"),
+        t(spark, dir, "customer"), t(spark, dir, "nation"))),
+
     QueryDef("q193_position_attribution", Some(positionAttributionOracle),
       (spark, dir) => positionAttribution(EventOps.events(spark, dir))),
 

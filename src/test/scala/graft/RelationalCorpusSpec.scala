@@ -278,4 +278,52 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(out("fox red") === ((2L, 3L, 1L)))
     assert(out("red red") === ((1L, 2L, 4L)))
   }
+
+  test("snapshot diff: hand-built versions classify and count per column") {
+    import graft.ops.RelationalOps
+    val old = Seq(
+      (1L, 10.0, "O", "1-URGENT"),
+      (2L, 20.0, "F", "2-HIGH"),
+      (3L, 30.0, "O", "3-MEDIUM"),
+      (4L, 40.0, "F", "4-LOW")
+    ).toDF("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    val neu = Seq(
+      (1L, 10.0, "O", "1-URGENT"),    // unchanged
+      (2L, 21.0, "P", "2-HIGH"),      // changed: price + status
+      (3L, 30.0, "O", "5-LOW"),       // changed: priority
+      (5L, 50.0, "O", "1-URGENT")     // added; key 4 removed
+    ).toDF("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    val out = RelationalOps.snapshotDiff(old, neu).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "added" -> ((1L, 0L, 0L, 0L)),
+      "removed" -> ((1L, 0L, 0L, 0L)),
+      "changed" -> ((2L, 1L, 1L, 1L)),
+      "unchanged" -> ((1L, 0L, 0L, 0L))))
+  }
+
+  test("trend slopes: a planted exact line recovers its slope bit-exactly") {
+    import graft.ops.TimeSeriesOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // nation A: revenue 100.00, 200.00, 300.00 cents over three months
+    // -> slope exactly 10000 cents/month; nation B flat -> slope 0
+    val orders = Seq(
+      (1L, 1L, "O", 100.0, ts("1995-01-15 00:00:00"), "1-URGENT"),
+      (2L, 1L, "O", 200.0, ts("1995-02-15 00:00:00"), "1-URGENT"),
+      (3L, 1L, "O", 300.0, ts("1995-03-15 00:00:00"), "1-URGENT"),
+      (4L, 2L, "O", 50.0, ts("1995-01-10 00:00:00"), "1-URGENT"),
+      (5L, 2L, "O", 50.0, ts("1995-02-10 00:00:00"), "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val customer = Seq((1L, "ca", 0, 0.0, "BUILDING"),
+      (2L, "cb", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val nation = Seq((0, "ALPHA"), (1, "BETA")).toDF("n_nationkey", "n_name")
+    val out = TimeSeriesOps.trendSlopes(orders, customer, nation).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out("ALPHA") === ((3L, 10000.0, 60000L)))
+    assert(out("BETA") === ((2L, 0.0, 10000L)))
+  }
 }
