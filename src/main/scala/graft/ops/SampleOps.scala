@@ -245,7 +245,68 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Multi-epoch training shuffle (q196): epoch e's order is the affine
+    * permutation pos = ((i−1)·A + e·B) mod n over the q92 global index —
+    * a full reshuffle per epoch WITHOUT re-sorting the corpus (the
+    * classic LCG-permutation trick): computing any epoch's order is
+    * row-local arithmetic over the one index the corpus was enumerated
+    * with once. A = 1000003 (prime — a bijection whenever A ∤ n, i.e.
+    * always while n < A; a trillion-doc corpus picks the next prime
+    * above n from a fixed ladder, same arithmetic), B = 7919 offsets
+    * epochs from each other. The graded output pins each epoch's first
+    * k positions — fetched with the bounded top-k AGGREGATE on the
+    * negated position (map-side k-trim, q187's plan), never an
+    * epoch-partitioned window (3 partitions would each sort the whole
+    * corpus) — plus the Σpos = n(n−1)/2 bijection witness.
+    */
+  def epochShuffle(docs: DataFrame, epochs: Int = 3, k: Int = 5): DataFrame = {
+    require(epochs > 0 && k > 0, s"epochs/k must be positive: $epochs/$k")
+    val idx = globalIndex(docs)
+    val nRow = idx.agg(count(lit(1)).as("n"))
+    val eps = docs.sparkSession.range(epochs)
+      .select(col("id").cast("int").as("epoch"))
+    val p = idx.crossJoin(broadcast(nRow)).crossJoin(broadcast(eps))
+      .withColumn("pos",
+        expr("((global_idx - 1) * 1000003L + epoch * 7919L) % n"))
+    val topk = graft.functions.TopKAggregate.topK(k)
+    p.groupBy("epoch")
+      .agg(max(col("n")).as("n_docs"),
+        sum(col("pos")).as("sum_pos"),
+        topk(-col("pos"), col("doc_id")).as("top"))
+      .select(col("epoch"),
+        posexplode(arrays_zip(col("top.values"), col("top.ids"))),
+        col("n_docs"), col("sum_pos"))
+      .select(col("epoch"), (col("pos") + 1).cast("int").as("rnk"),
+        (-col("col.values")).as("pos"), col("col.ids").as("doc_id"),
+        col("n_docs"),
+        expr("CAST(sum_pos = (n_docs * (n_docs - 1)) div 2 AS INT)")
+          .as("perm_ok"))
+      .orderBy("epoch", "rnk")
+  }
+
+  private val epochShuffleOracle: String =
+    """WITH idx AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |      - 1 AS i,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents),
+      |e(epoch) AS (VALUES (0), (1), (2)),
+      |p AS (SELECT epoch, doc_id, (i * 1000003 + epoch * 7919) % n AS pos, n
+      |      FROM idx, e),
+      |r AS (SELECT epoch, doc_id, pos, n,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY pos) AS rnk,
+      |    SUM(pos) OVER (PARTITION BY epoch) AS sum_pos
+      |  FROM p)
+      |SELECT epoch, CAST(rnk AS INT) AS rnk, pos, doc_id,
+      |  CAST(n AS BIGINT) AS n_docs,
+      |  CAST(CASE WHEN sum_pos = n * (n - 1) // 2 THEN 1 ELSE 0 END AS INT)
+      |    AS perm_ok
+      |FROM r WHERE rnk <= 5 ORDER BY epoch, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q196_epoch_shuffle", Some(epochShuffleOracle),
+      (spark, dir) => epochShuffle(t(spark, dir, "documents"))),
+
     // Oracle = the naive single-window global order; the engine runs the
     // sharded two-phase form (provably identical — shard is a prefix of
     // the sort key).

@@ -195,4 +195,29 @@ class VocabSampleSpec extends SparkSpec {
     assert(byCluster.exists(_._3 >= 2L),
       s"fixture must contain a real multi-member cluster: ${byCluster.mkString(",")}")
   }
+
+  test("epoch shuffle: bijection witness, distinct epoch orders, affine arithmetic") {
+    import graft.ops.SampleOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = SampleOps.epochShuffle(docs).collect()
+    assert(out.length === 15, "3 epochs x top-5")
+    assert(out.forall(_.getAs[Int]("perm_ok") == 1),
+      "sum of positions must witness a bijection in every epoch")
+    // the three epochs must START differently (B offsets the permutation)
+    val firstByEpoch = out.filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Int]("epoch") -> r.getAs[Long]("doc_id")).toMap
+    assert(firstByEpoch.size === 3)
+    assert(firstByEpoch.values.toSet.size >= 2,
+      s"epochs should not share a first doc: $firstByEpoch")
+    // spot-check the arithmetic: epoch 0's rank-1 doc has the smallest
+    // ((i-1) * 1000003) % n over the q92 index
+    val n = docs.count()
+    val idx = SampleOps.globalIndex(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = idx.toSeq
+      .map { case (id, i) => (((i - 1) * 1000003L) % n, id) }.min
+    val got = out.find(r => r.getAs[Int]("epoch") == 0 &&
+      r.getAs[Int]("rnk") == 1).get
+    assert((got.getAs[Long]("pos"), got.getAs[Long]("doc_id")) === expect)
+  }
 }
