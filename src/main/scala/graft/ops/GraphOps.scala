@@ -172,9 +172,15 @@ object GraphOps {
     // labels nodes at distance exactly h or revisits (pruned).
     QueryDef("q185_trade_hops", Some(bfsOracle),
       (spark, dir) => {
+        // materialize the dimension-bounded edge relation ONCE before
+        // iterating: without the checkpoint the lazy lineage re-runs the
+        // fact-fact aggregation on every frontier round (4x the corpus
+        // scan at 100 TB); localCheckpoint also severs the growing
+        // iteration lineage (the q51 doctrine)
         val hops = bfsHops(
           tradeEdges(t(spark, dir, "orders"), t(spark, dir, "lineitem"),
-            t(spark, dir, "customer"), t(spark, dir, "supplier")),
+            t(spark, dir, "customer"), t(spark, dir, "supplier"))
+            .localCheckpoint(),
           source = 0L, maxHops = 4)
         hops.join(broadcast(t(spark, dir, "nation")),
             hops("nation") === col("n_nationkey"))
@@ -187,9 +193,12 @@ object GraphOps {
     // BIGINT floor-divide redistribution.
     QueryDef("q186_trade_pagerank", Some(pageRankOracle),
       (spark, dir) => {
+        // same edge checkpoint as q185: 3 rank rounds otherwise re-run
+        // the fact aggregation per join
         val ranks = pageRank(
           tradeEdges(t(spark, dir, "orders"), t(spark, dir, "lineitem"),
-            t(spark, dir, "customer"), t(spark, dir, "supplier")),
+            t(spark, dir, "customer"), t(spark, dir, "supplier"))
+            .localCheckpoint(),
           iterations = 3)
         ranks.join(broadcast(t(spark, dir, "nation")),
             ranks("nation") === col("n_nationkey"))
