@@ -394,7 +394,73 @@ object StatOps {
         |      * (CAST(t.hi - t.lo + 1 AS DOUBLE) / 64.0) AS est_cents
         |FROM t JOIN ch ON ch.cum >= t.t AND ch.cumb < t.t
         |ORDER BY q""".stripMargin),
-      (spark, dir) => histQuantiles(t(spark, dir, "orders"))))
+      (spark, dir) => histQuantiles(t(spark, dir, "orders"))),
+
+    // Winsorization (q197): clip each event type's value at its exact
+    // p05/p95 and report the clip counts plus the winsorized mean — the
+    // robust-mean counterpart of q143's MAD outlier flagging (clip,
+    // don't drop). q143's shape exactly: per-type percentiles of the
+    // cents integers (exact half-grid interpolation, quantile_cont ==
+    // Spark percentile on an integer grid) broadcast back over a
+    // scan-speed clip pass; sums of clipped cents stay BIGINT across
+    // the shuffle and the mean is ONE final shared double division.
+    QueryDef(
+      "q197_winsorize",
+      Some("""WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
+        |q AS (SELECT event_type, quantile_cont(cents, 0.05) AS lo,
+        |    quantile_cont(cents, 0.95) AS hi
+        |  FROM c GROUP BY event_type),
+        |w AS (SELECT c.event_type, q.lo, q.hi,
+        |    CASE WHEN c.cents < q.lo THEN 1 ELSE 0 END AS clip_lo,
+        |    CASE WHEN c.cents > q.hi THEN 1 ELSE 0 END AS clip_hi,
+        |    CAST(round(LEAST(GREATEST(CAST(c.cents AS DOUBLE), q.lo), q.hi)
+        |      * 20) AS BIGINT) AS t_cents
+        |  FROM c JOIN q USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  lo AS lo_cents, hi AS hi_cents,
+        |  CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_hi,
+        |  CAST(SUM(t_cents) AS DOUBLE) / (20.0 * COUNT(*))
+        |    AS winsorized_mean_cents
+        |FROM w GROUP BY event_type, lo, hi ORDER BY event_type""".stripMargin),
+      (spark, dir) => winsorize(EventOps.events(spark, dir))))
+
+  /** q197 body (shared with StatsSpec's hand fixture). Interpolating
+    * integer cents at p05/p95 lands thresholds on the 1/20 grid, so
+    * clipped values scale to integers by x20 — via round(), NOT a raw
+    * cast (Spark's double->long cast truncates where DuckDB's rounds;
+    * and 0.05 steps are not binary-exact, so truncation could fall
+    * either side of the integer). round() on a value within ulps of the
+    * grid point is exact in both engines; the sums then cross shuffles
+    * as BIGINT and ONE shared double division ends the query.
+    */
+  def winsorize(events: DataFrame): DataFrame = {
+    val c = events.where(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val q = c.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.05d)").as("lo"),
+        expr("percentile(cents, 0.95d)").as("hi"))
+    c.join(broadcast(q), Seq("event_type"))
+      .select(col("event_type"), col("lo"), col("hi"),
+        when(col("cents") < col("lo"), 1L).otherwise(0L).as("clip_lo"),
+        when(col("cents") > col("hi"), 1L).otherwise(0L).as("clip_hi"),
+        round(least(greatest(col("cents").cast("double"), col("lo")),
+          col("hi")) * 20).cast("long").as("t_cents"))
+      .groupBy(col("event_type"), col("lo").as("lo_cents"),
+        col("hi").as("hi_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clip_lo")).as("n_clipped_lo"),
+        sum(col("clip_hi")).as("n_clipped_hi"),
+        (sum(col("t_cents")).cast("double") / (lit(20.0) * count(lit(1))))
+          .as("winsorized_mean_cents"))
+      .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clipped_lo"), col("n_clipped_hi"),
+        col("winsorized_mean_cents"))
+      .orderBy("event_type")
+  }
 
   /** q188 body (shared with StatsSpec's merge-equivalence fixture). */
   def histQuantiles(orders: DataFrame): DataFrame = {

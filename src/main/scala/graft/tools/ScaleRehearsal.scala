@@ -69,7 +69,8 @@ object ScaleRehearsal {
     "q186_trade_pagerank", "q187_topk_orders", "q188_hist_quantiles",
     "q189_audio_decode", "q190_phrase_match", "q191_filter_reasons",
     "q192_filter_ablation", "q193_position_attribution",
-    "q194_table_diff", "q195_trend_slopes", "q196_epoch_shuffle")
+    "q194_table_diff", "q195_trend_slopes", "q196_epoch_shuffle",
+    "q197_winsorize")
 
   private val OFFSET = 10000000L
 

@@ -262,4 +262,24 @@ class StatsSpec extends SparkSpec {
     assert(out("p50").getAs[Long]("cum_count") === 32L)
     assert(out("p99").getAs[Long]("target_rank") === 64L)
   }
+
+  test("winsorize: hand-computed clip thresholds, counts and robust mean") {
+    // one type, 21 values 0..20 euros -> cents 0..2000 step 100.
+    // p05 of 21 ints at positions 0..20: pos = 0.05*20 = 1 exactly ->
+    // lo = 100 cents; p95 -> pos 19 -> hi = 1900 cents. one value clips
+    // each side; winsorized sum = 100 + (100+...+1900) + 1900
+    val ev = (0 to 20).map(i =>
+      (i.toLong, ts("2024-01-01 00:00:00"), 1L, "click", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = StatOps.winsorize(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") === 21L)
+    assert(row.getAs[Double]("lo_cents") === 100.0)
+    assert(row.getAs[Double]("hi_cents") === 1900.0)
+    assert(row.getAs[Long]("n_clipped_lo") === 1L)
+    assert(row.getAs[Long]("n_clipped_hi") === 1L)
+    // sum = 100 + sum_{k=1..19}(100k) + 1900 = 100 + 19000 + 1900 = 21000
+    assert(row.getAs[Double]("winsorized_mean_cents") === 21000.0 / 21.0)
+  }
 }
