@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -782,7 +783,72 @@ object CurationOps {
        |FROM m JOIN r ON (mask & bit) != 0
        |GROUP BY reason ORDER BY reason""".stripMargin
 
+  /** Budget-constrained greedy mixture (q198): fill a character budget
+    * with whole sources in descending kept-rate order (q191's mask
+    * decides "kept"; rate ties break on source name), taking a final
+    * PARTIAL source to land exactly on the budget — the "fill a 100B-
+    * token budget by quality" selection step that runs after scoring
+    * and before sampling. The greedy scan is a cumulative window over
+    * the SOURCE-dimension frame (tens of rows — catalog-bounded by
+    * construction, PlanSpec allowlist) on top of one doc-level rollup;
+    * the corpus itself is touched once, scan-speed.
+    *
+    * Exactness: kept chars and budgets are BIGINT; the ordering key is
+    * the one place a ratio appears, and both engines order by the same
+    * double division of the same integers (ties then on the name).
+    */
+  def budgetMix(docs: DataFrame, budgetChars: Long = 50000L): DataFrame = {
+    require(budgetChars > 0, s"budget must be positive, got $budgetChars")
+    val bySource = qualityMask(docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mask") === 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("mask") === 0, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+    val order = Window.orderBy(
+      (col("n_kept").cast("double") / col("n_docs").cast("double")).desc,
+      col("source").asc)
+    val ranked = bySource
+      .withColumn("rnk", row_number().over(order).cast("int"))
+      .withColumn("cum", sum(col("kept_chars")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .where(col("cum") - col("kept_chars") < budgetChars)
+      .select(col("rnk"), col("source"), col("n_docs"), col("n_kept"),
+        col("kept_chars"),
+        least(col("kept_chars"), lit(budgetChars) - (col("cum") - col("kept_chars")))
+          .as("chars_taken"),
+        (col("cum") >= budgetChars).cast("int").as("is_partial"))
+      .orderBy("rnk")
+  }
+
+  private val budgetMixSql: String =
+    s"""WITH $maskSqlCte,
+       |src AS (SELECT m.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(SUM(CASE WHEN mask = 0 THEN d.n_chars ELSE 0 END) AS BIGINT)
+       |      AS kept_chars
+       |  FROM m JOIN documents d USING (doc_id) GROUP BY m.source),
+       |r AS (SELECT *,
+       |    CAST(ROW_NUMBER() OVER w AS INT) AS rnk,
+       |    SUM(kept_chars) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS cum
+       |  FROM src
+       |  WINDOW w AS (ORDER BY CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    DESC, source ASC))
+       |SELECT rnk, source, n_docs, n_kept, kept_chars,
+       |  CAST(LEAST(kept_chars, 50000 - (cum - kept_chars)) AS BIGINT)
+       |    AS chars_taken,
+       |  CAST(cum >= 50000 AS INT) AS is_partial
+       |FROM r WHERE cum - kept_chars < 50000
+       |ORDER BY rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q198_budget_mix", Some(budgetMixSql),
+      (spark, dir) => budgetMix(t(spark, dir, "documents"))),
+
     QueryDef("q191_filter_reasons", Some(filterReasonsSql),
       (spark, dir) => filterReasons(t(spark, dir, "documents"))),
 

@@ -165,7 +165,64 @@ object GraphOps {
        |ORDER BY rank_micros DESC, nation""".stripMargin
   }
 
+  /** Degree/reciprocity profile (q199): per-node out/in degree and the
+    * count of out-edges whose reverse edge also exists — the first
+    * health report run on any derived graph (a near-zero reciprocity on
+    * a supposedly-mutual relation, or a degree histogram with an
+    * unexpected hub, is how bad edge derivations get caught). All exact
+    * integer counts: two degree aggregates plus one left-semi self-join
+    * on the swapped key, each a dimension-bounded shuffle here and a
+    * plain key-partitioned one on a billion-node graph.
+    */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val out = e.groupBy(col("src").as("nation"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("nation"))
+      .agg(count(lit(1)).as("in_deg"))
+    val recip = e.join(e.select(col("dst").as("r_src"), col("src").as("r_dst")),
+        col("src") === col("r_src") && col("dst") === col("r_dst"), "left_semi")
+      .groupBy(col("src").as("nation"))
+      .agg(count(lit(1)).as("n_recip"))
+    out.join(in, Seq("nation"), "full_outer")
+      .join(recip, Seq("nation"), "left_outer")
+      .select(col("nation"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+  }
+
+  private val degreeStatsOracle: String =
+    s"""WITH ${edgesSql(3)},
+       |od AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src),
+       |id AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst),
+       |rc AS (SELECT a.src AS node, COUNT(*) AS n_recip
+       |  FROM e a WHERE EXISTS (SELECT 1 FROM e b
+       |    WHERE b.src = a.dst AND b.dst = a.src)
+       |  GROUP BY a.src)
+       |SELECT n.n_name AS nation,
+       |  CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg,
+       |  CAST(COALESCE(id.in_deg, 0) AS BIGINT) AS in_deg,
+       |  CAST(COALESCE(rc.n_recip, 0) AS BIGINT) AS n_recip
+       |FROM od FULL OUTER JOIN id USING (node)
+       |LEFT JOIN rc USING (node)
+       |JOIN nation n ON n.n_nationkey = node
+       |ORDER BY nation""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q199_degree_stats", Some(degreeStatsOracle),
+      (spark, dir) => {
+        val stats = degreeStats(
+          tradeEdges(t(spark, dir, "orders"), t(spark, dir, "lineitem"),
+            t(spark, dir, "customer"), t(spark, dir, "supplier"))
+            .localCheckpoint())
+        stats.join(broadcast(t(spark, dir, "nation")),
+            stats("nation") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("out_deg"), col("in_deg"),
+            col("n_recip"))
+          .orderBy("nation")
+      }),
+
     // Bounded 4-hop BFS from nation 0 over the top-3 trade graph; the
     // oracle walks the same edges with a recursive CTE. min() over the
     // union of rounds == true BFS distance because round h only ever

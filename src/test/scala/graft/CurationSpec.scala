@@ -246,4 +246,34 @@ class CurationSpec extends SparkSpec {
     assert(abl("repetitive") === ((1L, 0L, 0L)))
     assert(abl("lang_offlist") === ((1L, 1L, 51L)))
   }
+
+  test("budget mix: greedy order, partial last source, budget landed exactly") {
+    import graft.ops.CurationOps
+    // sources with kept-rates 1.0 (s_hi), 0.5 (s_mid), 0.0 (s_low);
+    // kept chars: s_hi 300, s_mid 200. budget 400 -> s_hi whole (300),
+    // s_mid partial (100), s_low never selected.
+    def doc(id: Long, src: String, masked: Boolean) = {
+      val good = ("wx" :: List.tabulate(50)(i => ("" + ('a' + i % 26).toChar) * 3))
+        .mkString(" ")                     // 202 chars, passes every gate
+      val text = if (masked) "a a a" else good
+      (id, text, "en", src)
+    }
+    val rows = Seq(
+      doc(1L, "s_hi", false), doc(2L, "s_hi", false),
+      doc(3L, "s_mid", false), doc(4L, "s_mid", true),
+      doc(5L, "s_low", true), doc(6L, "s_low", true))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        when(col("text") === "a a a", 5L)
+          .otherwise(lit(150L) + col("doc_id")))  // kept sizes 151,152,153
+    val out = CurationOps.budgetMix(docs, budgetChars = 400L).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Int]("rnk"), r.getAs[Long]("kept_chars"),
+          r.getAs[Long]("chars_taken"), r.getAs[Int]("is_partial")))).toMap
+    // s_hi kept 151+152=303 rate 1.0 -> rank 1, whole; s_mid kept 153
+    // rate 0.5 -> rank 2, takes 400-303=97 (partial); s_low rate 0 cut.
+    assert(out === Map(
+      "s_hi" -> ((1, 303L, 303L, 0)),
+      "s_mid" -> ((2, 153L, 97L, 1))))
+  }
 }

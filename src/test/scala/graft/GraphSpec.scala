@@ -84,4 +84,15 @@ class GraphSpec extends SparkSpec {
     assert(total <= n * 1000000L)
     assert(total >= n * 150000L)
   }
+
+  test("degree stats: hand graph degrees and reciprocity") {
+    // 1->2, 2->1 (reciprocal pair), 1->3, 3 has no out-edges
+    val e = edges(1L -> 2L, 2L -> 1L, 1L -> 3L)
+    val out = GraphOps.degreeStats(e).as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      1L -> ((2L, 1L, 1L)),  // out 2, in 1 (from 2), recip: 1->2 only
+      2L -> ((1L, 1L, 1L)),  // 2->1 reciprocated
+      3L -> ((0L, 1L, 0L)))) // sink: in-degree only
+  }
 }

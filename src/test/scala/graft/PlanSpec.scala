@@ -123,7 +123,9 @@ class PlanSpec extends SparkSpec {
       "q151_chi_square_cells" -> "cohort x event_type contingency cells (both domains enumerable)",
       "q161_revenue_trend" -> "calendar frame: one row per month after a month agg",
       "q177_cusum_changepoint" -> "calendar frame: cumulative sum over one row per day after a date agg",
-      "q188_hist_quantiles" -> "64-row bin frame: cumulative counts over a fixed 64-bin histogram")
+      "q188_hist_quantiles" -> "64-row bin frame: cumulative counts over a fixed 64-bin histogram",
+      "q196_epoch_shuffle" -> "q92's 256-row md5-prefix shard-count frame (epoch arithmetic rides the same index)",
+      "q198_budget_mix" -> "source-dimension frame: greedy cumulative scan over the source catalog")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {
