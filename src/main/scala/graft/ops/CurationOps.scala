@@ -845,7 +845,107 @@ object CurationOps {
        |FROM r WHERE cum - kept_chars < 50000
        |ORDER BY rnk""".stripMargin
 
+  /** Pipeline funnel audit (q200): the whole curation chain as ONE
+    * graded query — raw → benchmark-holdout split → quality gate
+    * (q191's mask) → exact dedup (min doc_id per verbatim text) →
+    * decontamination (q66's 4-gram probe against the holdout) →
+    * chunk accounting (q91's window/stride arithmetic) — reporting
+    * docs and tokens surviving each stage. This is the report a data
+    * lead reads before a training run ("we started with X tokens and
+    * ship Y"); every stage count is recomputed independently by the
+    * DuckDB oracle, so a silent semantics drift in ANY composed
+    * operator breaks the hash.
+    *
+    * Scale shape: one corpus scan feeds the mask (its top-token shuffle
+    * is doc-keyed), the dedup min is one text-keyed shuffle (at 100 TB
+    * the key is xxhash64(text), q23's shape), the contamination probe
+    * broadcasts the holdout shingle set, and the chunk stage is pure
+    * row-local arithmetic — the funnel costs what its stages cost, no
+    * extra passes.
+    */
+  def pipelineFunnel(docs: DataFrame): DataFrame = {
+    val masked = qualityMask(docs)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val corpus = masked.where(col("doc_id") % 17 =!= 0)
+    val quality = corpus.where(col("mask") === 0)
+    val deduped = quality.join(
+      quality.groupBy("text").agg(min(col("doc_id")).as("keep")),
+      col("doc_id") === col("keep"), "left_semi")
+    // holdout shingles from RAW bench docs (contamination is judged
+    // against the eval set as it exists, not its post-filter subset)
+    val shingled = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(l) - 3), i -> array_join(slice(l, i, 4), ' '))"))
+        .as("sh"))
+    val bench = shingled.where(col("doc_id") % 17 === 0).select("sh").distinct()
+    val contaminated = shingled.where(col("doc_id") % 17 =!= 0)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    def stage(name: String, rank: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("ntok").cast("long")), lit(0L)).as("n_tokens"))
+        .select(lit(rank).as("stage"), lit(name).as("name"),
+          col("n_docs"), col("n_tokens"))
+    val chunks = clean.select(col("ntok"),
+        (expr("(greatest(ntok - 32, 0) + 23) div 24") + 1).as("n_chunks"))
+      .agg(coalesce(sum(col("n_chunks")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("ntok").cast("long")), lit(0L)).as("n_tokens"))
+      .select(lit(5).as("stage"), lit("chunks").as("name"),
+        col("n_docs"), col("n_tokens"))
+    stage("corpus", 1, corpus)
+      .unionByName(stage("quality", 2, quality))
+      .unionByName(stage("deduped", 3, deduped))
+      .unionByName(stage("decontaminated", 4, clean))
+      .unionByName(chunks)
+      .orderBy("stage")
+  }
+
+  private val pipelineFunnelSql: String =
+    s"""WITH $maskSqlCte,
+       |mt AS (SELECT m.doc_id, m.ntok, m.mask, d.text
+       |  FROM m JOIN documents d USING (doc_id)),
+       |corpus AS (SELECT * FROM mt WHERE doc_id % 17 != 0),
+       |quality AS (SELECT * FROM corpus WHERE mask = 0),
+       |ded AS (SELECT q.* FROM quality q
+       |  JOIN (SELECT text, MIN(doc_id) AS keep FROM quality GROUP BY text) k
+       |    ON q.doc_id = k.keep),
+       |g AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(l) - 3),
+       |      i -> array_to_string(l[i:i+3], ' '))) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |        WHERE text IS NOT NULL)
+       |  WHERE len(l) >= 4),
+       |bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % 17 = 0),
+       |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (sh)
+       |        WHERE g.doc_id % 17 != 0),
+       |clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'corpus' AS name,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens FROM corpus
+       |  UNION ALL
+       |  SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM quality
+       |  UNION ALL
+       |  SELECT 3, 'deduped', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM ded
+       |  UNION ALL
+       |  SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM clean
+       |  UNION ALL
+       |  SELECT 5, 'chunks',
+       |    CAST(COALESCE(SUM((GREATEST(ntok - 32, 0) + 23) // 24 + 1), 0)
+       |      AS BIGINT),
+       |    CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM clean)
+       |ORDER BY stage""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q200_pipeline_funnel", Some(pipelineFunnelSql),
+      (spark, dir) => pipelineFunnel(t(spark, dir, "documents"))),
+
     QueryDef("q198_budget_mix", Some(budgetMixSql),
       (spark, dir) => budgetMix(t(spark, dir, "documents"))),
 

@@ -276,4 +276,33 @@ class CurationSpec extends SparkSpec {
       "s_hi" -> ((1, 303L, 303L, 0)),
       "s_mid" -> ((2, 153L, 97L, 1))))
   }
+
+  test("pipeline funnel: each stage drops exactly its designed docs") {
+    import graft.ops.CurationOps
+    val good = ("wx" :: List.tabulate(50)(i => ("" + ('a' + i % 26).toChar) * 3))
+      .mkString(" ")   // 51 tokens, passes every quality gate
+    val benchText = "held out benchmark probe sentence with unique tokens"
+    val contaminated = good + " held out benchmark probe extra"
+    // doc 17 is the holdout (17 % 17 == 0); corpus docs:
+    //  18 good (survives), 19 dup of 18 (dedup drop), 20 masked short,
+    //  21 contaminated (shares 4-gram 'held out benchmark probe')
+    val docs = Seq(
+      (17L, benchText), (18L, good), (19L, good), (20L, "a a a"),
+      (21L, contaminated)
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = CurationOps.pipelineFunnel(docs).collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    val gtok = 51L
+    val ctok = 56L  // contaminated doc: 51 + 5 appended tokens
+    assert(out("corpus") === ((4L, gtok * 2 + 3 + ctok)))
+    assert(out("quality") === ((3L, gtok * 2 + ctok)))
+    assert(out("deduped") === ((2L, gtok + ctok)))
+    assert(out("decontaminated") === ((1L, gtok)))
+    // 51 tokens, window 32 stride 24: chunks = (51-32+23) div 24 + 1 = 2
+    assert(out("chunks") === ((2L, gtok)))
+  }
 }
