@@ -421,4 +421,40 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"interval predicate must ride the equi-join as a residual:\n$plan")
   }
+
+  test("q194 snapshot diff plans one full-outer join pair, never a nested loop") {
+    val plan = planOf("q194_table_diff")
+    assert(plan.contains("FullOuter"), s"expected a FullOuter join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"diff must stay a key equi-join:\n$plan")
+  }
+
+  test("q195 trend slopes broadcast the nation dimension and stay sort-free") {
+    val plan = planOf("q195_trend_slopes")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation should broadcast:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"regression-by-aggregation must not plan a window:\n$plan")
+  }
+
+  test("q190 phrase search prunes both posting sides with broadcast semi joins") {
+    val plan = planOf("q190_phrase_match")
+    assert("LeftSemi".r.findAllIn(plan).size >= 1,
+      s"expected the w2 posting prune as a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"posting intersection must stay an equi-join:\n$plan")
+  }
+
+  test("q186 pagerank re-reads the checkpointed edges, not the fact join, per round") {
+    // after localCheckpoint the executed plan must not contain three
+    // repetitions of the orders x lineitem scan — the iterations read
+    // the materialized RDD instead
+    val plan = planOf("q186_trade_pagerank")
+    val factScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(factScans >= 3,
+      s"iterations should read the checkpointed edge RDD:\n$plan")
+    val lineitemScans = "lineitem".r.findAllIn(plan).size
+    assert(lineitemScans <= 2,
+      s"the fact aggregation must run once, not per round:\n$plan")
+  }
 }
