@@ -338,7 +338,70 @@ object CorpusStatsOps {
       |FROM bg b JOIN top USING (phrase)
       |GROUP BY b.phrase ORDER BY phrase""".stripMargin
 
+  /** Source-level TF-cosine similarity matrix (q201): each source's
+    * term-frequency vector against every other's — the corpus-curation
+    * view of "which slices are near-duplicates of each other" (doc-level
+    * dedup asks about documents; this drives source-level mixing and
+    * drop decisions). Dot products are EXACT integer sums of tf·tf over
+    * the shared vocabulary; the two norms are exact integer Σtf² — the
+    * only doubles are the final sqrt/divide expression both engines
+    * evaluate identically over the same BIGINTs.
+    *
+    * Scale shape: one (source, term) aggregation (map-side combined),
+    * then a TERM-keyed self-join whose per-term fan-out is bounded by
+    * the source catalog (≤ |sources|² pairs per term, tens of sources)
+    * — the classic "similarity via inverted index" plan where the
+    * vocabulary, not the corpus, is the join key. No |sources|²-scan of
+    * raw text ever happens.
+    */
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    val tf = docs.where(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("source")
+      .agg(sum(col("tf") * col("tf")).as("norm_sq"))
+    val dots = tf.select(col("source").as("src_a"), col("term"),
+        col("tf").as("tf_a"))
+      .join(tf.select(col("source").as("src_b"), col("term"),
+        col("tf").as("tf_b")), Seq("term"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("src_a"),
+        col("norm_sq").as("na"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("source").as("src_b"),
+        col("norm_sq").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceSimilaritySql: String =
+    """WITH tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  WHERE text IS NOT NULL GROUP BY source, term),
+      |norms AS (SELECT source, CAST(SUM(tf * tf) AS BIGINT) AS norm_sq
+      |  FROM tf GROUP BY source),
+      |dots AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, dot,
+      |  CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+      |    AS cosine
+      |FROM dots
+      |JOIN norms na ON na.source = src_a
+      |JOIN norms nb ON nb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q201_source_similarity", Some(sourceSimilaritySql),
+      (spark, dir) => sourceSimilarity(t(spark, dir, "documents"))),
+
     QueryDef("q190_phrase_match", Some(phraseMatchSql),
       (spark, dir) => phraseMatch(t(spark, dir, "documents"))),
     QueryDef("q184_ngram_novelty", Some(ngramNoveltySql),

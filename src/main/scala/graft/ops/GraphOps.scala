@@ -209,7 +209,63 @@ object GraphOps {
        |JOIN nation n ON n.n_nationkey = node
        |ORDER BY nation""".stripMargin
 
+  /** Weighted shortest paths (q202): min-COST routes, where BFS (q185)
+    * counts hops — the other half of the path-analytics pair. Edge cost
+    * is the exact BIGINT 1e6 div n_lines (high-volume partners are
+    * cheap), and each round is one min-plus relaxation: dist_r(d) =
+    * min(dist_{r-1}(d), min over edges (dist_{r-1}(src) + cost)) —
+    * Bellman-Ford restricted to `rounds` hops, every value integer so
+    * the fixed point is engine-identical. Same dimension-bounded loop
+    * economics as q186; a billion-node graph keeps dist hash-partitioned
+    * on the node and checkpoints per round.
+    */
+  def minCostPaths(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    val e = edges.select(col("src"), col("dst"),
+      expr("1000000L div n_lines").as("ecost"))
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("cost"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("cost") + col("ecost")).as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+    }
+    dist
+  }
+
+  private val minCostOracle: String = {
+    def relax(prev: String, cur: String): String =
+      s"""$cur AS (SELECT node, MIN(cost) AS cost FROM (
+         |  SELECT node, cost FROM $prev
+         |  UNION ALL
+         |  SELECT ec.dst, $prev.cost + ec.cost
+         |  FROM $prev JOIN ec ON ec.src = $prev.node) GROUP BY node)""".stripMargin
+    s"""WITH ${edgesSql(3)},
+       |ec AS (SELECT src, dst, 1000000 // n_lines AS cost FROM e),
+       |d0(node, cost) AS (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT))),
+       |${relax("d0", "d1")},
+       |${relax("d1", "d2")},
+       |${relax("d2", "d3")}
+       |SELECT n.n_name AS nation, CAST(d3.cost AS BIGINT) AS cost
+       |FROM d3 JOIN nation n ON n.n_nationkey = d3.node
+       |ORDER BY cost, nation""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_min_cost_paths", Some(minCostOracle),
+      (spark, dir) => {
+        val dist = minCostPaths(
+          tradeEdges(t(spark, dir, "orders"), t(spark, dir, "lineitem"),
+            t(spark, dir, "customer"), t(spark, dir, "supplier"))
+            .localCheckpoint(),
+          source = 0L, rounds = 3)
+        dist.join(broadcast(t(spark, dir, "nation")),
+            dist("node") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("cost"))
+          .orderBy("cost", "nation")
+      }),
+
     QueryDef("q199_degree_stats", Some(degreeStatsOracle),
       (spark, dir) => {
         val stats = degreeStats(

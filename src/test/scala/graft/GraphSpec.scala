@@ -95,4 +95,18 @@ class GraphSpec extends SparkSpec {
       2L -> ((1L, 1L, 1L)),  // 2->1 reciprocated
       3L -> ((0L, 1L, 0L)))) // sink: in-degree only
   }
+
+  test("min-cost paths: a cheap two-hop route beats the expensive direct edge") {
+    // costs: 1e6 div n_lines. direct 1->3 carries 1 line (cost 1e6);
+    // 1->2 and 2->3 carry 10 lines each (cost 1e5 each -> 2e5 total).
+    val e = Seq((1L, 3L, 1L), (1L, 2L, 10L), (2L, 3L, 10L))
+      .toDF("src", "dst", "n_lines")
+    val out = GraphOps.minCostPaths(e, source = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 100000L, 3L -> 200000L))
+    // with a single round the relaxation can only take the direct edge
+    val one = GraphOps.minCostPaths(e, source = 1L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(3L) === 1000000L)
+  }
 }
