@@ -425,7 +425,64 @@ object StatOps {
         |  CAST(SUM(t_cents) AS DOUBLE) / (20.0 * COUNT(*))
         |    AS winsorized_mean_cents
         |FROM w GROUP BY event_type, lo, hi ORDER BY event_type""".stripMargin),
-      (spark, dir) => winsorize(EventOps.events(spark, dir))))
+      (spark, dir) => winsorize(EventOps.events(spark, dir))),
+
+    // Per-group percentile profile (q203): the q49/q143 exact
+    // interpolation, grouped — p25/p50/p75 of document length per
+    // language, the length-profile table a curation run reads before
+    // setting chunking and packing parameters. Integer-grid percentiles
+    // are quarter-grid values (exact in double, quantile_cont ==
+    // percentile — the q158 parity); one shuffle on the group key,
+    // group frames are language-cardinality-bounded.
+    QueryDef(
+      "q203_group_percentiles",
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "documents").where(col("text").isNotNull)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("percentile(n_chars, 0.25d)").as("p25"),
+            expr("percentile(n_chars, 0.5d)").as("p50"),
+            expr("percentile(n_chars, 0.75d)").as("p75"))
+          .orderBy("lang")),
+
+    // First-seen adoption curve (q204): each user's first event day,
+    // then per-day new-user counts with the cumulative total — growth
+    // analytics' canonical chart, and the q157 complement (windowed
+    // distinct asks "active"; this asks "ever seen by day d"). One
+    // shuffle on user_id for the min, one calendar-keyed count; the
+    // cumulative window runs over the day frame (calendar-bounded,
+    // PlanSpec allowlist).
+    QueryDef(
+      "q204_adoption_curve",
+      Some("""WITH f AS (SELECT user_id,
+        |    MIN(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM f GROUP BY first_day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY day""".stripMargin),
+      (spark, dir) => {
+        val f = EventOps.events(spark, dir)
+          .groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("first_day"))
+        f.groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("n_new"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_new"),
+            sum(col("n_new")).over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cum_users"))
+          .orderBy("day")
+      }))
 
   /** q197 body (shared with StatsSpec's hand fixture). Interpolating
     * integer cents at p05/p95 lands thresholds on the 1/20 grid, so

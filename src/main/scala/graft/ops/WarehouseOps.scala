@@ -338,7 +338,60 @@ object WarehouseOps {
       |WHERE rnk <= 5
       |ORDER BY segment, rnk""".stripMargin
 
+  /** Sweep-line open-order counting (q205): how many orders are "in
+    * flight" on each day an order opens or closes — the backlog curve.
+    * The naive formulation is an interval join (every day × every
+    * overlapping order — quadratic-ish and the classic accidental
+    * range-join disaster); the sweep-line turns each order into TWO
+    * delta events (+1 at the order date, −1 the day after its last
+    * shipment), one calendar-keyed aggregation, and a cumulative sum
+    * over the day frame. 100 TB of orders becomes |calendar| rows
+    * before the only window runs. Orders with no lineitem rows have no
+    * close and are excluded by the inner join (documented).
+    */
+  def openOrders(orders: DataFrame, li: DataFrame): DataFrame = {
+    val spans = li.groupBy("l_orderkey")
+      .agg(max(to_date(col("l_shipdate"))).as("close"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(to_date(col("o_orderdate")).as("open"), col("close"))
+    val deltas = spans.select(col("open").as("day"), lit(1L).as("d"))
+      .unionByName(spans.select(date_add(col("close"), 1).as("day"),
+        lit(-1L).as("d")))
+      .groupBy("day").agg(sum(col("d")).as("delta"))
+    deltas.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("delta"),
+        sum(col("delta")).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("open_orders"))
+      .orderBy("day")
+  }
+
+  private val openOrdersOracle: String =
+    """WITH spans AS (
+      |  SELECT CAST(o.o_orderdate AS DATE) AS open, c.close
+      |  FROM orders o
+      |  JOIN (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close
+      |        FROM lineitem GROUP BY l_orderkey) c
+      |    ON c.l_orderkey = o.o_orderkey),
+      |deltas AS (
+      |  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+      |    SELECT open AS day, 1 AS d FROM spans
+      |    UNION ALL
+      |    SELECT close + 1, -1 FROM spans)
+      |  GROUP BY day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+      |  CAST(SUM(delta) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open_orders
+      |FROM deltas ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q205_open_orders",
+      Some(openOrdersOracle),
+      (spark, dir) => openOrders(
+        t(spark, dir, "orders"), t(spark, dir, "lineitem"))),
+
     QueryDef(
       "q187_topk_orders",
       Some(topOrdersOracle),

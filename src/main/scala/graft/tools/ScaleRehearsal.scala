@@ -70,7 +70,8 @@ object ScaleRehearsal {
     "q189_audio_decode", "q190_phrase_match", "q191_filter_reasons",
     "q192_filter_ablation", "q193_position_attribution",
     "q194_table_diff", "q195_trend_slopes", "q196_epoch_shuffle",
-    "q197_winsorize", "q198_budget_mix", "q199_degree_stats", "q200_pipeline_funnel", "q201_source_similarity", "q202_min_cost_paths")
+    "q197_winsorize", "q198_budget_mix", "q199_degree_stats", "q200_pipeline_funnel", "q201_source_similarity", "q202_min_cost_paths",
+    "q203_group_percentiles", "q204_adoption_curve", "q205_open_orders")
 
   private val OFFSET = 10000000L
 

@@ -125,7 +125,9 @@ class PlanSpec extends SparkSpec {
       "q177_cusum_changepoint" -> "calendar frame: cumulative sum over one row per day after a date agg",
       "q188_hist_quantiles" -> "64-row bin frame: cumulative counts over a fixed 64-bin histogram",
       "q196_epoch_shuffle" -> "q92's 256-row md5-prefix shard-count frame (epoch arithmetic rides the same index)",
-      "q198_budget_mix" -> "source-dimension frame: greedy cumulative scan over the source catalog")
+      "q198_budget_mix" -> "source-dimension frame: greedy cumulative scan over the source catalog",
+      "q204_adoption_curve" -> "calendar frame: one row per day after the first-seen agg",
+      "q205_open_orders" -> "calendar frame: sweep-line deltas collapse to one row per day")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {

@@ -178,4 +178,24 @@ class WarehouseSpec extends SparkSpec {
     assert(out("ch0") === ((1L, 0L, 1L, 4000L, 4000L)))
     assert(out.keySet === Set("ch0", "ch1", "ch2", "ch3", "ch4"))
   }
+
+  test("open orders: sweep-line matches hand-counted daily backlog") {
+    import graft.ops.WarehouseOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // order 1 open Jan1..Jan3 (last ship Jan3), order 2 open Jan2..Jan2,
+    // order 3 has no lineitems -> excluded
+    val orders = Seq(
+      (1L, ts("2024-01-01")), (2L, ts("2024-01-02")), (3L, ts("2024-01-01"))
+    ).toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, ts("2024-01-02")), (1L, ts("2024-01-03")), (2L, ts("2024-01-02"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = WarehouseOps.openOrders(orders, li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "2024-01-01" -> ((1L, 1L)),   // order 1 opens
+      "2024-01-02" -> ((1L, 2L)),   // order 2 opens (closes same day)
+      "2024-01-03" -> ((-1L, 1L)),  // order 2 closed after Jan2
+      "2024-01-04" -> ((-1L, 0L)))) // order 1 closed after Jan3
+  }
 }
