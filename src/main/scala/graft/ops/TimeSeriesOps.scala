@@ -396,7 +396,93 @@ object TimeSeriesOps {
       |  CAST(sy AS BIGINT) AS total_cents
       |FROM s ORDER BY n_name""".stripMargin
 
+  /** Rolling z-score anomaly scan (q206): each day's order count
+    * against the TRAILING 7-day window (rows between 7 preceding and 1
+    * preceding — the day itself excluded, so a spike can't deflate its
+    * own baseline). Mean and variance come from exact integer Σx and
+    * Σx² inside the frame; z = (x − μ)/σ is one shared double tree over
+    * those integers. Complements q176 (day-of-week baseline) and q177
+    * (global CUSUM): this is the local-baseline alert. The window runs
+    * over the daily series (calendar-bounded — the fact table collapsed
+    * to one row per day first).
+    */
+  def rollingZscore(orders: DataFrame): DataFrame = {
+    val daily = dailyOrders(orders)
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("cnt")).over(w))
+      .withColumn("sxx", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n_prev") === 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt").as("n"),
+        (col("sx").cast("double") / 7.0).as("mean7"),
+        // sigma = 0 (a perfectly flat trailing week) is an explicit NULL
+        // in BOTH engines: Spark's ANSI divide rejects /0 and DuckDB
+        // would emit inf — neither is the alert semantics we want
+        when(col("sxx") * 7 - col("sx") * col("sx") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("cnt") * 7 - col("sx")).cast("double") /
+            sqrt((col("sxx") * 7 - col("sx") * col("sx")).cast("double")))
+          .as("z"))
+      .orderBy("day")
+  }
+
+  private val rollingZscoreOracle: String =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT day, n,
+      |    COUNT(*) OVER w AS n_prev,
+      |    SUM(n) OVER w AS sx,
+      |    SUM(n * n) OVER w AS sxx
+      |  FROM d
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+      |  CAST(sx AS DOUBLE) / 7.0 AS mean7,
+      |  CASE WHEN sxx * 7 - sx * sx = 0 THEN NULL
+      |       ELSE CAST(n * 7 - sx AS DOUBLE)
+      |         / sqrt(CAST(sxx * 7 - sx * sx AS DOUBLE)) END AS z
+      |FROM r WHERE n_prev = 7 ORDER BY day""".stripMargin
+
+  /** SLO error-budget burn (q207): per-hour error share against a 1%
+    * budget, in integer basis points of budget burned — rate/budget as
+    * (errors · 10000 · 100) div (events · 1), so the burn multiple is
+    * exact BIGINT and the alert flag (burn ≥ 2x budget) cannot straddle
+    * a float boundary. The pipeline-health sibling of C3's monitoring
+    * rollup, at the granularity paging actually happens. One shuffle on
+    * the hour key; CASE sums combine map-side.
+    */
+  def sloBurn(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("hour"), col("n_events"), col("n_errors"),
+        expr("(n_errors * 1000000) div n_events").as("burn_bp"),
+        (expr("(n_errors * 1000000) div n_events") >= 20000)
+          .cast("int").as("page"))
+      .orderBy("hour")
+
+  private val sloBurnOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_errors,
+      |  CAST((SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    * 1000000) // COUNT(*) AS BIGINT) AS burn_bp,
+      |  CAST((SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    * 1000000) // COUNT(*) >= 20000 AS INT) AS page
+      |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q206_rolling_zscore", Some(rollingZscoreOracle),
+      (spark, dir) => rollingZscore(t(spark, dir, "orders"))),
+
+    QueryDef("q207_slo_burn", Some(sloBurnOracle),
+      (spark, dir) => sloBurn(EventOps.events(spark, dir))),
+
     QueryDef("q195_trend_slopes", Some(trendSlopesOracle),
       (spark, dir) => trendSlopes(t(spark, dir, "orders"),
         t(spark, dir, "customer"), t(spark, dir, "nation"))),

@@ -71,7 +71,8 @@ object ScaleRehearsal {
     "q192_filter_ablation", "q193_position_attribution",
     "q194_table_diff", "q195_trend_slopes", "q196_epoch_shuffle",
     "q197_winsorize", "q198_budget_mix", "q199_degree_stats", "q200_pipeline_funnel", "q201_source_similarity", "q202_min_cost_paths",
-    "q203_group_percentiles", "q204_adoption_curve", "q205_open_orders")
+    "q203_group_percentiles", "q204_adoption_curve", "q205_open_orders",
+    "q206_rolling_zscore", "q207_slo_burn")
 
   private val OFFSET = 10000000L
 

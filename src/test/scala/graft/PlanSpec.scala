@@ -127,7 +127,8 @@ class PlanSpec extends SparkSpec {
       "q196_epoch_shuffle" -> "q92's 256-row md5-prefix shard-count frame (epoch arithmetic rides the same index)",
       "q198_budget_mix" -> "source-dimension frame: greedy cumulative scan over the source catalog",
       "q204_adoption_curve" -> "calendar frame: one row per day after the first-seen agg",
-      "q205_open_orders" -> "calendar frame: sweep-line deltas collapse to one row per day")
+      "q205_open_orders" -> "calendar frame: sweep-line deltas collapse to one row per day",
+      "q206_rolling_zscore" -> "calendar frame: trailing window over the one-row-per-day series")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {

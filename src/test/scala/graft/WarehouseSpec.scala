@@ -198,4 +198,47 @@ class WarehouseSpec extends SparkSpec {
       "2024-01-03" -> ((-1L, 1L)),  // order 2 closed after Jan2
       "2024-01-04" -> ((-1L, 0L)))) // order 1 closed after Jan3
   }
+
+  test("rolling z-score: a planted spike scores against the trailing week only") {
+    import graft.ops.TimeSeriesOps
+    // 7 warm-up days at 2/day, then a spike day at 9: mean7 = 2,
+    // sxx*7 - sx*sx = 28*7 - 196 = 0 -> sigma 0 -> z is the explicit
+    // NULL (the spike is EXCLUDED from its own trailing frame, so the
+    // flat week gives no scale). Follow with a 3/day day, mixed window.
+    val days = (1 to 7).map(d => (d, 2)) ++ Seq((8, 9), (9, 3))
+    val orders = days.flatMap { case (d, n) =>
+      (1 to n).map(i => (d * 100L + i,
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")))
+    }.toDF("o_orderkey", "o_orderdate")
+    val out = TimeSeriesOps.rollingZscore(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))))
+      .toMap
+    assert(out.keySet === Set("2024-01-08", "2024-01-09"))
+    assert(out("2024-01-08")._1 === 9L)
+    assert(out("2024-01-08")._2 === 2.0)
+    assert(out("2024-01-08")._3 === null,
+      "zero trailing variance must yield the explicit NULL z")
+    // day 9 window: days 2..8 = {2,2,2,2,2,2,9}: sx=21, mean 3.0; z =
+    // (3*7-21)/sqrt(...) = 0
+    assert(out("2024-01-09")._2 === 3.0)
+    assert(out("2024-01-09")._3 === java.lang.Double.valueOf(0.0))
+  }
+
+  test("slo burn: exact basis points and the 2x page threshold") {
+    import graft.ops.TimeSeriesOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour A: 1 error / 50 events -> burn (1*1e6) div 50 = 20000 -> page
+    // hour B: 1 error / 51 events -> 19607 -> no page
+    val ev = ((1 to 49).map(i => (i.toLong, ts("2024-01-01 10:00:00"), 1L, "view")) ++
+      Seq((50L, ts("2024-01-01 10:30:00"), 1L, "error")) ++
+      (51 to 100).map(i => (i.toLong, ts("2024-01-01 11:00:00"), 1L, "view")) ++
+      Seq((101L, ts("2024-01-01 11:30:00"), 1L, "error")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val out = TimeSeriesOps.sloBurn(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    assert(out("2024-01-01 10") === ((20000L, 1)))
+    assert(out("2024-01-01 11") === ((19607L, 0)))
+  }
 }
