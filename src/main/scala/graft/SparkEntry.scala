@@ -17,7 +17,7 @@ object SparkEntry {
       CurationOps.defs ++ ShapeOps.defs ++ MiningOps.defs ++
       RelationalOps.defs ++ CorpusStatsOps.defs ++ StatOps.defs ++
       LayoutOps.defs ++ WarehouseOps.defs ++ TimeSeriesOps.defs ++
-      GraphOps.defs ++
+      GraphOps.defs ++ AuditOps.defs ++ ScaleShapeOps.defs ++
       VocabModelOps.defs ++
       graft.sources.TextFormats.defs ++
       graft.sources.ColumnarFormats.defs

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AuditOps, GraphOps}
+
+/** Hand-computed fixtures for the governance-audit tier (q208-q211).
+  * The sf-data oracle grades engine parity; these pin the SEMANTICS on
+  * inputs small enough to verify by hand — planted orphans, a streak
+  * broken by exactly one gap day, the k-anonymity boundary (group size
+  * == k is safe, k-1 is at risk), and a wedge that must NOT count as a
+  * triangle.
+  */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("relationshipAudit counts orphans and childless parents") {
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"), (9L, "e"))
+      .toDF("fk", "payload")
+    val parent = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("pk", "name")
+    val row = AuditOps.relationshipAudit("t", child, "fk", parent, "pk")
+      .collect().head
+    // key 9 (2 rows) has no parent; parent 3 has no children
+    assert(row === Row("t", 5L, 3L, 2L, 3L, 1L))
+  }
+
+  test("relationshipAudit on a clean relationship reports zero orphans") {
+    val child = Seq((1L, "a"), (2L, "b")).toDF("fk", "payload")
+    val parent = Seq((1L, "x"), (2L, "y")).toDF("pk", "name")
+    val row = AuditOps.relationshipAudit("t", child, "fk", parent, "pk")
+      .collect().head
+    assert(row.getLong(3) === 0L && row.getLong(5) === 0L)
+  }
+
+  test("activityStreaks finds the longest island and breaks ties by earliest start") {
+    // user 1: days 1-3 (streak 3), gap, days 5-6 (streak 2) -> best 3 @ Jan 1
+    // user 2: days 1-2 and days 4-5 -> two streaks of 2, earliest wins
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"), (1L, "2024-01-06"), (1L, "2024-01-06"),
+      (2L, "2024-01-01"), (2L, "2024-01-02"),
+      (2L, "2024-01-04"), (2L, "2024-01-05"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts"))
+    val out = AuditOps.activityStreaks(ev).collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 3L, "2024-01-01", "2024-01-03"),
+      Row(2L, 2L, "2024-01-01", "2024-01-02")))
+  }
+
+  test("kAnonymity flags groups below k only, boundary at gsize == k") {
+    // nation 0: one group of 2 (at risk with k=2? no: 2 >= 2 safe) and
+    // one singleton (at risk). nation 1: one group of 3 (safe).
+    val cust = Seq(
+      (10L, "AUTO", 100.0, 0), (11L, "AUTO", 150.0, 0), // band 0, size 2
+      (12L, "BLDG", 100.0, 0),                          // singleton
+      (20L, "AUTO", 100.0, 1), (21L, "AUTO", 200.0, 1), (22L, "AUTO", 300.0, 1))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey")
+    val nation = Seq((0, "ZERO"), (1, "ONE")).toDF("n_nationkey", "n_name")
+    val out = AuditOps.kAnonymity(cust, nation, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out === Seq(
+      ("ZERO", 3L, 2L, 1L, 1L, 3333L),
+      ("ONE", 3L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("kAnonymity bands negative balances below zero") {
+    val cust = Seq((1L, "AUTO", -994.28, 0), (2L, "AUTO", 5.0, 0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey")
+    val nation = Seq((0, "Z")).toDF("n_nationkey", "n_name")
+    // floor(-994.28/1000) = -1 vs floor(5/1000) = 0: two singletons
+    val row = AuditOps.kAnonymity(cust, nation, k = 2).collect().head
+    assert(row.getLong(2) === 2L && row.getLong(4) === 2L)
+  }
+
+  test("triangleStats counts closed wedges once and skips open ones") {
+    // Undirected triangle {1,2,3} + pendant 4 attached to 1 (wedge
+    // 2-1-4 and 3-1-4 are open). Feed as directed edges both ways for
+    // some edges to prove the undirect/distinct step dedups.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("src", "dst")
+    val out = GraphOps.triangleStats(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleStats on a 4-clique finds 4 triangles, 3 per node") {
+    val edges = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val out = GraphOps.triangleStats(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+}
