@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Round-9 scale-shape tier: three plan patterns that matter at 100 TB
+  * and were not yet graded — VARIANT semi-structured ingestion (the
+  * Spark 4 path that replaces per-query JSON string parsing), an
+  * interval self-overlap join without a nested loop, and rank-within-
+  * group via the two-phase distributed rank (q92's pattern generalized
+  * to grouped frames, for when single groups outgrow one reducer).
+  */
+object ScaleShapeOps {
+
+  /** q212 body: ingest the event payload through Spark 4's VARIANT type
+    * — `parse_json` once per row into the binary variant encoding, then
+    * typed `variant_get` extraction. At 100 TB this is the
+    * semi-structured plan: parse ONCE at ingest (or store VARIANT in
+    * the table), extract with codegen'd accessors — vs q44's
+    * `get_json_object`, which re-parses the string per access. The
+    * aggregate itself is an ordinary two-key partial+final hash agg.
+    */
+  def variantIngest(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"), expr("k div 10").as("k_band"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+      .orderBy("event_type", "k_band")
+
+  private val variantOracle: String =
+    """SELECT event_type,
+      |  CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS BIGINT)
+      |    AS k_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+      |    AS sum_k
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q213 body: orders of the same customer whose `windowDays`-day
+    * fulfillment windows overlap — the interval self-join. The naive
+    * form is an inequality join (per-customer cross product on heavy
+    * customers); instead each interval lands in the ≤2 width-`windowDays`
+    * time buckets it can touch, the join is EQUI on (customer, bucket)
+    * with the exact overlap predicate as a residual filter, and the
+    * distinct collapses pairs that met in both shared buckets. Fan-out
+    * is bounded by per-bucket occupancy — the q60 bucketization applied
+    * to interval×interval. All-integer day arithmetic.
+    */
+  def overlappingOrders(orders: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val o = orders.select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("s"))
+      .withColumn("e", col("s") + windowDays)
+      .withColumn("bucket", explode(array_distinct(array(
+        expr(s"s div $windowDays"), expr(s"e div $windowDays")))))
+    val a = o.select(col("o_custkey"), col("bucket"),
+      col("o_orderkey").as("a_orderkey"), col("s").as("a_s"), col("e").as("a_e"))
+    val b = o.select(col("o_custkey"), col("bucket"),
+      col("o_orderkey").as("b_orderkey"), col("s").as("b_s"), col("e").as("b_e"))
+    a.join(b, Seq("o_custkey", "bucket"))
+      .where(col("a_orderkey") < col("b_orderkey")
+        && col("b_s") <= col("a_e") && col("a_s") <= col("b_e"))
+      .select(col("o_custkey"), col("a_orderkey"), col("b_orderkey"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .cast("int").as("overlap_days"))
+      .distinct()
+      .orderBy("o_custkey", "a_orderkey", "b_orderkey")
+  }
+
+  private val overlapOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS s,
+      |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 7 AS e
+      |  FROM orders)
+      |SELECT a.o_custkey, a.o_orderkey AS a_orderkey,
+      |  b.o_orderkey AS b_orderkey,
+      |  CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS INT) AS overlap_days
+      |FROM o a JOIN o b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |  AND b.s <= a.e AND a.s <= b.e
+      |ORDER BY a.o_custkey, a_orderkey, b_orderkey""".stripMargin
+
+  /** q214 body: per-language document-length deciles through the
+    * TWO-PHASE grouped rank. A plain `row_number() OVER (PARTITION BY
+    * lang ORDER BY ...)` sorts each whole language through one reducer —
+    * with few, huge groups (the real shape of a web corpus: one language
+    * is half the data) that's the q145-class scale killer inside a
+    * partitioned window. Instead: shard each language by a PREFIX of its
+    * sort key (`n_chars div 64` — equal lengths can never straddle a
+    * shard), aggregate per-shard counts, prefix-sum shard offsets over
+    * the bounded (lang × shard) frame, then rank LOCALLY within each
+    * (lang, shard) and add the offset. Provably equal to the naive
+    * grouped window (ScaleShapeSpec pins it); per-reducer sort cost
+    * drops by the shard fan-out. Decile assignment and the final
+    * roll-up are exact integer arithmetic.
+    */
+  def langLengthDeciles(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("shard", expr("n_chars div 64"))
+    val counts = d.groupBy("lang", "shard").agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardMeta = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("lang_n", sum(col("cnt")).over(Window.partitionBy("lang")))
+      .select("lang", "shard", "off", "lang_n")
+    val wLocal = Window.partitionBy("lang", "shard")
+      .orderBy(col("n_chars"), col("doc_id"))
+    d.withColumn("local_rn", row_number().over(wLocal))
+      .join(broadcast(shardMeta), Seq("lang", "shard"))
+      .withColumn("rnk", col("off") + col("local_rn"))
+      .groupBy(col("lang"), expr("(10 * (rnk - 1)) div lang_n").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "decile")
+  }
+
+  /** The naive single-window form of q214 — the equality witness the
+    * spec pins the two-phase plan against (never shipped as the graded
+    * plan; its per-language sort is the scale hazard).
+    */
+  def langLengthDecilesNaive(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("lang_n",
+        count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy(col("lang"), expr("(10 * (rnk - 1)) div lang_n").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang", "decile")
+  }
+
+  private val decilesOracle: String =
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |      AS rnk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS lang_n
+      |  FROM documents)
+      |SELECT lang, CAST((10 * (rnk - 1)) // lang_n AS BIGINT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q212_variant_ingest", Some(variantOracle),
+      (spark, dir) => variantIngest(EventOps.events(spark, dir))),
+
+    QueryDef("q213_overlap_orders", Some(overlapOracle),
+      (spark, dir) => overlappingOrders(t(spark, dir, "orders"))),
+
+    QueryDef("q214_lang_deciles", Some(decilesOracle),
+      (spark, dir) => langLengthDeciles(t(spark, dir, "documents"))))
+}
