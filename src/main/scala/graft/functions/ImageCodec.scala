@@ -35,7 +35,10 @@ object ImageCodec {
   private def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0x0b || c == '\f'
 
-  private def decodePpm(b: Array[Byte]): Option[Decoded] = {
+  /** PPM P6 header parse with all the bounds guards: (w, h, pixel
+    * offset), or None on anything unparseable/oversized.
+    */
+  private def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     var i = 2
     // netpbm token scan: whitespace separates tokens, '#' starts a
     // comment running to end-of-line
@@ -59,19 +62,27 @@ object ImageCodec {
     if (w * h > Int.MaxValue) return None
     if (i >= b.length || !isWs(b(i))) return None // single post-maxval ws
     i += 1
-    val pixels = w * h
-    if (b.length - i < pixels * 3) return None
-    var (sr, sg, sb) = (0L, 0L, 0L)
-    var p = i
-    var n = 0L
-    while (n < pixels) {
-      sr += b(p) & 0xff; sg += b(p + 1) & 0xff; sb += b(p + 2) & 0xff
-      p += 3; n += 1
-    }
-    Some(Decoded("ppm", w.toInt, h.toInt, 3, sr, sg, sb))
+    if (b.length - i < w * h * 3) return None
+    Some((w.toInt, h.toInt, i))
   }
 
-  private def decodeBmp(b: Array[Byte]): Option[Decoded] = {
+  private def decodePpm(b: Array[Byte]): Option[Decoded] =
+    ppmHeader(b).map { case (w, h, off) =>
+      val pixels = w.toLong * h
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var p = off
+      var n = 0L
+      while (n < pixels) {
+        sr += b(p) & 0xff; sg += b(p + 1) & 0xff; sb += b(p + 2) & 0xff
+        p += 3; n += 1
+      }
+      Decoded("ppm", w, h, 3, sr, sg, sb)
+    }
+
+  /** BMP header parse with all the bounds guards: (w, hRaw, pixel
+    * offset, row stride); hRaw < 0 means top-down row order.
+    */
+  private def bmpHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b.length < 54) return None
     def le32(o: Int): Int =
       (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 |
@@ -80,7 +91,7 @@ object ImageCodec {
     val off = le32(10)
     if (le32(14) < 40) return None // DIB header must be BITMAPINFOHEADER+
     val w = le32(18)
-    val hRaw = le32(22) // negative height = top-down; sums are order-free
+    val hRaw = le32(22)
     val h = math.abs(hRaw)
     if (w <= 0 || h <= 0 || le16(28) != 24 || le32(30) != 0) return None
     // reject dimension claims that cannot fit a JVM byte array BEFORE the
@@ -91,19 +102,95 @@ object ImageCodec {
     if (w > (Int.MaxValue - 3) / 3 || w.toLong * h > Int.MaxValue) return None
     val rowSize = ((w * 3 + 3) / 4) * 4
     if (off < 54 || off.toLong + rowSize.toLong * h > b.length) return None
-    var (sr, sg, sb) = (0L, 0L, 0L)
-    var row = 0
-    while (row < h) {
-      val base = off + row * rowSize
+    Some((w, hRaw, off, rowSize))
+  }
+
+  private def decodeBmp(b: Array[Byte]): Option[Decoded] =
+    bmpHeader(b).map { case (w, hRaw, off, rowSize) =>
+      val h = math.abs(hRaw) // sums are row-order-free
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var row = 0
+      while (row < h) {
+        val base = off + row * rowSize
+        var x = 0
+        while (x < w) {
+          val p = base + x * 3
+          sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+          x += 1
+        }
+        row += 1
+      }
+      Decoded("bmp", w, h, 3, sr, sg, sb)
+    }
+
+  /** Full-pixel decode result: top-down row-major RGB triplets — the
+    * uniform in-memory layout whatever the container's row order or
+    * channel order was.
+    */
+  final case class DecodedPixels(format: String, width: Int, height: Int,
+      pix: Array[Byte])
+
+  /** Decode to full pixels (top-down RGB), with the same total-on-
+    * arbitrary-bytes guards as [[decode]]. Allocates width*height*3 —
+    * meant for the thumbnail-scale transform path, where the decoded
+    * frame feeds a resize/feature step rather than a streaming sum.
+    */
+  def decodePixels(b: Array[Byte]): Option[DecodedPixels] =
+    if (b == null || b.length < 2) None
+    else if (b(0) == 'P' && b(1) == '6')
+      ppmHeader(b).map { case (w, h, off) =>
+        val pix = new Array[Byte](w * h * 3)
+        System.arraycopy(b, off, pix, 0, w * h * 3)
+        DecodedPixels("ppm", w, h, pix)
+      }
+    else if (b(0) == 'B' && b(1) == 'M')
+      bmpHeader(b).map { case (w, hRaw, off, rowSize) =>
+        val h = math.abs(hRaw)
+        val pix = new Array[Byte](w * h * 3)
+        var row = 0
+        while (row < h) {
+          // positive height = bottom-up storage; negative = top-down
+          val destRow = if (hRaw > 0) h - 1 - row else row
+          val base = off + row * rowSize
+          var x = 0
+          while (x < w) {
+            val s = base + x * 3
+            val d = (destRow * w + x) * 3
+            pix(d) = b(s + 2)     // R (BMP stores BGR)
+            pix(d + 1) = b(s + 1) // G
+            pix(d + 2) = b(s)     // B
+            x += 1
+          }
+          row += 1
+        }
+        DecodedPixels("bmp", w, h, pix)
+      }
+    else None
+
+  /** Nearest-neighbor resize to ow×oh: output pixel (x, y) samples
+    * source pixel (floor(x*w/ow), floor(y*h/oh)) — the integer mapping
+    * an ANSI-SQL oracle can recompute exactly, and the deterministic
+    * downsample a frame-thumbnail pipeline runs before feature
+    * extraction.
+    */
+  def resizeNearest(src: DecodedPixels, ow: Int, oh: Int): Array[Byte] = {
+    require(ow > 0 && oh > 0, s"resize target must be positive, got ${ow}x$oh")
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * src.height / oh).toInt
       var x = 0
-      while (x < w) {
-        val p = base + x * 3
-        sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+      while (x < ow) {
+        val sx = (x.toLong * src.width / ow).toInt
+        val s = (sy * src.width + sx) * 3
+        val d = (y * ow + x) * 3
+        out(d) = src.pix(s); out(d + 1) = src.pix(s + 1)
+        out(d + 2) = src.pix(s + 2)
         x += 1
       }
-      row += 1
+      y += 1
     }
-    Some(Decoded("bmp", w, h, 3, sr, sg, sb))
+    out
   }
 
   // ---- encoders (used by the synthetic media table + specs) ----

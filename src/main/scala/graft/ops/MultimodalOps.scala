@@ -146,7 +146,108 @@ object MultimodalOps {
       }
   }
 
+  /** Resized-thumbnail facts for the graded transform output: container
+    * dims plus the exact integer sum of every byte of the 4×4
+    * nearest-neighbor thumbnail.
+    */
+  final case class ThumbFeatures(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      resized_sum: Long)
+
+  /** Synthetic PATTERN image acquisition (q215): unlike [[mediaTable]]'s
+    * seeded noise, every pixel is a pure integer function of SQL-visible
+    * metadata — dims w = 4 + id mod 9, h = 4 + id mod 7, and channel
+    * values (x·7 + y·13 + id) / (x·3 + y·5 + 2id) / (x·11 + y + 3id)
+    * mod 256 — so the decode→resize path grades against a FULL DuckDB
+    * oracle that replays the sampling arithmetic: a real bug anywhere in
+    * the header parse, row un-flipping, BGR swap, or the resize index
+    * map cannot hash-match. Even ids encode as PPM, odd as BMP, putting
+    * both container walks inside the graded path.
+    */
+  def patternImageTable(docs: DataFrame): DataFrame = {
+    val render = udf((id: Long) => {
+      val w = (4 + id % 9).toInt
+      val h = (4 + id % 7).toInt
+      val pix = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          pix(o) = ((x * 7 + y * 13 + id) % 256).toByte
+          pix(o + 1) = ((x * 3 + y * 5 + 2 * id) % 256).toByte
+          pix(o + 2) = ((x * 11 + y + 3 * id) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      if (id % 2 == 0) graft.functions.ImageCodec.encodePpm(w, h, pix)
+      else graft.functions.ImageCodec.encodeBmp(w, h, pix)
+    })
+    docs.select(col("doc_id"), render(col("doc_id")).as("payload"))
+  }
+
+  /** Partition-wise decode → nearest-neighbor 4×4 thumbnail → exact
+    * byte-sum fingerprint. Same iterator shape as [[decodeFeatures]];
+    * this is the frame-sample/resize step of a media pipeline, with the
+    * resize's integer index map (floor(x·w/4)) chosen so ANSI SQL can
+    * recompute the thumbnail exactly.
+    */
+  def thumbnailFeatures(spark: SparkSession, media: DataFrame): Dataset[ThumbFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          graft.functions.ImageCodec.decodePixels(bytes) match {
+            case Some(d) =>
+              val thumb = graft.functions.ImageCodec.resizeNearest(d, 4, 4)
+              var s = 0L
+              var i = 0
+              while (i < thumb.length) { s += thumb(i) & 0xff; i += 1 }
+              ThumbFeatures(id, d.format, d.width, d.height, s)
+            case None => ThumbFeatures(id, "unknown", 0, 0, 0L)
+          }
+        }
+      }
+  }
+
+  private val thumbOracle: String =
+    """WITH g AS (
+      |  SELECT gx.range AS ox, gy.range AS oy
+      |  FROM range(4) gx, range(4) gy),
+      |d AS (
+      |  SELECT doc_id, 4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (ox * w) // 4 AS sx, (oy * h) // 4 AS sy
+      |  FROM d, g),
+      |v AS (
+      |  SELECT doc_id, w, h,
+      |    (sx * 7 + sy * 13 + doc_id) % 256
+      |      + (sx * 3 + sy * 5 + 2 * doc_id) % 256
+      |      + (sx * 11 + sy + 3 * doc_id) % 256 AS s
+      |  FROM px)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(SUM(s) AS BIGINT) AS resized_sum
+      |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    // REAL decode → resize over metadata-parameterized pattern images:
+    // the full SQL oracle replays the nearest-neighbor sampling, so the
+    // whole binary path (header parse, BMP row flip + BGR swap, index
+    // map) is inside the hash-graded surface.
+    QueryDef("q215_image_thumbnail", Some(thumbOracle),
+      (spark, dir) =>
+        thumbnailFeatures(spark, patternImageTable(t(spark, dir, "documents")))
+          .toDF().orderBy("doc_id")),
+
     // REAL WAV decode (RIFF chunk walk + PCM sample scan) of the
     // metadata-parameterized synthetic audio table, graded by a full
     // SQL oracle that recomputes every field from documents metadata.

@@ -109,6 +109,58 @@ class TextMultimodalSpec extends SparkSpec {
     assert(ImageCodec.decode("P6\n1000000000 1000000000\n255\n".getBytes).isEmpty)
   }
 
+  test("pixel decode recovers exact RGB layout from both containers") {
+    import graft.functions.ImageCodec
+    // 3x2 with distinct per-pixel values: pixel (x,y) has R=10(y*3+x),
+    // G=R+1, B=R+2 — position-sensitive, so any row flip or channel
+    // swap the codec failed to undo changes the array
+    val pix = Array.tabulate(3 * 2 * 3) { i =>
+      val p = i / 3; (10 * p + i % 3).toByte
+    }
+    val fromPpm = ImageCodec.decodePixels(ImageCodec.encodePpm(3, 2, pix)).get
+    assert(fromPpm.format == "ppm" && fromPpm.width == 3 && fromPpm.height == 2)
+    assert(fromPpm.pix.toSeq == pix.toSeq)
+    // BMP stores bottom-up BGR with row padding: decodePixels must
+    // return the identical top-down RGB array
+    val fromBmp = ImageCodec.decodePixels(ImageCodec.encodeBmp(3, 2, pix)).get
+    assert(fromBmp.format == "bmp" && fromBmp.pix.toSeq == pix.toSeq)
+    // top-down BMP (negative height) keeps rows unflipped
+    val td = ImageCodec.encodeBmp(3, 2, pix).clone()
+    // rewrite height +2 -> -2 (LE int at offset 22)
+    td(22) = 0xfe.toByte; td(23) = 0xff.toByte
+    td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    val topDown = ImageCodec.decodePixels(td).get
+    // encoder wrote bottom-up rows; reading them as top-down swaps rows
+    val swapped = pix.grouped(3 * 3).toSeq.reverse.flatten
+    assert(topDown.pix.toSeq == swapped)
+    // total on garbage, like decode()
+    assert(ImageCodec.decodePixels(null).isEmpty)
+    assert(ImageCodec.decodePixels("nope".getBytes).isEmpty)
+    assert(ImageCodec.decodePixels(
+      ImageCodec.encodePpm(3, 2, pix).dropRight(1)).isEmpty)
+  }
+
+  test("nearest-neighbor resize uses the floor(x*w/ow) index map exactly") {
+    import graft.functions.ImageCodec
+    // 4x4 source where pixel (x,y) has value (y*4+x) on all channels;
+    // downsample to 2x2: output (ox,oy) samples source (ox*2, oy*2)
+    val src = ImageCodec.DecodedPixels("ppm", 4, 4,
+      Array.tabulate(4 * 4 * 3)(i => (i / 3).toByte))
+    val out = ImageCodec.resizeNearest(src, 2, 2)
+    assert(out.grouped(3).map(_(0) & 0xff).toSeq == Seq(0, 2, 8, 10))
+    // upsample 2x2 -> 4x4 replicates each source pixel 2x2
+    val small = ImageCodec.DecodedPixels("ppm", 2, 2,
+      Array.tabulate(2 * 2 * 3)(i => (i / 3).toByte))
+    val up = ImageCodec.resizeNearest(small, 4, 4)
+    assert(up.grouped(3).map(_(0) & 0xff).toSeq ==
+      Seq(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3))
+    // non-divisible ratio: 3 -> 2 samples floor(0*3/2)=0, floor(1*3/2)=1
+    val wide = ImageCodec.DecodedPixels("ppm", 3, 1,
+      Array.tabulate(3 * 3)(i => (i / 3).toByte))
+    val two = ImageCodec.resizeNearest(wide, 2, 1)
+    assert(two.grouped(3).map(_(0) & 0xff).toSeq == Seq(0, 1))
+  }
+
   test("multimodal meta magic_hex is the hex of the first 8 bytes") {
     val out = SparkEntry.queries("q37_multimodal_meta")(spark, sf)
       .limit(5).collect()
