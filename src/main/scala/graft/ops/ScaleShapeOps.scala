@@ -152,7 +152,81 @@ object ScaleShapeOps {
       |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q216 body: leakage-safe label attachment — for every feature row
+    * (view event) attach the FIRST label (purchase) of the same user
+    * STRICTLY after it and within `horizonHours`, or mark it a negative
+    * example. This is the forward as-of join with horizon, the
+    * point-in-time-correct label join a supervised training pipeline
+    * runs (q46's backward as-of looks at the past for features; labels
+    * must come from the future, and never from ≤ the feature timestamp
+    * — that's target leakage). ZERO joins, like q46: union both event
+    * sets, one shuffle on user_id, one descending linear scan per user
+    * where a running `last(..., ignoreNulls)` carries the earliest
+    * eligible label backwards; the (ts DESC, is_label ASC, event_id
+    * DESC) sort order makes an equal-timestamp label invisible to its
+    * feature row (the leakage boundary) and breaks label ties toward
+    * the smallest (ts, event_id). The horizon is an exact microsecond
+    * interval comparison. Per-user frames are bounded by that user's
+    * history; the oracle recomputes via LEFT JOIN + first-row window.
+    */
+  def labelAsofJoin(ev: DataFrame, horizonHours: Int = 24): DataFrame = {
+    require(horizonHours > 0, s"horizon must be positive, got $horizonHours")
+    val base = ev.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+    val views = base.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("is_label"), lit(null).cast("long").as("l_cents"))
+    val labels = base.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("is_label"), col("cents").as("l_cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("is_label").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: org.apache.spark.sql.Column) =
+      last(when(col("is_label") === 1, c), ignoreNulls = true).over(w)
+    views.unionByName(labels)
+      .withColumn("next_lts", carry(col("ts")))
+      .withColumn("next_lcents", carry(col("l_cents")))
+      .where(col("is_label") === 0)
+      .withColumn("ok", col("next_lts").isNotNull &&
+        col("next_lts") <= col("ts") + expr(s"INTERVAL $horizonHours HOURS"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        when(col("ok"),
+          date_format(col("next_lts"), "yyyy-MM-dd HH:mm:ss")).as("label_ts"),
+        when(col("ok"), col("next_lcents")).as("label_cents"),
+        when(col("ok"), 1).otherwise(0).as("has_label"))
+      .orderBy("event_id")
+  }
+
+  private val labelAsofOracle: String =
+    """WITH v AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT v.event_id, v.user_id, v.ts AS vts, p.ts AS pts, p.cents,
+      |    ROW_NUMBER() OVER (PARTITION BY v.event_id
+      |      ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      |  FROM v LEFT JOIN p
+      |    ON p.user_id = v.user_id AND p.ts > v.ts
+      |    AND p.ts <= v.ts + INTERVAL 24 HOUR)
+      |SELECT event_id, user_id,
+      |  STRFTIME(vts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |  CASE WHEN pts IS NOT NULL
+      |    THEN STRFTIME(pts, '%Y-%m-%d %H:%M:%S') END AS label_ts,
+      |  CASE WHEN pts IS NOT NULL THEN cents END AS label_cents,
+      |  CAST(CASE WHEN pts IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |    AS has_label
+      |FROM j WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q216_label_asof", Some(labelAsofOracle),
+      (spark, dir) => labelAsofJoin(EventOps.events(spark, dir))),
+
     QueryDef("q212_variant_ingest", Some(variantOracle),
       (spark, dir) => variantIngest(EventOps.events(spark, dir))),
 

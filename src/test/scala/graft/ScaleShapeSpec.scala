@@ -76,6 +76,37 @@ class ScaleShapeSpec extends SparkSpec {
     assert(two.exceptAll(naive).isEmpty && naive.exceptAll(two).isEmpty)
   }
 
+  test("label as-of join: leakage boundary, horizon edge, tiebreak, negatives") {
+    def ev(id: Long, user: Long, t: String, typ: String, v: Double) =
+      (id, user, t, typ, v)
+    val events = Seq(
+      // user 1: view at 10:00; label at EXACTLY 10:00 must NOT attach
+      // (leakage); label at 11:00 attaches
+      ev(1, 1, "2024-01-01 10:00:00", "view", 0.0),
+      ev(2, 1, "2024-01-01 10:00:00", "purchase", 5.0),
+      ev(3, 1, "2024-01-01 11:00:00", "purchase", 7.0),
+      // user 2: two labels at the SAME future ts -> min event_id wins
+      ev(4, 2, "2024-01-01 10:00:00", "view", 0.0),
+      ev(6, 2, "2024-01-01 12:00:00", "purchase", 9.0),
+      ev(5, 2, "2024-01-01 12:00:00", "purchase", 8.0),
+      // user 3: label exactly AT the 24h horizon attaches; user 4's
+      // label 1us past it does not
+      ev(7, 3, "2024-01-01 10:00:00", "view", 0.0),
+      ev(8, 3, "2024-01-02 10:00:00", "purchase", 3.0),
+      ev(9, 4, "2024-01-01 10:00:00", "view", 0.0),
+      ev(10, 4, "2024-01-02 10:00:00.000001", "purchase", 4.0))
+      .toDF("event_id", "user_id", "t", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        col("t").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    val out = ScaleShapeOps.labelAsofJoin(events).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), Option(r.get(4)), r.getInt(5))))
+      .toMap
+    assert(out(1L) === (("2024-01-01 11:00:00", Some(700L), 1)))
+    assert(out(4L) === (("2024-01-01 12:00:00", Some(800L), 1)))
+    assert(out(7L) === (("2024-01-02 10:00:00", Some(300L), 1)))
+    assert(out(9L)._2 === None && out(9L)._3 === 0)
+  }
+
   test("grouped deciles break length ties by doc_id identically to rank order") {
     // 10 docs, all length 100 except two of 50: deciles must split the
     // tied block deterministically by doc_id, never collapse it.
