@@ -107,7 +107,17 @@ object VocabModelOps {
     * the replayed lineage is cheaper than the checkpoint.
     */
   def bpeMergeRounds(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    require(rounds >= 1, "bpeMergeRounds: need at least one round")
+    val (_, merges) = bpeRounds(docs, rounds)
+    merges.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** Shared BPE induction core: runs `rounds` merge rounds and returns
+    * (final word vocabulary with its tokenization, one merge row per
+    * round). q180 grades the merges; q217 applies the final vocabulary
+    * back to the corpus.
+    */
+  private def bpeRounds(docs: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
+    require(rounds >= 1, "bpeRounds: need at least one round")
     var vocab = docs.where(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
@@ -139,7 +149,37 @@ object VocabModelOps {
             |    ELSE concat(acc, ' ', t) END)""".stripMargin), " "))
         .select(col("w"), col("cnt"), col("toks"))
     }
-    merges.result().reduce(_.unionByName(_)).orderBy("round")
+    (vocab, merges.result())
+  }
+
+  /** q217 body: ENCODE the corpus with the learned BPE vocabulary — the
+    * missing third of the tokenizer tier (q180 learns the merges, q179
+    * scores text, this applies them). Tokenizing a corpus is a JOIN,
+    * not a per-document re-derivation: the merge loop already produced
+    * the final tokenization of every distinct word, so encoding is the
+    * corpus word stream equi-joined to that vocabulary relation — at
+    * 100 TB the vocabulary is KBs (broadcast; Heaps-law sublinear) and
+    * the corpus is touched once at scan speed. Output is the per-
+    * language tokenizer fertility report (words, BPE tokens, chars, and
+    * tokens-per-10k-chars in exact integer basis points) — the number
+    * that decides whether a tokenizer is paying for itself per
+    * language.
+    */
+  def bpeEncodeStats(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (vocab, _) = bpeRounds(docs, rounds)
+    val words = docs.where(col("text").isNotNull)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    words.join(broadcast(vocab.select(col("w"),
+        size(col("toks")).as("n_toks"), length(col("w")).as("wlen"))),
+      Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        sum(col("wlen")).cast("long").as("n_chars"))
+      .withColumn("tokens_per_10k_chars",
+        expr("n_tokens * 10000 div n_chars"))
+      .orderBy("lang")
   }
 
   // DuckDB replays the identical three rounds unrolled: list_reduce has
@@ -147,7 +187,7 @@ object VocabModelOps {
   // to Spark's ''-seeded fold (the first CASE arm only seeds the
   // accumulator). Tokens never contain spaces, so the ends_with tail
   // check detects exactly the token boundary.
-  private val bpeMergeOracle: String = {
+  private def bpeChainSql(rounds: Int): String = {
     def round(i: Int): String = {
       val prev = s"v${i - 1}"
       s"""p$i AS (
@@ -170,27 +210,48 @@ object VocabModelOps {
          |      ELSE acc || ' ' || t END), ' ') AS toks
          |  FROM $prev CROSS JOIN b$i)""".stripMargin
     }
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    list_transform(generate_series(1, length(w)),
        |      i -> substring(w, CAST(i AS INT), 1)) AS toks
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
        |        FROM documents WHERE text IS NOT NULL)
        |  WHERE w <> '' GROUP BY w),
-       |${round(1)},
-       |${round(2)},
-       |${round(3)}
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeMergeOracle: String =
+    s"""WITH ${bpeChainSql(3)}
        |SELECT * FROM (
        |  SELECT 1 AS round, pair, wcnt FROM b1
        |  UNION ALL SELECT 2, pair, wcnt FROM b2
        |  UNION ALL SELECT 3, pair, wcnt FROM b3)
        |ORDER BY round""".stripMargin
-  }
+
+  // The encode oracle replays the same 3-round chain, then joins the
+  // corpus word stream to the final vocabulary tokenization.
+  private val bpeEncodeOracle: String =
+    s"""WITH ${bpeChainSql(3)},
+       |words AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE w <> '')
+       |SELECT words.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(v3.toks)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(length(words.w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(v3.toks)) * 10000 // SUM(length(words.w)) AS BIGINT)
+       |    AS tokens_per_10k_chars
+       |FROM words JOIN v3 ON v3.w = words.w
+       |GROUP BY words.lang ORDER BY words.lang""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q179_char_lm", Some(charTrigramOracle),
       (spark, dir) => charTrigramScore(t(spark, dir, "documents"))),
 
     QueryDef("q180_bpe_merges", Some(bpeMergeOracle),
-      (spark, dir) => bpeMergeRounds(t(spark, dir, "documents"))))
+      (spark, dir) => bpeMergeRounds(t(spark, dir, "documents"))),
+
+    QueryDef("q217_bpe_encode", Some(bpeEncodeOracle),
+      (spark, dir) => bpeEncodeStats(t(spark, dir, "documents"))))
 }

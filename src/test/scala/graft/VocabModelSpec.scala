@@ -35,6 +35,20 @@ class VocabModelSpec extends SparkSpec {
     assert(merges(1).getString(1) == "ab ab" && merges(1).getLong(2) == 3L)
   }
 
+  test("BPE encode applies the final vocabulary and reports exact fertility") {
+    // corpus vocab {aaa: 3, b: 3}; round 1 merges (a,a), round 2 (aa,a)
+    // -> final tokenization aaa=[aaa] (1 token), b=[b]
+    val docs = Seq(
+      (0L, "en", "aaa aaa b"),
+      (1L, "fr", "aaa b b"))
+      .toDF("doc_id", "lang", "text")
+    val out = VocabModelOps.bpeEncodeStats(docs, rounds = 2).collect()
+    assert(out.toSeq === Seq(
+      // en: 3 words, 3 tokens, 7 chars -> 3*10000 div 7 = 4285
+      Row("en", 3L, 3L, 7L, 4285L),
+      Row("fr", 3L, 3L, 5L, 6000L)))
+  }
+
   test("char LM: a score doc fully covered by training has coverage 1.0") {
     val docs = Seq(
       (0L, "en", "abcdef"), // train (even doc_id)
