@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Embedding-matrix analytics (SURVEY §7.4 extension tier): the
+  * dominant principal direction of the corpus embedding matrix by
+  * power iteration over the Gram matrix — the primitive behind
+  * anisotropy checks ("is one direction eating the space?"),
+  * all-but-the-top post-processing, and drift monitoring between
+  * embedding model versions.
+  *
+  * Exactness doctrine: embeddings quantize to integer milli-units
+  * (float→double cast is exact; `floor(x*1000 + 0.5)` is the same
+  * IEEE-defined expression in both engines), and EVERYTHING after is
+  * integer — Gram entries are Σxᵢxⱼ in BIGINT, the un-normalized power
+  * rounds multiply through DECIMAL(38,0)/HUGEINT, and the reported
+  * loadings are exact basis points of the max-|component|, with the
+  * negative branch made explicit so Spark's truncating `div` and
+  * DuckDB's flooring `//` can never disagree. Three rounds keep the
+  * un-normalized magnitudes under 10^33; a cluster-scale run rescales
+  * (right-shifts) between rounds instead of normalizing — same
+  * direction, still exact.
+  */
+object EmbedStatsOps {
+
+  /** Quantized elements: one (vec_id, d, xq) row per component. The
+    * corpus-side fan-out is dim-bounded per row and collapses map-side
+    * in every aggregate below.
+    */
+  private def elems(emb: DataFrame): DataFrame =
+    emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "e")))
+      .select(col("vec_id"), col("d"),
+        expr("CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5d) AS BIGINT)").as("xq"))
+
+  /** q218 body: dominant eigenvector loadings (exact basis points of
+    * the max component) after `rounds` un-normalized power iterations
+    * from the all-ones start. One corpus pass builds the Gram matrix —
+    * the (d1, d2) partial aggregate collapses the n·dim² products to
+    * dim² rows per partition before the one shuffle — and each round is
+    * a broadcast join against the dim-sized vector. At 100 TB the Gram
+    * build is the only corpus-touching stage; the iteration is free.
+    */
+  def pcaPowerLoadings(emb: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 3,
+      s"rounds must be in [1,3] (decimal38 headroom, see doc), got $rounds")
+    val x = elems(emb)
+    val gram = x.as("a").join(x.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg(sum(col("a.xq") * col("b.xq")).cast("decimal(38,0)").as("g"))
+      .localCheckpoint() // 3 rounds otherwise replay the corpus pass each
+    var v = gram.select(col("d1").as("d")).distinct()
+      .withColumn("vv", lit(1).cast("decimal(38,0)"))
+    for (_ <- 1 to rounds)
+      v = gram.join(broadcast(v), gram("d2") === v("d"))
+        .groupBy(col("d1").as("d"))
+        .agg(sum(col("g") * col("vv")).cast("decimal(38,0)").as("vv"))
+    val mx = v.agg(max(abs(col("vv"))).as("mx"))
+    v.crossJoin(broadcast(mx))
+      .select(col("d"),
+        expr("""CASE WHEN vv < 0
+          | THEN -CAST((-vv) * 10000 div mx AS BIGINT)
+          | ELSE CAST(vv * 10000 div mx AS BIGINT) END""".stripMargin)
+          .as("loading_bp"))
+      .orderBy("d")
+  }
+
+  private val pcaOracle: String =
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+      |      AS HUGEINT) AS xq
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |g AS (
+      |  SELECT a.d AS d1, b.d AS d2, SUM(a.xq * b.xq) AS g
+      |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+      |v0 AS (SELECT DISTINCT d1 AS d, CAST(1 AS HUGEINT) AS vv FROM g),
+      |v1 AS (SELECT g.d1 AS d, SUM(g.g * v0.vv) AS vv
+      |  FROM g JOIN v0 ON v0.d = g.d2 GROUP BY 1),
+      |v2 AS (SELECT g.d1 AS d, SUM(g.g * v1.vv) AS vv
+      |  FROM g JOIN v1 ON v1.d = g.d2 GROUP BY 1),
+      |v3 AS (SELECT g.d1 AS d, SUM(g.g * v2.vv) AS vv
+      |  FROM g JOIN v2 ON v2.d = g.d2 GROUP BY 1),
+      |m AS (SELECT MAX(abs(vv)) AS mx FROM v3)
+      |SELECT d, CAST(CASE WHEN vv < 0
+      |    THEN -((-vv) * 10000 // mx)
+      |    ELSE (vv * 10000 // mx) END AS BIGINT) AS loading_bp
+      |FROM v3, m ORDER BY d""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q218_pca_power", Some(pcaOracle),
+      (spark, dir) => pcaPowerLoadings(t(spark, dir, "embeddings"))))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.ops.EmbedStatsOps
+
+/** Hand-computed power-iteration fixtures for q218: known dominant
+  * direction, sign handling through the truncating basis-point divide,
+  * and the rounds guard.
+  */
+class EmbedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single vector: loadings are exact basis points of the vector direction") {
+    // v = (2, 1): Gram = [[4e6, 2e6], [2e6, 1e6]] (milli-unit squares);
+    // every power round keeps the (2, 1) direction -> [10000, 5000]
+    val emb = Seq((1L, Seq(2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = EmbedStatsOps.pcaPowerLoadings(emb).collect()
+    assert(out.toSeq === Seq(Row(0, 10000L), Row(1, 5000L)))
+  }
+
+  test("negative components keep sign; divide truncates toward zero in both engines") {
+    // v = (3, -1): direction (3, -1) -> 10000 and -(1e4/3 truncated) = -3333
+    val emb = Seq((1L, Seq(3.0f, -1.0f))).toDF("vec_id", "embedding")
+    val out = EmbedStatsOps.pcaPowerLoadings(emb).collect()
+    assert(out.toSeq === Seq(Row(0, 10000L), Row(1, -3333L)))
+  }
+
+  test("dominant direction wins over a weaker orthogonal one") {
+    // three vectors on axis 0, one on axis 1: top eigenvector is axis 0
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = EmbedStatsOps.pcaPowerLoadings(emb).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(0) === 10000L)
+    // axis 1 is orthogonal to axis 0 and weaker: its un-normalized
+    // component is 1e6^3 vs 3e6 * (3e6)^2 -> 10000/27 truncated
+    assert(out(1) === 370L)
+  }
+
+  test("rounds outside decimal38 headroom are rejected") {
+    val emb = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      EmbedStatsOps.pcaPowerLoadings(emb, rounds = 4)
+    }
+  }
+}
