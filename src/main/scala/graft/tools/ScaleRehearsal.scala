@@ -72,7 +72,14 @@ object ScaleRehearsal {
     "q194_table_diff", "q195_trend_slopes", "q196_epoch_shuffle",
     "q197_winsorize", "q198_budget_mix", "q199_degree_stats", "q200_pipeline_funnel", "q201_source_similarity", "q202_min_cost_paths",
     "q203_group_percentiles", "q204_adoption_curve", "q205_open_orders",
-    "q206_rolling_zscore", "q207_slo_burn")
+    "q206_rolling_zscore", "q207_slo_burn",
+    // round 9 session 3: governance audits, scale shapes, embedding PCA
+    // (q217 encodes against the corpus vocabulary — the fixture's
+    // per-copy token suffixes grow it 10x, q52/q180's arithmetic, bar 15)
+    "q208_integrity_audit", "q209_activity_streaks", "q210_k_anonymity",
+    "q211_trade_triangles", "q212_variant_ingest", "q213_overlap_orders",
+    "q214_lang_deciles", "q215_image_thumbnail", "q216_label_asof",
+    "q217_bpe_encode", "q218_pca_power")
 
   private val OFFSET = 10000000L
 
@@ -125,7 +132,8 @@ object ScaleRehearsal {
       "q130_containment_pairs" -> 25.0, "q132_term_drift" -> 15.0,
       "q133_inverted_index" -> 15.0, "q139_prefix_jaccard" -> 25.0,
       "q167_longest_shared_span" -> 25.0, "q180_bpe_merges" -> 15.0,
-      "q184_ngram_novelty" -> 15.0, "q190_phrase_match" -> 15.0)
+      "q184_ngram_novelty" -> 15.0, "q190_phrase_match" -> 15.0,
+      "q217_bpe_encode" -> 15.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query
