@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -109,7 +110,86 @@ object ExperimentOps {
       |      - mean_x_all) AS mean_y_adj
       |FROM arms, pooled ORDER BY arm""".stripMargin
 
+  /** q220 body: EXACT two-sample Kolmogorov–Smirnov distance between
+    * the order-value distributions of urgent vs non-urgent orders —
+    * the standard drift test between two samples, integer-exact: at
+    * every distinct value v, the ECDF gap |F_A(v) − F_B(v)| equals
+    * |cumA·n_B − cumB·n_A| / (n_A·n_B), so the argmax and the KS
+    * numerator are pure BIGINT comparisons; the only double is the
+    * final ratio (one shared division).
+    *
+    * Scale shape: the ECDF needs a GLOBAL cumulative sum over the
+    * distinct-value relation, which grows with the data — the q145
+    * hazard. Same cure: the log-grid shard (`floor(log1p(cents)·64)`,
+    * monotonic in cents, ≤8192 cells, data-independent cut points), so
+    * per-shard cumsums run in parallel and the one unpartitioned window
+    * covers the bounded shard-count frame only (PlanSpec allowlists the
+    * class). The top-1 argmax is a TakeOrdered, never a global sort.
+    */
+  def ksDrift(orders: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byValue = orders
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L).as("isa"))
+      .groupBy("cents")
+      .agg(sum(col("isa")).as("a_cnt"), sum(lit(1L) - col("isa")).as("b_cnt"))
+      .withColumn("shard",
+        least(lit(8191), greatest(lit(0),
+          floor(log1p(col("cents").cast("double")) * 64))).cast("int"))
+    val offsets = byValue.groupBy("shard")
+      .agg(sum(col("a_cnt")).as("sa"), sum(col("b_cnt")).as("sb"))
+      .select(col("shard"),
+        coalesce(sum(col("sa")).over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("off_a"),
+        coalesce(sum(col("sb")).over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("off_b"),
+        sum(col("sa")).over(Window.partitionBy()).as("n_a"),
+        sum(col("sb")).over(Window.partitionBy()).as("n_b"))
+    val wIn = Window.partitionBy("shard").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue.join(broadcast(offsets), Seq("shard"))
+      .withColumn("cum_a", col("off_a") + sum(col("a_cnt")).over(wIn))
+      .withColumn("cum_b", col("off_b") + sum(col("b_cnt")).over(wIn))
+      .withColumn("ks_num",
+        abs(col("cum_a").cast(dec) * col("n_b").cast(dec)
+          - col("cum_b").cast(dec) * col("n_a").cast(dec)))
+      .orderBy(col("ks_num").desc, col("cents").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("cents").as("at_cents"),
+        col("ks_num").cast("long").as("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("ks"))
+  }
+
+  private val ksOracle: String =
+    """WITH v AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS isa
+      |  FROM orders),
+      |g AS (
+      |  SELECT cents, SUM(isa) AS a_cnt, SUM(1 - isa) AS b_cnt
+      |  FROM v GROUP BY 1),
+      |t AS (SELECT CAST(SUM(a_cnt) AS HUGEINT) AS na,
+      |  CAST(SUM(b_cnt) AS HUGEINT) AS nb FROM g),
+      |c AS (
+      |  SELECT cents,
+      |    SUM(a_cnt) OVER (ORDER BY cents) AS ca,
+      |    SUM(b_cnt) OVER (ORDER BY cents) AS cb
+      |  FROM g),
+      |d AS (SELECT cents, ABS(ca * nb - cb * na) AS diff, na, nb
+      |  FROM c, t)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  cents AS at_cents, CAST(diff AS BIGINT) AS ks_num,
+      |  CAST(diff AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    AS ks
+      |FROM d ORDER BY diff DESC, cents LIMIT 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q219_cuped", Some(cupedOracle),
-      (spark, dir) => cupedAdjustment(EventOps.events(spark, dir))))
+      (spark, dir) => cupedAdjustment(EventOps.events(spark, dir))),
+
+    QueryDef("q220_ks_drift", Some(ksOracle),
+      (spark, dir) => ksDrift(t(spark, dir, "orders"))))
 }

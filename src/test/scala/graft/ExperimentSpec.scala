@@ -31,6 +31,48 @@ class ExperimentSpec extends SparkSpec {
       Row("B", 2L, 700.0, 350.0, 500.0)))
   }
 
+  test("KS on disjoint samples reaches 1.0 at the crossing value") {
+    val orders = Seq(
+      (1L, "1-URGENT", 0.01), (2L, "1-URGENT", 0.02),
+      (3L, "3-MEDIUM", 0.03), (4L, "3-MEDIUM", 0.04))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = ExperimentOps.ksDrift(orders).collect().head
+    assert(r === Row(2L, 2L, 2L, 4L, 1.0))
+  }
+
+  test("KS on identical samples is 0") {
+    val orders = Seq((1L, "1-URGENT", 0.05), (2L, "3-MEDIUM", 0.05))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = ExperimentOps.ksDrift(orders).collect().head
+    assert(r === Row(1L, 1L, 5L, 0L, 0.0))
+  }
+
+  test("sharded ECDF equals the naive global-window KS on sf orders") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val g = orders
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L).as("isa"))
+      .groupBy("cents")
+      .agg(sum(col("isa")).as("a"), sum(lit(1L) - col("isa")).as("b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
+    val naive = g
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .withColumn("na", sum(col("a")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("nb", sum(col("b")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("diff", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .orderBy(col("diff").desc, col("cents").asc)
+      .limit(1)
+      .select(col("na"), col("nb"), col("cents"), col("diff"))
+      .collect().head
+    val sharded = ExperimentOps.ksDrift(orders).collect().head
+    assert((sharded.getLong(0), sharded.getLong(1), sharded.getLong(2),
+      sharded.getLong(3)) ===
+      ((naive.getLong(0), naive.getLong(1), naive.getLong(2), naive.getLong(3))))
+  }
+
   test("CUPED on balanced arms leaves means unchanged") {
     // identical covariate distribution per arm: mean_x_arm ==
     // mean_x_all, so the adjustment term vanishes whatever theta is
