@@ -92,7 +92,72 @@ object EmbedStatsOps {
       |    ELSE (vv * 10000 // mx) END AS BIGINT) AS loading_bp
       |FROM v3, m ORDER BY d""".stripMargin
 
+  /** q221 body: the inter-label centroid distance matrix — clustering
+    * QA for a labeled embedding table (labels whose centroids collapse
+    * toward each other flag leaky classes or a degenerate encoder).
+    * Exactness: centroids are rationals (Σx/n), so instead of dividing,
+    * every pairwise difference is cross-multiplied —
+    * Σ_d (n₂·sx₁ − n₁·sx₂)² is exact integer arithmetic equal to
+    * (n₁n₂)²·‖c₁−c₂‖², and the only doubles are one IEEE sqrt + one
+    * division at the end (both correctly rounded, engine-identical).
+    * Scale: the per-(label, dim) sums collapse the corpus map-side to a
+    * |labels|·dim relation before the one shuffle; the pair join is
+    * label²·dim — dimension-bounded however large the corpus.
+    */
+  def labelCentroidDists(emb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = emb.where(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "e")))
+      .select(col("label"), col("d"),
+        expr("CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5d) AS BIGINT)").as("xq"))
+    val s = x.groupBy("label", "d").agg(sum(col("xq")).as("sx"))
+    val n = emb.where(col("embedding").isNotNull)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val a = s.select(col("label").as("l1"), col("d"), col("sx").as("sx1"))
+    val b = s.select(col("label").as("l2"), col("d"), col("sx").as("sx2"))
+    a.join(b, Seq("d")).where(col("l1") < col("l2"))
+      .join(broadcast(n.select(col("label").as("l1"), col("n").as("n1"))), Seq("l1"))
+      .join(broadcast(n.select(col("label").as("l2"), col("n").as("n2"))), Seq("l2"))
+      .withColumn("diff",
+        (col("n2") * col("sx1") - col("n1") * col("sx2")).cast(dec))
+      .groupBy("l1", "l2")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("diff") * col("diff")).as("d2"))
+      .select(col("l1"), col("l2"), col("n1"), col("n2"),
+        (sqrt(col("d2").cast("double")) /
+          (col("n1") * col("n2") * lit(1000L)).cast("double"))
+          .as("centroid_dist"))
+      .orderBy("l1", "l2")
+  }
+
+  private val centroidOracle: String =
+    """WITH x AS (
+      |  SELECT label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+      |      AS HUGEINT) AS xq
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |s AS (SELECT label, d, SUM(xq) AS sx FROM x GROUP BY 1, 2),
+      |n AS (SELECT label, CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1),
+      |p AS (
+      |  SELECT a.label AS l1, b.label AS l2,
+      |    SUM((nb.n * a.sx - na.n * b.sx) * (nb.n * a.sx - na.n * b.sx))
+      |      AS d2
+      |  FROM s a JOIN s b ON a.d = b.d AND a.label < b.label
+      |  JOIN n na ON na.label = a.label
+      |  JOIN n nb ON nb.label = b.label
+      |  GROUP BY 1, 2)
+      |SELECT l1, l2, CAST(na.n AS BIGINT) AS n1, CAST(nb.n AS BIGINT) AS n2,
+      |  sqrt(CAST(d2 AS DOUBLE))
+      |    / CAST(na.n * nb.n * 1000 AS DOUBLE) AS centroid_dist
+      |FROM p JOIN n na ON na.label = p.l1 JOIN n nb ON nb.label = p.l2
+      |ORDER BY l1, l2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q218_pca_power", Some(pcaOracle),
-      (spark, dir) => pcaPowerLoadings(t(spark, dir, "embeddings"))))
+      (spark, dir) => pcaPowerLoadings(t(spark, dir, "embeddings"))),
+
+    QueryDef("q221_label_centroids", Some(centroidOracle),
+      (spark, dir) => labelCentroidDists(t(spark, dir, "embeddings"))))
 }

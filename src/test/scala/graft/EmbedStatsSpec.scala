@@ -40,6 +40,22 @@ class EmbedStatsSpec extends SparkSpec {
     assert(out(1) === 370L)
   }
 
+  test("label centroid distance: 3-4-5 triangle and averaged centroids, exactly") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(3.0f, 4.0f), 1),
+      // label 2: centroid of (1,0) and (3,0) is (2,0) -> dist 2 to label 0
+      (3L, Seq(1.0f, 0.0f), 2), (4L, Seq(3.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbedStatsOps.labelCentroidDists(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((0, 1)) === ((1L, 1L, 5.0)))
+    assert(out((0, 2)) === ((1L, 2L, 2.0)))
+    // label 1 (3,4) vs label 2 centroid (2,0): sqrt(1 + 16)
+    assert(out((1, 2)) === ((1L, 2L, math.sqrt(17.0))))
+  }
+
   test("rounds outside decimal38 headroom are rejected") {
     val emb = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
