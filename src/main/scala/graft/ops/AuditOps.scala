@@ -194,7 +194,125 @@ object AuditOps {
       |FROM pn JOIN nation n ON n.n_nationkey = pn.c_nationkey
       |ORDER BY risk_bp DESC, nation""".stripMargin
 
+  /** q222 body: temporal train/test split + entity-leakage report —
+    * the time-series ML hygiene check (q64/q119 split by hash/cluster;
+    * time-based evaluation must split by DATE, and then needs to know
+    * how many entities straddle the fence). One fact scan: per-customer
+    * train/test order counts, then one roll-up — n orders and distinct
+    * customers per side, customers on both, and the share of test
+    * customers already seen in train (exact basis points; for
+    * forecasting that overlap is expected — the audit quantifies it,
+    * for cold-start evaluation it is the contamination number). Cutoff
+    * = min order date + `cutoffDays`, a broadcast scalar.
+    */
+  def temporalSplitAudit(orders: DataFrame, cutoffDays: Int = 1460): DataFrame = {
+    require(cutoffDays > 0, s"cutoffDays must be positive, got $cutoffDays")
+    val cut = orders.agg(
+      date_add(min(to_date(col("o_orderdate"))), cutoffDays).as("cut"))
+    val perCust = orders.crossJoin(broadcast(cut))
+      .groupBy("o_custkey")
+      .agg(
+        sum(when(to_date(col("o_orderdate")) < col("cut"), 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(to_date(col("o_orderdate")) >= col("cut"), 1L).otherwise(0L))
+          .as("n_test"))
+    perCust.agg(
+      sum(col("n_train")).cast("long").as("train_orders"),
+      sum(col("n_test")).cast("long").as("test_orders"),
+      sum(when(col("n_train") > 0, 1L).otherwise(0L)).cast("long")
+        .as("train_customers"),
+      sum(when(col("n_test") > 0, 1L).otherwise(0L)).cast("long")
+        .as("test_customers"),
+      sum(when(col("n_train") > 0 && col("n_test") > 0, 1L).otherwise(0L))
+        .cast("long").as("both_customers"))
+      .withColumn("seen_in_train_bp",
+        expr("both_customers * 10000 div test_customers"))
+  }
+
+  private val temporalSplitOracle: String =
+    """WITH cutoff AS (
+      |  SELECT MIN(CAST(o_orderdate AS DATE)) + 1460 AS cut FROM orders),
+      |pc AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN CAST(o_orderdate AS DATE) < cut THEN 1 ELSE 0 END)
+      |      AS n_train,
+      |    SUM(CASE WHEN CAST(o_orderdate AS DATE) >= cut THEN 1 ELSE 0 END)
+      |      AS n_test
+      |  FROM orders, cutoff GROUP BY o_custkey)
+      |SELECT CAST(SUM(n_train) AS BIGINT) AS train_orders,
+      |  CAST(SUM(n_test) AS BIGINT) AS test_orders,
+      |  CAST(SUM(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS train_customers,
+      |  CAST(SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS test_customers,
+      |  CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS both_customers,
+      |  CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+      |    * 10000 // SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS seen_in_train_bp
+      |FROM pc""".stripMargin
+
+  /** q223 body: declarative data contracts — a deequ-style constraint
+    * pass where every contract is a row-level SQL predicate and the
+    * whole suite runs in ONE corpus scan (a single wide aggregate, one
+    * violation counter per contract, stacked to rows afterwards) — at
+    * 100 TB the difference between a nightly quality gate and N full
+    * scans. A violation is any row where the predicate is not TRUE
+    * (NULL counts as a violation — unknown is not a pass). Contracts
+    * are dialect-neutral SQL so the DuckDB oracle evaluates the same
+    * text.
+    */
+  def contractAudit(df: DataFrame, contracts: Seq[(String, String)]): DataFrame = {
+    require(contracts.nonEmpty, "contractAudit: need at least one contract")
+    require(contracts.map(_._1).distinct.size == contracts.size,
+      "contractAudit: contract names must be unique")
+    val counters = count(lit(1)).as("n_rows") +:
+      contracts.map { case (name, pred) =>
+        sum(when(coalesce(expr(pred), lit(false)), 0L).otherwise(1L))
+          .as(s"v_$name")
+      }
+    val wide = df.agg(counters.head, counters.tail: _*)
+    val stacked = contracts.map { case (name, _) =>
+      wide.select(lit(name).as("contract"), col("n_rows"),
+        col(s"v_$name").as("n_violations"))
+    }
+    stacked.reduce(_.unionByName(_)).orderBy("contract")
+  }
+
+  /** The graded customer contract suite (q223): one deliberately
+    * failing range contract (negative balances exist) keeps the
+    * violation path non-vacuous.
+    */
+  val customerContracts: Seq[(String, String)] = Seq(
+    ("acctbal_nonneg", "c_acctbal >= 0"),
+    ("acctbal_range", "c_acctbal BETWEEN -1000 AND 10000"),
+    ("custkey_notnull", "c_custkey IS NOT NULL"),
+    ("name_prefix", "c_name LIKE 'Customer#%'"),
+    ("nationkey_domain", "c_nationkey BETWEEN 0 AND 24"))
+
+  private val contractOracle: String = {
+    val wide = customerContracts.map { case (name, pred) =>
+      s"SUM(CASE WHEN COALESCE($pred, FALSE) THEN 0 ELSE 1 END) AS v_$name"
+    }.mkString(",\n    ")
+    val rows = customerContracts.map { case (name, _) =>
+      s"SELECT '$name' AS contract, n_rows, CAST(v_$name AS BIGINT) AS n_violations FROM a"
+    }.mkString("\nUNION ALL ")
+    s"""WITH a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    $wide
+       |  FROM customer)
+       |$rows
+       |ORDER BY contract""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q222_temporal_split", Some(temporalSplitOracle),
+      (spark, dir) => temporalSplitAudit(t(spark, dir, "orders"))),
+
+    QueryDef("q223_data_contracts", Some(contractOracle),
+      (spark, dir) => contractAudit(
+        t(spark, dir, "customer"), customerContracts)),
+
     QueryDef("q208_integrity_audit", Some(integrityOracle),
       (spark, dir) => integrityAudit(
         t(spark, dir, "lineitem"), t(spark, dir, "orders"),

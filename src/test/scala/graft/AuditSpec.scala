@@ -75,6 +75,44 @@ class AuditSpec extends SparkSpec {
     assert(row.getLong(2) === 2L && row.getLong(4) === 2L)
   }
 
+  test("temporal split counts straddling entities exactly") {
+    // cutoff = min + 10 days = Jan 11. cust 1 straddles, cust 2 is
+    // train-only, cust 3 test-only
+    val orders = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-20"),
+      (2L, "2024-01-02"), (3L, "2024-01-15"))
+      .toDF("o_custkey", "d")
+      .select(col("o_custkey"), col("d").cast("timestamp").as("o_orderdate"))
+    val row = AuditOps.temporalSplitAudit(orders, cutoffDays = 10)
+      .collect().head
+    // train orders 2, test 2; train custs {1,2}, test custs {1,3},
+    // both {1}; 1*10000 div 2 = 5000
+    assert(row === Row(2L, 2L, 2L, 2L, 1L, 5000L))
+  }
+
+  test("contract audit: NULL predicates count as violations, one row per contract") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (-5L, "ok"), (null, "bad"))
+      .toDF("v", "tag")
+    val out = AuditOps.contractAudit(df, Seq(
+      ("v_nonneg", "v >= 0"),        // -5 violates, NULL violates -> 2
+      ("tag_ok", "tag = 'ok'"),      // 'bad' violates -> 1
+      ("always", "1 = 1")))          // 0
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(
+      "always" -> ((3L, 0L)),
+      "tag_ok" -> ((3L, 1L)),
+      "v_nonneg" -> ((3L, 2L))))
+  }
+
+  test("contract audit rejects duplicate contract names") {
+    val df = Seq((1L, "x")).toDF("v", "tag")
+    intercept[IllegalArgumentException] {
+      AuditOps.contractAudit(df, Seq(("a", "v >= 0"), ("a", "v < 0")))
+    }
+  }
+
   test("triangleStats counts closed wedges once and skips open ones") {
     // Undirected triangle {1,2,3} + pendant 4 attached to 1 (wedge
     // 2-1-4 and 3-1-4 are open). Feed as directed edges both ways for
