@@ -272,11 +272,14 @@ object AuditOps {
           .as(s"v_$name")
       }
     val wide = df.agg(counters.head, counters.tail: _*)
-    val stacked = contracts.map { case (name, _) =>
-      wide.select(lit(name).as("contract"), col("n_rows"),
-        col(s"v_$name").as("n_violations"))
-    }
-    stacked.reduce(_.unionByName(_)).orderBy("contract")
+    // stack (not a union of selects) so the whole suite is ONE plan
+    // over ONE scan — a union would re-execute the aggregate per branch
+    val stackArgs = contracts
+      .map { case (name, _) => s"'$name', n_rows, v_$name" }
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${contracts.size}, $stackArgs) AS (contract, n_rows, n_violations)")
+      .orderBy("contract")
   }
 
   /** The graded customer contract suite (q223): one deliberately

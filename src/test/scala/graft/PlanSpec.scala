@@ -449,6 +449,34 @@ class PlanSpec extends SparkSpec {
       s"posting intersection must stay an equi-join:\n$plan")
   }
 
+  test("q213 interval overlap plans as an equi-join, never a nested loop") {
+    val plan = planOf("q213_overlap_orders")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"bucketized overlap must stay an equi-join on (customer, bucket):\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"),
+      s"pair dedup should plan as an aggregate:\n$plan")
+  }
+
+  test("q217 BPE encode broadcasts the vocabulary against the word stream") {
+    val plan = planOf("q217_bpe_encode")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the KB-sized vocabulary must broadcast:\n$plan")
+  }
+
+  test("q220 KS argmax plans as TakeOrdered, never a global sort") {
+    val plan = planOf("q220_ks_drift")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-1 argmax should be TakeOrdered:\n$plan")
+  }
+
+  test("q223 contract suite evaluates every contract in one scan") {
+    val plan = planOf("q223_data_contracts")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"all contracts must share ONE customer scan, found $scans:\n$plan")
+  }
+
   test("q186 pagerank re-reads the checkpointed edges, not the fact join, per round") {
     // after localCheckpoint the executed plan must not contain three
     // repetitions of the orders x lineitem scan — the iterations read
