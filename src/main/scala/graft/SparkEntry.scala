@@ -21,7 +21,8 @@ object SparkEntry {
       EmbedStatsOps.defs ++ ExperimentOps.defs ++
       VocabModelOps.defs ++
       graft.sources.TextFormats.defs ++
-      graft.sources.ColumnarFormats.defs
+      graft.sources.ColumnarFormats.defs ++
+      graft.sources.XmlFormat.defs
 
   /** Flagship query (A3 gold-category aggregate, SURVEY §7.2) on sf=0.001;
     * driver smoke-checks rows>0.

@@ -238,7 +238,65 @@ object MultimodalOps {
       |  CAST(SUM(s) AS BIGINT) AS resized_sum
       |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** q225 body: the same decode→thumbnail pass as q215, but ingested
+    * through Spark's `binaryFile` SOURCE — the actual shape of a media
+    * lake (a directory of image files), not an in-plan synthetic
+    * column. Acquisition materializes each pattern image as a real
+    * .ppm/.bmp file from a `foreachPartition` (executor-side writes, no
+    * driver collect; on a cluster the files simply already exist on
+    * shared storage and this step disappears); the read is
+    * `format("binaryFile")` with a `pathGlobFilter`, doc identity
+    * recovered from the file name, and the decode runs on the source's
+    * `content` column unchanged. Same full SQL oracle as q215: the
+    * whole file write → source scan → parse → resize chain must
+    * hash-match the metadata arithmetic.
+    */
+  def binaryFileThumbnails(spark: SparkSession, docs: DataFrame, dir: String): Dataset[ThumbFeatures] = {
+    import spark.implicits._
+    val fsDir = new java.io.File(new java.net.URI(dir).getPath)
+    fsDir.mkdirs()
+    patternImageTable(docs).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .foreachPartition { rows: Iterator[(Long, Array[Byte])] =>
+        rows.foreach { case (id, bytes) =>
+          val ext = if (id % 2 == 0) "ppm" else "bmp"
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(fsDir.getPath, s"doc_$id.$ext"), bytes)
+        }
+      }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc_*.{ppm,bmp}")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          graft.functions.ImageCodec.decodePixels(bytes) match {
+            case Some(d) =>
+              val thumb = graft.functions.ImageCodec.resizeNearest(d, 4, 4)
+              var s = 0L
+              var i = 0
+              while (i < thumb.length) { s += thumb(i) & 0xff; i += 1 }
+              ThumbFeatures(id, d.format, d.width, d.height, s)
+            case None => ThumbFeatures(id, "unknown", 0, 0, 0L)
+          }
+        }
+      }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // The media-lake ingestion path: real files on disk read back
+    // through the binaryFile source, decoded and resized, graded by the
+    // same metadata-replay oracle as q215.
+    QueryDef("q225_binary_source", Some(thumbOracle),
+      (spark, dir) => {
+        val scratch = graft.sources.TextFormats.scratch(spark, "graft_q225_bin")
+        binaryFileThumbnails(spark, t(spark, dir, "documents"), scratch)
+          .toDF().orderBy("doc_id")
+      }),
+
     // REAL decode → resize over metadata-parameterized pattern images:
     // the full SQL oracle replays the nearest-neighbor sampling, so the
     // whole binary path (header parse, BMP row flip + BGR swap, index

@@ -78,7 +78,7 @@ object TextFormats {
   /** Scratch directory under the session warehouse (same reclaim dance
     * as q42: a previous run's directory may survive on disk).
     */
-  private[sources] def scratch(spark: SparkSession, name: String): String = {
+  def scratch(spark: SparkSession, name: String): String = {
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
@@ -168,4 +168,42 @@ object ColumnarFormats {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q117_orc_roundtrip", Some(TextFormats.roundtripOracle),
       (spark, dir) => orcRoundtrip(spark, TextFormats.withHazards(spark, dir))))
+}
+
+/** XML — the enterprise-feed format Spark 4 reads natively (the
+  * spark-xml connector merged into core in 4.0). Same hazard corpus and
+  * grading idea as q110/q111/q117, with ONE documented infidelity: XML
+  * 1.0 end-of-line normalization — a parser MUST convert a literal
+  * carriage return in element content to a line feed — so the writer
+  * emits CR as the `&#13;` character reference (`charset`-independent),
+  * which survives parsing; this query grades that Spark's writer does
+  * exactly that (a writer emitting a raw CR would hash-mismatch the
+  * oracle's chr(13)).
+  *
+  * Scale shape: like multiLine CSV, an XML document is one parse unit —
+  * the reader splits on `rowTag` boundaries within a file but a
+  * malformed-tolerant scan cannot blindly split mid-entity; XML is an
+  * interop format here, not the 100 TB path (that's JSONL/parquet/ORC).
+  */
+object XmlFormat {
+
+  def xmlRoundtrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val dir = TextFormats.scratch(spark, "graft_q224_xml")
+    docs.write.mode(SaveMode.Overwrite)
+      .option("rootTag", "docs").option("rowTag", "doc")
+      .option("declaration", "")
+      .xml(dir)
+    spark.read.schema(docs.schema)
+      .option("rowTag", "doc")
+      // the XML reader trims element-content whitespace by default —
+      // fidelity first (same stance as the CSV reader options)
+      .option("ignoreSurroundingSpaces", "false")
+      .xml(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q224_xml_roundtrip", Some(TextFormats.roundtripOracle),
+      (spark, dir) => xmlRoundtrip(spark, TextFormats.withHazards(spark, dir))))
 }
