@@ -223,7 +223,101 @@ object ScaleShapeOps {
       |FROM j WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** q226 body: the hybrid (differentiated-broadcast) skew join — the
+    * third skew weapon next to q39/q54's salting and AQE's runtime
+    * split. When a handful of join keys dominate the probe side, route
+    * them down a BROADCAST branch (the hot slice of the build side is
+    * tiny by definition) and let only the cold remainder shuffle —
+    * hot keys never cross the wire at all, where salting still moves
+    * them (spread over reducers) and AQE only re-splits after the skew
+    * materializes. Hot-key detection is a partial-agg count with a
+    * threshold; the hot set broadcasts into semi/anti routers on both
+    * sides. Provably row-identical to the plain join (the oracle IS the
+    * plain join; ScaleShapeSpec pins the pre-aggregate relation too).
+    */
+  def hybridSkewJoin(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      hotThreshold: Int = 6): DataFrame = {
+    require(hotThreshold > 0, s"hotThreshold must be positive, got $hotThreshold")
+    val hot = lineitem.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .where(col("n") >= hotThreshold)
+      .select(col("l_orderkey").as("hk"))
+    def route(df: DataFrame, key: String, keep: String): DataFrame =
+      df.join(broadcast(hot), col(key) === col("hk"), keep)
+    val hotSide = route(lineitem, "l_orderkey", "left_semi")
+      .join(broadcast(route(orders, "o_orderkey", "left_semi")),
+        col("l_orderkey") === col("o_orderkey"))
+    val coldSide = route(lineitem, "l_orderkey", "left_anti")
+      .join(route(orders, "o_orderkey", "left_anti"),
+        col("l_orderkey") === col("o_orderkey"))
+    hotSide.unionByName(coldSide)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), moneySum(revenue).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val hybridOracle: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * (1.0 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q227: LATERAL correlated subquery — "for each customer, their
+    * single highest-value order" as the SQL-standard lateral join both
+    * engines parse from the same text. Catalyst DECORRELATES the
+    * per-row subquery (ORDER BY + LIMIT 1 becomes a per-key window/
+    * group-limit under the hood) — the naive reading, one subquery
+    * execution per customer row, never happens; inner-lateral
+    * semantics drop orderless customers in both engines.
+    */
+  private val lateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey AS best_order,
+      |  t.o_totalprice AS best_total
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** q228: parameterized SQL — `spark.sql(text, args)` with named
+    * parameter markers, the injection-safe way a pipeline templates
+    * per-tenant/per-day variants of one query. The marker text is the
+    * SHARED artifact; the oracle binds the same values as literals.
+    */
+  private val paramSqlText: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS total
+      |FROM orders
+      |WHERE o_orderstatus = :status AND o_totalprice >= :minTotal
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val paramOracle: String =
+    paramSqlText
+      .replace(":status", "'F'")
+      .replace(":minTotal", "100000.0")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q226_hybrid_skew_join", Some(hybridOracle),
+      (spark, dir) => hybridSkewJoin(
+        t(spark, dir, "lineitem"), t(spark, dir, "orders"))),
+
+    QueryDef("q227_lateral_topk", Some(lateralSql),
+      (spark, dir) => {
+        withViews(spark, dir, "customer", "orders")
+        spark.sql(lateralSql)
+      }),
+
+    QueryDef("q228_param_sql", Some(paramOracle),
+      (spark, dir) => {
+        withViews(spark, dir, "orders")
+        spark.sql(paramSqlText,
+          Map("status" -> "F", "minTotal" -> 100000.0))
+      }),
+
     QueryDef("q216_label_asof", Some(labelAsofOracle),
       (spark, dir) => labelAsofJoin(EventOps.events(spark, dir))),
 

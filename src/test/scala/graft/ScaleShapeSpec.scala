@@ -76,6 +76,31 @@ class ScaleShapeSpec extends SparkSpec {
     assert(two.exceptAll(naive).isEmpty && naive.exceptAll(two).isEmpty)
   }
 
+  test("hybrid skew join routes hot and cold keys and loses no rows") {
+    // orderkey 1 has 3 lines (hot at threshold 2), orderkey 2 has 1
+    val li = Seq(
+      (1L, 10.0, 0.0), (1L, 10.0, 0.0), (1L, 10.0, 0.0), (2L, 10.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Seq((1L, "1-URGENT"), (2L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val out = ScaleShapeOps.hybridSkewJoin(li, o, hotThreshold = 2).collect()
+    assert(out.toSeq === Seq(
+      Row("1-URGENT", 3L, 30.0), Row("3-MEDIUM", 1L, 10.0)))
+  }
+
+  test("hybrid skew join equals the plain join aggregate on sf data") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.util.Tables.moneySum(graft.util.Tables.revenue).as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect()
+    val hybrid = ScaleShapeOps.hybridSkewJoin(li, o).collect()
+    assert(hybrid.toSeq === plain.toSeq)
+  }
+
   test("label as-of join: leakage boundary, horizon edge, tiebreak, negatives") {
     def ev(id: Long, user: Long, t: String, typ: String, v: Double) =
       (id, user, t, typ, v)
