@@ -18,7 +18,7 @@ object SparkEntry {
       RelationalOps.defs ++ CorpusStatsOps.defs ++ StatOps.defs ++
       LayoutOps.defs ++ WarehouseOps.defs ++ TimeSeriesOps.defs ++
       GraphOps.defs ++ AuditOps.defs ++ ScaleShapeOps.defs ++
-      EmbedStatsOps.defs ++ ExperimentOps.defs ++
+      EmbedStatsOps.defs ++ ExperimentOps.defs ++ SketchOps.defs ++
       VocabModelOps.defs ++
       graft.sources.TextFormats.defs ++
       graft.sources.ColumnarFormats.defs ++

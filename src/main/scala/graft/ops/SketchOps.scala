@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Count-Min sketch as a BOUNDED RELATION (SURVEY §7.4 sketch tier,
+  * next to q41/q58's HLL and q156's exact bitmaps): approximate term
+  * frequencies over an unbounded vocabulary in a fixed footprint. The
+  * sketch is the (row, cell) → count relation — at most depth×width
+  * rows REGARDLESS of vocabulary size (collisions fold into shared
+  * cells), built by one partial-agged corpus pass, and mergeable across
+  * days/shards by plain (row, cell) addition — the q157 daily-state
+  * pattern for domains too large to count exactly. Estimates read back
+  * as the MIN over the depth rows; the classic guarantees hold: an
+  * estimate can never undercount, and overcounts are bounded by the
+  * fold-in of colliding mass.
+  *
+  * Hash family: `xxhash64(term, row_index)` — a Spark codegen'd
+  * expression, so build and probe share the exact text and a JVM-side
+  * reimplementation (with its drift risk) never exists.
+  */
+object SketchOps {
+
+  /** The (row, cell, cnt) sketch relation: ≤ depth·width rows. */
+  def cmsBuild(terms: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"depth/width must be positive, got $depth/$width")
+    terms
+      .select(posexplode(expr(
+        s"transform(sequence(0, ${depth - 1}), i -> pmod(xxhash64(term, i), $width))"))
+        .as(Seq("row", "cell")))
+      .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (must carry a `term` column): min
+    * over the depth rows of the probed cells. The sketch side is a
+    * ≤ depth·width relation and broadcasts.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+      depth: Int, width: Int): DataFrame =
+    probes
+      .select(col("*"), posexplode(expr(
+        s"transform(sequence(0, ${depth - 1}), i -> pmod(xxhash64(term, i), $width))"))
+        .as(Seq("row", "cell")))
+      .join(broadcast(sketch), Seq("row", "cell"), "left_outer")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** q229 body: build a 4×1024 sketch over the corpus terms, probe the
+    * exact top-10 heavy hitters, and grade the CONTRACT (the estimate
+    * itself is hash-dependent, so the oracle checks the guarantees, not
+    * the value — the q58/q70 sketch-grading pattern): `est ≥ true`
+    * always (CMS never undercounts), and `est ≤ true + 4·(N div width)`
+    * (collision mass bounded by 4× the average cell load — generous
+    * deterministic slack over the expected N/width).
+    */
+  def cmsContract(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val terms = docs.where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+    val sketch = cmsBuild(terms, depth, width)
+    val totals = terms.agg(count(lit(1)).as("n_terms"))
+    val top = terms.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term")).limit(10)
+    cmsEstimate(sketch, top, depth, width)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("true_cnt"),
+        (col("est") >= col("true_cnt")).as("within_lower"),
+        (col("est") <= col("true_cnt")
+          + lit(4) * expr(s"n_terms div $width")).as("within_upper"))
+      .orderBy("term")
+  }
+
+  private val cmsOracle: String =
+    """WITH terms AS (
+      |  SELECT term FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE term <> ''),
+      |tc AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
+      |top10 AS (
+      |  SELECT term, CAST(cnt AS BIGINT) AS true_cnt
+      |  FROM tc ORDER BY cnt DESC, term LIMIT 10)
+      |SELECT term, true_cnt, TRUE AS within_lower, TRUE AS within_upper
+      |FROM top10 ORDER BY term""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q229_cms_contract", Some(cmsOracle),
+      (spark, dir) => cmsContract(t(spark, dir, "documents"))))
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SketchOps
+
+/** CMS guarantees pinned structurally: never undercounts (every vocab
+  * term, not just heavy hitters), degenerate width folds everything
+  * into one cell (est == corpus size), and the sketch relation merges
+  * across splits by plain (row, cell) addition.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def terms(df: org.apache.spark.sql.DataFrame) =
+    df.where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+
+  test("CMS never undercounts any vocabulary term, even under forced collisions") {
+    val t = terms(spark.read.parquet(s"$sf/documents.parquet"))
+    // width 8 << vocabulary: every cell folds several terms, so the
+    // never-undercount property is tested under real collision
+    // pressure, not on a sketch wide enough to be collision-free
+    val sketch = SketchOps.cmsBuild(t, depth = 4, width = 8)
+    val allTerms = t.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    val est = SketchOps.cmsEstimate(sketch, allTerms, depth = 4, width = 8)
+    assert(est.where(col("est") < col("true_cnt")).isEmpty,
+      "a Count-Min estimate undercut a true count")
+    assert(est.where(col("est") > col("true_cnt")).count() > 0,
+      "no collision observed — the test would be vacuous")
+    assert(est.count() > 20)
+  }
+
+  test("width 1 folds the whole corpus into each estimate") {
+    val t = Seq("a a b c").toDF("text").transform(terms)
+    val est = SketchOps.cmsEstimate(
+      SketchOps.cmsBuild(t, depth = 2, width = 1),
+      t.distinct(), depth = 2, width = 1).collect()
+    assert(est.length === 3 && est.forall(_.getLong(1) === 4L))
+  }
+
+  test("sketches merge by (row, cell) addition") {
+    val a = Seq("x x y").toDF("text").transform(terms)
+    val b = Seq("y z").toDF("text").transform(terms)
+    val whole = SketchOps.cmsBuild(a.unionByName(b), depth = 4, width = 64)
+    val merged = SketchOps.cmsBuild(a, 4, 64)
+      .unionByName(SketchOps.cmsBuild(b, 4, 64))
+      .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+}
