@@ -308,7 +308,95 @@ object AuditOps {
        |ORDER BY contract""".stripMargin
   }
 
+  /** q230 body: telemetry debounce — drop events that repeat the same
+    * (user, type) within `gapSeconds` of the PREVIOUS event (lag-based
+    * suppression: double-clicks, retry storms, duplicate beacons). The
+    * time-local dedup primitive next to the content dedups (q23/q24):
+    * keyed on behavior, not content, and windowed per (user, type) —
+    * bounded per-key frames, exact microsecond gap arithmetic. Reports
+    * per event type: raw count, kept count, kept share in basis points.
+    */
+  def debounceStats(ev: DataFrame, gapSeconds: Int = 5): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("keep",
+        col("prev_us").isNull ||
+          col("us") - col("prev_us") >= lit(gapSeconds * 1000000L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"))
+      .withColumn("kept_bp", expr("n_kept * 10000 div n_events"))
+      .orderBy("event_type")
+  }
+
+  private val debounceOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS prev_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 5000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 5000000
+      |    THEN 1 ELSE 0 END) * 10000
+      |    // COUNT(*) AS BIGINT) AS kept_bp
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q232 body: calendar-gap audit — days inside the observed date
+    * range with ZERO orders (a silent upstream outage looks exactly
+    * like this; nobody notices absence without a calendar spine). The
+    * spine is a bounded `sequence(min, max)` explode (one row per day
+    * — q100's densification doctrine), the observed set is a distinct
+    * date aggregate, and the gap report is a broadcast anti join.
+    */
+  def calendarGaps(orders: DataFrame): DataFrame = {
+    val bounds = orders.agg(
+      min(to_date(col("o_orderdate"))).as("lo"),
+      max(to_date(col("o_orderdate"))).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val observed = orders.select(to_date(col("o_orderdate")).as("day")).distinct()
+    val missing = spine.join(observed, Seq("day"), "left_anti")
+    missing.agg(
+      count(lit(1)).as("n_missing"),
+      min(date_format(col("day"), "yyyy-MM-dd")).as("first_missing"),
+      max(date_format(col("day"), "yyyy-MM-dd")).as("last_missing"))
+      .crossJoin(broadcast(spine.agg(count(lit(1)).as("n_days_expected"))))
+      .crossJoin(broadcast(observed.agg(count(lit(1)).as("n_days_observed"))))
+      .select(col("n_days_expected"), col("n_days_observed"),
+        col("n_missing"), col("first_missing"), col("last_missing"))
+  }
+
+  private val calendarGapsOracle: String =
+    """WITH bounds AS (
+      |  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+      |    MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM bounds),
+      |observed AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+      |  FROM orders),
+      |missing AS (
+      |  SELECT day FROM spine
+      |  WHERE day NOT IN (SELECT day FROM observed))
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM spine) AS n_days_expected,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM observed) AS n_days_observed,
+      |  CAST(COUNT(*) AS BIGINT) AS n_missing,
+      |  STRFTIME(MIN(day), '%Y-%m-%d') AS first_missing,
+      |  STRFTIME(MAX(day), '%Y-%m-%d') AS last_missing
+      |FROM missing""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q230_debounce", Some(debounceOracle),
+      (spark, dir) => debounceStats(EventOps.events(spark, dir))),
+
+    QueryDef("q232_calendar_gaps", Some(calendarGapsOracle),
+      (spark, dir) => calendarGaps(t(spark, dir, "orders"))),
+
     QueryDef("q222_temporal_split", Some(temporalSplitOracle),
       (spark, dir) => temporalSplitAudit(t(spark, dir, "orders"))),
 

@@ -23,6 +23,29 @@ import graft.util.Tables._
 object StatOps {
 
   val defs: Seq[QueryDef] = Seq(
+    // q231: WEIGHTED median — the robust center when rows carry
+    // unequal mass (here: per-supplier unit price weighted by shipped
+    // quantity; a plain median would let a 1-unit line outvote a
+    // 50-unit line). Exact integer arithmetic end to end: weights are
+    // integer units, the crossing rule picks min cents with
+    // 2*cum_weight >= total (deterministic whatever the intra-cents
+    // tie order — every same-cents row agrees on the cents value).
+    // Per-supplier windows are bounded frames; one shuffle.
+    QueryDef(
+      "q231_weighted_median",
+      Some("""WITH l AS (SELECT l_suppkey,
+        |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |c AS (SELECT l_suppkey, cents, w,
+        |    SUM(w) OVER (PARTITION BY l_suppkey
+        |      ORDER BY cents, w ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    SUM(w) OVER (PARTITION BY l_suppkey) AS total FROM l)
+        |SELECT l_suppkey, CAST(MAX(total) AS BIGINT) AS total_weight,
+        |  CAST(MIN(CASE WHEN 2 * cumw >= total THEN cents END) AS BIGINT)
+        |    AS median_cents
+        |FROM c GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      (spark, dir) => weightedMedian(t(spark, dir, "lineitem"))),
+
     // Robust outlier detection via median absolute deviation: the
     // classic "3 sigma" rule done with medians so a single corrupt
     // batch cannot drag the threshold. Two bounded passes: per-type
@@ -576,6 +599,28 @@ object StatOps {
       .select(col("event_type"), col("n"), col("med").as("median_cents"),
         col("mad").as("mad_cents"), col("n_outliers"))
       .orderBy("event_type")
+  }
+
+  /** q231 body (shared with AuditSpec's hand-weighted fixtures): exact
+    * per-supplier weighted median — min cents where 2·cum_weight ≥
+    * total (lower-median convention; deterministic whatever the
+    * intra-cents tie order, since every same-cents row agrees on the
+    * selected value).
+    */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    val l = lineitem.select(col("l_suppkey"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("w"))
+    val wCum = Window.partitionBy("l_suppkey").orderBy(col("cents"), col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.withColumn("cumw", sum(col("w")).over(wCum))
+      .withColumn("total",
+        sum(col("w")).over(Window.partitionBy("l_suppkey")))
+      .groupBy("l_suppkey")
+      .agg(max(col("total")).cast("long").as("total_weight"),
+        min(when(lit(2) * col("cumw") >= col("total"), col("cents")))
+          .cast("long").as("median_cents"))
+      .orderBy("l_suppkey")
   }
 
   /** q145 body (shared with StatsSpec's equality / single-owner

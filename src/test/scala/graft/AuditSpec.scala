@@ -113,6 +113,51 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("debounce drops repeats measured against the previous event, kept or not") {
+    // user 1 clicks at t0, t0+2s, t0+6s: +2 dropped (gap 2 < 5), and
+    // +6 ALSO dropped — its gap is measured against the +2 event (4s),
+    // not the last KEPT one (lag-based suppression, documented)
+    val ev = Seq(
+      (1L, 10L, "click", "2024-01-01 10:00:00"),
+      (1L, 11L, "click", "2024-01-01 10:00:02"),
+      (1L, 12L, "click", "2024-01-01 10:00:06"),
+      // a different type is an independent stream: kept
+      (1L, 13L, "view", "2024-01-01 10:00:03"),
+      // exactly at the 5s boundary: kept (>=)
+      (2L, 14L, "click", "2024-01-01 10:00:00"),
+      (2L, 15L, "click", "2024-01-01 10:00:05"))
+      .toDF("user_id", "event_id", "event_type", "t")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("t").cast("timestamp").as("ts"))
+    val out = AuditOps.debounceStats(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      "click" -> ((5L, 3L, 6000L)),
+      "view" -> ((1L, 1L, 10000L))))
+  }
+
+  test("calendar gaps: spine minus observed, bounds inclusive") {
+    val orders = Seq("2024-01-01", "2024-01-02", "2024-01-04", "2024-01-07")
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), col("d").cast("timestamp").as("o_orderdate"))
+    val row = AuditOps.calendarGaps(orders).collect().head
+    assert(row === Row(7L, 4L, 3L, "2024-01-03", "2024-01-06"))
+  }
+
+  test("weighted median follows the mass, lower-median on even splits") {
+    import graft.ops.StatOps
+    val li = Seq(
+      // supplier 1: 1 unit at $1.00 vs 3 units at $2.00 -> 200
+      (1L, 1.00, 1.0), (1L, 2.00, 3.0),
+      // supplier 2: even 2/2 split -> lower median 100
+      (2L, 1.00, 2.0), (2L, 2.00, 2.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_quantity")
+    val out = StatOps.weightedMedian(li).collect()
+    assert(out.toSeq === Seq(Row(1L, 4L, 200L), Row(2L, 4L, 100L)))
+  }
+
   test("triangleStats counts closed wedges once and skips open ones") {
     // Undirected triangle {1,2,3} + pendant 4 attached to 1 (wedge
     // 2-1-4 and 3-1-4 are open). Feed as directed edges both ways for
