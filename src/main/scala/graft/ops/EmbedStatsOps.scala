@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -154,7 +155,116 @@ object EmbedStatsOps {
       |FROM p JOIN n na ON na.label = p.l1 JOIN n nb ON nb.label = p.l2
       |ORDER BY l1, l2""".stripMargin
 
+  /** q233 body: incremental index maintenance — assign a DELTA batch of
+    * vectors to the nearest existing label centroid (broadcast
+    * centroids, map-side scoring — the nightly "index the new data
+    * without re-clustering the corpus" pass), then report per-cell
+    * drift so the pipeline knows when a real re-cluster is due. The
+    * corpus splits old/delta by `vec_id mod 5`.
+    *
+    * Exactness: centroids are rationals s/n, never divided — the
+    * squared distance from vector v to centroid l scales to the integer
+    * Σ_d (n_l·v_d − s_l d)², and the cross-label argmin divides by n_l²
+    * in ONE shared double expression (identical text in the oracle, so
+    * the IEEE comparison can't diverge); ties break by label. Drift of
+    * cell l after absorbing m vectors with component sums t is the
+    * integer Σ_d (n·t_d − m·s_d)² — equal to (n(n+m))²·‖c_new − c_old‖²
+    * — with one sqrt/divide at the end. The per-delta-vector argmin
+    * window is a ≤|labels|-row frame.
+    */
+  def centroidAssignDrift(emb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "e")))
+      .select(col("vec_id"), col("label"), col("d"),
+        expr("CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5d) AS BIGINT)").as("xq"))
+    val old = x.where(col("vec_id") % 5 =!= 0)
+    val delta = x.where(col("vec_id") % 5 === 0)
+    val cent = old.groupBy(col("label").as("cl"), col("d"))
+      .agg(sum(col("xq")).as("s"))
+    val n = old.select(col("label").as("cl"), col("vec_id")).distinct()
+      .groupBy("cl").agg(count(lit(1)).as("n"))
+    val centN = cent.join(broadcast(n), Seq("cl"))
+    val scored = delta.join(broadcast(centN), Seq("d"))
+      .withColumn("diff", (col("n") * col("xq") - col("s")).cast(dec))
+      .groupBy(col("vec_id"), col("cl"), col("n"))
+      .agg(sum(col("diff") * col("diff")).as("d2"))
+      .withColumn("score",
+        col("d2").cast("double") / (col("n") * col("n")).cast("double"))
+    val byScore = Window.partitionBy("vec_id")
+      .orderBy(col("score"), col("cl"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(byScore)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cl"))
+    val absorbed = delta.join(broadcast(assigned), Seq("vec_id"))
+      .groupBy(col("cl"), col("d")).agg(sum(col("xq")).as("t"),
+        countDistinct(col("vec_id")).as("m"))
+    cent.join(broadcast(n), Seq("cl"))
+      .join(absorbed, Seq("cl", "d"), "left_outer")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+      .withColumn("dd",
+        (col("n") * col("t") - col("m") * col("s")).cast(dec))
+      .groupBy(col("cl").as("label"))
+      .agg(max(col("n")).cast("long").as("n_old"),
+        max(col("m")).cast("long").as("n_assigned"),
+        sum(col("dd") * col("dd")).as("drift2"))
+      .withColumn("drift",
+        sqrt(col("drift2").cast("double")) /
+          (col("n_old") * (col("n_old") + col("n_assigned")) * lit(1000L))
+            .cast("double"))
+      .select(col("label"), col("n_old"), col("n_assigned"), col("drift"))
+      .orderBy("label")
+  }
+
+  private val assignOracle: String =
+    """WITH x AS (
+      |  SELECT vec_id, label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+      |      AS HUGEINT) AS xq
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |old AS (SELECT * FROM x WHERE vec_id % 5 <> 0),
+      |delta AS (SELECT * FROM x WHERE vec_id % 5 = 0),
+      |cent AS (SELECT label AS cl, d, SUM(xq) AS s FROM old GROUP BY 1, 2),
+      |nn AS (SELECT label AS cl, CAST(COUNT(DISTINCT vec_id) AS HUGEINT)
+      |  AS n FROM old GROUP BY 1),
+      |scored AS (
+      |  SELECT delta.vec_id, cent.cl, nn.n,
+      |    SUM((nn.n * delta.xq - cent.s) * (nn.n * delta.xq - cent.s))
+      |      AS d2
+      |  FROM delta JOIN cent ON cent.d = delta.d
+      |  JOIN nn ON nn.cl = cent.cl
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT vec_id, cl,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY CAST(d2 AS DOUBLE) / CAST(n * n AS DOUBLE), cl)
+      |      AS rn
+      |  FROM scored),
+      |assigned AS (SELECT vec_id, cl FROM ranked WHERE rn = 1),
+      |absorbed AS (
+      |  SELECT a.cl, delta.d, SUM(delta.xq) AS t,
+      |    CAST(COUNT(DISTINCT delta.vec_id) AS HUGEINT) AS m
+      |  FROM delta JOIN assigned a ON a.vec_id = delta.vec_id
+      |  GROUP BY 1, 2),
+      |dr AS (
+      |  SELECT cent.cl, nn.n,
+      |    COALESCE(ab.m, 0) AS m,
+      |    (nn.n * COALESCE(ab.t, 0) - COALESCE(ab.m, 0) * cent.s) AS dd
+      |  FROM cent JOIN nn ON nn.cl = cent.cl
+      |  LEFT JOIN absorbed ab ON ab.cl = cent.cl AND ab.d = cent.d)
+      |SELECT cl AS label, CAST(MAX(n) AS BIGINT) AS n_old,
+      |  CAST(MAX(m) AS BIGINT) AS n_assigned,
+      |  sqrt(CAST(SUM(dd * dd) AS DOUBLE))
+      |    / CAST(MAX(n) * (MAX(n) + MAX(m)) * 1000 AS DOUBLE) AS drift
+      |FROM dr GROUP BY cl ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q233_centroid_assign", Some(assignOracle),
+      (spark, dir) => centroidAssignDrift(t(spark, dir, "embeddings"))),
+
     QueryDef("q218_pca_power", Some(pcaOracle),
       (spark, dir) => pcaPowerLoadings(t(spark, dir, "embeddings"))),
 

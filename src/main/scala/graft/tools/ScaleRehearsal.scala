@@ -79,7 +79,13 @@ object ScaleRehearsal {
     "q208_integrity_audit", "q209_activity_streaks", "q210_k_anonymity",
     "q211_trade_triangles", "q212_variant_ingest", "q213_overlap_orders",
     "q214_lang_deciles", "q215_image_thumbnail", "q216_label_asof",
-    "q217_bpe_encode", "q218_pca_power")
+    "q217_bpe_encode", "q218_pca_power",
+    // round 9 session 3 (later batch): experimentation, sketches,
+    // governance (q229's probe set rides the vocabulary like q217)
+    "q219_cuped", "q220_ks_drift", "q221_label_centroids",
+    "q222_temporal_split", "q223_data_contracts", "q226_hybrid_skew_join",
+    "q229_cms_contract", "q230_debounce", "q231_weighted_median",
+    "q232_calendar_gaps")
 
   private val OFFSET = 10000000L
 

@@ -56,6 +56,32 @@ class EmbedStatsSpec extends SparkSpec {
     assert(out((1, 2)) === ((1L, 2L, math.sqrt(17.0))))
   }
 
+  test("centroid assignment: nearest wins, ties break by label, drift is exact") {
+    // old (vec_id % 5 != 0): label 0 centroid (0,0), label 1 at (4,0).
+    // deltas (vec_id % 5 == 0): (1,0)->label 0, (3,0)->label 1, and
+    // (2,0) EQUIDISTANT -> label tiebreak -> label 0.
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(4.0f, 0.0f), 1),
+      (5L, Seq(1.0f, 0.0f), 9), (10L, Seq(3.0f, 0.0f), 9),
+      (15L, Seq(2.0f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbedStatsOps.centroidAssignDrift(emb).collect()
+    // label 0 absorbs (1,0),(2,0): centroid 0 -> 1.0, drift 1.0;
+    // label 1 absorbs (3,0): 4 -> 3.5, drift 0.5
+    assert(out.toSeq === Seq(
+      Row(0, 1L, 2L, 1.0), Row(1, 1L, 1L, 0.5)))
+  }
+
+  test("a cell absorbing nothing reports zero drift") {
+    val emb = Seq(
+      (1L, Seq(0.0f), 0), (2L, Seq(9.0f), 1), (5L, Seq(1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbedStatsOps.centroidAssignDrift(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0) === ((1L, 0.5)))
+    assert(out(1) === ((0L, 0.0)))
+  }
+
   test("rounds outside decimal38 headroom are rejected") {
     val emb = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
