@@ -22,7 +22,8 @@ object SparkEntry {
       VocabModelOps.defs ++
       graft.sources.TextFormats.defs ++
       graft.sources.ColumnarFormats.defs ++
-      graft.sources.XmlFormat.defs
+      graft.sources.XmlFormat.defs ++
+      graft.sources.CorruptRecords.defs
 
   /** Flagship query (A3 gold-category aggregate, SURVEY §7.2) on sf=0.001;
     * driver smoke-checks rows>0.

@@ -207,3 +207,65 @@ object XmlFormat {
     QueryDef("q224_xml_roundtrip", Some(TextFormats.roundtripOracle),
       (spark, dir) => xmlRoundtrip(spark, TextFormats.withHazards(spark, dir))))
 }
+
+/** Poison-line handling on the JSONL ingest path (q234): a 100 TB crawl
+  * delivery ALWAYS contains some malformed lines, and the job must
+  * quarantine them, not die (the ANSI-off philosophy of q107 applied to
+  * the parser). PERMISSIVE mode + `columnNameOfCorruptRecord` routes
+  * every unparseable line into a quarantine column — truncated JSON,
+  * non-JSON garbage, and type-mismatched fields all land there with
+  * their raw text (Spark treats an unconvertible field as a malformed
+  * ROW: doc_id stays null and the raw line is preserved) — while every
+  * well-formed line parses normally. The audit reports totals the
+  * oracle recomputes from the documents table plus the planted poison
+  * constants.
+  */
+object CorruptRecords {
+
+  /** The three planted poison lines: truncated JSON, plain garbage,
+    * and valid JSON whose doc_id cannot convert to BIGINT.
+    */
+  private[sources] val poison = Seq(
+    """{"doc_id": 123, "text": "trunc""",
+    """utter garbage, not json""",
+    """{"doc_id": "not-a-number", "text": "typed wrong"}""")
+
+  def corruptAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val dir = TextFormats.scratch(spark, "graft_q234_corrupt")
+    docs.write.mode(SaveMode.Overwrite).json(dir)
+    val fsDir = new java.io.File(new java.net.URI(dir).getPath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(fsDir.getPath, "part-poison.json"),
+      (poison.mkString("\n") + "\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, _corrupt_record STRING")
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    read.agg(
+      count(lit(1)).as("n_lines"),
+      count(col("_corrupt_record")).as("n_quarantined"),
+      // a malformed row may still carry its successfully-parsed field
+      // prefix (the truncated poison line parses doc_id 123 before the
+      // failure) — "parsed" means CLEAN rows only
+      count(when(col("_corrupt_record").isNull, col("doc_id")))
+        .as("n_parsed_ids"),
+      max(when(col("_corrupt_record").isNull, col("doc_id"))).as("max_clean_id"))
+  }
+
+  private val corruptOracle: String =
+    """SELECT CAST(COUNT(*) + 3 AS BIGINT) AS n_lines,
+      |  CAST(3 AS BIGINT) AS n_quarantined,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parsed_ids,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_clean_id
+      |FROM documents""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q234_corrupt_records", Some(corruptOracle),
+      (spark, dir) => corruptAudit(spark,
+        graft.util.Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")))))
+}
