@@ -477,6 +477,22 @@ class PlanSpec extends SparkSpec {
       s"all contracts must share ONE customer scan, found $scans:\n$plan")
   }
 
+  test("q233 centroid assignment broadcasts the centroid relation") {
+    val plan = planOf("q233_centroid_assign")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the labels x dim centroid relation must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring must stay a d-keyed equi-join:\n$plan")
+  }
+
+  test("q226 hybrid skew join keeps a broadcast hot branch") {
+    val plan = planOf("q226_hybrid_skew_join")
+    // the hot-key routers and the hot-side join are all broadcast —
+    // hot keys must never reach an exchange
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected broadcast routers + hot join:\n$plan")
+  }
+
   test("q186 pagerank re-reads the checkpointed edges, not the fact join, per round") {
     // after localCheckpoint the executed plan must not contain three
     // repetitions of the orders x lineitem scan — the iterations read
