@@ -266,6 +266,13 @@ object AuditOps {
     require(contracts.nonEmpty, "contractAudit: need at least one contract")
     require(contracts.map(_._1).distinct.size == contracts.size,
       "contractAudit: contract names must be unique")
+    // names are interpolated into the stack() expression and into
+    // column aliases — restrict to identifiers so a quote/comma can't
+    // break the parse (or inject into the plan)
+    contracts.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"contractAudit: contract name must be an identifier, got '$name'")
+    }
     val counters = count(lit(1)).as("n_rows") +:
       contracts.map { case (name, pred) =>
         sum(when(coalesce(expr(pred), lit(false)), 0L).otherwise(1L))
@@ -354,20 +361,27 @@ object AuditOps {
     * date aggregate, and the gap report is a broadcast anti join.
     */
   def calendarGaps(orders: DataFrame): DataFrame = {
-    val bounds = orders.agg(
-      min(to_date(col("o_orderdate"))).as("lo"),
-      max(to_date(col("o_orderdate"))).as("hi"))
+    // ONE orders scan: the distinct-day relation is the only fact pass
+    // (checkpointed — it is at most days-of-history rows); bounds and
+    // the spine derive from it, expected-day count is pure date
+    // arithmetic, and observed = expected - missing (every observed day
+    // lies inside [lo, hi] by construction)
+    val observed = orders.select(to_date(col("o_orderdate")).as("day"))
+      .distinct().localCheckpoint()
+    val bounds = observed.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     val spine = bounds
-      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
-    val observed = orders.select(to_date(col("o_orderdate")).as("day")).distinct()
-    val missing = spine.join(observed, Seq("day"), "left_anti")
-    missing.agg(
-      count(lit(1)).as("n_missing"),
-      min(date_format(col("day"), "yyyy-MM-dd")).as("first_missing"),
-      max(date_format(col("day"), "yyyy-MM-dd")).as("last_missing"))
-      .crossJoin(broadcast(spine.agg(count(lit(1)).as("n_days_expected"))))
-      .crossJoin(broadcast(observed.agg(count(lit(1)).as("n_days_observed"))))
-      .select(col("n_days_expected"), col("n_days_observed"),
+      .select(col("lo"), col("hi"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine.join(observed, Seq("day"), "left_anti")
+      .agg(
+        count(lit(1)).as("n_missing"),
+        min(date_format(col("day"), "yyyy-MM-dd")).as("first_missing"),
+        max(date_format(col("day"), "yyyy-MM-dd")).as("last_missing"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        (datediff(col("hi"), col("lo")) + 1).cast("long").as("n_days_expected"),
+        ((datediff(col("hi"), col("lo")) + 1).cast("long") - col("n_missing"))
+          .as("n_days_observed"),
         col("n_missing"), col("first_missing"), col("last_missing"))
   }
 

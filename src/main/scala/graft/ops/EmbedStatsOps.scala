@@ -49,10 +49,14 @@ object EmbedStatsOps {
   def pcaPowerLoadings(emb: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 3,
       s"rounds must be in [1,3] (decimal38 headroom, see doc), got $rounds")
+    val dec = "decimal(38,0)"
     val x = elems(emb)
+    // operands cast to decimal BEFORE the multiply: the oracle computes
+    // in HUGEINT from the source, and a Long product would silently
+    // wrap past ~3e13 vectors (ANSI-off multiplication does not throw)
     val gram = x.as("a").join(x.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
-      .agg(sum(col("a.xq") * col("b.xq")).cast("decimal(38,0)").as("g"))
+      .agg(sum(col("a.xq").cast(dec) * col("b.xq").cast(dec)).cast(dec).as("g"))
       .localCheckpoint() // 3 rounds otherwise replay the corpus pass each
     var v = gram.select(col("d1").as("d")).distinct()
       .withColumn("vv", lit(1).cast("decimal(38,0)"))
@@ -119,14 +123,18 @@ object EmbedStatsOps {
     a.join(b, Seq("d")).where(col("l1") < col("l2"))
       .join(broadcast(n.select(col("label").as("l1"), col("n").as("n1"))), Seq("l1"))
       .join(broadcast(n.select(col("label").as("l2"), col("n").as("n2"))), Seq("l2"))
+      // decimal operands BEFORE the multiply (oracle is HUGEINT from
+      // the source; Long n2*sx1 wraps past ~1e9-vector labels)
       .withColumn("diff",
-        (col("n2") * col("sx1") - col("n1") * col("sx2")).cast(dec))
+        col("n2").cast(dec) * col("sx1").cast(dec)
+          - col("n1").cast(dec) * col("sx2").cast(dec))
       .groupBy("l1", "l2")
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         sum(col("diff") * col("diff")).as("d2"))
       .select(col("l1"), col("l2"), col("n1"), col("n2"),
         (sqrt(col("d2").cast("double")) /
-          (col("n1") * col("n2") * lit(1000L)).cast("double"))
+          (col("n1").cast(dec) * col("n2").cast(dec) * lit(1000).cast(dec))
+            .cast("double"))
           .as("centroid_dist"))
       .orderBy("l1", "l2")
   }
@@ -187,7 +195,8 @@ object EmbedStatsOps {
       .groupBy("cl").agg(count(lit(1)).as("n"))
     val centN = cent.join(broadcast(n), Seq("cl"))
     val scored = delta.join(broadcast(centN), Seq("d"))
-      .withColumn("diff", (col("n") * col("xq") - col("s")).cast(dec))
+      .withColumn("diff",
+        col("n").cast(dec) * col("xq").cast(dec) - col("s").cast(dec))
       .groupBy(col("vec_id"), col("cl"), col("n"))
       .agg(sum(col("diff") * col("diff")).as("d2"))
       .withColumn("score",
@@ -205,14 +214,17 @@ object EmbedStatsOps {
       .withColumn("t", coalesce(col("t"), lit(0L)))
       .withColumn("m", coalesce(col("m"), lit(0L)))
       .withColumn("dd",
-        (col("n") * col("t") - col("m") * col("s")).cast(dec))
+        col("n").cast(dec) * col("t").cast(dec)
+          - col("m").cast(dec) * col("s").cast(dec))
       .groupBy(col("cl").as("label"))
       .agg(max(col("n")).cast("long").as("n_old"),
         max(col("m")).cast("long").as("n_assigned"),
         sum(col("dd") * col("dd")).as("drift2"))
       .withColumn("drift",
         sqrt(col("drift2").cast("double")) /
-          (col("n_old") * (col("n_old") + col("n_assigned")) * lit(1000L))
+          (col("n_old").cast(dec)
+            * (col("n_old") + col("n_assigned")).cast(dec)
+            * lit(1000).cast(dec))
             .cast("double"))
       .select(col("label"), col("n_old"), col("n_assigned"), col("drift"))
       .orderBy("label")

@@ -264,26 +264,14 @@ object MultimodalOps {
             java.nio.file.Paths.get(fsDir.getPath, s"doc_$id.$ext"), bytes)
         }
       }
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "doc_*.{ppm,bmp}")
-      .load(dir)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.", 1).cast("long").as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          graft.functions.ImageCodec.decodePixels(bytes) match {
-            case Some(d) =>
-              val thumb = graft.functions.ImageCodec.resizeNearest(d, 4, 4)
-              var s = 0L
-              var i = 0
-              while (i < thumb.length) { s += thumb(i) & 0xff; i += 1 }
-              ThumbFeatures(id, d.format, d.width, d.height, s)
-            case None => ThumbFeatures(id, "unknown", 0, 0, 0L)
-          }
-        }
-      }
+    thumbnailFeatures(spark,
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.{ppm,bmp}")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.", 1).cast("long")
+            .as("doc_id"),
+          col("content").as("payload")))
   }
 
   val defs: Seq[QueryDef] = Seq(
