@@ -170,7 +170,30 @@ object ScaleRehearsal {
       println(f"$name%-24s $small%8.2f $big%8.2f $ratio%6.1f")
       (name, small, big, ratio)
     }
-    val over = rows.filter(r => r._4 > bars(r._1))
+    // Host-stall guard (the Bench min-of-N doctrine applied here): the
+    // single-shot timing above occasionally lands a multi-second stall
+    // on ONE random query per full run (observed: q172 11.1 then 1.5 on
+    // direct re-measure; q175 20.5 after scoring 2.0 the previous run).
+    // Re-measure only over-bar offenders with min-of-2 per scale — a
+    // genuine scaling defect reproduces; a stall does not.
+    val retried = rows.map { case r @ (name, small0, big0, _) =>
+      if (big0 / small0 <= bars(name)) r
+      else {
+        val fn = graft.SparkEntry.queries(name)
+        def time(dir: String): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val small = math.min(small0, math.min(time(src), time(src)))
+        val big = math.min(big0, math.min(time(out), time(out)))
+        println(f"$name%-24s $small%8.2f $big%8.2f ${big / small}%6.1f (stall retry)")
+        (name, small, big, big / small)
+      }
+    }
+    worst = retried.map(_._4).max
+    val over = retried.filter(r => r._4 > bars(r._1))
     println(
       if (over.isEmpty)
         f"PASS: worst ratio $worst%.1f at ${factor}x data (bars: default 10, " +

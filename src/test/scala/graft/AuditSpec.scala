@@ -106,10 +106,18 @@ class AuditSpec extends SparkSpec {
       "v_nonneg" -> ((3L, 2L))))
   }
 
-  test("contract audit rejects duplicate contract names") {
+  test("contract audit rejects duplicate and non-identifier contract names") {
     val df = Seq((1L, "x")).toDF("v", "tag")
     intercept[IllegalArgumentException] {
       AuditOps.contractAudit(df, Seq(("a", "v >= 0"), ("a", "v < 0")))
+    }
+    // names reach stack() text and column aliases — quotes/commas must
+    // be rejected up front, not become a parse error (or an injection)
+    intercept[IllegalArgumentException] {
+      AuditOps.contractAudit(df, Seq(("bad'name", "v >= 0")))
+    }
+    intercept[IllegalArgumentException] {
+      AuditOps.contractAudit(df, Seq(("x', n_rows, n_rows) --", "v >= 0")))
     }
   }
 
