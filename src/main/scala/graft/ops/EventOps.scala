@@ -151,6 +151,51 @@ object EventOps {
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin),
       (spark, dir) => hourlyWindow(events(spark, dir))),
 
+    // Per-day bounce rate (q235): share of sessions with exactly one
+    // event — the product-health metric a sessionized event lake reports
+    // daily. Rides q34's sessionization (one user-keyed shuffle) and
+    // rolls up to the calendar (day of session start); exact basis
+    // points via integer division. The oracle replays the gap
+    // sessionization with lag + running sum (q34's strict-gap contract).
+    QueryDef(
+      "q235_bounce_rate",
+      Some("""WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |    CAST(MIN(ts) AS DATE) AS day
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+        |    // COUNT(*) AS BIGINT) AS bounce_bp
+        |FROM per_session GROUP BY day ORDER BY day""".stripMargin),
+      (spark, dir) => {
+        val perSession = events(spark, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(to_date(col("session_window.start")).as("day"),
+            col("n_events"))
+        perSession.groupBy("day")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("long")
+              .as("n_bounces"))
+          .withColumn("bounce_bp", expr("n_bounces * 10000 div n_sessions"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_sessions"), col("n_bounces"), col("bounce_bp"))
+          .orderBy("day")
+      }),
+
     // Sessionization: session_window in Spark; gaps-and-islands (lag +
     // running sum) in the DuckDB oracle. Spark merges an event at exactly
     // `prev + gap` into the session (EventStreamSpec pins this), so a new
