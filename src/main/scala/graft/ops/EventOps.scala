@@ -196,6 +196,41 @@ object EventOps {
           .orderBy("day")
       }),
 
+    // DAU/WAU stickiness (q236): the engagement ratio product teams
+    // live by — per day, distinct daily actives over distinct trailing-
+    // 7-day actives, in exact basis points. Composes q131's rolling-
+    // distinct machinery at two widths (width 1 degenerates to the
+    // plain per-day distinct); both sides are (user, day)-collapsed
+    // before any fan-out, so the fact table is touched once per side.
+    QueryDef(
+      "q236_stickiness",
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |b AS (SELECT MAX(day) AS max_day FROM ud),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY 1),
+        |w AS (SELECT user_id, day + CAST(i AS INT) AS win_day
+        |      FROM ud, UNNEST(range(0, 7)) t(i)),
+        |wau AS (SELECT win_day, COUNT(DISTINCT user_id) AS wau
+        |        FROM w, b WHERE win_day <= max_day GROUP BY 1)
+        |SELECT STRFTIME(dau.day, '%Y-%m-%d') AS day,
+        |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |  CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
+        |FROM dau JOIN wau ON wau.win_day = dau.day
+        |ORDER BY day""".stripMargin),
+      (spark, dir) => {
+        val ev = events(spark, dir)
+        val dau = rollingDistinctUsers(ev, 1)
+          .select(col("win_day").as("day"), col("n_users_7d").as("dau"))
+        val wau = rollingDistinctUsers(ev, 7)
+          .select(col("win_day").as("day"), col("n_users_7d").as("wau"))
+        dau.join(wau, Seq("day"))
+          .withColumn("stickiness_bp", expr("dau * 10000 div wau"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"), col("stickiness_bp"))
+          .orderBy("day")
+      }),
+
     // Sessionization: session_window in Spark; gaps-and-islands (lag +
     // running sum) in the DuckDB oracle. Spark merges an event at exactly
     // `prev + gap` into the session (EventStreamSpec pins this), so a new
