@@ -242,6 +242,57 @@ object ShapeOps {
     // a delete ('error' here) — the compaction every CDC ingest runs
     // before serving a snapshot. One shuffle on the key; the window sort
     // is per-key and bounded by that key's change count, never global.
+    // q237: the TPC-H Q6 shape — the purely conjunctive single-table
+    // predicate + arithmetic aggregate ("revenue increase if discounts
+    // were dropped"). The point at 100 TB is what the plan does NOT do:
+    // no join, no window; all three predicates push to the parquet scan
+    // and the decimal product sums map-side. Completes the TPC-H
+    // predicate family next to q163's disjunctive OR-of-ANDs.
+    QueryDef(
+      "q237_discount_revenue",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .where(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date")
+            && to_date(col("l_shipdate")) < lit("1997-01-01").cast("date")
+            && col("l_discount").between(0.05, 0.07)
+            && col("l_quantity") < 24)
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(money(col("l_extendedprice")) * money(col("l_discount"))), 2)
+              .cast("double").as("revenue"))),
+
+    // q238: time travel over the CDC log — reconstruct the serving
+    // snapshot AS OF mid-window (min_ts + 15 days) by bounding the
+    // changelog at the cutoff and running the SAME keep-latest/tombstone
+    // compaction as q98. The "what did the table look like on T" read a
+    // warehouse answers from its changelog when the snapshot itself is
+    // gone; the cutoff rides in as a broadcast scalar.
+    QueryDef(
+      "q238_asof_snapshot",
+      Some("""WITH c AS (SELECT MIN(ts) + INTERVAL 15 DAY AS cut FROM events),
+        |r AS (SELECT user_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events, c WHERE ts <= cut)
+        |SELECT user_id, event_type AS last_type,
+        |  CAST(value AS DOUBLE) AS last_value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin),
+      (spark, dir) => {
+        val ev = EventOps.events(spark, dir)
+        val cut = ev.agg((min(col("ts"))
+          + expr("INTERVAL 15 DAYS")).as("cut"))
+        cdcCompact(ev.crossJoin(broadcast(cut))
+          .where(col("ts") <= col("cut")))
+      }),
+
     QueryDef(
       "q98_cdc_compact",
       Some("""WITH r AS (SELECT user_id, event_type, value, ts,
