@@ -304,6 +304,42 @@ object SampleOps {
       |FROM r WHERE rnk <= 5 ORDER BY epoch, rnk""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    // q239: deterministic negative sampling for contrastive training —
+    // k pseudo-random partners per anchor document via the Knuth
+    // multiplicative ring hash (q67's SQL-replayable family: pure
+    // integer arithmetic, so the pairing is identical under any
+    // partitioning, engine, or replay — a training run can regenerate
+    // its exact negatives from doc ids alone). Row-local arithmetic +
+    // a bounded k-way explode at scan speed; accidental self-pairs are
+    // filtered (slot kept, so consumers see WHICH slot collapsed); the
+    // partner's language joins on for hard/easy-negative accounting.
+    QueryDef(
+      "q239_negative_pairs",
+      Some("""WITH ring AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, CAST(i AS INT) AS slot,
+        |    ((doc_id + 1) * 2654435761 + i * 40503) % m AS neg_id
+        |  FROM documents, ring, UNNEST(range(0, 4)) t(i))
+        |SELECT p.doc_id, p.slot, CAST(p.neg_id AS BIGINT) AS neg_id,
+        |  d.lang AS neg_lang
+        |FROM pairs p JOIN documents d ON d.doc_id = p.neg_id
+        |WHERE p.neg_id <> p.doc_id
+        |ORDER BY p.doc_id, p.slot""".stripMargin),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val ring = docs.agg((max(col("doc_id")) + 1).as("m"))
+        val pairs = docs.select(col("doc_id")).crossJoin(broadcast(ring))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, 3), " +
+              "i -> ((doc_id + 1) * 2654435761L + i * 40503L) % m)"))
+            .as(Seq("slot", "neg_id")))
+          .where(col("neg_id") =!= col("doc_id"))
+        pairs.join(broadcast(docs.select(col("doc_id").as("neg_id"),
+            col("lang").as("neg_lang"))), Seq("neg_id"))
+          .select(col("doc_id"), col("slot"), col("neg_id"), col("neg_lang"))
+          .orderBy("doc_id", "slot")
+      }),
+
     QueryDef("q196_epoch_shuffle", Some(epochShuffleOracle),
       (spark, dir) => epochShuffle(t(spark, dir, "documents"))),
 

@@ -220,4 +220,31 @@ class VocabSampleSpec extends SparkSpec {
       r.getAs[Int]("rnk") == 1).get
     assert((got.getAs[Long]("pos"), got.getAs[Long]("doc_id")) === expect)
   }
+
+  test("negative pairs: exact ring hashes, self-pairs filtered with slot kept") {
+    // ring m = 1 degenerates every partner to doc 0 == the anchor: the
+    // self-pair filter must drop ALL pairs (the path the sf data never
+    // exercises — no accidental self-collision at m = 500)
+    val single = Seq((0L, "x", "en")).toDF("doc_id", "text", "lang")
+    val qn = graft.SparkEntry.queries("q239_negative_pairs")
+    // run the same pairing logic directly on fixtures via the ops body:
+    // replicate the expression here would re-implement it, so drive the
+    // graded query over a scratch dir holding the fixture as documents
+    val dir = java.nio.file.Files.createTempDirectory("graft-negp").toString
+    single.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(qn(spark, dir).collect().isEmpty)
+
+    // m = 5, ids 0..4: partners are hand-computable Knuth values
+    val five = (0L to 4L).map(i => (i, "x", "en"))
+      .toDF("doc_id", "text", "lang")
+    five.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = qn(spark, dir).collect()
+    val out = rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // doc 0, slot 0: ((0+1)*2654435761 + 0) % 5 = 2654435761 % 5 = 1
+    assert(out((0L, 0)) === 1L)
+    // doc 0, slot 1: (2654435761 + 40503) % 5 = 2654476264 % 5 = 4
+    assert(out((0L, 1)) === 4L)
+    // every surviving pair is a non-self pair
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
 }
