@@ -315,14 +315,21 @@ object SampleOps {
     // partner's language joins on for hard/easy-negative accounting.
     QueryDef(
       "q239_negative_pairs",
+      // the multiply runs in HUGEINT/DECIMAL(38,0): in int64 the Knuth
+      // product wraps past doc_id ~3.47e9 — Spark silently, DuckDB with
+      // an error — exactly where the replay-anywhere guarantee is
+      // supposed to hold. A hashed partner id landing in a doc_id GAP
+      // (sparse id spaces after deletes) keeps its row with a NULL
+      // neg_lang, so consumers can always see which slots lack a live
+      // partner (only self-pairs drop).
       Some("""WITH ring AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
         |pairs AS (
         |  SELECT doc_id, CAST(i AS INT) AS slot,
-        |    ((doc_id + 1) * 2654435761 + i * 40503) % m AS neg_id
+        |    CAST((CAST(doc_id + 1 AS HUGEINT) * 2654435761 + i * 40503) % m
+        |      AS BIGINT) AS neg_id
         |  FROM documents, ring, UNNEST(range(0, 4)) t(i))
-        |SELECT p.doc_id, p.slot, CAST(p.neg_id AS BIGINT) AS neg_id,
-        |  d.lang AS neg_lang
-        |FROM pairs p JOIN documents d ON d.doc_id = p.neg_id
+        |SELECT p.doc_id, p.slot, p.neg_id, d.lang AS neg_lang
+        |FROM pairs p LEFT JOIN documents d ON d.doc_id = p.neg_id
         |WHERE p.neg_id <> p.doc_id
         |ORDER BY p.doc_id, p.slot""".stripMargin),
       (spark, dir) => {
@@ -331,11 +338,12 @@ object SampleOps {
         val pairs = docs.select(col("doc_id")).crossJoin(broadcast(ring))
           .select(col("doc_id"), posexplode(expr(
             "transform(sequence(0, 3), " +
-              "i -> ((doc_id + 1) * 2654435761L + i * 40503L) % m)"))
+              "i -> CAST((CAST(doc_id + 1 AS DECIMAL(38,0)) * 2654435761" +
+              " + i * 40503) % m AS BIGINT))"))
             .as(Seq("slot", "neg_id")))
           .where(col("neg_id") =!= col("doc_id"))
         pairs.join(broadcast(docs.select(col("doc_id").as("neg_id"),
-            col("lang").as("neg_lang"))), Seq("neg_id"))
+            col("lang").as("neg_lang"))), Seq("neg_id"), "left_outer")
           .select(col("doc_id"), col("slot"), col("neg_id"), col("neg_lang"))
           .orderBy("doc_id", "slot")
       }),

@@ -154,17 +154,16 @@ object ScaleRehearsal {
     // warm the JVM on the small scale first; report small vs big per query
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${s"${factor}x"}%8s ${"ratio"}%6s")
     var worst = 0.0
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
     val rows = family.map { name =>
-      val fn = graft.SparkEntry.queries(name)
-      def time(dir: String): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, dir).count()
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }
-      time(src) // warm codegen/JIT for this query's plan shape
-      val small = time(src)
-      val big = time(out)
+      time(name, src) // warm codegen/JIT for this query's plan shape
+      val small = time(name, src)
+      val big = time(name, out)
       val ratio = big / small
       worst = math.max(worst, ratio)
       println(f"$name%-24s $small%8.2f $big%8.2f $ratio%6.1f")
@@ -179,15 +178,8 @@ object ScaleRehearsal {
     val retried = rows.map { case r @ (name, small0, big0, _) =>
       if (big0 / small0 <= bars(name)) r
       else {
-        val fn = graft.SparkEntry.queries(name)
-        def time(dir: String): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, dir).count()
-          spark.catalog.clearCache()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val small = math.min(small0, math.min(time(src), time(src)))
-        val big = math.min(big0, math.min(time(out), time(out)))
+        val small = math.min(small0, math.min(time(name, src), time(name, src)))
+        val big = math.min(big0, math.min(time(name, out), time(name, out)))
         println(f"$name%-24s $small%8.2f $big%8.2f ${big / small}%6.1f (stall retry)")
         (name, small, big, big / small)
       }

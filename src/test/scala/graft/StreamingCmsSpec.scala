@@ -44,7 +44,7 @@ class StreamingCmsSpec extends SparkSpec {
         }
         .option("checkpointLocation", ckpt)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "streaming run timed out")
     }
     StreamingCms.cellDeltas(a, depth, width)
       .toDF().write.mode("append").parquet(landing)

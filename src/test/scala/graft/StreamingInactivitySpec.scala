@@ -45,7 +45,7 @@ class StreamingInactivitySpec extends SparkSpec {
       }
       .option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming run timed out")
   }
 
   private def ms(t: String): Long =

@@ -49,7 +49,7 @@ class StreamingUserStatsSpec extends SparkSpec {
       }
       .option("checkpointLocation", ckpt)
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming run timed out")
   }
 
   test("streamed profiles match the batch aggregate exactly on sf events") {

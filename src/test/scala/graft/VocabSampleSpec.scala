@@ -246,5 +246,15 @@ class VocabSampleSpec extends SparkSpec {
     assert(out((0L, 1)) === 4L)
     // every surviving pair is a non-self pair
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+
+    // sparse id space: ids {0,1,3}, ring m = 4 — partners hashing to
+    // the missing id 2 KEEP their row with a NULL lang (the shortfall
+    // is visible per slot), they don't silently vanish
+    val sparse = Seq(0L, 1L, 3L).map(i => (i, "x", "en"))
+      .toDF("doc_id", "text", "lang")
+    sparse.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sparseRows = qn(spark, dir).collect()
+    val gapRows = sparseRows.filter(_.isNullAt(3))
+    assert(gapRows.nonEmpty && gapRows.forall(_.getLong(2) === 2L))
   }
 }
