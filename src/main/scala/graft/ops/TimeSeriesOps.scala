@@ -477,6 +477,55 @@ object TimeSeriesOps {
       |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    // q240: forecast-baseline evaluation — before any model ships, its
+    // error must beat the free baselines, and the two canonical ones
+    // are naive (yesterday's value) and seasonal-naive (same weekday
+    // last week). This reports both MAEs over daily revenue and their
+    // ratio in exact basis points (a ratio < 10000 says the series has
+    // real weekly structure a model must capture to earn its keep —
+    // MASE's denominator reasoning). All-integer cents over the
+    // calendar-bounded daily frame; lag windows over one row per day;
+    // days lacking a lag-7 reference are excluded from BOTH MAEs so
+    // the comparison is paired.
+    QueryDef(
+      "q240_forecast_baselines",
+      Some("""WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT day, cents,
+        |    LAG(cents, 1) OVER (ORDER BY day) AS prev1,
+        |    LAG(cents, 7) OVER (ORDER BY day) AS prev7
+        |  FROM d)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(ABS(cents - prev1)) // COUNT(*) AS BIGINT)
+        |    AS mae_naive_cents,
+        |  CAST(SUM(ABS(cents - prev7)) // COUNT(*) AS BIGINT)
+        |    AS mae_seasonal_cents,
+        |  CAST(SUM(ABS(cents - prev7)) * 10000 // SUM(ABS(cents - prev1))
+        |    AS BIGINT) AS seasonal_vs_naive_bp
+        |FROM l WHERE prev7 IS NOT NULL""".stripMargin),
+      (spark, dir) => {
+        val daily = t(spark, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents"))
+        val byDay = Window.orderBy("day")
+        daily
+          .withColumn("prev1", lag(col("cents"), 1).over(byDay))
+          .withColumn("prev7", lag(col("cents"), 7).over(byDay))
+          .where(col("prev7").isNotNull)
+          .agg(count(lit(1)).as("n_days"),
+            expr("CAST(SUM(ABS(cents - prev1)) div COUNT(*) AS BIGINT)")
+              .as("mae_naive_cents"),
+            expr("CAST(SUM(ABS(cents - prev7)) div COUNT(*) AS BIGINT)")
+              .as("mae_seasonal_cents"),
+            expr("""CAST(SUM(ABS(cents - prev7)) * 10000
+              | div SUM(ABS(cents - prev1)) AS BIGINT)""".stripMargin)
+              .as("seasonal_vs_naive_bp"))
+      }),
+
     QueryDef("q206_rolling_zscore", Some(rollingZscoreOracle),
       (spark, dir) => rollingZscore(t(spark, dir, "orders"))),
 

@@ -129,7 +129,8 @@ class PlanSpec extends SparkSpec {
       "q204_adoption_curve" -> "calendar frame: one row per day after the first-seen agg",
       "q205_open_orders" -> "calendar frame: sweep-line deltas collapse to one row per day",
       "q206_rolling_zscore" -> "calendar frame: trailing window over the one-row-per-day series",
-      "q220_ks_drift" -> "<=8192-row log-grid shard-count frame (per-value ECDF cumsums are shard-partitioned)")
+      "q220_ks_drift" -> "<=8192-row log-grid shard-count frame (per-value ECDF cumsums are shard-partitioned)",
+      "q240_forecast_baselines" -> "calendar frame: lag windows over the one-row-per-day revenue series")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {
