@@ -151,6 +151,44 @@ object MiningOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // q241: skip-gram context-pair extraction — the word2vec-style
+    // training-pair generator (q122's ADJACENT bigrams are the window-1
+    // special case; embedding training wants every forward pair within
+    // a window). Pair generation is ROW-LOCAL — each token's contexts
+    // come from a bounded slice() of its own document's token array, no
+    // self-join anywhere — so the fan-out is ≤ window per token at scan
+    // speed, and map-side combine collapses repeated pairs before the
+    // one vocabulary-bounded shuffle. The oracle replays with a
+    // positional self-join (the relational formulation of the same
+    // window); top-k is a TakeOrdered with a total tiebreak.
+    QueryDef(
+      "q241_skipgram_pairs",
+      Some("""WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |    t -> t <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (
+        |  SELECT doc_id, unnest(ts) AS term,
+        |    generate_subscripts(ts, 1) AS i
+        |  FROM d),
+        |p AS (
+        |  SELECT a.term AS center, b.term AS context
+        |  FROM x a JOIN x b ON a.doc_id = b.doc_id
+        |    AND b.i BETWEEN a.i + 1 AND a.i + 5)
+        |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n DESC, center, context LIMIT 20""".stripMargin),
+      (spark, dir) =>
+        t(spark, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+          .select(col("ts"), posexplode(col("ts")).as(Seq("i", "center")))
+          .select(col("center"),
+            explode(expr("slice(ts, i + 2, 5)")).as("context"))
+          .groupBy("center", "context").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("center"), col("context"))
+          .limit(20)),
+
     QueryDef(
       "q121_cooccur_brands",
       Some("""WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
