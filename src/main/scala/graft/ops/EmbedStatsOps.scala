@@ -273,7 +273,63 @@ object EmbedStatsOps {
       |    / CAST(MAX(n) * (MAX(n) + MAX(m)) * 1000 AS DOUBLE) AS drift
       |FROM dr GROUP BY cl ORDER BY label""".stripMargin
 
+  /** q242 body: per-label cohesion — the mean squared distance of a
+    * label's vectors to their own centroid, the within-cluster half of
+    * the separation/cohesion pair (q221 reports the between half; their
+    * ratio is the Fisher-style cluster-quality score). Exact: the
+    * textbook identity Σᵢ‖xᵢ − c‖² = Σᵢ‖xᵢ‖² − ‖Σᵢxᵢ‖²/n cross-
+    * multiplies to the integer n·Σᵢ‖xᵢ‖² − Σ_d(Σᵢx_d)², divided once at
+    * the end (by n² milli-units²) in a shared double expression. One
+    * corpus pass for both moment relations; everything after is
+    * label-bounded.
+    */
+  def labelCohesion(emb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "e")))
+      .select(col("vec_id"), col("label"), col("d"),
+        expr("CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5d) AS BIGINT)").as("xq"))
+    val sq = x.groupBy("label")
+      .agg(sum(col("xq").cast(dec) * col("xq").cast(dec)).as("ssq"),
+        countDistinct(col("vec_id")).as("n"))
+    val cent = x.groupBy("label", "d").agg(sum(col("xq")).as("sx"))
+      .groupBy("label")
+      .agg(sum(col("sx").cast(dec) * col("sx").cast(dec)).as("cnorm2"))
+    sq.join(cent, Seq("label"))
+      .select(col("label"), col("n"),
+        ((col("n").cast(dec) * col("ssq") - col("cnorm2")).cast("double") /
+          (col("n").cast(dec) * col("n").cast(dec) * lit(1000000).cast(dec))
+            .cast("double"))
+          .as("mean_sq_dist"))
+      .orderBy("label")
+  }
+
+  private val cohesionOracle: String =
+    """WITH x AS (
+      |  SELECT vec_id, label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+      |      AS HUGEINT) AS xq
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |sq AS (
+      |  SELECT label, SUM(xq * xq) AS ssq,
+      |    CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n
+      |  FROM x GROUP BY 1),
+      |cent AS (
+      |  SELECT label, SUM(sx * sx) AS cnorm2 FROM (
+      |    SELECT label, d, SUM(xq) AS sx FROM x GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT sq.label AS label, CAST(sq.n AS BIGINT) AS n,
+      |  CAST(sq.n * sq.ssq - cent.cnorm2 AS DOUBLE)
+      |    / CAST(sq.n * sq.n * 1000000 AS DOUBLE) AS mean_sq_dist
+      |FROM sq JOIN cent ON cent.label = sq.label
+      |ORDER BY sq.label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q242_label_cohesion", Some(cohesionOracle),
+      (spark, dir) => labelCohesion(t(spark, dir, "embeddings"))),
+
     QueryDef("q233_centroid_assign", Some(assignOracle),
       (spark, dir) => centroidAssignDrift(t(spark, dir, "embeddings"))),
 

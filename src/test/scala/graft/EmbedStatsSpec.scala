@@ -82,6 +82,17 @@ class EmbedStatsSpec extends SparkSpec {
     assert(out(1) === ((0L, 0.0)))
   }
 
+  test("label cohesion: exact mean squared distance to own centroid") {
+    val emb = Seq(
+      // label 0: (0,0) and (2,0) -> centroid (1,0), msd = (1+1)/2 = 1
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),
+      // label 1: singleton -> msd 0
+      (3L, Seq(5.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbedStatsOps.labelCohesion(emb).collect()
+    assert(out.toSeq === Seq(Row(0, 2L, 1.0), Row(1, 1L, 0.0)))
+  }
+
   test("rounds outside decimal38 headroom are rejected") {
     val emb = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
