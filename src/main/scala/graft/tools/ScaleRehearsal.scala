@@ -85,7 +85,13 @@ object ScaleRehearsal {
     "q219_cuped", "q220_ks_drift", "q221_label_centroids",
     "q222_temporal_split", "q223_data_contracts", "q226_hybrid_skew_join",
     "q229_cms_contract", "q230_debounce", "q231_weighted_median",
-    "q232_calendar_gaps", "q233_centroid_assign")
+    "q232_calendar_gaps", "q233_centroid_assign",
+    // round 9 session 3, closing batch (q241's distinct-pair relation
+    // rides the vocabulary like q52/q122 — bar 15)
+    "q235_bounce_rate", "q236_stickiness", "q237_discount_revenue",
+    "q238_asof_snapshot", "q239_negative_pairs",
+    "q240_forecast_baselines", "q241_skipgram_pairs",
+    "q242_label_cohesion")
 
   private val OFFSET = 10000000L
 
@@ -148,7 +154,7 @@ object ScaleRehearsal {
       // of identical code — the spread is host variance around
       // linearity, not a plan defect; direct warm re-measurement shows
       // 1.5x. Bar 15 documents "linear is the design" for this shape.
-      "q172_large_orders" -> 15.0)
+      "q172_large_orders" -> 15.0, "q241_skipgram_pairs" -> 15.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query
