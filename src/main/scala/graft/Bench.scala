@@ -113,6 +113,12 @@ object Bench {
     // (it happened to BENCH_r08). Repeat the short machine-readable
     // summary LAST so it always survives tail capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"nqueries":${results.size},"sf":"$sfDir"}""")
+    // plan-audit targets must survive tail truncation too: one compact
+    // line with just the top-20 slowest per-query means, emitted after
+    // the summary so at worst the FULL map above is what gets cut
+    val top20 = results.filter(_._5.isEmpty).sortBy(-_._3).take(20)
+      .map(r => "\"" + r._1 + "\":" + f"${r._3}%.3f").mkString("{", ",", "}")
+    println(s"""{"metric":"slowest20_mean_sec","queries":$top20,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -226,7 +226,10 @@ object AuditOps {
       sum(when(col("n_train") > 0 && col("n_test") > 0, 1L).otherwise(0L))
         .cast("long").as("both_customers"))
       .withColumn("seen_in_train_bp",
-        expr("both_customers * 10000 div test_customers"))
+        // Guard the degenerate empty-test-side case (cutoff at/after the
+        // data span): ANSI-off Spark div would return NULL while DuckDB's
+        // // 0 raises — NULLIF makes both engines agree on NULL.
+        expr("both_customers * 10000 div nullif(test_customers, 0)"))
   }
 
   private val temporalSplitOracle: String =
@@ -248,7 +251,7 @@ object AuditOps {
       |  CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS both_customers,
       |  CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
-      |    * 10000 // SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END)
+      |    * 10000 // NULLIF(SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END), 0)
       |    AS BIGINT) AS seen_in_train_bp
       |FROM pc""".stripMargin
 

@@ -46,7 +46,12 @@ object EmbedStatsOps {
     * a broadcast join against the dim-sized vector. At 100 TB the Gram
     * build is the only corpus-touching stage; the iteration is free.
     */
-  def pcaPowerLoadings(emb: DataFrame, rounds: Int = 3): DataFrame = {
+  /** Shared by the graded body's default and the generated oracle so the
+    * two can never silently diverge (the bpeChainSql doctrine).
+    */
+  val PcaRounds = 3
+
+  def pcaPowerLoadings(emb: DataFrame, rounds: Int = PcaRounds): DataFrame = {
     require(rounds >= 1 && rounds <= 3,
       s"rounds must be in [1,3] (decimal38 headroom, see doc), got $rounds")
     val dec = "decimal(38,0)"
@@ -67,15 +72,27 @@ object EmbedStatsOps {
     val mx = v.agg(max(abs(col("vv"))).as("mx"))
     v.crossJoin(broadcast(mx))
       .select(col("d"),
+        // NULLIF guards the all-zero-embedding degenerate (mx = 0):
+        // Spark's ANSI-off div would return NULL while DuckDB's // 0
+        // raises — with the guard both engines agree on NULL.
         expr("""CASE WHEN vv < 0
-          | THEN -CAST((-vv) * 10000 div mx AS BIGINT)
-          | ELSE CAST(vv * 10000 div mx AS BIGINT) END""".stripMargin)
+          | THEN -CAST((-vv) * 10000 div nullif(mx, 0) AS BIGINT)
+          | ELSE CAST(vv * 10000 div nullif(mx, 0) AS BIGINT) END""".stripMargin)
           .as("loading_bp"))
       .orderBy("d")
   }
 
-  private val pcaOracle: String =
-    """WITH x AS (
+  /** Oracle generated from the SAME round count as the graded body (the
+    * bpeChainSql doctrine): v1..vN CTE chain, one per power iteration.
+    */
+  private def pcaOracle(rounds: Int): String = {
+    require(rounds >= 1 && rounds <= 3,
+      s"rounds must be in [1,3] (decimal38 headroom), got $rounds")
+    val chain = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT g.d1 AS d, SUM(g.g * v${i - 1}.vv) AS vv
+         |  FROM g JOIN v${i - 1} ON v${i - 1}.d = g.d2 GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
       |  SELECT vec_id,
       |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
@@ -85,17 +102,13 @@ object EmbedStatsOps {
       |  SELECT a.d AS d1, b.d AS d2, SUM(a.xq * b.xq) AS g
       |  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
       |v0 AS (SELECT DISTINCT d1 AS d, CAST(1 AS HUGEINT) AS vv FROM g),
-      |v1 AS (SELECT g.d1 AS d, SUM(g.g * v0.vv) AS vv
-      |  FROM g JOIN v0 ON v0.d = g.d2 GROUP BY 1),
-      |v2 AS (SELECT g.d1 AS d, SUM(g.g * v1.vv) AS vv
-      |  FROM g JOIN v1 ON v1.d = g.d2 GROUP BY 1),
-      |v3 AS (SELECT g.d1 AS d, SUM(g.g * v2.vv) AS vv
-      |  FROM g JOIN v2 ON v2.d = g.d2 GROUP BY 1),
-      |m AS (SELECT MAX(abs(vv)) AS mx FROM v3)
+      |$chain,
+      |m AS (SELECT MAX(abs(vv)) AS mx FROM v$rounds)
       |SELECT d, CAST(CASE WHEN vv < 0
-      |    THEN -((-vv) * 10000 // mx)
-      |    ELSE (vv * 10000 // mx) END AS BIGINT) AS loading_bp
-      |FROM v3, m ORDER BY d""".stripMargin
+      |    THEN -((-vv) * 10000 // NULLIF(mx, 0))
+      |    ELSE (vv * 10000 // NULLIF(mx, 0)) END AS BIGINT) AS loading_bp
+      |FROM v$rounds, m ORDER BY d""".stripMargin
+  }
 
   /** q221 body: the inter-label centroid distance matrix — clustering
     * QA for a labeled embedding table (labels whose centroids collapse
@@ -333,7 +346,7 @@ object EmbedStatsOps {
     QueryDef("q233_centroid_assign", Some(assignOracle),
       (spark, dir) => centroidAssignDrift(t(spark, dir, "embeddings"))),
 
-    QueryDef("q218_pca_power", Some(pcaOracle),
+    QueryDef("q218_pca_power", Some(pcaOracle(PcaRounds)),
       (spark, dir) => pcaPowerLoadings(t(spark, dir, "embeddings"))),
 
     QueryDef("q221_label_centroids", Some(centroidOracle),

@@ -53,8 +53,12 @@ object ExperimentOps {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
       .select(
+        // NULLIF guards var(X)=0 (all users share one pre-period value):
+        // both engines then agree on NULL instead of diverging on their
+        // zero-divisor conventions.
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          nullif((col("n") * col("sxx") - col("sx") * col("sx")), lit(0))
+            .cast("double"))
           .as("theta"),
         (col("sx").cast("double") / col("n").cast("double")).as("mean_x_all"))
     user
@@ -92,7 +96,7 @@ object ExperimentOps {
       |  FROM events, cutoff GROUP BY user_id),
       |pooled AS (
       |  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
-      |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+      |      / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS theta,
       |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_all
       |  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
       |      SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx

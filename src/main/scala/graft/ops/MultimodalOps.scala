@@ -253,15 +253,25 @@ object MultimodalOps {
     */
   def binaryFileThumbnails(spark: SparkSession, docs: DataFrame, dir: String): Dataset[ThumbFeatures] = {
     import spark.implicits._
-    val fsDir = new java.io.File(new java.net.URI(dir).getPath)
-    fsDir.mkdirs()
+    // Materialize through the Hadoop FileSystem resolved from the scratch
+    // Path, never java.io.File on URI.getPath (which silently yields a
+    // wrong local path for an hdfs:// or s3:// warehouse). Driver-side
+    // mkdirs uses the session's Hadoop conf; executor-side writes resolve
+    // the FS from the dir URI with the classpath-default Configuration —
+    // the standard pattern for side-output from a partition task.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(dirPath)
     patternImageTable(docs).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .foreachPartition { rows: Iterator[(Long, Array[Byte])] =>
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
         rows.foreach { case (id, bytes) =>
           val ext = if (id % 2 == 0) "ppm" else "bmp"
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(fsDir.getPath, s"doc_$id.$ext"), bytes)
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, s"doc_$id.$ext"), true)
+          try out.write(bytes) finally out.close()
         }
       }
     thumbnailFeatures(spark,

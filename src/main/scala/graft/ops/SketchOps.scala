@@ -57,7 +57,19 @@ object SketchOps {
     * (collision mass bounded by 4× the average cell load — generous
     * deterministic slack over the expected N/width).
     */
+  /** Slack multiplier of the upper contract: est ≤ true + SLACK·(N/width).
+    * By Markov each row overshoots 4× its expected collision mass with
+    * p ≤ 1/4, so the min over depth rows fails with p ≤ 4^-depth — the
+    * TRUE-valued oracle therefore requires depth ≥ 4 (p ≤ 0.4%), which
+    * the require below pins so a shallower sketch can't silently grade
+    * against a contract it doesn't satisfy. Width may vary freely: the
+    * bound scales with it inside the expression.
+    */
+  private val CmsSlack = 4
+
   def cmsContract(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 4,
+      s"depth must be >= 4 for the graded TRUE contract (see CmsSlack doc), got $depth")
     val terms = docs.where(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("term"))
       .where(col("term") =!= "")
@@ -70,7 +82,7 @@ object SketchOps {
       .select(col("term"), col("true_cnt"),
         (col("est") >= col("true_cnt")).as("within_lower"),
         (col("est") <= col("true_cnt")
-          + lit(4) * expr(s"n_terms div $width")).as("within_upper"))
+          + lit(CmsSlack) * expr(s"n_terms div $width")).as("within_upper"))
       .orderBy("term")
   }
 

@@ -411,7 +411,7 @@ object StatOps {
         |      FROM qs, b)
         |SELECT t.q, CAST(ch.bin AS INT) AS bin,
         |  t.lo + (ch.bin * (t.hi - t.lo + 1)) // 64 AS lo_cents,
-        |  t.t AS target_rank, ch.cum AS cum_count,
+        |  t.t AS target_rank, CAST(ch.cum AS BIGINT) AS cum_count,
         |  CAST(t.lo + (ch.bin * (t.hi - t.lo + 1)) // 64 AS DOUBLE)
         |    + (CAST(t.t - ch.cumb AS DOUBLE) / CAST(ch.cnt AS DOUBLE))
         |      * (CAST(t.hi - t.lo + 1 AS DOUBLE) / 64.0) AS est_cents

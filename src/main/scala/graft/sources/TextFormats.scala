@@ -233,10 +233,14 @@ object CorruptRecords {
   def corruptAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
     val dir = TextFormats.scratch(spark, "graft_q234_corrupt")
     docs.write.mode(SaveMode.Overwrite).json(dir)
-    val fsDir = new java.io.File(new java.net.URI(dir).getPath)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(fsDir.getPath, "part-poison.json"),
-      (poison.mkString("\n") + "\n").getBytes("UTF-8"))
+    // Write the poison file through the Hadoop FileSystem resolved from
+    // the scratch Path — java.io.File on URI.getPath silently maps a
+    // non-local warehouse (hdfs://, s3://) to a bogus local path.
+    val poisonPath = new org.apache.hadoop.fs.Path(dir, "part-poison.json")
+    val fs = poisonPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(poisonPath, true)
+    try out.write((poison.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
         "n_chars BIGINT, _corrupt_record STRING")

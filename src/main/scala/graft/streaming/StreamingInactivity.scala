@@ -45,10 +45,10 @@ object StreamingInactivity {
         timers: TimerValues): Iterator[Churned] = {
       var seen = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
       rows.foreach(r => seen = math.max(seen, r.ts_ms))
-      // re-arm the single per-key timer at the new deadline
-      if (lastSeen.exists())
-        getHandle.listTimers().foreach(t =>
-          getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // Delete any armed timers UNCONDITIONALLY before re-arming: the
+      // one-timer-per-key invariant must hold locally, not by relying on
+      // handleExpiredTimer having cleared state alongside its timer.
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
       lastSeen.update(seen)
       getHandle.registerTimer(seen + gapMs)
       Iterator.empty

@@ -27,6 +27,30 @@ def table_key(rows, cols):
     out = [tuple(norm(r[i]) for i in idx) for r in rows]
     return sorted(out, key=lambda t: tuple(str(x) for x in t)), [cols[i] for i in idx]
 
+# Output types the driver's Arrow hasher treats identically to Spark's.
+# Anything else (HUGEINT from uncast window SUM(BIGINT), DECIMAL, TINYINT)
+# hash-mismatches even on bit-identical values — the q188 class of failure.
+SAFE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "BOOLEAN",
+              "TIMESTAMP", "TIMESTAMP WITH TIME ZONE"}
+
+def type_preflight(con, oracles):
+    """DESCRIBE every oracle; fail on any output column whose DuckDB type
+    is outside SAFE_TYPES (HUGEINT/DECIMAL must be explicitly cast)."""
+    bad = 0
+    for name in sorted(oracles):
+        try:
+            rows = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        except Exception as e:
+            print(f"TYPEFAIL {name}: describe error: {e}")
+            bad += 1
+            continue
+        offenders = [(c, t) for c, t, *_ in rows if t not in SAFE_TYPES]
+        if offenders:
+            print(f"TYPEFAIL {name}: unsafe oracle output types {offenders}"
+                  " — cast explicitly (e.g. CAST(x AS BIGINT))")
+            bad += 1
+    return bad
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -34,6 +58,10 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_typefail = type_preflight(con, oracles)
+    if "--types-only" in sys.argv:
+        print(f"== {len(oracles)} oracles, {n_typefail} typefail ==")
+        return 1 if n_typefail else 0
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
@@ -68,8 +96,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(gk)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
-    return 1 if n_fail else 0
+    print(f"== {n_pass} pass, {n_fail} fail, {n_typefail} typefail ==")
+    return 1 if (n_fail or n_typefail) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
