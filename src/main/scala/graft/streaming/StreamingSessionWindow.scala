@@ -31,14 +31,22 @@ object StreamingSessionWindow {
       schema: StructType,
       tsCol: String = "ts",
       delay: String = "30 minutes",
-      gap: String = "30 minutes"): StreamingQuery =
-    spark.readStream
-      .schema(schema)
+      gap: String = "30 minutes",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    // Trigger.AvailableNow honors maxFilesPerTrigger, so a replay can be
+    // forced through several micro-batches (exercising cross-batch
+    // session merge + watermark eviction) instead of one catch-all batch
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(landingDir)
       .withWatermark(tsCol, delay)
       .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      // DECIMAL(18,6) matches EventOps.sessions (the q34 batch body)
+      // exactly, so a replay over a closed corpus is graded by the SAME
+      // oracle arithmetic as the batch sessionizer
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double")
+        round(sum(col("value").cast(DecimalType(18, 6))), 2).cast("double")
           .as("sum_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
@@ -50,4 +58,5 @@ object StreamingSessionWindow {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(outDir)
+  }
 }

@@ -115,7 +115,7 @@ class StreamingSessionWindowSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_events"),
         org.apache.spark.sql.functions.round(
-          org.apache.spark.sql.functions.sum($"value".cast("decimal(18,4)")), 2)
+          org.apache.spark.sql.functions.sum($"value".cast("decimal(18,6)")), 2)
           .cast("double").as("sum_value"))
       .select($"user_id", $"session_window.start".as("session_start"),
         $"n_events", $"sum_value")
