@@ -398,7 +398,117 @@ object CorpusStatsOps {
       |JOIN norms nb ON nb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** The graded BM25 query set: a rare discriminating term paired with a
+    * common one, a three-term conjunction, and a two-term topical query —
+    * mirrored verbatim in the oracle's VALUES list.
+    */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "dup", "q1" -> "hash",
+    "q2" -> "join", "q2" -> "merge", "q2" -> "sort",
+    "q3" -> "stream", "q3" -> "window")
+
+  /** q245 body: BM25 ranked retrieval over the corpus — the canonical IR
+    * scorer the index tier (q61 TF-IDF, q133 inverted index, q190 phrase
+    * search) stops just short of: per-query top-k documents under
+    * k1 = 1.2, b = 0.75 length normalization.
+    *
+    * Exactness doctrine (q61's linear-idf choice + q132's integer
+    * cross-multiplication): the Robertson idf ARGUMENT is kept as the
+    * exact rational (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1) instead of
+    * its log — per-term DOCUMENT ordering is identical (log is monotone)
+    * and the score becomes one exact integer expression. With
+    * avgdl = L/N multiplied through, the per-term score in micro-units is
+    *   (2N−2df+1)·22·tf·L·10⁶ div (2df+1)·(10·tf·L + 3·L + 9·dl·N)
+    * — all-BIGINT inputs, DECIMAL(38,0)/HUGEINT intermediates (≤ ~4·10³⁵
+    * even at 10¹² docs × 10¹⁴ tokens — documented headroom), floor
+    * division, integer micro-unit sums: order-independent under any
+    * partitioning and bit-identical across engines. No ln() parity bets.
+    *
+    * Scale shape: the broadcast query-term list semi-prunes the token
+    * stream BEFORE any shuffle (only postings of queried terms move — the
+    * q190 doctrine); df and the corpus totals are term-bounded broadcast
+    * frames; dl is the one doc-keyed aggregate the scorer joins on its
+    * co-keyed shuffle; the per-query top-k is a rank ≤ k predicate Spark
+    * rewrites to WindowGroupLimit (the q115 pattern) — bounded state per
+    * query, never a global sort of the candidate set.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)] = Bm25Queries,
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queries.nonEmpty, "queries must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val q = queries.toDF("query_id", "term")
+    val tok = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = tok.agg(count(lit(1)).as("l"),
+      countDistinct(col("doc_id")).as("n"))
+    val qterms = q.select("term").distinct()
+    val dfreq = tok.join(broadcast(qterms), Seq("term"), "left_semi")
+      .select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = tok.join(broadcast(q), Seq("term"))
+      .groupBy("query_id", "doc_id", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_u", expr(
+        s"""((CAST(2 AS $dec) * n - 2 * df + 1) * 22 * tf * l * 1000000) div
+           |  ((CAST(2 AS $dec) * df + 1)
+           |    * (CAST(10 AS $dec) * tf * l + CAST(3 AS $dec) * l
+           |       + CAST(9 AS $dec) * dl * n))""".stripMargin))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("score_u")).as("score_u"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("n_hit"), col("score_u"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private def bm25Sql(queries: Seq[(String, String)], k: Int): String = {
+    val values = queries
+      .map { case (qid, term) => s"('$qid', '$term')" }.mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $values),
+      |tok AS (SELECT doc_id, tt.term
+      |        FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)
+      |        WHERE text IS NOT NULL),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS dl
+      |       FROM tok GROUP BY doc_id),
+      |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS l,
+      |          CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS n FROM tok),
+      |dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS df
+      |        FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+      |        GROUP BY term),
+      |tfr AS (SELECT q.query_id, t.doc_id, t.term,
+      |          CAST(COUNT(*) AS HUGEINT) AS tf
+      |        FROM tok t JOIN q ON q.term = t.term GROUP BY 1, 2, 3),
+      |s AS (SELECT tfr.query_id, tfr.doc_id,
+      |        ((2 * n - 2 * df + 1) * 22 * tfr.tf * l * 1000000)
+      |          // ((2 * df + 1) * (10 * tfr.tf * l + 3 * l + 9 * dl.dl * n))
+      |          AS score_u
+      |      FROM tfr JOIN dl USING (doc_id) JOIN dfr USING (term)
+      |      CROSS JOIN tot),
+      |agg AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+      |          CAST(SUM(score_u) AS BIGINT) AS score_u
+      |        FROM s GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, n_hit, score_u,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_u DESC, doc_id) AS INT) AS rnk
+      |      FROM agg)
+      |SELECT query_id, rnk, doc_id, n_hit, score_u
+      |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q245_bm25_topk", Some(bm25Sql(Bm25Queries, 10)),
+      (spark, dir) => bm25TopK(t(spark, dir, "documents"))),
+
     QueryDef("q201_source_similarity", Some(sourceSimilaritySql),
       (spark, dir) => sourceSimilarity(t(spark, dir, "documents"))),
 

@@ -220,6 +220,24 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(out("t0") == ((5L, "0,3,6,9,12")), s"t0: ${out("t0")}")
   }
 
+  test("q245 BM25 planted relevance: tf dominates at equal length, length normalizes at equal tf") {
+    val docs = Seq(
+      (1L, Some("dup dup dup")),                      // tf 3, dl 3
+      (2L, Some("dup f f f f f f f f")),              // tf 1, dl 9
+      (3L, Some("f f f")),                            // no match
+      (4L, Some("dup dup other")),                    // tf 2, dl 3
+      (5L, Some("dup x x x x x x x x x x x")))        // tf 1, dl 12
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusStatsOps.bm25TopK(docs, Seq("q" -> "dup"), k = 10)
+      .collect()
+    val ranked = out.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    // tf 3 > tf 2 at dl 3; then tf 1 with dl 9 beats tf 1 with dl 12
+    // (the b-weighted length normalization)
+    assert(ranked == Seq(1L, 4L, 2L, 5L), s"got $ranked")
+    assert(out.forall(_.getLong(3) == 1L), "one hit term per doc")
+    assert(!ranked.contains(3L), "non-matching docs never surface")
+  }
+
   test("ngram diversity separates template spam from diverse text") {
     val docs = Seq(
       // 6 tokens -> 4 trigram occurrences, all identical -> diversity 1/4
