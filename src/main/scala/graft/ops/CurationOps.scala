@@ -235,6 +235,81 @@ object CurationOps {
       |       ELSE len(string_split(norm_text, ' ')) END AS BIGINT) AS n_tokens
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Confusable-codepoint fold table: Cyrillic and Greek lookalikes
+    * mapped to their Latin skeletons — the homoglyph-evasion class the
+    * plain q76 normalizer cannot see (a spammer swapping Latin 'o' for
+    * Cyrillic 'о' defeats byte-level dedup while remaining visually
+    * identical). Curated single-code-unit BMP pairs only, so Spark's
+    * UTF-16 translate and DuckDB's codepoint translate agree exactly.
+    */
+  private[ops] val ConfusablesFrom =
+    "аеорсухіѕјкмтнв" + "οαειυρτκν"
+  private[ops] val ConfusablesTo =
+    "aeopcyxisjkmthb" + "oaeiuptkv"
+
+  /** q246 body: homoglyph-fold dedup — lowercase, fold confusable
+    * Cyrillic/Greek codepoints to Latin, then the q76 normalization
+    * (strip non-alphanumerics, collapse spaces, trim), and group docs by
+    * the folded key. Groups of ≥2 are reported with their canonical
+    * (min) id and the full sorted member list. The corpus is pure-ASCII
+    * clean, so planted homoglyph spam ([[homoglyphDocs]]) keeps the fold
+    * branch graded, not vacuous. Scale shape: the fold is row-local
+    * scan-speed expression work; the ONE shuffle keys on the folded
+    * text, and per-group state is bounded by duplicate multiplicity
+    * (the q133 collect_list justification).
+    */
+  def homoglyphDedup(docs: DataFrame): DataFrame = {
+    val fold = trim(regexp_replace(regexp_replace(
+      translate(lower(col("text")), ConfusablesFrom, ConfusablesTo),
+      "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col("doc_id"), fold.as("fold_key"))
+      .where(col("fold_key").isNotNull && col("fold_key") =!= "")
+      .groupBy("fold_key")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("doc_ids"))
+      .where(col("n_docs") > 1)
+      .orderBy("fold_key")
+  }
+
+  /** Planted homoglyph spam for [[homoglyphDedup]] — ids above every
+    * real id; the same literals appear in the oracle's UNION ALL. The
+    * first three are visually-identical spellings of one phrase
+    * (Cyrillic о/а/с, pure-ASCII punctuation noise, Greek ο); the last
+    * two are a heavy-Cyrillic string and its ASCII twin.
+    */
+  private def homoglyphDocs(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (3000000000031L, Some("jоin hаsh rоw sсan bаtch")),
+      (3000000000032L, Some("JOIN hash, row; scan - batch!!")),
+      (3000000000033L, Some("jοin hash rοw scan batch")),
+      (3000000000034L, Some("сrурtо sраm dос")),
+      (3000000000035L, Some("crypto spam doc"))
+    ).toDF("doc_id", "text")
+  }
+
+  private val homoglyphSql =
+    s"""WITH all_docs(doc_id, text) AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  VALUES (3000000000031, 'jоin hаsh rоw sсan bаtch'),
+      |         (3000000000032, 'JOIN hash, row; scan - batch!!'),
+      |         (3000000000033, 'jοin hash rοw scan batch'),
+      |         (3000000000034, 'сrурtо sраm dос'),
+      |         (3000000000035, 'crypto spam doc')),
+      |f AS (SELECT doc_id,
+      |        trim(regexp_replace(regexp_replace(
+      |          translate(lower(text), '$ConfusablesFrom', '$ConfusablesTo'),
+      |          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fold_key
+      |      FROM all_docs)
+      |SELECT fold_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS canonical,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
+      |FROM f WHERE fold_key IS NOT NULL AND fold_key <> ''
+      |GROUP BY fold_key HAVING COUNT(*) > 1
+      |ORDER BY fold_key""".stripMargin
+
   /** Per-language 2-sigma length outliers with EXACT integer moments:
     * flag = (n*x - s1)^2 * (n-1) > 4 * n * (n*s2 - s1^2), i.e.
     * (x - mean)^2 > 4 * sample-variance cleared of divisions. Floating
@@ -974,6 +1049,11 @@ object CurationOps {
       (spark, dir) => normalize(t(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
         .unionByName(messyDocs(spark)))),
+
+    QueryDef("q246_homoglyph_dedup", Some(homoglyphSql),
+      (spark, dir) => homoglyphDedup(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(homoglyphDocs(spark)))),
 
     QueryDef("q77_length_outliers", Some(lengthOutliersSql),
       (spark, dir) => lengthOutliers(t(spark, dir, "documents"))),

@@ -35,6 +35,29 @@ class CurationSpec extends SparkSpec {
     assert(r3.getLong(2) == 7 && r3.getLong(5) == 0 && r3.getInt(6) == 0)
   }
 
+  test("q246 homoglyph fold collapses Cyrillic/Greek lookalike spam the plain normalizer misses") {
+    val docs = Seq(
+      (1L, Some("jоin hаsh rоw sсan bаtch")), // Cyrillic о а с
+      (2L, Some("join hash row scan batch")), // ASCII original
+      (3L, Some("jοin hash rοw scan batch")), // Greek ο
+      (4L, Some("unrelated text here")),
+      (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val groups = CurationOps.homoglyphDedup(docs).collect()
+    assert(groups.length == 1, s"exactly one dup group, got ${groups.toSeq}")
+    assert(groups.head.getString(0) == "join hash row scan batch")
+    assert(groups.head.getLong(1) == 3L && groups.head.getLong(2) == 1L)
+    assert(groups.head.getString(3) == "1,2,3")
+    // negative control: the q76 byte-level normalizer does NOT see the
+    // collision — Cyrillic letters are non-[a-z0-9] and get STRIPPED,
+    // leaving three distinct strings; the fold is what closes the evasion
+    val plain = CurationOps.normalize(docs)
+      .where(col("doc_id") <= 3).select("norm_text")
+      .collect().map(_.getString(0)).toSet
+    assert(plain.size == 3,
+      s"plain normalization must leave the three spellings distinct: $plain")
+  }
+
   test("single-token doc has zero bigrams and is not flagged by bigram rule") {
     val docs = Seq((1L, "solo")).toDF("doc_id", "text")
     val r = CurationOps.repetitionStats(docs).collect().head
