@@ -315,6 +315,31 @@ class DedupSpec extends SparkSpec {
       s"the disjoint 16-token span is a separate run: $r")
   }
 
+  test("q247 lifted chain equals the one-level chain, exact on a 300-token span") {
+    import spark.implicits._
+    // a 300-token planted span (crosses the 256 block boundary) plus the
+    // disjoint-span fixture above: the two-level chain must agree with
+    // the one-level chain FRAME FOR FRAME, and the long span must read
+    // back exactly — including with a tiny block size (3) that forces
+    // MANY cross-block interval merges through the level-2 chain
+    val span300 = (1 to 300).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro tokens here $span300"),
+      (2L, s"other leading words entirely $span300 closing words"),
+      (3L, "a completely unrelated document with enough tokens to window " +
+        "but nothing shared across any of the planted documents above ok")
+    ).toDF("doc_id", "text")
+    val one = DedupOps.longestSharedSpans(docs).collect().toSeq
+    val lifted = DedupOps.longestSharedSpansLifted(docs).collect().toSeq
+    assert(lifted == one, s"lifted=$lifted one=$one")
+    assert(lifted.head.getAs[Long]("longest_span_tokens") == 300L &&
+      lifted.head.getAs[Long]("n_runs") == 1L, s"got ${lifted.head}")
+    val tinyBlocks = DedupOps.longestSharedSpansLifted(docs, block = 3)
+      .collect().toSeq
+    assert(tinyBlocks == one,
+      s"block=3 must merge ~95 intervals back to one run: $tinyBlocks")
+  }
+
   test("prefix-filter jaccard join is COMPLETE: equals brute-force all-pairs") {
     // the theorem the q139 doc comment claims, checked against the full
     // quadratic shingle join on the real sf0.001 corpus plus the planted

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+import org.apache.spark.sql.functions.{col, expr, lit, round, to_timestamp}
 
 import graft.ops.StatOps
 
@@ -261,6 +261,54 @@ class StatsSpec extends SparkSpec {
     assert(out("p50").getAs[Long]("target_rank") === 32L)
     assert(out("p50").getAs[Long]("cum_count") === 32L)
     assert(out("p99").getAs[Long]("target_rank") === 64L)
+  }
+
+  test("percentile contract: exact, histogram, and approx conventions agree on one fixture") {
+    // The engine carries three quantile conventions — exact linear
+    // interpolation (q49/q158/q203: percentile == quantile_cont on a
+    // value grid), the mergeable 64-bin histogram (q188: rank
+    // ceil(n·q), uniform within-bin interpolation), and the
+    // approx_percentile sketch (q70: returns an INPUT value whose rank
+    // is within n/acc of target). This pins the documented contract
+    // BETWEEN them on one shared fixture so future quantile queries
+    // inherit one cross-checked rule: histogram within one bin width
+    // (+ one grid step for the rank-convention gap) of exact; approx
+    // within 4·n/acc rank error.
+    val n = 2000
+    val orders = (1 to n).map(i =>
+      (i * 0.25, s"1995-01-0${i % 5 + 1}"))
+      .toDF("o_totalprice", "o_orderdate")
+    val cents = orders.select(round(col("o_totalprice") * 100)
+      .cast("long").as("cents"))
+    // cents = 25..50000 step 25: lo 25, hi 50000, bin width (R = hi-lo+1)/64
+    val binW = (50000 - 25 + 1) / 64.0
+    val gridStep = 25.0
+    val hist = StatOps.histQuantiles(orders).collect()
+      .map(r => r.getAs[String]("q") -> r.getAs[Double]("est_cents")).toMap
+    val exact = cents.agg(
+      expr("percentile(cents, 0.5d)").as("p50"),
+      expr("percentile(cents, 0.9d)").as("p90"),
+      expr("percentile(cents, 0.99d)").as("p99")).collect().head
+    // hand-check the exact convention itself on the uniform grid:
+    // rank 1 + (n-1)·q = 1000.5 -> 25 · 1000.5
+    assert(exact.getAs[Double]("p50") === 25 * 1000.5)
+    Seq("p50" -> exact.getAs[Double]("p50"),
+      "p90" -> exact.getAs[Double]("p90"),
+      "p99" -> exact.getAs[Double]("p99")).foreach { case (q, ex) =>
+      assert(math.abs(hist(q) - ex) <= binW + gridStep,
+        s"$q: histogram ${hist(q)} vs exact $ex exceeds one bin width $binW")
+    }
+    // approx convention: the returned value's true rank within 4·n/acc
+    val acc = 1000
+    val ap = cents.agg(
+      expr(s"approx_percentile(cents, 0.5d, $acc)").as("am"),
+      expr(s"approx_percentile(cents, 0.99d, $acc)").as("ap")).collect().head
+    Seq(0.5 -> ap.getAs[Long]("am"), 0.99 -> ap.getAs[Long]("ap"))
+      .foreach { case (q, v) =>
+        val rank = cents.where(col("cents") <= v).count()
+        assert(math.abs(rank - q * n) <= 4.0 * n / acc,
+          s"q=$q: approx value $v has rank $rank, target ${q * n}")
+      }
   }
 
   test("winsorize: hand-computed clip thresholds, counts and robust mean") {
