@@ -164,6 +164,139 @@ object StreamReplayOps {
       .orderBy("user_id", "session_start")
   }
 
+  /** q248 body: replay events through the watermarked tumbling-window
+    * aggregation (StreamingWindowedAgg, the canonical readStream →
+    * withWatermark → groupBy(window) operator), one time-slice per
+    * micro-batch; a flush sentinel one day past the corpus advances the
+    * watermark past every real window end so the closed corpus drains.
+    * The oracle recomputes the streaming component's exact semantics —
+    * hour × event_type grid, DECIMAL(18,4) money — relationally.
+    */
+  def windowReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-win-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(col("event_type"), col("value"), col("ts"))
+    val flush = ev.agg(max(col("ts")).as("mx"))
+      .select(lit("__flush__").as("event_type"), lit(0.0).as("value"),
+        (col("mx") + expr("INTERVAL 1 DAY")).as("ts"))
+    landTimeSlices(spark,
+      ev.withColumn("slice_key", expr("unix_millis(ts)")),
+      nSlices = 4, landing, Some(flush))
+    val schema = StructType.fromDDL(
+      "event_type STRING, value DOUBLE, ts TIMESTAMP")
+    graft.streaming.StreamingWindowedAgg.windowedAggAvailableNow(
+      spark, landing, out, ckpt, schema,
+      maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    spark.read.schema(StructType.fromDDL(
+      "window_start TIMESTAMP, window_end TIMESTAMP, event_type STRING, " +
+        "n_events BIGINT, sum_value DOUBLE"))
+      .parquet(out)
+      .where(col("event_type") =!= "__flush__")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** q249 body: replay events through StreamingLastTouch's per-user
+    * single-record click state, one time-slice per micro-batch (the
+    * component's cross-batch ingestion-order contract is exactly what
+    * landTimeSlices provides), and roll the emitted per-purchase
+    * attributions up to q181's bucket report. Purchases emit immediately
+    * — no watermark, so no flush sentinel is needed. The graded frame
+    * must hash-match q181's batch-window oracle.
+    */
+  def lastTouchReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-touch-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+    landTimeSlices(spark, ev.withColumn("slice_key", col("ts_us")),
+      nSlices = 4, landing, None)
+    val schema =
+      Encoders.product[graft.streaming.StreamingLastTouch.TouchEvent].schema
+    val touches = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .as[graft.streaming.StreamingLastTouch.TouchEvent]
+    graft.streaming.StreamingLastTouch.attribute(touches)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+      .awaitTermination()
+    spark.read.schema(
+      Encoders.product[graft.streaming.StreamingLastTouch.Attribution].schema)
+      .parquet(out)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("bucket")
+  }
+
+  /** q250 body: replay events through StreamingInactivity's event-time
+    * TIMERS (transformWithState, RocksDB provider). The inactivity gap
+    * is set to the corpus time span + 1 day — no deadline can fire
+    * mid-stream, so the replay is slice-boundary-independent — and the
+    * flush sentinel lands past every deadline, firing exactly one churn
+    * record per user with their true last-seen time. The oracle
+    * recomputes both fields relationally (gap included, from the same
+    * bounds). The one collect is the two-scalar bounds row (bounded
+    * metadata, the StreamingUpsert doctrine).
+    */
+  def inactivityReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ia-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts)").as("ts_ms"))
+    val b = ev.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val gapMs = (mx - mn) + 86400000L
+    val flush = spark.range(1)
+      .select(lit(-1L).as("user_id"), lit(mx + gapMs + 86400000L).as("ts_ms"))
+    landTimeSlices(spark, ev.withColumn("slice_key", col("ts_ms")),
+      nSlices = 4, landing, Some(flush))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val seen = spark.readStream
+        .schema("user_id BIGINT, ts_ms BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .select(expr("timestamp_millis(ts_ms)").as("ts"), col("user_id"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), expr("unix_millis(ts)").as("ts_ms"))
+        .as[graft.streaming.StreamingInactivity.Seen]
+      graft.streaming.StreamingInactivity.churnFlags(seen, gapMs)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+        .awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.schema(
+      Encoders.product[graft.streaming.StreamingInactivity.Churned].schema)
+      .parquet(out)
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("last_seen_ms"), col("deadline_ms"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Graded against the SAME oracle text as q120: the incremental
     // streaming dimension build must reproduce the batch dimension.
@@ -205,5 +338,62 @@ object StreamReplayOps {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin),
-      (spark, dir) => sessionReplay(spark, dir)))
+      (spark, dir) => sessionReplay(spark, dir)),
+
+    // Oracle mirrors the streaming component's exact semantics: hour ×
+    // event_type tumbling grid with DECIMAL(18,4) money (the streaming
+    // tier's scale; q33's coarser hour-only/18,6 report stays separate).
+    QueryDef(
+      "q248_window_replay",
+      Some("""SELECT
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+        |    '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin),
+      (spark, dir) => windowReplay(spark, dir)),
+
+    // Graded against the SAME oracle text as q181: the per-user
+    // fixed-state streaming attribution must reproduce the batch window.
+    QueryDef(
+      "q249_lasttouch_replay",
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click
+        |  FROM events),
+        |p AS (
+        |  SELECT CASE
+        |      WHEN last_click IS NULL THEN 'never_clicked'
+        |      WHEN ts <= last_click + INTERVAL 1 HOUR THEN 'within_1h'
+        |      WHEN ts <= last_click + INTERVAL 24 HOUR THEN 'within_1d'
+        |      WHEN ts <= last_click + INTERVAL 168 HOUR THEN 'within_7d'
+        |      ELSE 'stale' END AS bucket,
+        |    user_id
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (spark, dir) => lastTouchReplay(spark, dir)),
+
+    // Event-time timers graded end-to-end: with the gap set to the
+    // corpus span + 1 day, exactly one churn record per user fires (at
+    // the flush watermark), carrying the user's true last-seen ms and
+    // the gap-derived deadline — both recomputed relationally here.
+    QueryDef(
+      "q250_inactivity_replay",
+      Some("""WITH b AS (SELECT epoch_ms(MIN(ts)) AS mn, epoch_ms(MAX(ts)) AS mx
+        |            FROM events)
+        |SELECT user_id,
+        |  epoch_ms(MAX(ts)) AS last_seen_ms,
+        |  epoch_ms(MAX(ts)) + (b.mx - b.mn) + 86400000 AS deadline_ms
+        |FROM events, b
+        |GROUP BY user_id, b.mx, b.mn
+        |ORDER BY user_id""".stripMargin),
+      (spark, dir) => inactivityReplay(spark, dir)))
 }

@@ -34,9 +34,14 @@ object StreamingWindowedAgg {
       tsCol: String = "ts",
       delay: String = "30 minutes",
       width: String = "1 hour",
-      slide: String = null): StreamingQuery =
-    spark.readStream
-      .schema(schema)
+      slide: String = null,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    // Trigger.AvailableNow honors maxFilesPerTrigger: a replay can force
+    // several micro-batches so cross-batch window state + watermark
+    // eviction are actually exercised
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(landingDir)
       .withWatermark(tsCol, delay)
       // slide == null -> tumbling; a shorter slide gives HOPPING windows
@@ -57,4 +62,5 @@ object StreamingWindowedAgg {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(outDir)
+  }
 }

@@ -91,7 +91,17 @@ object ScaleRehearsal {
     "q235_bounce_rate", "q236_stickiness", "q237_discount_revenue",
     "q238_asof_snapshot", "q239_negative_pairs",
     "q240_forecast_baselines", "q241_skipgram_pairs",
-    "q242_label_cohesion")
+    "q242_label_cohesion",
+    // round 10: oracle-graded streaming replays (linear in events; the
+    // fixed micro-batch/checkpoint overhead flatters small scale, so
+    // honest ratios sit below linear), BM25 (query-term postings stay
+    // copy-0-sized under the per-copy token suffixes; the token scan is
+    // the linear part), homoglyph fold (scan + one fold-key shuffle),
+    // and the lifted span chain (q167's candidate amplification — same
+    // fixture arithmetic, bar 25)
+    "q243_scd2_replay", "q244_session_replay", "q245_bm25_topk",
+    "q246_homoglyph_dedup", "q247_long_span_lifted", "q248_window_replay",
+    "q249_lasttouch_replay", "q250_inactivity_replay")
 
   private val OFFSET = 10000000L
 
@@ -154,7 +164,8 @@ object ScaleRehearsal {
       // of identical code — the spread is host variance around
       // linearity, not a plan defect; direct warm re-measurement shows
       // 1.5x. Bar 15 documents "linear is the design" for this shape.
-      "q172_large_orders" -> 15.0, "q241_skipgram_pairs" -> 15.0)
+      "q172_large_orders" -> 15.0, "q241_skipgram_pairs" -> 15.0,
+      "q247_long_span_lifted" -> 25.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query
