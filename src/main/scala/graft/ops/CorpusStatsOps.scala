@@ -75,7 +75,11 @@ object CorpusStatsOps {
     * driver hash-compares scalar columns; both engines join the same
     * sorted ids with the same separator.
     */
-  def invertedIndex(docs: DataFrame, maxPostings: Int = 10): DataFrame = {
+  /** The (term, df, postings-ARRAY) core of the inverted index — shared
+    * by the one-shot build (q133, which stringifies) and the incremental
+    * delta merge (q251, which needs the arrays to merge).
+    */
+  private def invertedIndexParts(docs: DataFrame, maxPostings: Int): DataFrame = {
     require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
     val td = docs.where(col("text").isNotNull)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
@@ -84,9 +88,48 @@ object CorpusStatsOps {
     val postings = td.withColumn("rn", row_number().over(w))
       .where(col("rn") <= maxPostings)
       .groupBy("term")
-      .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
     dfreq.join(postings, Seq("term"))
-      .select(col("term"), col("df"), col("postings"))
+  }
+
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 10): DataFrame =
+    invertedIndexParts(docs, maxPostings)
+      .select(col("term"), col("df"),
+        concat_ws(",", col("postings")).as("postings"))
+      .orderBy("term")
+
+  /** q251 body: INCREMENTAL inverted-index maintenance — the index
+    * counterpart of q233's centroid-assignment delta pass. The corpus
+    * splits into a base (90%) and a delta batch (10%, doc_id % 10 = 0);
+    * each side builds its capped index independently and the two merge
+    * per term: df adds, and the merged posting list is the first
+    * `maxPostings` of the union — EXACT, because any of the k smallest
+    * ids overall is among its own side's k smallest, so truncated
+    * per-side lists lose nothing (the min-k merge lemma; the spec pins
+    * incremental == full rebuild). Graded by q133's full-rebuild oracle
+    * verbatim: the nightly "index the delta, merge into the serving
+    * index" pass must be indistinguishable from a rebuild.
+    *
+    * Scale shape: the delta side's cost is delta-sized; the merge is a
+    * term-keyed join of two vocabulary-bounded relations (never
+    * corpus-sized) — at 100 TB the base index is the serving artifact
+    * already on disk and only the delta's terms shuffle.
+    */
+  def indexDeltaMerge(docs: DataFrame, maxPostings: Int = 10): DataFrame = {
+    val base = invertedIndexParts(
+      docs.where(col("doc_id") % 10 =!= 0), maxPostings)
+      .select(col("term"), col("df").as("df_b"), col("postings").as("p_b"))
+    val delta = invertedIndexParts(
+      docs.where(col("doc_id") % 10 === 0), maxPostings)
+      .select(col("term"), col("df").as("df_d"), col("postings").as("p_d"))
+    base.join(delta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L)))
+          .as("df"),
+        concat_ws(",", slice(sort_array(concat(
+          coalesce(col("p_b"), expr("CAST(array() AS ARRAY<BIGINT>)")),
+          coalesce(col("p_d"), expr("CAST(array() AS ARRAY<BIGINT>)")))), 1, maxPostings))
+          .as("postings"))
       .orderBy("term")
   }
 
@@ -508,6 +551,12 @@ object CorpusStatsOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q245_bm25_topk", Some(bm25Sql(Bm25Queries, 10)),
       (spark, dir) => bm25TopK(t(spark, dir, "documents"))),
+
+    // Incremental index maintenance graded by the FULL-REBUILD oracle
+    // (q133's text verbatim): delta-merge must be indistinguishable
+    // from rebuilding the index over the whole corpus.
+    QueryDef("q251_index_delta", Some(invertedIndexSql),
+      (spark, dir) => indexDeltaMerge(t(spark, dir, "documents"))),
 
     QueryDef("q201_source_similarity", Some(sourceSimilaritySql),
       (spark, dir) => sourceSimilarity(t(spark, dir, "documents"))),

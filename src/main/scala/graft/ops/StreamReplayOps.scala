@@ -56,7 +56,19 @@ object StreamReplayOps {
         least(lit(nSlices - 1),
           (col("slice_key") - col("mn")) * nSlices /
             (col("mx") - col("mn") + 1)).cast("int"))
-      .drop("mn", "mx")
+      .drop("mn", "mx", "slice_key")
+    landBySlice(spark, sliced, nSlices, landingDir, flush)
+  }
+
+  /** Land a frame carrying an EXPLICIT `slice` column (dropped from the
+    * output) as one file per slice value in [0, nSlices), plus an
+    * optional flush frame as the strictly-latest file. Callers that need
+    * deliberate cross-batch placement (e.g. re-deliveries landing one
+    * batch after their originals) compute the slice themselves and come
+    * through here; the ts-range wrapper above covers the common case.
+    */
+  def landBySlice(spark: SparkSession, sliced: DataFrame, nSlices: Int,
+      landingDir: String, flush: Option[DataFrame]): Unit = {
     val fs = new Path(landingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(landingDir))
@@ -72,7 +84,7 @@ object StreamReplayOps {
       fs.setTimes(dst, base + i * 2000L, -1)
     }
     (0 until nSlices).foreach(i =>
-      landOne(sliced.where(col("slice") === i).drop("slice", "slice_key"), i))
+      landOne(sliced.where(col("slice") === i).drop("slice"), i))
     flush.foreach(f => landOne(f, nSlices))
   }
 
@@ -297,6 +309,117 @@ object StreamReplayOps {
       .orderBy("user_id")
   }
 
+  /** q252 body: replay events PLUS planted re-deliveries through
+    * StreamingDedup's `dropDuplicatesWithinWatermark`. Every event of
+    * users ≡ 0 (mod 7) is re-sent verbatim ONE MICRO-BATCH LATER than
+    * its original (explicit slice placement — the at-least-once
+    * upstream's retry, landing after the first copy), so the drop
+    * decision always crosses a batch boundary and exercises retained
+    * key state, never just in-batch dedup. The watermark delay is the
+    * corpus span + 1 day, putting every re-delivery inside the
+    * guaranteed-dedup window (production uses the log-retention window;
+    * the replay inflates it so the oracle stays exact). Survivors must
+    * be EXACTLY the original events — the oracle aggregates the events
+    * table untouched; any leaked duplicate breaks n/n_ids/total_value,
+    * any dropped original breaks the counts.
+    */
+  def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val nSlices = 4
+    val ev = EventOps.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val b = ev.agg(min(expr("unix_millis(ts)")).as("mn"),
+      max(expr("unix_millis(ts)")).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val delayMs = (mx - mn) + 86400000L
+    val sliceOf = least(lit(nSlices - 1),
+      (expr("unix_millis(ts)") - lit(mn)) * nSlices / lit(mx - mn + 1))
+      .cast("int")
+    val originals = ev.withColumn("slice", sliceOf)
+    val redeliveries = ev.where(col("user_id") % 7 === 0)
+      .withColumn("slice", sliceOf + 1) // one batch AFTER the original
+    landBySlice(spark, originals.unionByName(redeliveries),
+      nSlices + 1, landing, None)
+    graft.streaming.StreamingDedup.dedupAvailableNow(
+      spark, landing, out, ckpt,
+      StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, ts TIMESTAMP"),
+      tsCol = "ts", delay = s"$delayMs milliseconds",
+      keys = Seq("event_id"))
+      .awaitTermination()
+    spark.read.schema(StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, ts TIMESTAMP"))
+      .parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_ids"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+          .as("total_value"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  /** q253 body: replay views and clicks as TWO live file streams through
+    * StreamingIntervalJoin's watermarked stream-stream join (clicks
+    * within 10 minutes after a view, 20-minute watermark), one
+    * time-slice per micro-batch per side. Inner-join pairs emit in the
+    * batch where the later side arrives, so no flush is needed; the
+    * time-ordered slices guarantee no on-time row is late-dropped and
+    * no view a future click could match has been evicted (eviction
+    * needs watermark > view_ts + horizon, and a matching click would
+    * then be ≤ the watermark — below every later batch's minimum).
+    * Graded against the relational interval join over the same events.
+    */
+  def intervalJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-ij-replay")
+    val (landV, landC, out, ckpt) =
+      (s"$base/views", s"$base/clicks", s"$base/out", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    def land(kind: String, dirOut: String): Unit =
+      landTimeSlices(spark,
+        ev.where(col("event_type") === kind)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("slice_key", expr("unix_millis(ts)")),
+        nSlices = 4, dirOut, None)
+    land("view", landV)
+    land("click", landC)
+    val schema = StructType.fromDDL(
+      "user_id BIGINT, event_id BIGINT, ts TIMESTAMP")
+    def read(dirIn: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirIn)
+    // A stream-stream join materializes FOUR state-store instances per
+    // shuffle partition per side-pair; at the session's default
+    // partition count the per-micro-batch store-commit overhead dwarfs
+    // the data. Size the stateful shuffle to the replay's data volume —
+    // the same decision a production job makes when provisioning a
+    // stateful query — and restore the session conf after (queries run
+    // sequentially under Verify/Bench; the try/finally keeps any other
+    // caller safe).
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try graft.streaming.StreamingIntervalJoin.attribute(read(landV), read(landC),
+        horizon = "2 hours")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+      .awaitTermination()
+    finally spark.conf.set(key, prev)
+    spark.read.schema(StructType.fromDDL(
+      "user_id BIGINT, view_id BIGINT, click_id BIGINT, " +
+        "view_ts TIMESTAMP, click_ts TIMESTAMP"))
+      .parquet(out)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+      .orderBy("view_id", "click_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Graded against the SAME oracle text as q120: the incremental
     // streaming dimension build must reproduce the batch dimension.
@@ -395,5 +518,36 @@ object StreamReplayOps {
         |FROM events, b
         |GROUP BY user_id, b.mx, b.mn
         |ORDER BY user_id""".stripMargin),
-      (spark, dir) => inactivityReplay(spark, dir)))
+      (spark, dir) => inactivityReplay(spark, dir)),
+
+    // Survivors of the dedup stream must be EXACTLY the original
+    // events: the oracle aggregates the untouched events table.
+    QueryDef(
+      "q252_streamdedup_replay",
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS total_value,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (spark, dir) => dedupReplay(spark, dir)),
+
+    // The watermarked stream-stream interval join vs its relational
+    // equivalent: every (view, click-within-2-hours) pair, exactly
+    // once. The eviction-safety argument is horizon-independent, so the
+    // wider window only enriches the graded frame.
+    QueryDef(
+      "q253_intervaljoin_replay",
+      Some("""WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id,
+        |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM v JOIN c USING (user_id)
+        |WHERE click_ts >= view_ts
+        |  AND click_ts <= view_ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, click_id""".stripMargin),
+      (spark, dir) => intervalJoinReplay(spark, dir)))
 }

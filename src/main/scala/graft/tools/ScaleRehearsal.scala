@@ -101,7 +101,11 @@ object ScaleRehearsal {
     // fixture arithmetic, bar 25)
     "q243_scd2_replay", "q244_session_replay", "q245_bm25_topk",
     "q246_homoglyph_dedup", "q247_long_span_lifted", "q248_window_replay",
-    "q249_lasttouch_replay", "q250_inactivity_replay")
+    "q249_lasttouch_replay", "q250_inactivity_replay",
+    // round 10, batch 2: index delta-merge (vocabulary-bounded term
+    // join), dedup + stream-stream join replays (linear in events)
+    "q251_index_delta", "q252_streamdedup_replay",
+    "q253_intervaljoin_replay")
 
   private val OFFSET = 10000000L
 
@@ -165,7 +169,15 @@ object ScaleRehearsal {
       // linearity, not a plan defect; direct warm re-measurement shows
       // 1.5x. Bar 15 documents "linear is the design" for this shape.
       "q172_large_orders" -> 15.0, "q241_skipgram_pairs" -> 15.0,
-      "q247_long_span_lifted" -> 25.0)
+      "q247_long_span_lifted" -> 25.0,
+      // q246's work is char-linear (translate + two regex passes + a
+      // full-text shuffle key), and the fixture's per-copy token
+      // suffixes ('_c' on every ~5-char token) grow CHARACTER volume
+      // ~14x for 10x docs — q52's arithmetic applied to chars instead
+      // of vocabulary. Measured 11.3 reproducibly (min-of-2 both
+      // scales, same class as q113's 7.5 which shares the regex
+      // normalize); sub-linear per char. Bar 15.
+      "q246_homoglyph_dedup" -> 15.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query

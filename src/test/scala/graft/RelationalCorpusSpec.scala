@@ -238,6 +238,28 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(!ranked.contains(3L), "non-matching docs never surface")
   }
 
+  test("q251 incremental index merge equals a full rebuild (min-k merge lemma)") {
+    // base (ids not % 10) and delta (ids % 10 = 0) both contribute to
+    // 'common'; the merged posting list must be the first 10 of the
+    // UNION even though each side was truncated to its own first 10 —
+    // ids 0,10,20 come from the delta side, 1..9 from base, so the
+    // merged head interleaves both sides
+    val docs = (0L until 30L).map(i => (i, Some("common t" + (i % 3))))
+      .toDF("doc_id", "text")
+    val merged = graft.ops.CorpusStatsOps.indexDeltaMerge(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val full = graft.ops.CorpusStatsOps.invertedIndex(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(merged == full, s"merged=$merged full=$full")
+    assert(merged("common") == ((30L, "0,1,2,3,4,5,6,7,8,9")))
+    // and on the real corpus: delta-merge == rebuild, frame for frame
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val m2 = graft.ops.CorpusStatsOps.indexDeltaMerge(corpus)
+    val f2 = graft.ops.CorpusStatsOps.invertedIndex(corpus)
+    assert(m2.exceptAll(f2).isEmpty && f2.exceptAll(m2).isEmpty,
+      "incremental maintenance must be indistinguishable from a rebuild")
+  }
+
   test("ngram diversity separates template spam from diverse text") {
     val docs = Seq(
       // 6 tokens -> 4 trigram occurrences, all identical -> diversity 1/4
