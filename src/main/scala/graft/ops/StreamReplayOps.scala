@@ -420,6 +420,169 @@ object StreamReplayOps {
       .orderBy("view_id", "click_id")
   }
 
+  /** q254 body: replay events through the IMPERATIVE sessionizer
+    * (StatefulSessions' flatMapGroupsWithState state machine) and grade
+    * it against the same q34 oracle as the declarative q244 — the two
+    * streaming sessionization tiers must agree with the batch contract
+    * independently. A per-user flush sentinel one day past the corpus
+    * closes every open session (the flush event itself starts a new
+    * open session that is never emitted and never read back).
+    *
+    * Money exactness: the fold accumulates doubles in event order, so
+    * the replay feeds values as exact INTEGER MICRO-UNITS (the
+    * DECIMAL(18,6) cast scaled by 10⁶ — integers ≤ 2^53 add exactly in
+    * a double under any fold order) and converts the closed totals back
+    * with the same half-up-to-cents rule the oracle's ROUND applies;
+    * cents/100.0 and CAST(ROUND(dec, 2) AS DOUBLE) are both the
+    * correctly-rounded double of the same exact rational.
+    */
+  def statefulSessionReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-fsess-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        (col("value").cast("decimal(18,6)") * 1000000)
+          .cast("double").as("value"))
+    val bounds = ev.agg(max(col("ts_us")).as("mx"))
+    val flush = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), (col("mx") + lit(86400000000L)).as("ts_us"),
+        lit(0.0).as("value"))
+    landTimeSlices(spark, ev.withColumn("slice_key", col("ts_us")),
+      nSlices = 4, landing, Some(flush))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_us LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .as[graft.streaming.StatefulSessions.SessionEvent]
+    graft.streaming.StatefulSessions.sessionize(stream, gapUs = 30L * 60 * 1000000)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+      .awaitTermination()
+    spark.read.schema(StructType.fromDDL(
+      "user_id BIGINT, session_start STRING, n_events BIGINT, " +
+        "total_value DOUBLE"))
+      .parquet(out)
+      .withColumn("micro", col("total_value").cast("long"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        // half-up (away from zero) micro → cents, then the exact /100
+        (expr("""CASE WHEN micro >= 0 THEN (micro + 5000) div 10000
+                |ELSE -((-micro + 5000) div 10000) END""".stripMargin)
+          .cast("double") / 100.0).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** q255 body: replay events through StreamingUserStats'
+    * transformWithState profile processor (typed ValueState, RocksDB,
+    * update-mode emission). Each micro-batch re-emits the running
+    * profile of every touched user; the FINAL profile per user is the
+    * emission from that user's last touching batch — selected by
+    * max_by(batch_id) over a foreachBatch-stamped sink, no monotonicity
+    * assumption. Money folds as exact integer cents (the component's
+    * own contract), so the oracle is the plain relational per-user
+    * aggregate.
+    */
+  def userStatsReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ustats-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        expr("unix_micros(ts)").as("ts_us"))
+    landTimeSlices(spark, ev.withColumn("slice_key", col("ts_us")),
+      nSlices = 4, landing, None)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("user_id LONG, event_type STRING, cents LONG, ts_us LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .select("user_id", "event_type", "cents")
+        .as[graft.streaming.StreamingUserStats.UserEvent]
+      graft.streaming.StreamingUserStats.profile(stream)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.StreamingUserStats.UserStats], id: Long) =>
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(out)
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(graft.streaming.StreamingUserStats.outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.schema(StructType.fromDDL(
+      "user_id BIGINT, n_events BIGINT, total_cents BIGINT, " +
+        "n_purchases BIGINT, batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("user_id")
+      .agg(expr("max_by(struct(n_events, total_cents, n_purchases), batch_id)")
+        .as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.total_cents").as("total_cents"),
+        col("s.n_purchases").as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  /** q256 body: replay events (category derived from the props JSON, the
+    * q44 channel convention) through StreamingEnrichment's stream-static
+    * broadcast dim join plus its complete-mode revenue aggregate. The
+    * static 5-row dimension is re-planned (and broadcast) into every
+    * micro-batch; complete mode re-emits the full aggregate per batch,
+    * so the sink overwrites and the final batch IS the answer — graded
+    * against the relational join+aggregate over the same events.
+    */
+  def enrichmentReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-enrich-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(
+        concat(lit("ch"),
+          get_json_object(col("props"), "$.k").cast("int") % 5).as("category"),
+        lit(1L).as("quantity"), col("value").as("price"),
+        expr("unix_micros(ts)").as("ts_us"))
+    landTimeSlices(spark, ev.withColumn("slice_key", col("ts_us")),
+      nSlices = 4, landing, None)
+    val dim = Seq("ch0" -> "grp_even", "ch1" -> "grp_odd",
+      "ch2" -> "grp_even", "ch3" -> "grp_odd", "ch4" -> "grp_even")
+      .toDF("category", "macro_category")
+    val stream = spark.readStream
+      .schema("category STRING, quantity LONG, price DOUBLE, ts_us LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .drop("ts_us")
+    graft.streaming.StreamingEnrichment.macroRevenue(
+      graft.streaming.StreamingEnrichment.enrich(stream, dim))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.schema(
+      StructType.fromDDL("macro_category STRING, revenue DOUBLE"))
+      .parquet(out)
+      .orderBy("macro_category")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Graded against the SAME oracle text as q120: the incremental
     // streaming dimension build must reproduce the batch dimension.
@@ -519,6 +682,60 @@ object StreamReplayOps {
         |GROUP BY user_id, b.mx, b.mn
         |ORDER BY user_id""".stripMargin),
       (spark, dir) => inactivityReplay(spark, dir)),
+
+    // The IMPERATIVE sessionizer graded by the same q34 oracle text the
+    // declarative q244 uses: both streaming tiers must independently
+    // reproduce the batch session contract.
+    QueryDef(
+      "q254_statefulsession_replay",
+      Some("""WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+      (spark, dir) => statefulSessionReplay(spark, dir)),
+
+    // Update-mode typed-state profiles: the final per-user emission
+    // must equal the relational per-user aggregate.
+    QueryDef(
+      "q255_userstats_replay",
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (spark, dir) => userStatsReplay(spark, dir)),
+
+    // Stream-static broadcast enrichment + complete-mode aggregate vs
+    // the relational join+aggregate (the q44 channel convention derives
+    // the category; the same VALUES dimension on both sides).
+    QueryDef(
+      "q256_enrichment_replay",
+      Some("""WITH dim(category, macro_category) AS (VALUES
+        |  ('ch0', 'grp_even'), ('ch1', 'grp_odd'), ('ch2', 'grp_even'),
+        |  ('ch3', 'grp_odd'), ('ch4', 'grp_even')),
+        |s AS (SELECT 'ch' || CAST(CAST(json_extract_string(props, '$.k')
+        |          AS INT) % 5 AS VARCHAR) AS category,
+        |        value AS price
+        |      FROM events)
+        |SELECT macro_category,
+        |  CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM s JOIN dim USING (category)
+        |GROUP BY macro_category ORDER BY macro_category""".stripMargin),
+      (spark, dir) => enrichmentReplay(spark, dir)),
 
     // Survivors of the dedup stream must be EXACTLY the original
     // events: the oracle aggregates the untouched events table.

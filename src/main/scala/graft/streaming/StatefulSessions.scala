@@ -16,11 +16,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * are emitted downstream, and the still-open session persists in state —
   * across micro-batches and across AvailableNow restarts via the
   * checkpoint (StatefulSessionsSpec drives two separate runs).
+  *
+  * Timestamps are MICROSECONDS since the epoch — the same grain as
+  * Spark timestamps and `session_window`, so the strict-gap boundary
+  * agrees with the declarative sessionizer on sub-millisecond data
+  * (the replay grade q254 depends on this).
   */
 object StatefulSessions {
 
-  final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)
-  final case class OpenSession(start_ms: Long, last_ms: Long, n: Long, total: Double)
+  final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long, total: Double)
   final case class ClosedSession(
       user_id: Long, session_start: String, n_events: Long, total_value: Double)
 
@@ -28,27 +33,31 @@ object StatefulSessions {
     .withZone(ZoneOffset.UTC)
 
   private def close(user: Long, o: OpenSession): ClosedSession =
-    ClosedSession(user, fmt.format(Instant.ofEpochMilli(o.start_ms)), o.n, o.total)
+    ClosedSession(user,
+      fmt.format(Instant.ofEpochSecond(
+        Math.floorDiv(o.start_us, 1000000L),
+        Math.floorMod(o.start_us, 1000000L) * 1000L)),
+      o.n, o.total)
 
   /** Fold one group's micro-batch into the open-session state; emit
     * sessions closed by a gap strictly greater than `gapMs` (same boundary
     * rule as Spark's session_window, EventStreamSpec).
     */
-  def update(gapMs: Long)(user: Long, events: Iterator[SessionEvent],
+  def update(gapUs: Long)(user: Long, events: Iterator[SessionEvent],
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-    val sorted = events.toSeq.sortBy(e => (e.ts_ms, e.value))
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.value))
     var open = state.getOption
     val closed = Seq.newBuilder[ClosedSession]
     sorted.foreach { e =>
       open match {
-        case Some(o) if e.ts_ms - o.last_ms > gapMs =>
+        case Some(o) if e.ts_us - o.last_us > gapUs =>
           closed += close(user, o)
-          open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+          open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
         case Some(o) =>
-          open = Some(o.copy(last_ms = math.max(o.last_ms, e.ts_ms),
+          open = Some(o.copy(last_us = math.max(o.last_us, e.ts_us),
             n = o.n + 1, total = o.total + e.value))
         case None =>
-          open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+          open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
       }
     }
     open.foreach(state.update)
@@ -56,10 +65,10 @@ object StatefulSessions {
   }
 
   /** Streaming (or batch) sessionize: one state entry per user. */
-  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[ClosedSession] = {
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        update(gapMs))
+        update(gapUs))
   }
 }

@@ -105,7 +105,8 @@ object ScaleRehearsal {
     // round 10, batch 2: index delta-merge (vocabulary-bounded term
     // join), dedup + stream-stream join replays (linear in events)
     "q251_index_delta", "q252_streamdedup_replay",
-    "q253_intervaljoin_replay")
+    "q253_intervaljoin_replay", "q254_statefulsession_replay",
+    "q255_userstats_replay", "q256_enrichment_replay")
 
   private val OFFSET = 10000000L
 

@@ -14,7 +14,7 @@ import graft.streaming.StatefulSessions.SessionEvent
 class StatefulSessionsSpec extends SparkSpec {
   import spark.implicits._
 
-  private val GAP_MS = 30L * 60 * 1000
+  private val GAP_US = 30L * 60 * 1000 * 1000
 
   test("flatMapGroupsWithState closes sessions across two streaming runs") {
     val landing = Files.createTempDirectory("graft-sess-in").toString
@@ -23,17 +23,17 @@ class StatefulSessionsSpec extends SparkSpec {
 
     def runOnce(): Unit = {
       val stream = spark.readStream
-        .schema("user_id LONG, ts_ms LONG, value DOUBLE")
+        .schema("user_id LONG, ts_us LONG, value DOUBLE")
         .parquet(landing)
         .as[SessionEvent]
-      val q = StatefulSessions.sessionize(stream, GAP_MS)
+      val q = StatefulSessions.sessionize(stream, GAP_US)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
     }
 
-    def t(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
+    def t(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000
 
     // run 1: an open session for user 1 — nothing should be emitted yet
     Seq(
@@ -55,7 +55,7 @@ class StatefulSessionsSpec extends SparkSpec {
   }
 
   test("batch sessionize splits on the same strict-gap rule as session_window") {
-    def t(s: String): Long = java.sql.Timestamp.valueOf(s).getTime
+    def t(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000
     val events = Seq(
       SessionEvent(1L, t("2024-01-01 10:00:00"), 1.0),
       SessionEvent(1L, t("2024-01-01 10:30:00"), 1.0), // exactly the gap: merged
@@ -64,7 +64,7 @@ class StatefulSessionsSpec extends SparkSpec {
     ).toDS()
     // batch mode: state starts empty per group and open sessions are not
     // emitted — only the one closed by the strict gap appears
-    val closed = StatefulSessions.sessionize(events, GAP_MS).collect()
+    val closed = StatefulSessions.sessionize(events, GAP_US).collect()
     assert(closed.toSeq.map(c => (c.user_id, c.session_start, c.n_events)) ==
       Seq((1L, "2024-01-01 10:00:00", 2L)))
   }
