@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.QueryDef
+import graft.util.Tables.t
 
 /** Oracle-graded END-TO-END replays of streaming components (the q168
   * pattern, extended): land a closed corpus as TIME-ORDERED micro-batch
@@ -583,6 +584,179 @@ object StreamReplayOps {
       .orderBy("macro_category")
   }
 
+  /** q257 body: replay documents through StreamingTermCounts'
+    * mapGroupsWithState running counters (vocabulary-bounded state,
+    * update-mode emission), one doc-id slice per micro-batch; the final
+    * per-term emission (max_by batch) must equal the relational word
+    * count exactly — the component's own "no sketch error" contract.
+    */
+  def termCountsReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-tc-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    landTimeSlices(spark, docs.withColumn("slice_key", col("doc_id")),
+      nSlices = 4, landing, None)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .select(col("text")).as[String]
+    graft.streaming.StreamingTermCounts.countTerms(
+      graft.streaming.StreamingTermCounts.tokenDeltas(stream))
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[
+          graft.streaming.StreamingTermCounts.TermTotal], id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(graft.streaming.StreamingTermCounts.outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.schema(StructType.fromDDL(
+      "term STRING, total BIGINT, batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("term")
+      .agg(expr("max_by(total, batch_id)").as("total"))
+      .orderBy("term")
+  }
+
+  /** q258 body: replay a 10% landing split of documents through
+    * StreamingIncrementalDedup's stream-static MinHash flagging (the
+    * static 90% corpus banded once, each micro-batch joining the
+    * precomputed bucket relation). MinHash assignments are not
+    * SQL-expressible, so the grade is the q56-style contract: the
+    * replayed flags must equal the BATCH incremental-assign over the
+    * same split frame-for-frame, the run must have spanned ≥ 2
+    * micro-batches, and the landing row count is recomputed
+    * relationally by the oracle.
+    */
+  def incrDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-idd-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.where(col("doc_id") % 10 =!= 0)
+    val delta = docs.where(col("doc_id") % 10 === 0)
+    landTimeSlices(spark, delta.withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    graft.streaming.StreamingIncrementalDedup.flagAvailableNow(
+      spark, landing, existing, out, ckpt,
+      StructType.fromDDL("doc_id BIGINT, text STRING"),
+      maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    val streamed = spark.read.schema(StructType.fromDDL(
+      "doc_id BIGINT, matched_id BIGINT, is_known_dup INT, batch_id BIGINT"))
+      .parquet(out)
+    val flags = streamed.select("doc_id", "matched_id", "is_known_dup")
+    val batchRef = DedupOps.incrementalAssign(existing, delta)
+    val matchesBatch = flags.exceptAll(batchRef).isEmpty &&
+      batchRef.exceptAll(flags).isEmpty
+    val multiBatch = streamed.select("batch_id").distinct().count() >= 2
+    Seq((flags.count(), multiBatch, matchesBatch))
+      .toDF("n_landing", "multi_batch", "matches_batch")
+  }
+
+  /** q259 body: the exactly-once file-source ingest (StreamingIngest's
+    * bronze→silver AvailableNow stream) replayed over a seeded generated
+    * bronze batch landed as four files, then RE-RUN against the same
+    * checkpoint with no new files — the second run must add zero rows
+    * (the checkpoint, not the data, carries the exactly-once guarantee).
+    * Generated data never reaches DuckDB, so the grade is the contract
+    * row: seeded row count (a constant both sides know), streamed silver
+    * == the batch silver transform, and rerun-added-nothing.
+    */
+  def ingestReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val n = 2000
+    val bronze = graft.gen.SalesGen.initialBatch(spark, n = n).toDF()
+    landTimeSlices(spark,
+      bronze.withColumn("slice_key",
+        expr("CAST(substring(order_id, 5) AS BIGINT)")),
+      nSlices = 4, landing, None)
+    graft.streaming.StreamingIngest.silverAvailableNow(spark, landing, out, ckpt)
+      .awaitTermination()
+    val afterFirst = spark.read.parquet(out)
+    val firstCount = afterFirst.count()
+    // rerun with the same checkpoint and no new files: exactly-once means
+    // zero additional rows
+    graft.streaming.StreamingIngest.silverAvailableNow(spark, landing, out, ckpt)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batchRef = graft.etl.Pipeline.silverTransform(bronze)
+    val matches = streamed.exceptAll(batchRef).isEmpty &&
+      batchRef.exceptAll(streamed).isEmpty
+    Seq((streamed.count(), matches, streamed.count() == firstCount))
+      .toDF("n_rows", "matches_batch", "no_dup_after_rerun")
+  }
+
+  /** q260 body: the continuously-maintained Count-Min sketch — corpus
+    * text streamed through StreamingCms's per-cell running counters
+    * (state bounded at depth×width by construction), final cell totals
+    * assembled from the update-mode emissions, then probed with the
+    * exact top-10 heavy hitters and graded by q229's CMS contract
+    * (never undercount; overcount ≤ slack·N/width), PLUS an engine-side
+    * cell-for-cell equality check against the batch-built sketch — the
+    * additive-merge law applied end-to-end through a real stream.
+    */
+  def cmsReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (depth, width) = (4, 1024)
+    val base = java.nio.file.Files.createTempDirectory("graft-cms-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    landTimeSlices(spark, docs.withColumn("slice_key", col("doc_id")),
+      nSlices = 4, landing, None)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .select(col("text")).as[String]
+    graft.streaming.StreamingCms.foldCells(
+      graft.streaming.StreamingCms.cellDeltas(stream, depth, width))
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[
+          graft.streaming.StreamingCms.CellTotal], id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(graft.streaming.StreamingCms.outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val sketch = spark.read.schema(StructType.fromDDL(
+      "row INT, cell BIGINT, total BIGINT, batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("row", "cell")
+      .agg(expr("max_by(total, batch_id)").as("cnt"))
+    val terms = docs.where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+    val batchSketch = SketchOps.cmsBuild(terms, depth, width)
+    val cellsEqual = sketch.exceptAll(batchSketch).isEmpty &&
+      batchSketch.exceptAll(sketch).isEmpty
+    val totals = terms.agg(count(lit(1)).as("n_terms"))
+    val top = terms.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term")).limit(10)
+    SketchOps.cmsEstimate(sketch, top, depth, width)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("true_cnt"),
+        (col("est") >= col("true_cnt")).as("within_lower"),
+        (col("est") <= col("true_cnt")
+          + lit(4) * expr(s"n_terms div $width")).as("within_upper"),
+        lit(cellsEqual).as("cells_equal_batch"))
+      .orderBy("term")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Graded against the SAME oracle text as q120: the incremental
     // streaming dimension build must reproduce the batch dimension.
@@ -682,6 +856,51 @@ object StreamReplayOps {
         |GROUP BY user_id, b.mx, b.mn
         |ORDER BY user_id""".stripMargin),
       (spark, dir) => inactivityReplay(spark, dir)),
+
+    // Running term counters: final update-mode emissions == the exact
+    // relational word count.
+    QueryDef(
+      "q257_termcounts_replay",
+      Some("""SELECT tt.term, CAST(COUNT(*) AS BIGINT) AS total
+        |FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)
+        |WHERE text IS NOT NULL AND tt.term <> ''
+        |GROUP BY tt.term ORDER BY term""".stripMargin),
+      (spark, dir) => termCountsReplay(spark, dir)),
+
+    // Stream-static MinHash flagging: q56-style contract (streamed ==
+    // batch incremental assign, >= 2 micro-batches, relational count).
+    QueryDef(
+      "q258_incrdedup_replay",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_landing,
+        |  TRUE AS multi_batch, TRUE AS matches_batch
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+      (spark, dir) => incrDedupReplay(spark, dir)),
+
+    // Exactly-once ingest: seeded count constant, streamed silver ==
+    // batch transform, checkpoint rerun adds nothing.
+    QueryDef(
+      "q259_ingest_replay",
+      Some("""SELECT CAST(2000 AS BIGINT) AS n_rows,
+        |  TRUE AS matches_batch, TRUE AS no_dup_after_rerun""".stripMargin),
+      (spark, dir) => ingestReplay(spark, dir)),
+
+    // Streamed CMS graded by q229's contract plus cell-for-cell
+    // equality with the batch-built sketch.
+    QueryDef(
+      "q260_cms_replay",
+      Some("""WITH terms AS (
+        |  SELECT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE term <> ''),
+        |tc AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
+        |top10 AS (
+        |  SELECT term, CAST(cnt AS BIGINT) AS true_cnt
+        |  FROM tc ORDER BY cnt DESC, term LIMIT 10)
+        |SELECT term, true_cnt, TRUE AS within_lower, TRUE AS within_upper,
+        |  TRUE AS cells_equal_batch
+        |FROM top10 ORDER BY term""".stripMargin),
+      (spark, dir) => cmsReplay(spark, dir)),
 
     // The IMPERATIVE sessionizer graded by the same q34 oracle text the
     // declarative q244 uses: both streaming tiers must independently

@@ -38,10 +38,15 @@ object StreamingIncrementalDedup {
       existing: DataFrame,
       outDir: String,
       checkpointDir: String,
-      schema: StructType): StreamingQuery = {
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val buckets = DedupOps.bucketTable(existing).cache()
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    // Trigger.AvailableNow honors maxFilesPerTrigger, so a replay can
+    // force several micro-batches (each joining the shared bucket
+    // relation independently) instead of one catch-all batch
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(landingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

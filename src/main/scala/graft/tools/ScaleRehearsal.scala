@@ -106,7 +106,9 @@ object ScaleRehearsal {
     // join), dedup + stream-stream join replays (linear in events)
     "q251_index_delta", "q252_streamdedup_replay",
     "q253_intervaljoin_replay", "q254_statefulsession_replay",
-    "q255_userstats_replay", "q256_enrichment_replay")
+    "q255_userstats_replay", "q256_enrichment_replay",
+    "q257_termcounts_replay", "q258_incrdedup_replay",
+    "q259_ingest_replay", "q260_cms_replay")
 
   private val OFFSET = 10000000L
 
