@@ -61,6 +61,24 @@ object StreamReplayOps {
     landBySlice(spark, sliced, nSlices, landingDir, flush)
   }
 
+  /** Run `body` with the stateful shuffle sized to the replay's data
+    * volume, restoring the session conf after. A stateful streaming
+    * operator materializes one-to-four state-store instances PER shuffle
+    * partition PER micro-batch; at the session's default partition count
+    * the store-commit overhead dwarfs the replay's data — sizing the
+    * shuffle is the same decision a production job makes when
+    * provisioning a stateful query. Queries run sequentially under
+    * Verify/Bench; the try/finally keeps any other caller safe. Partition
+    * count never affects results (all replay grades re-verify under it).
+    */
+  private def withReplayPartitions[T](spark: SparkSession, n: Int = 8)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Land a frame carrying an EXPLICIT `slice` column (dropped from the
     * output) as one file per slice value in [0, nSlices), plus an
     * optional flush frame as the strictly-latest file. Callers that need
@@ -115,13 +133,15 @@ object StreamReplayOps {
       .option("maxFilesPerTrigger", 1)
       .parquet(landing)
       .as[graft.streaming.StreamingScd2.ChangeEvent]
-    graft.streaming.StreamingScd2(changes)
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start(out)
-      .awaitTermination()
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingScd2(changes)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+        .awaitTermination()
+    }
     val flushStamp = bounds.select(
       date_format(timestamp_millis(flushMsCol), "yyyy-MM-dd HH:mm:ss")
         .as("flush_stamp"))
@@ -161,10 +181,12 @@ object StreamReplayOps {
       nSlices = 4, landing, Some(flush))
     val schema = StructType.fromDDL(
       "user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP")
-    graft.streaming.StreamingSessionWindow.sessionAggAvailableNow(
-      spark, landing, out, ckpt, schema,
-      maxFilesPerTrigger = Some(1))
-      .awaitTermination()
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingSessionWindow.sessionAggAvailableNow(
+        spark, landing, out, ckpt, schema,
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
     spark.read.schema(StructType.fromDDL(
       "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, " +
         "n_events BIGINT, sum_value DOUBLE"))
@@ -198,10 +220,12 @@ object StreamReplayOps {
       nSlices = 4, landing, Some(flush))
     val schema = StructType.fromDDL(
       "event_type STRING, value DOUBLE, ts TIMESTAMP")
-    graft.streaming.StreamingWindowedAgg.windowedAggAvailableNow(
-      spark, landing, out, ckpt, schema,
-      maxFilesPerTrigger = Some(1))
-      .awaitTermination()
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingWindowedAgg.windowedAggAvailableNow(
+        spark, landing, out, ckpt, schema,
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
     spark.read.schema(StructType.fromDDL(
       "window_start TIMESTAMP, window_end TIMESTAMP, event_type STRING, " +
         "n_events BIGINT, sum_value DOUBLE"))
@@ -239,13 +263,15 @@ object StreamReplayOps {
       .option("maxFilesPerTrigger", 1)
       .parquet(landing)
       .as[graft.streaming.StreamingLastTouch.TouchEvent]
-    graft.streaming.StreamingLastTouch.attribute(touches)
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start(out)
-      .awaitTermination()
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingLastTouch.attribute(touches)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+        .awaitTermination()
+    }
     spark.read.schema(
       Encoders.product[graft.streaming.StreamingLastTouch.Attribution].schema)
       .parquet(out)
@@ -282,7 +308,7 @@ object StreamReplayOps {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try withReplayPartitions(spark) {
       val seen = spark.readStream
         .schema("user_id BIGINT, ts_ms BIGINT")
         .option("maxFilesPerTrigger", 1)
@@ -343,13 +369,15 @@ object StreamReplayOps {
       .withColumn("slice", sliceOf + 1) // one batch AFTER the original
     landBySlice(spark, originals.unionByName(redeliveries),
       nSlices + 1, landing, None)
-    graft.streaming.StreamingDedup.dedupAvailableNow(
-      spark, landing, out, ckpt,
-      StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, ts TIMESTAMP"),
-      tsCol = "ts", delay = s"$delayMs milliseconds",
-      keys = Seq("event_id"))
-      .awaitTermination()
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingDedup.dedupAvailableNow(
+        spark, landing, out, ckpt,
+        StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, ts TIMESTAMP"),
+        tsCol = "ts", delay = s"$delayMs milliseconds",
+        keys = Seq("event_id"))
+        .awaitTermination()
+    }
     spark.read.schema(StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, ts TIMESTAMP"))
       .parquet(out)
@@ -391,26 +419,16 @@ object StreamReplayOps {
       "user_id BIGINT, event_id BIGINT, ts TIMESTAMP")
     def read(dirIn: String) = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dirIn)
-    // A stream-stream join materializes FOUR state-store instances per
-    // shuffle partition per side-pair; at the session's default
-    // partition count the per-micro-batch store-commit overhead dwarfs
-    // the data. Size the stateful shuffle to the replay's data volume —
-    // the same decision a production job makes when provisioning a
-    // stateful query — and restore the session conf after (queries run
-    // sequentially under Verify/Bench; the try/finally keeps any other
-    // caller safe).
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try graft.streaming.StreamingIntervalJoin.attribute(read(landV), read(landC),
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingIntervalJoin.attribute(read(landV), read(landC),
         horizon = "2 hours")
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start(out)
-      .awaitTermination()
-    finally spark.conf.set(key, prev)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+        .awaitTermination()
+    }
     spark.read.schema(StructType.fromDDL(
       "user_id BIGINT, view_id BIGINT, click_id BIGINT, " +
         "view_ts TIMESTAMP, click_ts TIMESTAMP"))
@@ -457,13 +475,15 @@ object StreamReplayOps {
       .option("maxFilesPerTrigger", 1)
       .parquet(landing)
       .as[graft.streaming.StatefulSessions.SessionEvent]
-    graft.streaming.StatefulSessions.sessionize(stream, gapUs = 30L * 60 * 1000000)
-      .writeStream.format("parquet")
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start(out)
-      .awaitTermination()
+    withReplayPartitions(spark) {
+      graft.streaming.StatefulSessions.sessionize(stream, gapUs = 30L * 60 * 1000000)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+        .awaitTermination()
+    }
     spark.read.schema(StructType.fromDDL(
       "user_id BIGINT, session_start STRING, n_events BIGINT, " +
         "total_value DOUBLE"))
@@ -501,7 +521,7 @@ object StreamReplayOps {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try withReplayPartitions(spark) {
       val stream = spark.readStream
         .schema("user_id LONG, event_type STRING, cents LONG, ts_us LONG")
         .option("maxFilesPerTrigger", 1)
@@ -567,8 +587,9 @@ object StreamReplayOps {
       .option("maxFilesPerTrigger", 1)
       .parquet(landing)
       .drop("ts_us")
-    graft.streaming.StreamingEnrichment.macroRevenue(
-      graft.streaming.StreamingEnrichment.enrich(stream, dim))
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingEnrichment.macroRevenue(
+        graft.streaming.StreamingEnrichment.enrich(stream, dim))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(out); ()
@@ -578,6 +599,7 @@ object StreamReplayOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
+    }
     spark.read.schema(
       StructType.fromDDL("macro_category STRING, revenue DOUBLE"))
       .parquet(out)
@@ -602,8 +624,9 @@ object StreamReplayOps {
       .option("maxFilesPerTrigger", 1)
       .parquet(landing)
       .select(col("text")).as[String]
-    graft.streaming.StreamingTermCounts.countTerms(
-      graft.streaming.StreamingTermCounts.tokenDeltas(stream))
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingTermCounts.countTerms(
+        graft.streaming.StreamingTermCounts.tokenDeltas(stream))
       .writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[
@@ -617,6 +640,7 @@ object StreamReplayOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
+    }
     spark.read.schema(StructType.fromDDL(
       "term STRING, total BIGINT, batch_id BIGINT"))
       .parquet(out)
@@ -718,8 +742,9 @@ object StreamReplayOps {
       .option("maxFilesPerTrigger", 1)
       .parquet(landing)
       .select(col("text")).as[String]
-    graft.streaming.StreamingCms.foldCells(
-      graft.streaming.StreamingCms.cellDeltas(stream, depth, width))
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingCms.foldCells(
+        graft.streaming.StreamingCms.cellDeltas(stream, depth, width))
       .writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[
@@ -733,6 +758,7 @@ object StreamReplayOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
+    }
     val sketch = spark.read.schema(StructType.fromDDL(
       "row INT, cell BIGINT, total BIGINT, batch_id BIGINT"))
       .parquet(out)
