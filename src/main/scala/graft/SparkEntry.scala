@@ -19,7 +19,7 @@ object SparkEntry {
       LayoutOps.defs ++ WarehouseOps.defs ++ TimeSeriesOps.defs ++
       GraphOps.defs ++ AuditOps.defs ++ ScaleShapeOps.defs ++
       EmbedStatsOps.defs ++ ExperimentOps.defs ++ SketchOps.defs ++
-      VocabModelOps.defs ++ StreamReplayOps.defs ++
+      VocabModelOps.defs ++ StreamReplayOps.defs ++ LinkageOps.defs ++
       graft.sources.TextFormats.defs ++
       graft.sources.ColumnarFormats.defs ++
       graft.sources.XmlFormat.defs ++

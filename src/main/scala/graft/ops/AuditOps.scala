@@ -407,7 +407,101 @@ object AuditOps {
       |  STRFTIME(MAX(day), '%Y-%m-%d') AS last_missing
       |FROM missing""".stripMargin
 
+  /** q265 body: right-to-erasure propagation audit. Given a delete
+    * request set (customers keyed by custkey ≡ 13 mod 97 — a stand-in
+    * for the compliance queue), report, per table in the star schema,
+    * how many rows the purge removes and keeps: customer rows directly,
+    * orders via o_custkey, lineitem transitively via the purged orders,
+    * events via user_id. This is the blast-radius report a GDPR/CCPA
+    * delete job emits BEFORE rewriting 100 TB — and running it again
+    * after the rewrite (when all purged counts must be zero) is the
+    * completion check.
+    *
+    * Scale shape: the request set is a small fraction of one dimension,
+    * so every membership test is a BROADCAST semi-structure — customer/
+    * orders/events never shuffle. The transitive lineitem step uses the
+    * purged ORDER KEYS, which can outgrow a broadcast at full scale; it
+    * is a plain (unhinted) semi-join there so AQE picks broadcast vs
+    * shuffle by runtime size — the one join in the audit that is allowed
+    * to shuffle, keyed on the 8-byte orderkey. Counts are conditional
+    * aggregates over one scan per table; no purged copy is materialized.
+    */
+  def erasureAudit(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      events: DataFrame): DataFrame = {
+    val del = customer.where(col("c_custkey") % 97 === 13)
+      .select(col("c_custkey").as("del_key"))
+    def report(name: String, df: DataFrame, flag: org.apache.spark.sql.Column) =
+      df.agg(
+        count(lit(1)).as("rows_total"),
+        sum(when(flag, 1L).otherwise(0L)).as("rows_purged"))
+        .select(lit(name).as("table_name"), col("rows_total"),
+          col("rows_purged"),
+          (col("rows_total") - col("rows_purged")).as("rows_kept"))
+    val custFlagged = report("customer", customer
+      .join(broadcast(del), col("c_custkey") === col("del_key"), "left"),
+      col("del_key").isNotNull)
+    val ordFlagged = orders
+      .join(broadcast(del), col("o_custkey") === col("del_key"), "left")
+    val ordReport = report("orders", ordFlagged, col("del_key").isNotNull)
+    val purgedOrders = ordFlagged.where(col("del_key").isNotNull)
+      .select(col("o_orderkey").as("po_key"))
+    val liReport = report("lineitem", lineitem
+      .join(purgedOrders, col("l_orderkey") === col("po_key"), "left"),
+      col("po_key").isNotNull)
+    val evReport = report("events", events
+      .join(broadcast(del), col("user_id") === col("del_key"), "left"),
+      col("del_key").isNotNull)
+    custFlagged.unionByName(ordReport).unionByName(liReport)
+      .unionByName(evReport).orderBy("table_name")
+  }
+
+  private val erasureOracle: String =
+    """WITH del AS (
+      |  SELECT c_custkey AS del_key FROM customer WHERE c_custkey % 97 = 13),
+      |po AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT del_key FROM del))
+      |SELECT * FROM (
+      |  SELECT 'customer' AS table_name,
+      |    CAST(COUNT(*) AS BIGINT) AS rows_total,
+      |    CAST(COALESCE(SUM(CASE WHEN c_custkey IN (SELECT del_key FROM del)
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS rows_purged,
+      |    CAST(COUNT(*) - COALESCE(SUM(CASE WHEN c_custkey IN
+      |      (SELECT del_key FROM del) THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS rows_kept
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN o_custkey IN (SELECT del_key FROM del)
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) - COALESCE(SUM(CASE WHEN o_custkey IN
+      |      (SELECT del_key FROM del) THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) - COALESCE(SUM(CASE WHEN l_orderkey IN
+      |      (SELECT o_orderkey FROM po) THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN user_id IN (SELECT del_key FROM del)
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    CAST(COUNT(*) - COALESCE(SUM(CASE WHEN user_id IN
+      |      (SELECT del_key FROM del) THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |  FROM events
+      |) ORDER BY table_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q265_erasure_audit", Some(erasureOracle),
+      (spark, dir) => erasureAudit(
+        t(spark, dir, "customer"), t(spark, dir, "orders"),
+        t(spark, dir, "lineitem"), EventOps.events(spark, dir))),
+
     QueryDef("q230_debounce", Some(debounceOracle),
       (spark, dir) => debounceStats(EventOps.events(spark, dir))),
 

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Entity resolution / record linkage (SURVEY §7.4 extension tier): the
+  * "match a dirty registry against the master table" primitive every
+  * large-scale ingest runs when a feed arrives without stable keys. The
+  * reference pipeline joins on exact keys only (02:44-58); this tier adds
+  * the approximate-key path: candidate generation by BLOCKING (never
+  * all-pairs), a bounded edit-distance verifier, and a deterministic
+  * best-match resolution — the same candidates-then-verify doctrine as
+  * the MinHash/prefix-filter dedup family (DedupOps), applied to entity
+  * keys instead of documents.
+  *
+  * Scale shape: the only wire cost is one hash shuffle of each side on
+  * the block key. Blocking here is on the name SUFFIX (last 6 id
+  * digits) — for id-like strings the suffix is the high-entropy end, so
+  * blocks stay near-singleton until the key space exceeds 1e6 and grow
+  * only as |keys|/1e6 after that; per-block pair fan-out is bounded with
+  * no quadratic blow-up. The best-match window partitions by registry id
+  * (one more bounded shuffle); levenshtein is row-local codegen. The
+  * audit's final left join keyed on r_id counts the registry rows whose
+  * typo broke the block key — the recall hole a blocking design review
+  * has to surface, not hide.
+  */
+object LinkageOps {
+
+  /** One-digit substitution at 1-based position `pos` of an 18-char
+    * master name: digit d → (d + 7) mod 10 (always a real change).
+    */
+  private def sub(name: org.apache.spark.sql.Column, pos: Int) =
+    concat(substring(name, 1, pos - 1),
+      ((substring(name, pos, 1).cast("int") + 7) % 10).cast("string"),
+      substring(name, pos + 1, 18 - pos))
+
+  /** Deterministic "dirty registry" derived from the master: custkeys
+    * ≢ 2 (mod 3) enter with r_id in a disjoint 9e6 space (so match
+    * correctness is checkable), and a typo tier keyed on custkey mod 9:
+    * 0/3 exact; 1/6 one leading-digit typo (dist 1); 4 two leading-digit
+    * typos (dist 2); 7 a LAST-digit typo that breaks the suffix block
+    * key — deliberately unmatched, to grade the audit's recall column.
+    */
+  def dirtyRegistry(customer: DataFrame): DataFrame = {
+    val name = col("c_name")
+    val m = col("c_custkey") % 9
+    customer
+      .where(col("c_custkey") % 3 =!= 2)
+      .select(
+        (col("c_custkey") + 9000000L).as("r_id"),
+        when(m === 1 || m === 6, sub(name, 11))
+          .when(m === 4, sub(sub(name, 11), 12))
+          .when(m === 7, concat(substring(name, 1, 17), lit("X")))
+          .otherwise(name).as("r_name"))
+  }
+
+  /** q261 body: block on the 6-char name suffix (stable under the
+    * planted leading-digit typos), verify candidates with
+    * levenshtein ≤ 2, resolve each registry row to its best master by
+    * (min distance, min custkey) — a total order, so the pick is
+    * engine-deterministic even if a typo collides with another master.
+    * Output is the per-distance match audit (dist -1 = unmatched): how
+    * many registry rows resolved at each edit distance and how many
+    * resolved to their true parent.
+    */
+  def recordLinkage(customer: DataFrame): DataFrame = {
+    val master = customer.select(col("c_custkey"), col("c_name"),
+      substring(col("c_name"), 13, 6).as("blk"))
+    val registry = dirtyRegistry(customer)
+      .withColumn("blk", substring(col("r_name"), 13, 6))
+    val candidates = master.join(registry, "blk")
+      .withColumn("dist", levenshtein(col("c_name"), col("r_name")))
+      .where(col("dist") <= 2)
+    val best = Window.partitionBy(col("r_id"))
+      .orderBy(col("dist").asc, col("c_custkey").asc)
+    val resolved = candidates
+      .withColumn("rnk", row_number().over(best))
+      .where(col("rnk") === 1)
+      .select(col("r_id").as("m_rid"), col("c_custkey"), col("dist"))
+    dirtyRegistry(customer)
+      .join(resolved, col("r_id") === col("m_rid"), "left")
+      .groupBy(coalesce(col("dist").cast("long"), lit(-1L)).as("dist"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("c_custkey") === col("r_id") - 9000000L, 1L)
+          .otherwise(0L)).as("n_correct"))
+      .orderBy(col("dist"))
+  }
+
+  private val registrySql: String =
+    """registry AS (
+      |  SELECT c_custkey + 9000000 AS r_id,
+      |    CASE
+      |      WHEN c_custkey % 9 IN (1, 6) THEN
+      |        substr(c_name, 1, 10) ||
+      |        CAST((CAST(substr(c_name, 11, 1) AS INTEGER) + 7) % 10
+      |          AS VARCHAR) || substr(c_name, 12, 7)
+      |      WHEN c_custkey % 9 = 4 THEN
+      |        substr(c_name, 1, 10) ||
+      |        CAST((CAST(substr(c_name, 11, 1) AS INTEGER) + 7) % 10
+      |          AS VARCHAR) ||
+      |        CAST((CAST(substr(c_name, 12, 1) AS INTEGER) + 7) % 10
+      |          AS VARCHAR) || substr(c_name, 13, 6)
+      |      WHEN c_custkey % 9 = 7 THEN substr(c_name, 1, 17) || 'X'
+      |      ELSE c_name END AS r_name
+      |  FROM customer WHERE c_custkey % 3 <> 2)""".stripMargin
+
+  private val linkageSql: String =
+    s"""WITH $registrySql,
+      |candidates AS (
+      |  SELECT m.c_custkey, r.r_id,
+      |    levenshtein(m.c_name, r.r_name) AS dist
+      |  FROM customer m
+      |  JOIN registry r ON substr(m.c_name, 13, 6) = substr(r.r_name, 13, 6)
+      |  WHERE levenshtein(m.c_name, r.r_name) <= 2),
+      |resolved AS (
+      |  SELECT c_custkey, r_id, dist FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY r_id
+      |        ORDER BY dist ASC, c_custkey ASC) AS rnk
+      |    FROM candidates)
+      |  WHERE rnk = 1)
+      |SELECT COALESCE(CAST(s.dist AS BIGINT), -1) AS dist,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COALESCE(SUM(CASE WHEN s.c_custkey = g.r_id - 9000000
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct
+      |FROM registry g LEFT JOIN resolved s ON g.r_id = s.r_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q261_record_linkage", Some(linkageSql),
+      (spark, dir) => recordLinkage(t(spark, dir, "customer"))))
+}

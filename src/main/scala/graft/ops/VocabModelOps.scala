@@ -245,7 +245,86 @@ object VocabModelOps {
        |FROM words JOIN v3 ON v3.w = words.w
        |GROUP BY words.lang ORDER BY words.lang""".stripMargin
 
+  /** q262 body: linear text-classifier INFERENCE, the fasttext-style
+    * quality/language-filter stage of a pretraining pipeline, with the
+    * model trained in-engine by closed-form per-token statistics. The
+    * "weight" of a token is its English document-frequency share on a
+    * fixed 1e6 micro-unit grid — `en_df * 1e6 div total_df`, integer
+    * division, so the model is exact and engine-identical (no log-odds
+    * floats to drift). A document's score sums the weights of its
+    * DISTINCT tokens; the prediction compares the mean weight against
+    * the corpus prior, cross-multiplied into pure BIGINT terms
+    * (`score * 1e4  vs  prior_bp * 1e6 * n_toks`, bounded ≤1e15 even at
+    * 1e5-token documents). Output is the 2×2 confusion matrix — the
+    * numbers a filter-quality dashboard actually tracks.
+    *
+    * Scale shape: tokenization is map-side; the df aggregation is one
+    * vocabulary-bounded shuffle with partial aggregation; the weight
+    * table is vocabulary-sized so it BROADCASTS into the token stream at
+    * any corpus scale; per-doc scoring shuffles once on doc_id with
+    * map-side combine; the prior is a one-row broadcast. The knife-edge
+    * threshold (most docs score near the prior) is deliberate — any
+    * engine drift in the integer pipeline flips a prediction and fails
+    * the hash.
+    */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val docTokens = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_en"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), col("is_en"), col("tok")).distinct()
+    val weights = docTokens
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("en_df"),
+        count(lit(1)).as("total_df"))
+      .select(col("tok"),
+        expr("en_df * 1000000 div total_df").as("w"))
+    val prior = docs.agg(
+      expr("sum(case when lang = 'en' then 1 else 0 end) * 10000 div count(1)")
+        .as("prior_bp"))
+    val scored = docTokens
+      .join(broadcast(weights), "tok")
+      .groupBy(col("doc_id"), col("is_en"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_toks"))
+    scored.crossJoin(broadcast(prior))
+      .select(col("is_en"),
+        (col("score") * 10000L >=
+          col("prior_bp") * 1000000L * col("n_toks")).as("pred_en"))
+      .groupBy(col("is_en"), col("pred_en"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("is_en"), col("pred_en"))
+  }
+
+  private val classifierOracle: String =
+    """WITH doc_tokens AS (
+      |  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |toks AS (SELECT * FROM doc_tokens WHERE tok <> ''),
+      |weights AS (
+      |  SELECT tok,
+      |    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000
+      |      // COUNT(*) AS w
+      |  FROM toks GROUP BY tok),
+      |prior AS (
+      |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000
+      |      // COUNT(*) AS prior_bp
+      |  FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.is_en, SUM(w.w) AS score, COUNT(*) AS n_toks
+      |  FROM toks t JOIN weights w ON t.tok = w.tok
+      |  GROUP BY t.doc_id, t.is_en)
+      |SELECT s.is_en,
+      |  s.score * 10000 >= p.prior_bp * 1000000 * s.n_toks AS pred_en,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM scored s CROSS JOIN prior p
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q262_quality_classifier", Some(classifierOracle),
+      (spark, dir) => qualityClassifier(t(spark, dir, "documents"))),
+
     QueryDef("q179_char_lm", Some(charTrigramOracle),
       (spark, dir) => charTrigramScore(t(spark, dir, "documents"))),
 

@@ -186,4 +186,29 @@ class AuditSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("erasureAudit propagates the purge through orders to lineitem") {
+    // delete set = custkey % 97 == 13 -> only customer 13
+    val customer = Seq(13L, 1L, 2L).toDF("c_custkey")
+    val orders = Seq((100L, 13L), (200L, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(100L, 100L, 200L).toDF("l_orderkey")
+    val events = Seq(13L, 13L, 2L).toDF("user_id")
+    val out = AuditOps.erasureAudit(customer, orders, lineitem, events)
+      .collect().toSeq
+    assert(out === Seq(
+      Row("customer", 3L, 1L, 2L),
+      Row("events", 3L, 2L, 1L),
+      Row("lineitem", 3L, 2L, 1L),
+      Row("orders", 2L, 1L, 1L)))
+  }
+
+  test("erasureAudit with an empty delete set purges nothing") {
+    val customer = Seq(1L, 2L).toDF("c_custkey")
+    val orders = Seq((100L, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(100L).toDF("l_orderkey")
+    val events = Seq(1L).toDF("user_id")
+    val purged = AuditOps.erasureAudit(customer, orders, lineitem, events)
+      .collect().map(r => r.getLong(2)).sum
+    assert(purged === 0L)
+  }
 }

@@ -73,4 +73,37 @@ class VocabModelSpec extends SparkSpec {
     assert(row.getAs[Long]("n_known") == 1L)
     assert(row.getAs[Double]("coverage") == 0.25)
   }
+
+  test("quality classifier: integer weights, prior threshold, confusion cells") {
+    // df: a -> en 2/3 (w=666666), b -> en 1/3 (w=333333); prior_bp=5000
+    // doc 1 {a,b}: 999999*1e4 <  5000*1e6*2 -> pred false (knife edge)
+    // doc 2 {a}:   666666*1e4 >= 5000*1e6*1 -> pred true
+    // doc 3 {b} and doc 4 {b,a}: below -> pred false
+    val docs = Seq(
+      (1L, "en", "a b"),
+      (2L, "en", "a"),
+      (3L, "de", "b"),
+      (4L, "de", "b a"))
+      .toDF("doc_id", "lang", "text")
+    val out = VocabModelOps.qualityClassifier(docs).collect().toSeq
+    assert(out === Seq(
+      org.apache.spark.sql.Row(false, false, 2L),
+      org.apache.spark.sql.Row(true, false, 1L),
+      org.apache.spark.sql.Row(true, true, 1L)))
+  }
+
+  test("quality classifier counts repeated tokens once per document") {
+    // without the distinct, doc 2 would double-count 'a' and flip cells
+    val docs = Seq(
+      (1L, "en", "a b"),
+      (2L, "en", "a a a"),
+      (3L, "de", "b"),
+      (4L, "de", "b a"))
+      .toDF("doc_id", "lang", "text")
+    val out = VocabModelOps.qualityClassifier(docs).collect().toSeq
+    assert(out === Seq(
+      org.apache.spark.sql.Row(false, false, 2L),
+      org.apache.spark.sql.Row(true, false, 1L),
+      org.apache.spark.sql.Row(true, true, 1L)))
+  }
 }
