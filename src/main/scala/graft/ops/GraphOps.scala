@@ -316,7 +316,99 @@ object GraphOps {
        |FROM n3 JOIN nation n ON n.n_nationkey = node
        |GROUP BY 1 ORDER BY n_triangles DESC, nation""".stripMargin
 
+  /** Undirected customer–supplier bipartite edges: one row per distinct
+    * trading pair from the order lines, with ids disambiguated onto one
+    * node space (customers even, suppliers odd). Unlike the 25-node
+    * nation graph above, this projection carries thousands of nodes and
+    * grows with the fact table — the scale tier the propagation loop is
+    * written for.
+    */
+  def tradePairEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // one month of ship activity: the window an account-graph job
+    // actually runs over, and sparse enough that the community
+    // structure is non-trivial (the full-history projection collapses
+    // to one giant component and grades nothing)
+    val pairs = orders
+      .join(lineitem.where(
+        col("l_shipdate") >= lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-07-01 00:00:00").cast("timestamp_ntz")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** q263 body: K rounds of synchronous min-label propagation (the
+    * hash-min community/component kernel) over the customer–supplier
+    * graph. Every node starts labeled with its own id; each round a node
+    * takes the min of its label and its neighbors' labels — after K
+    * rounds a node's label is the smallest id within K hops, so the
+    * label histogram is a deterministic community profile with no
+    * float, RNG, or tie-break ambiguity. Bounded K grades the
+    * propagation kernel itself; run-to-convergence reuses q51's
+    * active-set + localCheckpoint doctrine (DedupOps.dupClusters).
+    *
+    * Scale shape: one shuffle per round, keyed on the node id — edges
+    * and labels hash-partition identically so rounds reuse the
+    * partitioning; messages combine map-side (min). No all-pairs, no
+    * driver-side state; the output is label-bounded (communities), not
+    * node-bounded.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val msgs = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst").as("m_node"))
+        .agg(min(col("label")).as("m_label"))
+      labels = labels.join(msgs, col("node") === col("m_node"))
+        .select(col("node"), least(col("label"), col("m_label")).as("label"))
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle generated from the SAME round count as the graded body (the
+    * q180 bpeChainSql doctrine: parameter and oracle cannot drift).
+    */
+  private def labelPropOracle(rounds: Int): String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT l.node, LEAST(l.label, MIN(p.label)) AS label
+         |  FROM $prev l
+         |  JOIN ed ON ed.dst = l.node
+         |  JOIN $prev p ON p.node = ed.src
+         |  GROUP BY l.node, l.label)""".stripMargin
+    val chain = (1 to rounds)
+      .map(r => round(s"l${r - 1}", s"l$r")).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'),
+       |ed AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+       |$chain
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM l$rounds GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  private val lpaRounds = 3
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q263_graph_communities", Some(labelPropOracle(lpaRounds)),
+      (spark, dir) => labelPropagation(
+        tradePairEdges(t(spark, dir, "orders"), t(spark, dir, "lineitem"))
+          .localCheckpoint(),
+        rounds = lpaRounds)),
+
     // Degree-oriented triangle counting over the undirected trade graph;
     // the oracle recomputes the same orientation + wedge-close in SQL.
     QueryDef("q211_trade_triangles", Some(triangleOracle),

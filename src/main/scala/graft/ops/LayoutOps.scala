@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -92,9 +92,85 @@ object LayoutOps {
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** q264 body: a zone-map (manifest) pruned scan — the file-skipping
+    * read path of every table format (Iceberg/Delta/Hudi manifests,
+    * parquet footer stats) made explicit as an operator. Three steps:
+    * (1) lay the fact slice out as range-clustered files (the write
+    * side every warehouse already runs; here `repartitionByRange` on
+    * the ship date, 16 files); (2) build the zone map — per-file
+    * min/max of the cluster column, ONE scan, collected to the planner
+    * (O(files) METADATA, the same driver-side planning every table
+    * format performs; never row data); (3) answer a range predicate by
+    * reading ONLY the files whose [min,max] intersect it, with the
+    * predicate re-applied as a residual filter — so the result is
+    * EXACT regardless of how the range partitioner split the files,
+    * and the oracle can grade it from the logical table alone.
+    *
+    * At 100 TB the win is the whole point: a year-sized predicate over
+    * a decade of data plans ~10% of the files, and the pruned read
+    * never touches the rest. LayoutSpec pins the skipping effect
+    * itself (selective predicate ⇒ strictly fewer files read).
+    */
+  def zoneMapPrunedScan(
+      spark: SparkSession,
+      li: DataFrame,
+      lo: String,
+      hi: String,
+      files: Int = 16): (Long, Long, DataFrame) = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_q264_zonemap")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
+    li.select(col("l_shipdate"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartitionByRange(files, col("l_shipdate"))
+      .write.mode("overwrite").parquet(loc.toString)
+    // l_shipdate is TIMESTAMP_NTZ (timezone-free by definition); its
+    // fixed-format string rendering is order-isomorphic, so the zone
+    // map lives on the string grid and pruning can never depend on a
+    // JVM or session timezone
+    val zoneMap = spark.read.parquet(loc.toString)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_shipdate").cast("string")).as("zlo"),
+        max(col("l_shipdate").cast("string")).as("zhi"))
+      .collect() // O(files) planner metadata, not row data
+    val (loS, hiS) = (lo + " 00:00:00", hi + " 00:00:00")
+    val survivors = zoneMap
+      .filter(r => r.getAs[String]("zhi") >= loS &&
+        r.getAs[String]("zlo") <= hiS)
+      .map(_.getAs[String]("file"))
+    val pruned = spark.read.parquet(survivors.toIndexedSeq: _*)
+      .where(col("l_shipdate") >= lit(loS).cast("timestamp_ntz") &&
+        col("l_shipdate") <= lit(hiS).cast("timestamp_ntz"))
+    (zoneMap.length.toLong, survivors.length.toLong, pruned)
+  }
+
+  /** The graded q264 aggregate over the pruned read. */
+  def zoneMapQuery(spark: SparkSession, li: DataFrame): DataFrame = {
+    val (_, _, pruned) =
+      zoneMapPrunedScan(spark, li, "1997-01-01", "1997-12-31")
+    pruned.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q264Sql: String =
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  ${sqlMoneySum("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q124_zorder_stats",
       Some(q124Sql),
-      (spark, dir) => zBucketStats(t(spark, dir, "lineitem"))))
+      (spark, dir) => zBucketStats(t(spark, dir, "lineitem"))),
+
+    QueryDef(
+      "q264_zonemap_scan",
+      Some(q264Sql),
+      (spark, dir) => zoneMapQuery(spark, t(spark, dir, "lineitem"))))
 }

@@ -109,4 +109,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(one(3L) === 1000000L)
   }
+
+  test("label propagation: two components converge to their min ids") {
+    // component {1,2,3} (min 1) and component {10,11} (min 10),
+    // undirected edges supplied in both directions as tradePairEdges does
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val e = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 10L -> 2L))
+  }
+
+  test("label propagation: one round only reaches direct neighbors") {
+    // path 1-2-3-4: after one round node 4 sees only 3's initial label
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val hist = GraphOps.labelPropagation(e, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // labels after round 1: 1->1, 2->1, 3->2, 4->3
+    assert(hist === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -133,4 +133,20 @@ class MiningLayoutSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(1)).sum == li.count())
   }
+
+  test("zone-map scan skips files outside the predicate and stays exact") {
+    import graft.util.Tables.t
+    val li = t(spark, sf, "lineitem")
+    val (total, read, pruned) =
+      LayoutOps.zoneMapPrunedScan(spark, li, "1997-01-01", "1997-12-31")
+    // a one-year predicate over a ~7-year span must skip files...
+    assert(read < total, s"no files skipped: read $read of $total")
+    assert(read > 0)
+    // ...and the pruned read + residual filter is exactly the filtered table
+    val expected = li.where(
+      col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") <= lit("1997-12-31 00:00:00").cast("timestamp_ntz"))
+      .count()
+    assert(pruned.count() === expected)
+  }
 }
