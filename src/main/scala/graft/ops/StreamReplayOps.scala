@@ -439,6 +439,63 @@ object StreamReplayOps {
       .orderBy("view_id", "click_id")
   }
 
+  /** q266 body: the LEFT OUTER stream-stream interval join, replayed.
+    * Same two live file streams as q253, but every view must emit
+    * exactly once — paired when a click arrives, null-padded when the
+    * WATERMARK proves no click can still qualify. Outer emission
+    * happens on state eviction, so the replay appends a flush sentinel
+    * (user -1, one day past the corpus) to BOTH streams: the final
+    * batches' watermark then clears every real view's eviction bound
+    * and the unmatched tail drains before the query stops. The two
+    * sentinels carry DISTINCT negative users so they can never pair
+    * with each other; each then stays buffered (its own eviction bound
+    * is past the final watermark) and never reaches the sink — the
+    * readback filter is belt-and-braces. Graded against the relational
+    * LEFT JOIN over the same events — row-for-row, nulls included.
+    */
+  def leftOuterJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-loj-replay")
+    val (landV, landC, out, ckpt) =
+      (s"$base/views", s"$base/clicks", s"$base/out", s"$base/ckpt")
+    val ev = EventOps.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val flushTs = ev.agg((max(col("ts")) + expr("INTERVAL 1 DAY")).as("fts"))
+    def land(kind: String, dirOut: String, flushUser: Long): Unit = {
+      val side = ev.where(col("event_type") === kind)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val flush = flushTs.select(lit(flushUser).as("user_id"),
+        lit(-1L).as("event_id"), col("fts").as("ts"))
+      landTimeSlices(spark,
+        side.withColumn("slice_key", expr("unix_millis(ts)")),
+        nSlices = 4, dirOut, Some(flush))
+    }
+    land("view", landV, flushUser = -1L)
+    land("click", landC, flushUser = -2L)
+    val schema = StructType.fromDDL(
+      "user_id BIGINT, event_id BIGINT, ts TIMESTAMP")
+    def read(dirIn: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirIn)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingIntervalJoin.attributeLeftOuter(
+        read(landV), read(landC), horizon = "2 hours")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+        .awaitTermination()
+    }
+    spark.read.schema(StructType.fromDDL(
+      "user_id BIGINT, view_id BIGINT, click_id BIGINT, " +
+        "view_ts TIMESTAMP, click_ts TIMESTAMP"))
+      .parquet(out)
+      .where(col("user_id") >= 0L) // belt-and-braces: sentinels never emit
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+      .orderBy("view_id", "click_id")
+  }
+
   /** q254 body: replay events through the IMPERATIVE sessionizer
     * (StatefulSessions' flatMapGroupsWithState state machine) and grade
     * it against the same q34 oracle as the declarative q244 — the two
@@ -1011,5 +1068,21 @@ object StreamReplayOps {
         |WHERE click_ts >= view_ts
         |  AND click_ts <= view_ts + INTERVAL 2 HOUR
         |ORDER BY view_id, click_id""".stripMargin),
-      (spark, dir) => intervalJoinReplay(spark, dir)))
+      (spark, dir) => intervalJoinReplay(spark, dir)),
+
+    QueryDef(
+      "q266_leftouter_join_replay",
+      Some("""WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS click_user, event_id AS click_id,
+        |        ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id,
+        |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM v LEFT JOIN c ON v.user_id = c.click_user
+        |  AND click_ts >= view_ts
+        |  AND click_ts <= view_ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, click_id""".stripMargin),
+      (spark, dir) => leftOuterJoinReplay(spark, dir)))
 }

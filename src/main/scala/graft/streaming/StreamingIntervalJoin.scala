@@ -30,7 +30,26 @@ object StreamingIntervalJoin {
     * with click_ts in [view_ts, view_ts + horizon].
     */
   def attribute(views: DataFrame, clicks: DataFrame,
-      horizon: String = "10 minutes", delay: String = "20 minutes"): DataFrame = {
+      horizon: String = "10 minutes", delay: String = "20 minutes"): DataFrame =
+    joined(views, clicks, horizon, delay, "inner")
+
+  /** LEFT OUTER variant: every view emits exactly once — paired rows as
+    * soon as both sides arrive (inner semantics), and UNMATCHED views
+    * with a null click once the watermark proves no qualifying click
+    * can still arrive (watermark > view_ts + horizon). This is the
+    * "did the ad convert AT ALL" report the inner join cannot produce,
+    * and the semantics Spark only allows because the time-range
+    * condition yields that proof — the null row is emitted on state
+    * EVICTION, so a replay must advance the watermark past the last
+    * view's bound (a flush sentinel) or tail views stay buffered and
+    * unreported when the query stops.
+    */
+  def attributeLeftOuter(views: DataFrame, clicks: DataFrame,
+      horizon: String = "10 minutes", delay: String = "20 minutes"): DataFrame =
+    joined(views, clicks, horizon, delay, "leftOuter")
+
+  private def joined(views: DataFrame, clicks: DataFrame,
+      horizon: String, delay: String, joinType: String): DataFrame = {
     val v = views
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", delay)
@@ -41,7 +60,8 @@ object StreamingIntervalJoin {
     v.join(c,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

@@ -68,4 +68,38 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     assert(plan.contains(">=") && plan.contains("<="),
       s"expected a two-sided time-range join condition in:\n$plan")
   }
+
+  test("left outer: unmatched views emit null-padded after the watermark clears them") {
+    implicit val sqlCtx = spark.sqlContext
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    vs.addData(views: _*)
+    cs.addData(clicks: _*)
+    // sentinels a day later advance both watermarks past every real
+    // view's eviction bound, draining the unmatched tail; distinct
+    // negative users keep the two sentinels from pairing with each
+    // other, so each stays buffered (its own bound is past the final
+    // watermark) and must NOT reach the sink
+    vs.addData(Ev(-1L, -1L, ts("2024-01-02 10:00:00")))
+    cs.addData(Ev(-2L, -1L, ts("2024-01-02 10:00:00")))
+
+    val q = StreamingIntervalJoin.attributeLeftOuter(vs.toDF(), cs.toDF())
+      .writeStream
+      .format("memory").queryName("attrib_lo")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val rows = spark.table("attrib_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    // view 102 had no in-horizon click -> exactly one null-padded row;
+    // matched views 100/101 emit their pairs and no null row
+    assert(rows === Set(
+      (1L, 100L, Some(200L)),
+      (1L, 101L, Some(201L)),
+      (2L, 102L, None)), s"got $rows")
+  }
 }
