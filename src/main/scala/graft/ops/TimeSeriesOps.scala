@@ -476,7 +476,195 @@ object TimeSeriesOps {
       |    * 1000000) // COUNT(*) >= 20000 AS INT) AS page
       |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
 
+  /** Journey transition counts for q267: per-user event sequences
+    * ordered by (ts, event_id), truncated at the FIRST purchase (the
+    * conversion absorbs the journey), with 'start' prepended, purchase
+    * mapped to the absorbing 'conv', and journeys that never convert
+    * closed into the absorbing 'null'. One window pass per user — no
+    * self-join of the event stream; the output is channel²-bounded.
+    */
+  def journeyTransitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ranked = ev
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val firstPurchase = ranked.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("prn"))
+    val kept = ranked.join(firstPurchase, Seq("user_id"), "left")
+      .where(col("prn").isNull || col("rn") <= col("prn"))
+    val w2 = Window.partitionBy("user_id").orderBy("rn")
+    val steps = kept
+      .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .select(col("event_type").as("src"),
+        when(col("nxt") === "purchase", lit("conv"))
+          .when(col("nxt").isNull,
+            when(col("event_type") === "purchase", lit(null).cast("string"))
+              .otherwise(lit("null")))
+          .otherwise(col("nxt")).as("dst"))
+      .where(col("dst").isNotNull)
+    val starts = kept.where(col("rn") === 1)
+      .select(lit("start").as("src"),
+        when(col("event_type") === "purchase", lit("conv"))
+          .otherwise(col("event_type")).as("dst"))
+    steps.unionByName(starts)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** q267 body: Markov removal-effect attribution (Anderl et al.'s
+    * data-driven model) — how much of the conversion probability each
+    * channel is responsible for, measured by DELETING the channel from
+    * the journey graph and re-solving the chain. Extends q147's
+    * transition matrix with absorbing states and an iterated
+    * absorption-probability solve, entirely on the integer micro-unit
+    * grid (q186's PageRank doctrine): transition probabilities are
+    * `cnt*1e6 div total`, each of the `iters` value-iteration rounds is
+    * BIGINT multiply-sum-floor, so every engine computes bit-identical
+    * chains; the only doubles are the final per-channel effect ratios
+    * (one exact-integer subtraction, one multiply, one divide —
+    * correctly rounded, identical trees). Removing channel c = dropping
+    * c's row and letting mass into c fall into the absorbing 'null'
+    * (p(null)=0, so dropped rows model the redirect exactly).
+    *
+    * Scale shape: the journey pass is one per-user window; everything
+    * after lives on a channel²-bounded relation (≤ ~40 rows regardless
+    * of corpus size) — the value iteration is broadcast-trivial at any
+    * scale, deliberately expressed as dataframe ops so the same code
+    * runs when "channels" are thousands of campaigns.
+    */
+  def markovAttribution(ev: DataFrame, iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val trans = journeyTransitions(ev)
+    val probs = trans
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("src")))
+      .withColumn("prob", expr("cnt * 1000000 div tot"))
+      .select("src", "dst", "prob")
+    val scenarios = ev.select(col("event_type").as("scenario"))
+      .where(col("scenario") =!= "purchase").distinct()
+      .unionByName(ev.sparkSession.range(1).select(lit("base").as("scenario")))
+    val sp = scenarios.crossJoin(probs)
+      .where(col("src") =!= col("scenario") && col("dst") =!= col("scenario"))
+    // The value iteration folds INSIDE one codegen'd expression over the
+    // collected per-scenario edge list (channel²-bounded by construction,
+    // ≤ ~40 structs) — a dataframe-level loop would schedule 2·iters tiny
+    // shuffle stages whose fixed cost dwarfs the arithmetic. Same trade
+    // as q218's broadcast iteration, taken one step further because the
+    // state here is bounded by the CHANNEL vocabulary, not the data.
+    // Integer adds commute, so the fold is list-order independent.
+    val p = sp.groupBy("scenario")
+      .agg(collect_list(struct(col("src"), col("dst"), col("prob")))
+        .as("edges"))
+      .withColumn("pmap", expr(
+        s"""aggregate(sequence(1, $iters),
+           |  map_from_entries(transform(
+           |    array_distinct(transform(edges, e -> e.src)),
+           |    s -> struct(s AS state, 0L AS p))),
+           |  (acc, i) -> map_from_entries(transform(
+           |    array_distinct(transform(edges, e -> e.src)),
+           |    s -> struct(s AS state,
+           |      aggregate(filter(edges, e -> e.src = s), 0L,
+           |        (a, e) -> a + e.prob *
+           |          (CASE WHEN e.dst = 'conv' THEN 1000000L
+           |                WHEN e.dst = 'null' THEN 0L
+           |                ELSE coalesce(acc[e.dst], 0L) END))
+           |      div 1000000 AS p))))""".stripMargin))
+      .select(col("scenario"), col("pmap").getItem("start").as("p"))
+      // both output branches (base scalar + per-channel rows) read this
+      // 5-row frame; materialize it once so the journey pass runs once
+      .localCheckpoint()
+    val base = p.where(col("scenario") === "base")
+      .select(col("p").as("p_base_ppm"))
+    p.where(col("scenario") =!= "base")
+      .select(col("scenario").as("channel"), col("p").as("p_removed_ppm"))
+      .crossJoin(broadcast(base))
+      .select(col("channel"), col("p_base_ppm"), col("p_removed_ppm"),
+        when(col("p_base_ppm") > 0,
+          (col("p_base_ppm") - col("p_removed_ppm")).cast("double")
+            * 10000d / col("p_base_ppm"))
+          .as("removal_effect_bp"))
+      .orderBy("channel")
+  }
+
+  /** Oracle generated from the SAME iteration count as the graded body
+    * (the q180/q263 doctrine: parameter and oracle cannot drift).
+    */
+  private def markovOracle(iters: Int): String = {
+    val chain = (1 to iters).map { k =>
+      s"""p$k AS (
+         |  SELECT t.scenario, t.src AS state,
+         |    SUM(t.prob * CASE WHEN t.dst = 'conv' THEN 1000000
+         |      WHEN t.dst = 'null' THEN 0
+         |      ELSE COALESCE(q.p, 0) END) // 1000000 AS p
+         |  FROM sp t LEFT JOIN p${k - 1} q
+         |    ON q.scenario = t.scenario AND q.state = t.dst
+         |  GROUP BY t.scenario, t.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_type, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, MIN(rn) AS prn FROM ranked
+       |  WHERE event_type = 'purchase' GROUP BY user_id),
+       |kept AS (
+       |  SELECT r.user_id, r.event_type, r.rn
+       |  FROM ranked r LEFT JOIN fp ON r.user_id = fp.user_id
+       |  WHERE fp.prn IS NULL OR r.rn <= fp.prn),
+       |nx AS (
+       |  SELECT event_type, rn, LEAD(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY rn) AS nxt
+       |  FROM kept),
+       |steps AS (
+       |  SELECT event_type AS src,
+       |    CASE WHEN nxt = 'purchase' THEN 'conv'
+       |      WHEN nxt IS NULL THEN
+       |        CASE WHEN event_type = 'purchase' THEN NULL ELSE 'null' END
+       |      ELSE nxt END AS dst
+       |  FROM nx),
+       |starts AS (
+       |  SELECT 'start' AS src,
+       |    CASE WHEN event_type = 'purchase' THEN 'conv'
+       |      ELSE event_type END AS dst
+       |  FROM kept WHERE rn = 1),
+       |trans AS (
+       |  SELECT src, dst, COUNT(*) AS cnt FROM (
+       |    SELECT * FROM steps WHERE dst IS NOT NULL
+       |    UNION ALL SELECT * FROM starts)
+       |  GROUP BY src, dst),
+       |probs AS (
+       |  SELECT src, dst,
+       |    cnt * 1000000 // SUM(cnt) OVER (PARTITION BY src) AS prob
+       |  FROM trans),
+       |scen AS (
+       |  SELECT DISTINCT event_type AS scenario FROM events
+       |  WHERE event_type <> 'purchase'
+       |  UNION ALL SELECT 'base'),
+       |sp AS (
+       |  SELECT s.scenario, p.src, p.dst, p.prob
+       |  FROM scen s JOIN probs p
+       |    ON p.src <> s.scenario AND p.dst <> s.scenario),
+       |p0 AS (
+       |  SELECT scenario, src AS state, CAST(0 AS BIGINT) AS p
+       |  FROM sp GROUP BY scenario, src),
+       |$chain
+       |SELECT c.scenario AS channel,
+       |  CAST(b.p AS BIGINT) AS p_base_ppm,
+       |  CAST(c.p AS BIGINT) AS p_removed_ppm,
+       |  CASE WHEN b.p > 0
+       |    THEN CAST(b.p - c.p AS DOUBLE) * 10000 / b.p
+       |    ELSE NULL END AS removal_effect_bp
+       |FROM p$iters c
+       |JOIN (SELECT p FROM p$iters
+       |      WHERE scenario = 'base' AND state = 'start') b ON TRUE
+       |WHERE c.scenario <> 'base' AND c.state = 'start'
+       |ORDER BY channel""".stripMargin
+  }
+
+  private val markovIters = 12
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q267_markov_attribution", Some(markovOracle(markovIters)),
+      (spark, dir) => markovAttribution(
+        EventOps.events(spark, dir), iters = markovIters)),
+
     // q240: forecast-baseline evaluation — before any model ships, its
     // error must beat the free baselines, and the two canonical ones
     // are naive (yesterday's value) and seasonal-naive (same weekday

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Row
 import graft.ops.{TimeSeriesOps, WarehouseOps}
 
 /** Plan pins + boundary fixtures for the round-9 warehouse and
@@ -240,5 +241,52 @@ class WarehouseSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(3), r.getInt(4)))).toMap
     assert(out("2024-01-01 10") === ((20000L, 1)))
     assert(out("2024-01-01 11") === ((19607L, 0)))
+  }
+
+  test("markov attribution: hand-computed removal effects") {
+    import java.sql.Timestamp
+    // u1: view -> purchase; u2: view -> click (never converts);
+    // u3: purchase immediately
+    // transitions: start->view 2, start->conv 1, view->conv 1,
+    //   view->click 1, click->null 1
+    // base p(start) = 666666 ppm; removing view -> 333333 (effect
+    // exactly 5000.0 bp since 666666*5000 == 3333330000); removing
+    // click changes nothing (that path never converted anyway)
+    val ev = Seq(
+      (1L, 10L, "view", "2024-01-01 10:00:00"),
+      (1L, 11L, "purchase", "2024-01-01 10:05:00"),
+      (2L, 20L, "view", "2024-01-01 10:00:00"),
+      (2L, 21L, "click", "2024-01-01 10:05:00"),
+      (3L, 30L, "purchase", "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_id", "event_type", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val out = TimeSeriesOps.markovAttribution(ev).collect().toSeq
+    assert(out === Seq(
+      Row("click", 666666L, 666666L, 0.0),
+      Row("view", 666666L, 333333L, 5000.0)))
+  }
+
+  test("markov attribution: journeys truncate at the first purchase") {
+    import java.sql.Timestamp
+    // u1's post-purchase error must contribute NO transition: with
+    // truncation broken, purchase->error and error->null rows would
+    // shift every probability below. u2 never converts via signup,
+    // keeping each removal scenario's graph non-empty.
+    val ev = Seq(
+      (1L, 10L, "view", "2024-01-01 10:00:00"),
+      (1L, 11L, "purchase", "2024-01-01 10:05:00"),
+      (1L, 12L, "error", "2024-01-01 10:10:00"),
+      (2L, 20L, "signup", "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_id", "event_type", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val out = TimeSeriesOps.markovAttribution(ev).collect().toSeq
+    // transitions: start->view 1, start->signup 1, view->conv 1,
+    // signup->null 1 -> p_base(start) = 500000 ppm; removing view
+    // kills the only converting path (10000 bp); error/signup removals
+    // change nothing that converts
+    assert(out === Seq(
+      Row("error", 500000L, 500000L, 0.0),
+      Row("signup", 500000L, 500000L, 0.0),
+      Row("view", 500000L, 0L, 10000.0)))
   }
 }
