@@ -130,7 +130,84 @@ object LinkageOps {
       |FROM registry g LEFT JOIN resolved s ON g.r_id = s.r_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deterministic secondary feed for the survivorship merge: every even
+    * custkey arrives from a second system with (a) a drifted balance,
+    * corrupted outright for keys ≡ 0 mod 11 (the validity rule's prey),
+    * (b) a lowercased segment (a normalization conflict to audit), (c) a
+    * phone number the master lacks entirely (the completeness rule's
+    * win), absent for keys ≡ 2 mod 8, and (d) a recency flag (keys ≡ 0
+    * mod 3 are newer than the master).
+    */
+  def secondaryFeed(customer: DataFrame): DataFrame =
+    customer.where(col("c_custkey") % 2 === 0)
+      .select(
+        col("c_custkey").as("f_custkey"),
+        when(col("c_custkey") % 11 === 0, lit(-999999.0d))
+          .otherwise(col("c_acctbal") + (col("c_custkey") % 7 - 3))
+          .as("f_acctbal"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(lower(col("c_mktsegment"))).as("f_mktsegment"),
+        when(col("c_custkey") % 8 === 2, lit(null).cast("string"))
+          .otherwise(concat(lit("P-"), col("c_custkey"))).as("f_phone"),
+        (col("c_custkey") % 3 === 0).as("f_newer"))
+
+  /** q268 body: golden-record construction — the survivorship step an
+    * MDM pipeline runs after matching (q261): one row per entity,
+    * fields merged across sources by explicit, auditable rules.
+    * Balance: RECENCY wins (the newer feed value) unless it fails the
+    * VALIDITY gate (the corrupt sentinel), in which case the master
+    * survives; provenance says which source won. Phone: COMPLETENESS —
+    * the master has none, so any feed phone enriches. Segment: the
+    * master is canonical; a differing non-null feed value is not taken
+    * but IS counted (`seg_conflict`) — the drift signal a stewardship
+    * queue consumes. Pure per-key merge: one equi-join on the entity
+    * key, scan-speed rules, no windows; at 100 TB this is one
+    * co-partitioned join keyed on the golden id.
+    */
+  def goldenRecords(customer: DataFrame): DataFrame =
+    customer
+      .join(secondaryFeed(customer), col("c_custkey") === col("f_custkey"),
+        "left")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        when(coalesce(col("f_newer"), lit(false)) &&
+            col("f_acctbal") > -900000.0d, col("f_acctbal"))
+          .otherwise(col("c_acctbal")).as("golden_bal"),
+        when(coalesce(col("f_newer"), lit(false)) &&
+            col("f_acctbal") > -900000.0d, lit("feed"))
+          .otherwise(lit("master")).as("bal_source"),
+        coalesce(col("f_phone"), lit("missing")).as("phone"),
+        (col("f_mktsegment").isNotNull &&
+          col("f_mktsegment") =!= col("c_mktsegment")).as("seg_conflict"))
+      .orderBy("c_custkey")
+
+  private val goldenSql: String =
+    """WITH feed AS (
+      |  SELECT c_custkey AS f_custkey,
+      |    CASE WHEN c_custkey % 11 = 0 THEN -999999.0
+      |      ELSE c_acctbal + (c_custkey % 7 - 3) END AS f_acctbal,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |      ELSE lower(c_mktsegment) END AS f_mktsegment,
+      |    CASE WHEN c_custkey % 8 = 2 THEN NULL
+      |      ELSE 'P-' || c_custkey END AS f_phone,
+      |    c_custkey % 3 = 0 AS f_newer
+      |  FROM customer WHERE c_custkey % 2 = 0)
+      |SELECT c_custkey, c_name,
+      |  CASE WHEN COALESCE(f_newer, FALSE) AND f_acctbal > -900000.0
+      |    THEN f_acctbal ELSE c_acctbal END AS golden_bal,
+      |  CASE WHEN COALESCE(f_newer, FALSE) AND f_acctbal > -900000.0
+      |    THEN 'feed' ELSE 'master' END AS bal_source,
+      |  COALESCE(f_phone, 'missing') AS phone,
+      |  f_mktsegment IS NOT NULL AND f_mktsegment <> c_mktsegment
+      |    AS seg_conflict
+      |FROM customer LEFT JOIN feed ON c_custkey = f_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q261_record_linkage", Some(linkageSql),
-      (spark, dir) => recordLinkage(t(spark, dir, "customer"))))
+      (spark, dir) => recordLinkage(t(spark, dir, "customer"))),
+
+    QueryDef("q268_golden_record", Some(goldenSql),
+      (spark, dir) => goldenRecords(t(spark, dir, "customer"))))
 }

@@ -57,4 +57,23 @@ class LinkageSpec extends SparkSpec {
       .collect().toSeq
     assert(out === Seq(Row(0L, 1L, 1L), Row(1L, 1L, 1L)))
   }
+
+  test("golden records apply validity, recency, completeness, and conflict rules") {
+    // key 0: feed newer but corrupt -> validity gate keeps master
+    // key 6: feed newer + valid -> recency takes feed (delta 6%7-3 = +3)
+    // key 2: feed valid but NOT newer -> master; phone null (2 mod 8)
+    // key 33: no feed at all -> master everywhere, no conflict
+    val master = Seq(
+      (0L, "Customer#000000000", 100.0, "BUILDING"),
+      (2L, "Customer#000000002", 200.0, "MACHINERY"),
+      (6L, "Customer#000000006", 600.0, "AUTOMOBILE"),
+      (33L, "Customer#000000033", 330.0, "HOUSEHOLD"))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val out = LinkageOps.goldenRecords(master).collect().toSeq
+    assert(out === Seq(
+      Row(0L, "Customer#000000000", 100.0, "master", "P-0", false),
+      Row(2L, "Customer#000000002", 200.0, "master", "missing", true),
+      Row(6L, "Customer#000000006", 603.0, "feed", "P-6", true),
+      Row(33L, "Customer#000000033", 330.0, "master", "missing", false)))
+  }
 }
