@@ -301,7 +301,133 @@ object MultimodalOps {
           col("content").as("payload")))
   }
 
+  /** Decoded frame-sample features: all-integer (sums of 0-255 pixels
+    * and absolute frame diffs), so the row is bit-stable everywhere.
+    */
+  final case class VideoFeatures(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_sampled: Int,
+      luma_sum: Long,
+      motion_sum: Long)
+
+  /** Synthetic PATTERN video acquisition (q269): the q215 doctrine
+    * lifted to the time axis. Every GVID pixel is a pure integer
+    * function of SQL-visible metadata — dims w = 3 + id mod 5,
+    * h = 3 + id mod 4, frames nf = 4 + id mod 9, pixel
+    * (x·7 + y·13 + f·29 + id) mod 256 — so frame addressing and the
+    * sampling stride grade against a FULL DuckDB oracle. Ids ≡ 5
+    * mod 97 upload TRUNCATED (the last 5 bytes lost in transit): the
+    * codec's length check must turn them into graded 'corrupt' rows.
+    */
+  def patternVideoTable(docs: DataFrame): DataFrame = {
+    val render = udf((id: Long) => {
+      val w = (3 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val nf = (4 + id % 9).toInt
+      val full = graft.functions.VideoCodec.encode(w, h, nf,
+        (f, x, y) => ((x * 7 + y * 13 + f * 29 + id) % 256).toInt)
+      if (id % 97 == 5) java.util.Arrays.copyOf(full, full.length - 5)
+      else full
+    })
+    docs.select(col("doc_id"), render(col("doc_id")).as("payload"))
+  }
+
+  /** Partition-wise frame sampling (q269): decode the container, keep
+    * every `stride`-th frame (the keyframe-sample step of a video
+    * pipeline — decoding 1/stride of the frames is the whole point at
+    * scale), and reduce each document to exact integer features: summed
+    * luma over sampled frames and summed absolute pixel motion between
+    * CONSECUTIVE SAMPLED frames. Same iterator shape as the image/audio
+    * codecs — one pass per partition, total on corrupt payloads.
+    */
+  def frameSampleFeatures(spark: SparkSession, media: DataFrame,
+      stride: Int = 3): Dataset[VideoFeatures] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          graft.functions.VideoCodec.decode(bytes) match {
+            case Some(v) =>
+              var luma = 0L
+              var motion = 0L
+              var sampled = 0
+              var f = 0
+              while (f < v.nFrames) {
+                var y = 0
+                while (y < v.height) {
+                  var x = 0
+                  while (x < v.width) {
+                    luma += v.at(f, x, y)
+                    if (f >= stride)
+                      motion += math.abs(v.at(f, x, y) - v.at(f - stride, x, y))
+                    x += 1
+                  }
+                  y += 1
+                }
+                sampled += 1
+                f += stride
+              }
+              VideoFeatures(id, "gvid", v.width, v.height, v.nFrames,
+                sampled, luma, motion)
+            case None => VideoFeatures(id, "corrupt", 0, 0, 0, 0, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  private val videoOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 3 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |    4 + doc_id % 9 AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT d.*, fr.range AS f FROM d, range(13) fr
+      |  WHERE fr.range < nf AND fr.range % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, nf, f, gx.range AS x, gy.range AS y
+      |  FROM f, range(8) gx, range(7) gy
+      |  WHERE gx.range < w AND gy.range < h),
+      |v AS (
+      |  SELECT doc_id, nf, f,
+      |    (x*7 + y*13 + f*29 + doc_id) % 256 AS p,
+      |    CASE WHEN f >= 3 THEN ABS(
+      |      (x*7 + y*13 + f*29 + doc_id) % 256 -
+      |      (x*7 + y*13 + (f-3)*29 + doc_id) % 256) ELSE 0 END AS m
+      |  FROM px),
+      |agg AS (
+      |  SELECT v.doc_id, MAX(d.w) AS w, MAX(d.h) AS h, MAX(v.nf) AS nf,
+      |    COUNT(DISTINCT v.f) AS n_sampled,
+      |    SUM(v.p) AS luma, SUM(v.m) AS motion
+      |  FROM v JOIN d ON v.doc_id = d.doc_id
+      |  GROUP BY v.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 97 = 5 THEN 'corrupt' ELSE 'gvid' END AS format,
+      |  CAST(CASE WHEN doc_id % 97 = 5 THEN 0 ELSE w END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 97 = 5 THEN 0 ELSE h END AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 97 = 5 THEN 0 ELSE nf END AS INT) AS n_frames,
+      |  CAST(CASE WHEN doc_id % 97 = 5 THEN 0 ELSE n_sampled END AS INT)
+      |    AS n_sampled,
+      |  CAST(CASE WHEN doc_id % 97 = 5 THEN 0 ELSE luma END AS BIGINT)
+      |    AS luma_sum,
+      |  CAST(CASE WHEN doc_id % 97 = 5 THEN 0 ELSE motion END AS BIGINT)
+      |    AS motion_sum
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    // Video tier: container parse + stride-3 keyframe sampling over
+    // pattern GVID blobs, truncated-upload corrupt path included; the
+    // full SQL oracle replays every sampled pixel and frame diff.
+    QueryDef("q269_video_frames", Some(videoOracle),
+      (spark, dir) =>
+        frameSampleFeatures(spark, patternVideoTable(t(spark, dir, "documents")))
+          .toDF().orderBy("doc_id")),
+
     // The media-lake ingestion path: real files on disk read back
     // through the binaryFile source, decoded and resized, graded by the
     // same metadata-replay oracle as q215.

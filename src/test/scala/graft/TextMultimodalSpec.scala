@@ -223,4 +223,41 @@ class TextMultimodalSpec extends SparkSpec {
       MultimodalOps.audioTable(docs.repartition(7))).collect()
     assert(re.sortBy(_.doc_id).toSeq === out.sortBy(_.doc_id).toSeq)
   }
+
+  test("GVID codec: roundtrip, length check, and magic check") {
+    import graft.functions.VideoCodec
+    val b = VideoCodec.encode(2, 3, 5, (f, x, y) => (f * 10 + x + y) % 256)
+    val v = VideoCodec.decode(b).get
+    assert(v.width == 2 && v.height == 3 && v.nFrames == 5)
+    assert(v.at(0, 0, 0) == 0 && v.at(4, 1, 2) == 43)
+    // truncated payload and wrong magic must both decode as None
+    assert(VideoCodec.decode(java.util.Arrays.copyOf(b, b.length - 1)).isEmpty)
+    val bad = b.clone(); bad(0) = 'X'
+    assert(VideoCodec.decode(bad).isEmpty)
+    assert(VideoCodec.decode(null).isEmpty)
+  }
+
+  test("frame sampling: stride picks every 3rd frame; motion diffs sampled pairs") {
+    import spark.implicits._
+    // 1x1 video, 7 frames, pixel(f) = f*10: sampled f = 0,3,6 ->
+    // luma 0+30+60 = 90, motion |30-0| + |60-30| = 60
+    val payload = graft.functions.VideoCodec.encode(1, 1, 7,
+      (f, _, _) => f * 10)
+    val media = Seq((1L, payload)).toDF("doc_id", "payload")
+    val out = MultimodalOps.frameSampleFeatures(spark, media).collect().head
+    assert(out == MultimodalOps.VideoFeatures(1L, "gvid", 1, 1, 7, 3, 90L, 60L))
+  }
+
+  test("truncated video uploads become corrupt rows, never failed tasks") {
+    import spark.implicits._
+    val full = graft.functions.VideoCodec.encode(2, 2, 4, (f, x, y) => f + x + y)
+    val media = Seq(
+      (5L, java.util.Arrays.copyOf(full, full.length - 5)),
+      (6L, full))
+      .toDF("doc_id", "payload")
+    val out = MultimodalOps.frameSampleFeatures(spark, media).collect()
+      .sortBy(_.doc_id)
+    assert(out(0).format == "corrupt" && out(0).luma_sum == 0L)
+    assert(out(1).format == "gvid" && out(1).n_sampled == 2)
+  }
 }
