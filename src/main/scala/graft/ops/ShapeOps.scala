@@ -293,6 +293,39 @@ object ShapeOps {
           .where(col("ts") <= col("cut")))
       }),
 
+    // q270: bitemporal restatement audit — see bitemporalAsof.
+    QueryDef(
+      "q270_bitemporal_asof",
+      Some("""WITH b AS (
+        |  SELECT MIN(ts) + INTERVAL 10 DAY AS v_cut,
+        |    MIN(ts) + INTERVAL 11 DAY AS tx_cut
+        |  FROM events),
+        |ar AS (
+        |  SELECT e.*, e.ts + (e.event_id % 5) * INTERVAL 1 DAY AS arrival_ts,
+        |    b.v_cut, b.tx_cut
+        |  FROM events e, b WHERE e.ts <= b.v_cut),
+        |thn AS (
+        |  SELECT user_id, event_type AS then_type,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS then_ts
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ar WHERE arrival_ts <= tx_cut)
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |nw AS (
+        |  SELECT user_id, event_type AS now_type,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS now_ts
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ar)
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT COALESCE(thn.user_id, nw.user_id) AS user_id,
+        |  then_type, then_ts, now_type, now_ts,
+        |  NOT (then_type IS NOT DISTINCT FROM now_type
+        |    AND then_ts IS NOT DISTINCT FROM now_ts) AS revised
+        |FROM thn FULL OUTER JOIN nw ON thn.user_id = nw.user_id
+        |ORDER BY user_id""".stripMargin),
+      (spark, dir) => bitemporalAsof(EventOps.events(spark, dir))),
+
     QueryDef(
       "q98_cdc_compact",
       Some("""WITH r AS (SELECT user_id, event_type, value, ts,
@@ -756,6 +789,49 @@ object ShapeOps {
       .select(col("user_id"), col("event_type").as("last_type"),
         col("value").as("last_value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  /** q270 body: BITEMPORAL as-of — q238's valid-time travel crossed with
+    * transaction time. Records become knowable only at their ARRIVAL
+    * time (valid ts + a deterministic ingest lag of `event_id mod 5`
+    * days — the late-data model), so "the state effective at V" has two
+    * different answers: as KNOWN at transaction time TX (the report we
+    * actually shipped that day) and as known NOW (after late rows
+    * landed). Both answers run the same keep-latest/tombstone compaction
+    * over differently-bounded changelogs; the full-outer join flags
+    * every user whose shipped state was later REVISED — the restatement
+    * audit a bitemporal warehouse exists to answer. V = min_ts + 10
+    * days, TX = min_ts + 11 days (inside the 0-4 day lag spread, so the
+    * revision set is non-trivially populated).
+    *
+    * Scale shape: two window compactions over time-pruned changelog
+    * slices (each one user-keyed shuffle, frames bounded by per-key
+    * change counts) and one user-keyed full-outer join; the cutoffs ride
+    * in as broadcast scalars. Nothing global, nothing quadratic.
+    */
+  def bitemporalAsof(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cuts = ev.agg(
+      (min(col("ts")) + expr("INTERVAL 10 DAYS")).as("v_cut"),
+      (min(col("ts")) + expr("INTERVAL 11 DAYS")).as("tx_cut"))
+    val arriving = ev
+      .withColumn("arrival_ts", expr("ts + make_dt_interval(event_id % 5)"))
+      .crossJoin(broadcast(cuts))
+      .where(col("ts") <= col("v_cut"))
+    val asKnownThen = cdcCompact(arriving
+      .where(col("arrival_ts") <= col("tx_cut")))
+      .select(col("user_id").as("t_user"), col("last_type").as("then_type"),
+        col("last_ts").as("then_ts"))
+    val asKnownNow = cdcCompact(arriving)
+      .select(col("user_id").as("n_user"), col("last_type").as("now_type"),
+        col("last_ts").as("now_ts"))
+    asKnownThen
+      .join(asKnownNow, col("t_user") === col("n_user"), "full_outer")
+      .select(
+        coalesce(col("t_user"), col("n_user")).as("user_id"),
+        col("then_type"), col("then_ts"), col("now_type"), col("now_ts"),
+        (!(col("then_type") <=> col("now_type") &&
+          col("then_ts") <=> col("now_ts"))).as("revised"))
       .orderBy("user_id")
   }
 

@@ -116,6 +116,32 @@ class AnalyticsSpec extends SparkSpec {
       (1L, "click", 2.0), (3L, "signup", 9.0), (4L, "click", 5.0)))
   }
 
+  test("bitemporal as-of: late arrivals revise the shipped state") {
+    // anchor day 0 fixes V = day 10, TX = day 11; arrival = ts +
+    // (event_id mod 5) days
+    val ev = Seq(
+      // u2: on-time view at day 0 (also the min-ts anchor) -> unrevised
+      (20L, 2L, "view", 1.0, ts("2024-01-01 00:00:00")),
+      // u1: on-time click day 2; signup day 9 arrives day 12 (> TX) ->
+      // shipped click, now signup -> revised
+      (10L, 1L, "click", 1.0, ts("2024-01-03 00:00:00")),
+      (13L, 1L, "signup", 2.0, ts("2024-01-10 00:00:00")),
+      // u3: ONLY a late purchase (day 8, arrives day 12) -> absent from
+      // the shipped report entirely, present now -> revised
+      (24L, 3L, "purchase", 3.0, ts("2024-01-09 00:00:00")),
+      // u4: tombstoned in both views -> no row at all
+      (31L, 4L, "click", 1.0, ts("2024-01-02 00:00:00")),
+      (30L, 4L, "error", 0.0, ts("2024-01-06 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.ShapeOps.bitemporalAsof(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3),
+        r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, "click", "signup", true),
+      (2L, "view", "view", false),
+      (3L, null, "purchase", true)))
+  }
+
   test("SCD2: consecutive identical states collapse, versions chain, current row open") {
     val ev = Seq(
       // user 1: view -> view (collapses) -> click: two versions
