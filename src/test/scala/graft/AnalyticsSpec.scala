@@ -244,4 +244,29 @@ class AnalyticsSpec extends SparkSpec {
       "purchase" -> 1L,
       "e0>e1>e2>e3>e4>e5>e6>e7" -> 1L), s"paths: $out")
   }
+
+  test("session pattern census: prioritized classes, first match wins") {
+    def at(ms: Long) = new java.sql.Timestamp(ms)
+    val hour = 3600000L
+    def sess(start: Long, types: String*) =
+      types.zipWithIndex.map { case (t, i) =>
+        (start * 100 + i, at(start * hour + i * 1000L), 1L, t)
+      }
+    val ev = (
+      sess(0, "view", "click", "purchase") ++ // vcp  -> clean_convert
+      sess(2, "view", "error", "purchase") ++ // vep  -> error_then_convert
+      sess(4, "view", "click") ++             // vc   -> browse_only
+      sess(6, "error", "view") ++             // ev   -> errored_no_convert
+      // vpe: the clean-prefix rule matches "vp" FIRST — a post-purchase
+      // error must not demote the session (priority semantics)
+      sess(8, "view", "purchase", "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.EventOps.sessionPatternCensus(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "clean_convert" -> ((2L, 6L)),
+      "error_then_convert" -> ((1L, 3L)),
+      "browse_only" -> ((1L, 2L)),
+      "errored_no_convert" -> ((1L, 2L))), s"census: $out")
+  }
 }
