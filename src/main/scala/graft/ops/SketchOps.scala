@@ -99,7 +99,53 @@ object SketchOps {
       |SELECT term, true_cnt, TRUE AS within_lower, TRUE AS within_upper
       |FROM top10 ORDER BY term""".stripMargin
 
+  /** q272 body: sketch-based AUDIENCE OVERLAP — the |A ∩ B| question
+    * (viewers who also purchase) answered from mergeable HLL state via
+    * inclusion–exclusion: est(A) + est(B) − est(A ∪ B). This is the
+    * estimator every sketch warehouse ships for overlap (HLL has no
+    * native intersect — only union merges losslessly), and its known
+    * weakness is the point: the error envelope grows with the UNION's
+    * size, not the intersection's, so the contract asserts the estimate
+    * against an envelope of 4 × rsd × (estA + estB + estU) — three
+    * estimator deviations stacked, each bounded by its own size — while
+    * the exact overlap comes from plain SQL for the grade.
+    *
+    * Scale shape: two single-pass sketch aggregations (fixed 2^12-bucket
+    * state, partial-agged map-side) + one union of two sketch blobs;
+    * the exact branch is one distinct-shuffle. Nothing retains row data.
+    */
+  def sketchOverlap(ev: DataFrame): DataFrame = {
+    val viewers = ev.where(col("event_type") === "view")
+    val buyers = ev.where(col("event_type") === "purchase")
+    val skA = viewers.agg(expr("hll_sketch_agg(user_id, 12)").as("ska"))
+    val skB = buyers.agg(expr("hll_sketch_agg(user_id, 12)").as("skb"))
+    val ests = skA.crossJoin(broadcast(skB))
+      .select(
+        expr("hll_sketch_estimate(ska)").as("est_a"),
+        expr("hll_sketch_estimate(skb)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_u"))
+      .select((col("est_a") + col("est_b") - col("est_u")).as("est_inter"),
+        (lit(4 * 0.016) * (col("est_a") + col("est_b") + col("est_u")))
+          .as("envelope"))
+    val exact = viewers.select(col("user_id"))
+      .intersect(buyers.select(col("user_id")))
+      .agg(count(lit(1)).as("exact_overlap"))
+    exact.crossJoin(broadcast(ests))
+      .select(col("exact_overlap"),
+        (abs(col("est_inter") - col("exact_overlap")) <= col("envelope"))
+          .cast("int").as("inter_within_bound"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q229_cms_contract", Some(cmsOracle),
-      (spark, dir) => cmsContract(t(spark, dir, "documents"))))
+      (spark, dir) => cmsContract(t(spark, dir, "documents"))),
+
+    QueryDef("q272_sketch_overlap",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+        |  CAST(1 AS INT) AS inter_within_bound
+        |FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |      INTERSECT
+        |      SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase')""".stripMargin),
+      (spark, dir) => sketchOverlap(EventOps.events(spark, dir))))
 }

@@ -49,4 +49,25 @@ class SketchSpec extends SparkSpec {
       .groupBy("row", "cell").agg(sum(col("cnt")).as("cnt"))
     assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
+
+  test("sketch overlap: exact count is right and the estimate stays in envelope") {
+    import spark.implicits._
+    // viewers 1..200, buyers 151..350 -> exact overlap 50
+    val ev = ((1L to 200L).map(u => (u, "view")) ++
+      (151L to 350L).map(u => (u, "purchase")))
+      .toDF("user_id", "event_type")
+    val row = SketchOps.sketchOverlap(ev).collect().head
+    assert(row.getLong(0) === 50L)
+    assert(row.getInt(1) === 1)
+  }
+
+  test("sketch overlap of disjoint audiences is zero and in envelope") {
+    import spark.implicits._
+    val ev = ((1L to 100L).map(u => (u, "view")) ++
+      (1001L to 1100L).map(u => (u, "purchase")))
+      .toDF("user_id", "event_type")
+    val row = SketchOps.sketchOverlap(ev).collect().head
+    assert(row.getLong(0) === 0L)
+    assert(row.getInt(1) === 1)
+  }
 }
