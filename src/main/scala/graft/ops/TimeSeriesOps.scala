@@ -476,6 +476,82 @@ object TimeSeriesOps {
       |    * 1000000) // COUNT(*) >= 20000 AS INT) AS page
       |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
 
+  /** q273 body: classic additive seasonal decomposition of the daily
+    * order series — trend (centered 7-day moving average), per-weekday
+    * seasonal index (mean detrended deviation), and remainder — with
+    * every statistic carried as EXACT scaled integers until one final
+    * double expression per output column (the q176/q97 doctrine).
+    * detrended·7 = 7·cnt − Σwindow is an integer; remainder·(7·n_dow)
+    * is an integer; so the per-dow seasonal index and mean absolute
+    * remainder are each ONE exact-integer division, bit-identical
+    * across engines and partitionings. Windows touching a calendar gap
+    * (fewer than 7 rows, or 7 rows spanning more than 6 days) are
+    * excluded from the fit — the same honesty rule as q178's gap-aware
+    * autocorrelation.
+    *
+    * Scale shape: one shuffle to the day grain; the moving average is a
+    * single bounded ROWS frame over the calendar-bounded series; the
+    * seasonal fit is a 7-row aggregate. Nothing global beyond the
+    * day-grain series itself.
+    */
+  def seasonalDecomposition(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val daily = dailyOrders(orders)
+      .withColumn("wsum", sum(col("cnt")).over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("span", datediff(max(col("day")).over(w),
+        min(col("day")).over(w)))
+      .where(col("wn") === 7 && col("span") === 6)
+      .withColumn("dow", (dayofweek(col("day")) - lit(1)).cast("int"))
+      // detrended deviation on the ×7 integer grid
+      .withColumn("dev7", lit(7) * col("cnt") - col("wsum"))
+    daily
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("dev7")).as("sdev7"))
+      .join(daily.select(col("dow").as("d2"), col("dev7")),
+        col("dow") === col("d2"))
+      // remainder ×(7·n_dow) integer grid: 7·n·cnt−n·wsum−sdev7 ≡
+      // n·dev7 − sdev7
+      .groupBy(col("dow"), col("n_days"), col("sdev7"))
+      .agg(sum(abs(col("n_days") * col("dev7") - col("sdev7")))
+        .as("absrem"))
+      .select(col("dow"), col("n_days"),
+        (col("sdev7").cast("double") / (lit(7) * col("n_days")))
+          .as("seasonal"),
+        (col("absrem").cast("double") /
+          (lit(7) * col("n_days") * col("n_days")))
+          .as("mean_abs_remainder"))
+      .orderBy("dow")
+  }
+
+  private val seasonalOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |ma AS (
+      |  SELECT day, cnt,
+      |    SUM(cnt) OVER w AS wsum,
+      |    COUNT(*) OVER w AS wn,
+      |    date_diff('day', MIN(day) OVER w, MAX(day) OVER w) AS span
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dev AS (
+      |  SELECT day, cnt, CAST(dayofweek(day) AS INT) AS dow,
+      |    7 * cnt - wsum AS dev7
+      |  FROM ma WHERE wn = 7 AND span = 6),
+      |s AS (
+      |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(dev7) AS BIGINT) AS sdev7
+      |  FROM dev GROUP BY dow)
+      |SELECT s.dow, s.n_days,
+      |  CAST(s.sdev7 AS DOUBLE) / (7 * s.n_days) AS seasonal,
+      |  CAST(SUM(ABS(s.n_days * d.dev7 - s.sdev7)) AS DOUBLE) /
+      |    (7 * s.n_days * s.n_days) AS mean_abs_remainder
+      |FROM s JOIN dev d ON d.dow = s.dow
+      |GROUP BY s.dow, s.n_days, s.sdev7
+      |ORDER BY s.dow""".stripMargin
+
   /** Journey transition counts for q267: per-user event sequences
     * ordered by (ts, event_id), truncated at the FIRST purchase (the
     * conversion absorbs the journey), with 'start' prepended, purchase
@@ -664,6 +740,9 @@ object TimeSeriesOps {
     QueryDef("q267_markov_attribution", Some(markovOracle(markovIters)),
       (spark, dir) => markovAttribution(
         EventOps.events(spark, dir), iters = markovIters)),
+
+    QueryDef("q273_seasonal_decomp", Some(seasonalOracle),
+      (spark, dir) => seasonalDecomposition(t(spark, dir, "orders"))),
 
     // q240: forecast-baseline evaluation — before any model ships, its
     // error must beat the free baselines, and the two canonical ones

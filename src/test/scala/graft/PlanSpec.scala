@@ -130,7 +130,8 @@ class PlanSpec extends SparkSpec {
       "q205_open_orders" -> "calendar frame: sweep-line deltas collapse to one row per day",
       "q206_rolling_zscore" -> "calendar frame: trailing window over the one-row-per-day series",
       "q220_ks_drift" -> "<=8192-row log-grid shard-count frame (per-value ECDF cumsums are shard-partitioned)",
-      "q240_forecast_baselines" -> "calendar frame: lag windows over the one-row-per-day revenue series")
+      "q240_forecast_baselines" -> "calendar frame: lag windows over the one-row-per-day revenue series",
+      "q273_seasonal_decomp" -> "calendar frame: centered 7-day MA over the one-row-per-day series")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {

@@ -243,6 +243,45 @@ class WarehouseSpec extends SparkSpec {
     assert(out("2024-01-01 11") === ((19607L, 0)))
   }
 
+  test("seasonal decomposition: planted weekday effect recovered exactly") {
+    // 21 consecutive days (Mon Jan 1 .. Sun Jan 21), 10 orders/day plus
+    // +7 on Sundays. Complete centered windows (rows 4..18) each span
+    // one full week -> wsum 77; dev7 = 7*cnt-77 is 42 on Sundays, -7
+    // elsewhere -> seasonal exactly +6.0 / -1.0 with zero remainder.
+    val orders = (1 to 21).flatMap { d =>
+      val dow = (d % 7) // Jan 7,14,21 are Sundays (d % 7 == 0)
+      val cnt = if (d % 7 == 0) 17 else 10
+      (1 to cnt).map(i =>
+        (d * 1000L + i, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")))
+    }.toDF("o_orderkey", "o_orderdate")
+    val out = TimeSeriesOps.seasonalDecomposition(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // Spark dow: Sunday=0 ... Saturday=6; interior days Jan 4..18
+    assert(out(0) === ((2L, 6.0, 0.0)), s"sunday: $out")
+    assert(out(4) === ((3L, -1.0, 0.0)), s"thursday: $out") // Jan 4, 11, 18
+    (1 to 6).filter(_ != 4).foreach { d =>
+      assert(out(d) === ((2L, -1.0, 0.0)), s"dow $d: $out")
+    }
+  }
+
+  test("seasonal decomposition: windows straddling a calendar gap are excluded") {
+    // days 1..15 with day 8 missing: every 7-row window containing the
+    // gap spans >6 days and must drop; only fully-contiguous windows
+    // survive (rows centered on days 4 and 12 within each island)
+    val orders = ((1 to 7) ++ (9 to 15)).flatMap { d =>
+      (1 to 10).map(i =>
+        (d * 1000L + i, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")))
+    }.toDF("o_orderkey", "o_orderdate")
+    val rows = TimeSeriesOps.seasonalDecomposition(orders).collect()
+    // flat series: wherever a window survives, seasonal is exactly 0
+    assert(rows.nonEmpty && rows.forall(r => r.getDouble(2) == 0.0),
+      s"got ${rows.mkString(",")}")
+    // 14 observed days; windows centered on rows 4..11 of the combined
+    // series, minus those spanning the gap -> exactly 2 survive
+    assert(rows.map(_.getLong(1)).sum === 2L, s"got ${rows.mkString(",")}")
+  }
+
   test("markov attribution: hand-computed removal effects") {
     import java.sql.Timestamp
     // u1: view -> purchase; u2: view -> click (never converts);
