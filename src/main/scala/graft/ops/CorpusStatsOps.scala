@@ -365,6 +365,76 @@ object CorpusStatsOps {
       .orderBy("phrase")
   }
 
+  /** q274 body: PROXIMITY search (the IR NEAR/k operator) — the same
+    * data-driven top-3 term pairs as q190's exact-adjacency phrase
+    * match, but counting co-occurrences within `slop` positions in ANY
+    * order: the query "these words near each other" that adjacency
+    * cannot answer and bag-of-words answers too loosely. Same plan
+    * doctrine as q190: BOTH posting sides are pruned to the queried
+    * terms by broadcast before the positional join, so the join input is
+    * |postings(w1)| + |postings(w2)|, never the token stream; the slop
+    * predicate rides the join condition. Completes the retrieval tier's
+    * query algebra: adjacency (q190), proximity (here), ranked (q245).
+    */
+  def proximityMatch(docs: DataFrame, topPhrases: Int = 3,
+      slop: Int = 3): DataFrame = {
+    require(topPhrases > 0 && slop >= 1,
+      s"positive topPhrases/slop required, got $topPhrases/$slop")
+    val texts = docs.where(col("text").isNotNull)
+    val phrases = texts
+      .where(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))""".stripMargin))
+        .as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("phrase").asc)
+      .limit(topPhrases)
+      .select(col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("w1"),
+        split(col("phrase"), " ").getItem(1).as("w2"))
+    val toks = texts.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val p1 = toks.join(broadcast(phrases), toks("term") === phrases("w1"))
+      .select(col("phrase"), col("w2"), col("doc_id"), col("pos"))
+    val p2 = toks.join(broadcast(phrases.select(col("w2").as("term"))),
+        Seq("term"), "left_semi")
+      .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+        col("term").as("term2"))
+    p1.join(p2,
+        col("doc_id") === col("doc_id2") && col("term2") === col("w2") &&
+          abs(col("pos2") - col("pos")).between(1, slop))
+      .groupBy("phrase")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("phrase")
+  }
+
+  private def proximityMatchSql(slop: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i + 1])) AS phrase
+      |       FROM w WHERE len(w) >= 2),
+      |top AS (SELECT phrase, string_split(phrase, ' ')[1] AS w1,
+      |          string_split(phrase, ' ')[2] AS w2
+      |        FROM (SELECT phrase, COUNT(*) AS n FROM bg GROUP BY phrase)
+      |        ORDER BY n DESC, phrase ASC LIMIT 3),
+      |toks AS (SELECT doc_id,
+      |           unnest(list_transform(generate_series(1, len(w)),
+      |             i -> struct_pack(pos := i - 1, term := w[i]))) AS tk
+      |         FROM w),
+      |tok2 AS (SELECT doc_id, tk.pos AS pos, tk.term AS term FROM toks)
+      |SELECT p.phrase, CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM top p
+      |JOIN tok2 a ON a.term = p.w1
+      |JOIN tok2 b ON b.doc_id = a.doc_id AND b.term = p.w2
+      |  AND abs(b.pos - a.pos) BETWEEN 1 AND $slop
+      |GROUP BY p.phrase ORDER BY p.phrase""".stripMargin
+
   private val phraseMatchSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
       |           FROM documents WHERE text IS NOT NULL),
@@ -563,6 +633,8 @@ object CorpusStatsOps {
 
     QueryDef("q190_phrase_match", Some(phraseMatchSql),
       (spark, dir) => phraseMatch(t(spark, dir, "documents"))),
+    QueryDef("q274_proximity_match", Some(proximityMatchSql(3)),
+      (spark, dir) => proximityMatch(t(spark, dir, "documents"), slop = 3)),
     QueryDef("q184_ngram_novelty", Some(ngramNoveltySql),
       (spark, dir) => ngramNovelty(t(spark, dir, "documents"))),
     QueryDef("q132_term_drift", Some(termDriftSql),

@@ -319,6 +319,27 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(out("red red") === ((1L, 2L, 4L)))
   }
 
+  test("proximity match: slop window counts both orders, adjacency excluded beyond slop") {
+    import graft.ops.CorpusStatsOps
+    // doc 1: "a b" adjacent (dist 1) and the reversed "b ... a" at dist 3;
+    // doc 2: "a x x x b" -> dist 4, OUTSIDE slop 3;
+    // doc 3: "b a" reversed adjacency -> counts under proximity
+    val docs = Seq(
+      (1L, "a b c a"),   // pairs (a@0,b@1) d1; (b@1,a@3) d2
+      (2L, "a x x x b"), // d4: excluded
+      (3L, "b a b a")    // (b0,a1) (a1,b2) (b2,a3) d1 each, (b0,a3) d3
+    ).toDF("doc_id", "text")
+    // bigram census: "a b" 2, "b a" 2, "x x" 2 -> tie broken by phrase
+    // asc, "a b" wins the topPhrases=1 slot
+    val out = CorpusStatsOps.proximityMatch(docs, topPhrases = 1, slop = 3)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // proximity pairs (a, b) within slop 3, any order:
+    // doc1: (a0,b1) d1, (a3,b1) d2 -> 2; doc3: (a1,b0) d1, (a1,b2) d1,
+    // (a3,b2) d1, (a3,b0) d3 -> 4; doc2's (a0,b4) is d4, excluded.
+    assert(out === Map("a b" -> ((2L, 6L))), s"got $out")
+  }
+
   test("snapshot diff: hand-built versions classify and count per column") {
     import graft.ops.RelationalOps
     val old = Seq(
