@@ -108,7 +108,23 @@ object ScaleRehearsal {
     "q253_intervaljoin_replay", "q254_statefulsession_replay",
     "q255_userstats_replay", "q256_enrichment_replay",
     "q257_termcounts_replay", "q258_incrdedup_replay",
-    "q259_ingest_replay", "q260_cms_replay")
+    "q259_ingest_replay", "q260_cms_replay",
+    // round 10, batch 3: linkage/MDM (q261's suffix blocks collide
+    // across copies — identical names ×10 per block, candidate pairs
+    // ×100, the fixture's q26-style amplification; q268 is per-key
+    // linear), communities/zone-map/erasure (linear scans), the
+    // left-outer replay (linear in events), Markov attribution
+    // (channel²-bounded solve over a linear journey pass), video decode
+    // (linear render+parse), bitemporal/session-pattern windows (per-key
+    // linear), sketch overlap (fixed state), seasonal decomposition
+    // (day-grain series is calendar-bounded — copies share the
+    // calendar), and proximity search (q190's posting arithmetic)
+    "q261_record_linkage", "q262_quality_classifier",
+    "q263_graph_communities", "q264_zonemap_scan", "q265_erasure_audit",
+    "q266_leftouter_join_replay", "q267_markov_attribution",
+    "q268_golden_record", "q269_video_frames", "q270_bitemporal_asof",
+    "q271_session_patterns", "q272_sketch_overlap", "q273_seasonal_decomp",
+    "q274_proximity_match")
 
   private val OFFSET = 10000000L
 
@@ -180,7 +196,19 @@ object ScaleRehearsal {
       // of vocabulary. Measured 11.3 reproducibly (min-of-2 both
       // scales, same class as q113's 7.5 which shares the regex
       // normalize); sub-linear per char. Bar 15.
-      "q246_homoglyph_dedup" -> 15.0)
+      "q246_homoglyph_dedup" -> 15.0,
+      // q261: copies carry IDENTICAL names (only keys shift), so every
+      // suffix block holds 10 equal-named masters × 10 registry rows —
+      // candidate pairs grow ×100 for ×10 data BY FIXTURE CONSTRUCTION
+      // (real key spaces grow block count, not block size; the q26
+      // candidate-amplification role). Verification stays linear in
+      // candidates. Bar 25.
+      "q261_record_linkage" -> 25.0,
+      // q262/q274 ride the per-copy token-suffix vocabulary growth
+      // (q52's Heaps-law arithmetic): the weight table / bigram census
+      // grows 10x where real corpora grow sublinearly. Bar 15.
+      "q262_quality_classifier" -> 15.0,
+      "q274_proximity_match" -> 15.0)
       .withDefaultValue(10.0)
 
     // warm the JVM on the small scale first; report small vs big per query
