@@ -267,7 +267,10 @@ object VocabModelOps {
     * engine drift in the integer pipeline flips a prediction and fails
     * the hash.
     */
-  def qualityClassifier(docs: DataFrame): DataFrame = {
+  /** Shared q262/q275 scoring pipeline: per-document integer score
+    * (sum of distinct-token weights) and distinct-token count.
+    */
+  def classifierScores(docs: DataFrame): DataFrame = {
     val docTokens = docs
       .select(col("doc_id"), (col("lang") === "en").as("is_en"),
         explode(split(col("text"), " ")).as("tok"))
@@ -280,13 +283,17 @@ object VocabModelOps {
         count(lit(1)).as("total_df"))
       .select(col("tok"),
         expr("en_df * 1000000 div total_df").as("w"))
-    val prior = docs.agg(
-      expr("sum(case when lang = 'en' then 1 else 0 end) * 10000 div count(1)")
-        .as("prior_bp"))
-    val scored = docTokens
+    docTokens
       .join(broadcast(weights), "tok")
       .groupBy(col("doc_id"), col("is_en"))
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_toks"))
+  }
+
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val prior = docs.agg(
+      expr("sum(case when lang = 'en' then 1 else 0 end) * 10000 div count(1)")
+        .as("prior_bp"))
+    val scored = classifierScores(docs)
     scored.crossJoin(broadcast(prior))
       .select(col("is_en"),
         (col("score") * 10000L >=
@@ -321,9 +328,76 @@ object VocabModelOps {
       |FROM scored s CROSS JOIN prior p
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q275 body: classifier CALIBRATION (the reliability diagram) — per
+    * predicted-probability bin, the observed positive rate vs the
+    * mean predicted rate, both in integer basis points. Per-document
+    * predicted probability is score/(1e6·n_toks); the bin is its
+    * ×1000 floor (clamped to 999 — permille bins rather than the
+    * usual deciles because this corpus's uniform synthetic tokens
+    * concentrate every score in one decile; real diverse corpora
+    * grade fine at 10-20 bins, same arithmetic) and the
+    * bin's mean prediction is the RATIO OF SUMS
+    * (`Σscore·1e4 div Σ(1e6·n_toks)`) — the standard calibration
+    * estimator, and the one that stays a single exact integer division
+    * (a mean of per-doc rationals with distinct denominators would
+    * not). A well-calibrated filter shows observed ≈ predicted per bin;
+    * the gap column is what a filter-quality dashboard alarms on.
+    * (Σscore ≤ docs·n_toks·1e6 fits BIGINT through ~1e7 average-length
+    * docs per bin ×1e4; beyond that the sums move to DECIMAL(38,0) —
+    * same note as q176's moments.)
+    *
+    * Scale shape: rides q262's pipeline (vocabulary-bounded broadcast,
+    * one doc-keyed shuffle), then one decile-bounded aggregate.
+    */
+  def calibrationBins(docs: DataFrame): DataFrame =
+    classifierScores(docs)
+      .select(col("is_en"),
+        least(expr("score * 1000 div (1000000 * n_toks)"), lit(999L))
+          .as("bin"),
+        col("score"), col("n_toks"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+        sum(col("score")).as("s_score"), sum(col("n_toks")).as("s_toks"))
+      .select(col("bin"), col("n_docs"), col("n_en"),
+        expr("n_en * 10000 div n_docs").as("observed_bp"),
+        expr("s_score * 10000 div (s_toks * 1000000)").as("predicted_bp"))
+      .orderBy("bin")
+
+  private val calibrationOracle: String =
+    """WITH doc_tokens AS (
+      |  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |toks AS (SELECT * FROM doc_tokens WHERE tok <> ''),
+      |weights AS (
+      |  SELECT tok,
+      |    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000
+      |      // COUNT(*) AS w
+      |  FROM toks GROUP BY tok),
+      |scored AS (
+      |  SELECT t.doc_id, t.is_en, SUM(w.w) AS score, COUNT(*) AS n_toks
+      |  FROM toks t JOIN weights w ON t.tok = w.tok
+      |  GROUP BY t.doc_id, t.is_en),
+      |binned AS (
+      |  SELECT LEAST(score * 1000 // (1000000 * n_toks), 999) AS bin,
+      |    is_en, score, n_toks
+      |  FROM scored)
+      |SELECT CAST(bin AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+      |    AS BIGINT) AS observed_bp,
+      |  CAST(SUM(score) * 10000 // (SUM(n_toks) * 1000000) AS BIGINT)
+      |    AS predicted_bp
+      |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q262_quality_classifier", Some(classifierOracle),
       (spark, dir) => qualityClassifier(t(spark, dir, "documents"))),
+
+    QueryDef("q275_calibration_bins", Some(calibrationOracle),
+      (spark, dir) => calibrationBins(t(spark, dir, "documents"))),
 
     QueryDef("q179_char_lm", Some(charTrigramOracle),
       (spark, dir) => charTrigramScore(t(spark, dir, "documents"))),

@@ -124,7 +124,7 @@ object ScaleRehearsal {
     "q266_leftouter_join_replay", "q267_markov_attribution",
     "q268_golden_record", "q269_video_frames", "q270_bitemporal_asof",
     "q271_session_patterns", "q272_sketch_overlap", "q273_seasonal_decomp",
-    "q274_proximity_match")
+    "q274_proximity_match", "q275_calibration_bins")
 
   private val OFFSET = 10000000L
 
@@ -208,6 +208,7 @@ object ScaleRehearsal {
       // (q52's Heaps-law arithmetic): the weight table / bigram census
       // grows 10x where real corpora grow sublinearly. Bar 15.
       "q262_quality_classifier" -> 15.0,
+      "q275_calibration_bins" -> 15.0,
       "q274_proximity_match" -> 15.0)
       .withDefaultValue(10.0)
 

@@ -92,6 +92,23 @@ class VocabModelSpec extends SparkSpec {
       org.apache.spark.sql.Row(true, true, 1L)))
   }
 
+  test("calibration bins: hand-computed observed vs predicted basis points") {
+    // same fixture as the classifier test; per-doc predictions:
+    // doc1 999999/2e6 -> bin 499, doc2 666666/1e6 -> 666,
+    // doc3 333333/1e6 -> 333, doc4 999999/2e6 -> 499
+    val docs = Seq(
+      (1L, "en", "a b"),
+      (2L, "en", "a"),
+      (3L, "de", "b"),
+      (4L, "de", "b a"))
+      .toDF("doc_id", "lang", "text")
+    val out = VocabModelOps.calibrationBins(docs).collect().toSeq
+    assert(out === Seq(
+      org.apache.spark.sql.Row(333L, 1L, 0L, 0L, 3333L),
+      org.apache.spark.sql.Row(499L, 2L, 1L, 5000L, 4999L),
+      org.apache.spark.sql.Row(666L, 1L, 1L, 10000L, 6666L)))
+  }
+
   test("quality classifier counts repeated tokens once per document") {
     // without the distinct, doc 2 would double-count 'a' and flip cells
     val docs = Seq(
