@@ -417,38 +417,22 @@ object EventOps {
       .orderBy("win_day")
   }
 
-  /** q150 body (shared with EventStreamSpec-style fixtures in
-    * AnalyticsSpec): gap-based sessions (STRICT 30-minute rule, integer
-    * epoch-ms), each truncated to its first `maxLen` event types and
-    * joined '>', counted, top `topK` by (count desc, path). array_sort
-    * over (ts, event_id, type) structs reproduces the window order inside
-    * the collected session — event_id is unique so the trailing type
-    * field never decides.
+  /** Shared q150/q271 sessionizer: strict 30-minute-gap sessions over
+    * integer epoch-ms, each session's events capped at `maxLen` BEFORE
+    * collecting (the row_number window shares the (user_id, sess) hash
+    * partitioning with the groupBy, and a pathological million-event
+    * bot session contributes `maxLen` rows, not a million-element
+    * array) and collected as (ts, event_id, type) structs whose
+    * array_sort reproduces the window order — event_id is unique so the
+    * trailing type field never decides. ONE definition of the gap rule:
+    * both graded session queries consume this, so the rule cannot
+    * silently diverge between them.
     */
-  /** q271 body: sequence-pattern census over sessions — the
-    * MATCH_RECOGNIZE workload expressed Spark-first. Each session
-    * (q150's strict 30-minute gap rule) is folded to a one-char-per-
-    * event signature string (event types have distinct initials), and a
-    * PRIORITIZED pattern list classifies it — first match wins, exactly
-    * MATCH_RECOGNIZE's deterministic-alternative semantics:
-    * `^[vcs]*p` (converted before any error), `^[vcse]*p` (converted,
-    * but an error intervened), `^[vcs]+$` (browsed clean, never
-    * converted), else errored-and-lost. Anchored prefix regexes over
-    * `[vcsep]` behave identically in Java regex and RE2, which is what
-    * makes the census cross-engine gradeable.
-    *
-    * Scale shape: identical to q150 — the signature build shares the
-    * (user, sess) partitioning, sessions cap at `maxLen` chars BEFORE
-    * collecting (a bot session contributes 64 chars, not a million),
-    * the regex sweep is row-local codegen, and the output is bounded by
-    * the pattern list.
-    */
-  def sessionPatternCensus(ev: DataFrame, gapMs: Long = 1800000L,
-      maxLen: Int = 64): DataFrame = {
+  def sessionizedEvents(ev: DataFrame, gapMs: Long, maxLen: Int): DataFrame = {
     require(gapMs > 0 && maxLen > 0,
       s"positive gapMs/maxLen required, got $gapMs/$maxLen")
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val sigs = ev.withColumn("ms", expr("unix_millis(ts)"))
+    ev.withColumn("ms", expr("unix_millis(ts)"))
       .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
       .withColumn("new_s",
         when(col("gap").isNull || col("gap") > gapMs, 1).otherwise(0))
@@ -460,10 +444,32 @@ object EventOps {
       .groupBy("user_id", "sess")
       .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type")))
         .as("evs"))
+  }
+
+  /** q271 body: sequence-pattern census over sessions — the
+    * MATCH_RECOGNIZE workload expressed Spark-first. Each session
+    * (q150's strict 30-minute gap rule, via [[sessionizedEvents]]) is
+    * folded to a one-char-per-event signature string (event types have
+    * distinct initials), and a PRIORITIZED pattern list classifies it —
+    * first match wins, exactly MATCH_RECOGNIZE's
+    * deterministic-alternative semantics: `^[vcs]*p` (converted before
+    * any error), `^[vcse]*p` (converted, but an error intervened),
+    * `^[vcs]+$` (browsed clean, never converted), else
+    * errored-and-lost. Anchored prefix regexes over `[vcsep]` behave
+    * identically in Java regex and RE2, which is what makes the census
+    * cross-engine gradeable.
+    *
+    * Scale shape: identical to q150 — the signature build shares the
+    * (user, sess) partitioning, sessions cap at `maxLen` chars BEFORE
+    * collecting, the regex sweep is row-local codegen, and the output
+    * is bounded by the pattern list.
+    */
+  def sessionPatternCensus(ev: DataFrame, gapMs: Long = 1800000L,
+      maxLen: Int = 64): DataFrame =
+    sessionizedEvents(ev, gapMs, maxLen)
       .select(expr(
         "array_join(transform(array_sort(evs)," +
           " e -> substring(e.event_type, 1, 1)), '')").as("sig"))
-    sigs
       .select(
         when(col("sig").rlike("^[vcs]*p"), "clean_convert")
           .when(col("sig").rlike("^[vcse]*p"), "error_then_convert")
@@ -473,29 +479,16 @@ object EventOps {
       .groupBy("pattern_class")
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
       .orderBy("pattern_class")
-  }
 
+  /** q150 body (shared with EventStreamSpec-style fixtures in
+    * AnalyticsSpec): gap-based sessions (STRICT 30-minute rule, via
+    * [[sessionizedEvents]]), each truncated to its first `maxLen` event
+    * types and joined '>', counted, top `topK` by (count desc, path).
+    */
   def sessionPaths(ev: DataFrame, gapMs: Long = 1800000L, maxLen: Int = 8,
       topK: Int = 20): DataFrame = {
-    require(gapMs > 0 && maxLen > 0 && topK > 0,
-      s"positive gapMs/maxLen/topK required, got $gapMs/$maxLen/$topK")
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    ev.withColumn("ms", expr("unix_millis(ts)"))
-      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
-      .withColumn("new_s",
-        when(col("gap").isNull || col("gap") > gapMs, 1).otherwise(0))
-      .withColumn("sess", sum(col("new_s"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // cap BEFORE collecting: the row_number window shares the
-      // (user_id, sess) hash partitioning with the groupBy below, and a
-      // pathological million-event bot session contributes 8 rows, not a
-      // million-element array
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id", "sess").orderBy(col("ts"), col("event_id"))))
-      .where(col("rn") <= maxLen)
-      .groupBy("user_id", "sess")
-      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type")))
-        .as("evs"))
+    require(topK > 0, s"positive topK required, got $topK")
+    sessionizedEvents(ev, gapMs, maxLen)
       .select(expr(
         s"array_join(slice(transform(array_sort(evs), e -> e.event_type), 1, $maxLen), '>')")
         .as("path"))

@@ -359,14 +359,20 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst"))
-    var labels = e.select(col("src").as("node")).distinct()
+    var labels = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
       val msgs = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst").as("m_node"))
         .agg(min(col("label")).as("m_label"))
-      labels = labels.join(msgs, col("node") === col("m_node"))
-        .select(col("node"), least(col("label"), col("m_label")).as("label"))
+      // LEFT join: a node with no in-edges receives no message that
+      // round and must KEEP its label, not vanish (an inner join here
+      // silently deletes such nodes on any non-symmetric edge list)
+      labels = labels.join(msgs, col("node") === col("m_node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("m_label"), col("label")))
+            .as("label"))
     }
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_nodes"))

@@ -117,12 +117,14 @@ object LayoutOps {
       lo: String,
       hi: String,
       files: Int = 16): (Long, Long, DataFrame) = {
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), "graft_q264_zonemap")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(loc, true)
-    li.select(col("l_shipdate"), col("l_returnflag"),
-        col("l_quantity"), col("l_extendedprice"))
+    // per-invocation temp layout (the replay ops' pattern): a fixed
+    // shared warehouse path would let concurrent sessions clobber each
+    // other's files between zone-map build and pruned read
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-zonemap").toString
+    val slice = li.select(col("l_shipdate"), col("l_returnflag"),
+      col("l_quantity"), col("l_extendedprice"))
+    slice
       .repartitionByRange(files, col("l_shipdate"))
       .write.mode("overwrite").parquet(loc.toString)
     // l_shipdate is TIMESTAMP_NTZ (timezone-free by definition); its
@@ -139,9 +141,14 @@ object LayoutOps {
       .filter(r => r.getAs[String]("zhi") >= loS &&
         r.getAs[String]("zlo") <= hiS)
       .map(_.getAs[String]("file"))
-    val pruned = spark.read.parquet(survivors.toIndexedSeq: _*)
-      .where(col("l_shipdate") >= lit(loS).cast("timestamp_ntz") &&
-        col("l_shipdate") <= lit(hiS).cast("timestamp_ntz"))
+    // a fully-pruned scan (every file's range misses the predicate) is
+    // a SUCCESS that returns zero rows, not a failed read: an empty
+    // path list would make spark.read.parquet throw on schema inference
+    val pruned =
+      if (survivors.isEmpty) slice.where(lit(false))
+      else spark.read.parquet(survivors.toIndexedSeq: _*)
+        .where(col("l_shipdate") >= lit(loS).cast("timestamp_ntz") &&
+          col("l_shipdate") <= lit(hiS).cast("timestamp_ntz"))
     (zoneMap.length.toLong, survivors.length.toLong, pruned)
   }
 

@@ -30,13 +30,25 @@ import graft.util.Tables._
   */
 object LinkageOps {
 
-  /** One-digit substitution at 1-based position `pos` of an 18-char
-    * master name: digit d → (d + 7) mod 10 (always a real change).
+  /** One-digit substitution at `back` positions from the END of the
+    * master name (digit d → (d + 7) mod 10, always a real change).
+    * End-relative arithmetic, not literal positions: names grow with
+    * the key space (10+ digit custkeys at the 100 TB tier), and a
+    * hard-coded offset would silently truncate the tail and break every
+    * planted tier's advertised edit distance.
     */
-  private def sub(name: org.apache.spark.sql.Column, pos: Int) =
-    concat(substring(name, 1, pos - 1),
-      ((substring(name, pos, 1).cast("int") + 7) % 10).cast("string"),
-      substring(name, pos + 1, 18 - pos))
+  private def sub(name: org.apache.spark.sql.Column, back: Int) = {
+    val pos = length(name) - back
+    concat(
+      substring(name, lit(1), pos - 1),
+      ((substring(name, pos, lit(1)).cast("int") + 7) % 10).cast("string"),
+      substring(name, pos + 1, length(name)))
+  }
+
+  private def substring(c: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column,
+      len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.substr(pos, len)
 
   /** Deterministic "dirty registry" derived from the master: custkeys
     * ≢ 2 (mod 3) enter with r_id in a disjoint 9e6 space (so match
@@ -52,11 +64,18 @@ object LinkageOps {
       .where(col("c_custkey") % 3 =!= 2)
       .select(
         (col("c_custkey") + 9000000L).as("r_id"),
-        when(m === 1 || m === 6, sub(name, 11))
-          .when(m === 4, sub(sub(name, 11), 12))
-          .when(m === 7, concat(substring(name, 1, 17), lit("X")))
+        when(m === 1 || m === 6, sub(name, back = 7))
+          .when(m === 4, sub(sub(name, back = 7), back = 6))
+          .when(m === 7,
+            concat(name.substr(lit(1), length(name) - 1), lit("X")))
           .otherwise(name).as("r_name"))
   }
+
+  /** Last-6-char suffix block key (end-relative, so it tracks the name
+    * length as the key space grows).
+    */
+  private def blockKey(name: org.apache.spark.sql.Column) =
+    name.substr(length(name) - 5, lit(6))
 
   /** q261 body: block on the 6-char name suffix (stable under the
     * planted leading-digit typos), verify candidates with
@@ -69,9 +88,9 @@ object LinkageOps {
     */
   def recordLinkage(customer: DataFrame): DataFrame = {
     val master = customer.select(col("c_custkey"), col("c_name"),
-      substring(col("c_name"), 13, 6).as("blk"))
+      blockKey(col("c_name")).as("blk"))
     val registry = dirtyRegistry(customer)
-      .withColumn("blk", substring(col("r_name"), 13, 6))
+      .withColumn("blk", blockKey(col("r_name")))
     val candidates = master.join(registry, "blk")
       .withColumn("dist", levenshtein(col("c_name"), col("r_name")))
       .where(col("dist") <= 2)
@@ -96,16 +115,19 @@ object LinkageOps {
       |  SELECT c_custkey + 9000000 AS r_id,
       |    CASE
       |      WHEN c_custkey % 9 IN (1, 6) THEN
-      |        substr(c_name, 1, 10) ||
-      |        CAST((CAST(substr(c_name, 11, 1) AS INTEGER) + 7) % 10
-      |          AS VARCHAR) || substr(c_name, 12, 7)
+      |        substr(c_name, 1, length(c_name) - 8) ||
+      |        CAST((CAST(substr(c_name, length(c_name) - 7, 1) AS INTEGER)
+      |          + 7) % 10 AS VARCHAR) ||
+      |        substr(c_name, length(c_name) - 6, 7)
       |      WHEN c_custkey % 9 = 4 THEN
-      |        substr(c_name, 1, 10) ||
-      |        CAST((CAST(substr(c_name, 11, 1) AS INTEGER) + 7) % 10
-      |          AS VARCHAR) ||
-      |        CAST((CAST(substr(c_name, 12, 1) AS INTEGER) + 7) % 10
-      |          AS VARCHAR) || substr(c_name, 13, 6)
-      |      WHEN c_custkey % 9 = 7 THEN substr(c_name, 1, 17) || 'X'
+      |        substr(c_name, 1, length(c_name) - 8) ||
+      |        CAST((CAST(substr(c_name, length(c_name) - 7, 1) AS INTEGER)
+      |          + 7) % 10 AS VARCHAR) ||
+      |        CAST((CAST(substr(c_name, length(c_name) - 6, 1) AS INTEGER)
+      |          + 7) % 10 AS VARCHAR) ||
+      |        substr(c_name, length(c_name) - 5, 6)
+      |      WHEN c_custkey % 9 = 7 THEN
+      |        substr(c_name, 1, length(c_name) - 1) || 'X'
       |      ELSE c_name END AS r_name
       |  FROM customer WHERE c_custkey % 3 <> 2)""".stripMargin
 
@@ -115,7 +137,9 @@ object LinkageOps {
       |  SELECT m.c_custkey, r.r_id,
       |    levenshtein(m.c_name, r.r_name) AS dist
       |  FROM customer m
-      |  JOIN registry r ON substr(m.c_name, 13, 6) = substr(r.r_name, 13, 6)
+      |  JOIN registry r
+      |    ON substr(m.c_name, length(m.c_name) - 5, 6)
+      |     = substr(r.r_name, length(r.r_name) - 5, 6)
       |  WHERE levenshtein(m.c_name, r.r_name) <= 2),
       |resolved AS (
       |  SELECT c_custkey, r_id, dist FROM (

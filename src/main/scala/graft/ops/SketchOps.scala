@@ -125,7 +125,11 @@ object SketchOps {
         expr("hll_sketch_estimate(skb)").as("est_b"),
         expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_u"))
       .select((col("est_a") + col("est_b") - col("est_u")).as("est_inter"),
-        (lit(4 * 0.016) * (col("est_a") + col("est_b") + col("est_u")))
+        // rsd of an lgConfigK=12 HLL is 1.04/sqrt(2^12), not a rounded
+        // 0.016 — an understated constant makes the contract tighter
+        // than the estimator's documented envelope (flaky near 4 sigma)
+        (lit(4 * 1.04 / math.sqrt(1 << 12)) *
+          (col("est_a") + col("est_b") + col("est_u")))
           .as("envelope"))
     val exact = viewers.select(col("user_id"))
       .intersect(buyers.select(col("user_id")))

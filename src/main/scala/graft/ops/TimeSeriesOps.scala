@@ -505,6 +505,10 @@ object TimeSeriesOps {
       .withColumn("dow", (dayofweek(col("day")) - lit(1)).cast("int"))
       // detrended deviation on the ×7 integer grid
       .withColumn("dev7", lit(7) * col("cnt") - col("wsum"))
+      // both sides of the self-join below read this frame; materialize
+      // the (calendar-bounded) series once so the single-partition MA
+      // window runs once, not twice
+      .localCheckpoint()
     daily
       .groupBy("dow")
       .agg(count(lit(1)).as("n_days"), sum(col("dev7")).as("sdev7"))
@@ -609,6 +613,17 @@ object TimeSeriesOps {
     */
   def markovAttribution(ev: DataFrame, iters: Int = 12): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // 'base'/'start'/'conv'/'null' are reserved state names: a channel
+    // carrying one of them would silently merge with a scenario or an
+    // absorbing state and produce plausible-but-wrong effects. Fail
+    // fast; the check reads the channel vocabulary only (one tiny agg).
+    val clash = ev.select(col("event_type")).distinct()
+      .where(col("event_type").isin("base", "start", "conv", "null"))
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"event_type '${clash.headOption.map(_.getString(0)).getOrElse("")}' " +
+        "collides with a reserved Markov state (base/start/conv/null); " +
+        "rename the channel before attribution")
     val trans = journeyTransitions(ev)
     val probs = trans
       .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("src")))

@@ -120,6 +120,17 @@ class GraphSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 10L -> 2L))
   }
 
+  test("label propagation on a DIRECTED edge list keeps message-less nodes") {
+    // 1 -> 2 -> 3 without the reverse edges: node 1 never receives a
+    // message and must keep its own label (an inner-join kernel drops
+    // it); labels flow only downstream
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(e, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // after 3 rounds: 1 keeps 1; 2 got 1; 3 got 1 -> histogram {1 -> 3}
+    assert(out === Map(1L -> 3L))
+  }
+
   test("label propagation: one round only reaches direct neighbors") {
     // path 1-2-3-4: after one round node 4 sees only 3's initial label
     val base = Seq((1L, 2L), (2L, 3L), (3L, 4L))

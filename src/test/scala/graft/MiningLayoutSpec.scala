@@ -149,4 +149,13 @@ class MiningLayoutSpec extends SparkSpec {
       .count()
     assert(pruned.count() === expected)
   }
+
+  test("a fully-pruned zone-map scan returns empty, never a failed read") {
+    import graft.util.Tables.t
+    val li = t(spark, sf, "lineitem")
+    val (total, read, pruned) =
+      LayoutOps.zoneMapPrunedScan(spark, li, "2099-01-01", "2099-12-31")
+    assert(read === 0L && total > 0L)
+    assert(pruned.count() === 0L)
+  }
 }
