@@ -152,6 +152,96 @@ object LayoutOps {
     (zoneMap.length.toLong, survivors.length.toLong, pruned)
   }
 
+  /** q276 body: the end-to-end payoff of the curve — a 2-D zone-map
+    * pruned scan over a Z-ORDERED layout. q124 pins the interleave math
+    * and q264 pins 1-D manifest pruning; this composes them the way a
+    * production writer does (Delta/Iceberg OPTIMIZE ZORDER): (1) cluster
+    * the fact slice along interleave(partkey, suppkey) and write it as
+    * `files` parquet files; (2) build the 2-D zone map — per-file
+    * min/max of BOTH dimensions, one scan, O(files) planner metadata;
+    * (3) answer a 2-D box predicate by reading only the files whose
+    * bounding boxes intersect it, residual-filtering so the result is
+    * EXACT however the range partitioner cut the curve.
+    *
+    * Why the curve matters at 100 TB: a 1-D layout prunes its sort
+    * dimension perfectly and the other dimension NOT AT ALL (every file
+    * spans the full suppkey domain, so a suppkey predicate reads 100% of
+    * the data); z-ordering makes every file a tight box in BOTH
+    * dimensions, so the same manifest prunes predicates on either — the
+    * "prune on EITHER dimension" property MiningLayoutSpec pins by
+    * running the same box scan over both layouts. The box bounds are
+    * derived from MAX(key)/4-style integer arithmetic (not literals), so
+    * the predicate keeps its selectivity at any scale factor and the
+    * oracle reproduces it from the logical table alone.
+    *
+    * Returns (layout file count, files actually read, pruned frame).
+    */
+  def zorderPrunedScan(
+      spark: SparkSession,
+      li: DataFrame,
+      files: Int = 48,
+      oneDLayout: Boolean = false,
+      box: Option[(Long, Long, Long, Long)] = None): (Long, Long, DataFrame) = {
+    val slice = li.select(col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"))
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    val laid =
+      if (oneDLayout)
+        slice.repartitionByRange(files, col("l_partkey"))
+          .sortWithinPartitions("l_partkey")
+      else zorderBy(slice, col("l_partkey"), col("l_suppkey"), files)
+    laid.write.mode("overwrite").parquet(loc)
+    val (loP, hiP, loS, hiS) = box.getOrElse(boxBounds(li))
+    val zoneMap = spark.read.parquet(loc)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),
+        min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"))
+      .collect() // O(files) planner metadata, not row data
+    val survivors = zoneMap
+      .filter(r => r.getAs[Long]("pk_hi") >= loP && r.getAs[Long]("pk_lo") <= hiP &&
+        r.getAs[Long]("sk_hi") >= loS && r.getAs[Long]("sk_lo") <= hiS)
+      .map(_.getAs[String]("file"))
+    val pruned =
+      if (survivors.isEmpty) slice.where(lit(false))
+      else spark.read.parquet(survivors.toIndexedSeq: _*)
+        .where(col("l_partkey").between(loP, hiP) &&
+          col("l_suppkey").between(loS, hiS))
+    (zoneMap.length.toLong, survivors.length.toLong, pruned)
+  }
+
+  /** The graded 2-D box: partkey in [max/4, 2·max/5], suppkey in
+    * [max/4, 2·max/5] — scale-free integer arithmetic both engines
+    * compute from the table (Scala Long division here, `//` in the
+    * oracle; both floor on the positive key domain).
+    */
+  private def boxBounds(li: DataFrame): (Long, Long, Long, Long) = {
+    val r = li.agg(max(col("l_partkey")).as("mp"),
+      max(col("l_suppkey")).as("ms")).collect()(0)
+    val (mp, ms) = (r.getAs[Long]("mp"), r.getAs[Long]("ms"))
+    (mp / 4, 2 * mp / 5, ms / 4, 2 * ms / 5)
+  }
+
+  /** The graded q276 aggregate over the z-order-pruned read. */
+  def zorderScanQuery(spark: SparkSession, li: DataFrame): DataFrame = {
+    val (_, _, pruned) = zorderPrunedScan(spark, li)
+    pruned.agg(count(lit(1)).as("n_lines"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      moneySum(col("l_extendedprice")).as("revenue"))
+  }
+
+  private val q276Sql: String =
+    s"""WITH b AS (SELECT MAX(l_partkey) // 4 AS lo_p,
+       |    2 * MAX(l_partkey) // 5 AS hi_p,
+       |    MAX(l_suppkey) // 4 AS lo_s, 2 * MAX(l_suppkey) // 5 AS hi_s
+       |  FROM lineitem)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       |  ${sqlMoneySum("l_extendedprice")} AS revenue
+       |FROM lineitem, b
+       |WHERE l_partkey BETWEEN b.lo_p AND b.hi_p
+       |  AND l_suppkey BETWEEN b.lo_s AND b.hi_s""".stripMargin
+
   /** The graded q264 aggregate over the pruned read. */
   def zoneMapQuery(spark: SparkSession, li: DataFrame): DataFrame = {
     val (_, _, pruned) =
@@ -179,5 +269,10 @@ object LayoutOps {
     QueryDef(
       "q264_zonemap_scan",
       Some(q264Sql),
-      (spark, dir) => zoneMapQuery(spark, t(spark, dir, "lineitem"))))
+      (spark, dir) => zoneMapQuery(spark, t(spark, dir, "lineitem"))),
+
+    QueryDef(
+      "q276_zorder_scan",
+      Some(q276Sql),
+      (spark, dir) => zorderScanQuery(spark, t(spark, dir, "lineitem"))))
 }

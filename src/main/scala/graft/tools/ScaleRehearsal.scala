@@ -124,7 +124,10 @@ object ScaleRehearsal {
     "q266_leftouter_join_replay", "q267_markov_attribution",
     "q268_golden_record", "q269_video_frames", "q270_bitemporal_asof",
     "q271_session_patterns", "q272_sketch_overlap", "q273_seasonal_decomp",
-    "q274_proximity_match", "q275_calibration_bins")
+    "q274_proximity_match", "q275_calibration_bins",
+    // round 10, batch 4: z-order layout write + 2-D manifest-pruned
+    // read (linear layout pass; the read side shrinks with pruning)
+    "q276_zorder_scan")
 
   private val OFFSET = 10000000L
 

@@ -150,6 +150,40 @@ class MiningLayoutSpec extends SparkSpec {
     assert(pruned.count() === expected)
   }
 
+  test("z-order 2-D pruned scan: exact result, and files were skipped") {
+    import graft.util.Tables.t
+    val li = t(spark, sf, "lineitem")
+    val (total, read, pruned) = LayoutOps.zorderPrunedScan(spark, li)
+    assert(read < total, s"expected skipping, read $read of $total")
+    // exact despite pruning: residual filter over survivors == logical
+    // table filtered directly (the q264 exactness contract, now 2-D)
+    val r = li.agg(org.apache.spark.sql.functions.max("l_partkey"),
+      org.apache.spark.sql.functions.max("l_suppkey")).collect()(0)
+    val (mp, ms) = (r.getLong(0), r.getLong(1))
+    val expected = li.where(
+      li("l_partkey").between(mp / 4, 2 * mp / 5) &&
+        li("l_suppkey").between(ms / 4, 2 * ms / 5)).count()
+    assert(pruned.count() === expected)
+  }
+
+  test("z-order prunes the SECOND dimension where a 1-D layout cannot") {
+    import graft.util.Tables.t
+    val li = t(spark, sf, "lineitem")
+    val ms = li.agg(org.apache.spark.sql.functions.max("l_suppkey"))
+      .collect()(0).getLong(0)
+    // suppkey-only box (partkey unconstrained): a partkey-sorted layout
+    // has every file spanning the full suppkey domain -> reads ALL
+    // files; the z-layout keeps suppkey locally dense -> skips files
+    val box = Some((0L, Long.MaxValue, ms / 4, 2 * ms / 5))
+    val (totalZ, readZ, prunedZ) =
+      LayoutOps.zorderPrunedScan(spark, li, box = box)
+    val (total1, read1, pruned1) =
+      LayoutOps.zorderPrunedScan(spark, li, oneDLayout = true, box = box)
+    assert(read1 === total1, "1-D partkey layout cannot prune a suppkey box")
+    assert(readZ < totalZ, s"z layout should skip files, read $readZ/$totalZ")
+    assert(prunedZ.count() === pruned1.count())
+  }
+
   test("a fully-pruned zone-map scan returns empty, never a failed read") {
     import graft.util.Tables.t
     val li = t(spark, sf, "lineitem")
