@@ -670,7 +670,32 @@ object ShapeOps {
         |  strftime(ts_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  CAST(CASE WHEN ts_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin),
-      (spark, dir) => scd2Dim(EventOps.events(spark, dir))))
+      (spark, dir) => scd2Dim(EventOps.events(spark, dir))),
+
+    // Incremental materialized-view maintenance — the warehouse pattern
+    // that makes 100 TB dashboards affordable: a persisted day×flag
+    // aggregate is REFRESHED by merging the stored MV with the partial
+    // aggregate of just the late-arriving delta slice, never by
+    // re-scanning history. Correct because the MV state is chosen
+    // algebraic: COUNT and exact DECIMAL SUMs merge by addition, and
+    // non-additive report columns (avg) are DERIVED from merged sums at
+    // read time. The oracle is the full rebuild over the logical table —
+    // maintenance must be indistinguishable from recomputation.
+    // Scale shape: the delta partial-agg is one map-side-combined
+    // shuffle over ONLY the delta rows; the merge re-aggregates
+    // (stored MV ∪ delta partials), both calendar×flag-bounded — at no
+    // point does the maintenance path rescan the base facts.
+    QueryDef(
+      "q277_mv_maintain",
+      Some(s"""SELECT CAST(l_shipdate AS DATE) AS day, l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  ${sqlMoneySum("l_quantity")} AS qty,
+        |  ${sqlMoneySum("l_extendedprice")} AS revenue,
+        |  (2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 100
+        |       AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS avg_price_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY day, l_returnflag""".stripMargin),
+      (spark, dir) =>
+        mvIncrementalMaintain(spark, t(spark, dir, "lineitem"))))
 
   /** The q115 body, shared with PlanSpec's WindowGroupLimit assertion:
     * rank()/row_number() <= N predicates over a window are the ONLY
@@ -862,5 +887,53 @@ object ShapeOps {
             (d("na") * (d("na") - lit(1.0)))) / d("na") +
           ((d("nb") * d("sxxb") - d("sxb") * d("sxb")) /
             (d("nb") * (d("nb") - lit(1.0)))) / d("nb"))).as("t_stat"))
+  }
+
+  /** q277 body, shared with AnalyticsSpec's planted late-delta fixture.
+    * The MV state per (day, l_returnflag) is {COUNT, exact DECIMAL(18,4)
+    * sums of quantity and price} — every column either additive or
+    * derivable from additive ones, which is WHY the delta merge equals
+    * the rebuild (decimal addition is exact and associative; a double
+    * or avg column in the state would break both properties). The base
+    * MV is genuinely persisted (write + re-read parquet — the state a
+    * nightly job stores), the delta is partial-aggregated alone, and
+    * the refresh re-aggregates only (stored MV ∪ delta partials): the
+    * base facts are scanned ONCE at build time and never again.
+    *
+    * The late-arrival model makes the merge NON-disjoint on purpose:
+    * rows with l_orderkey ≡ 7 (mod 10) arrive in the delta batch, so
+    * nearly every (day, flag) key already materialized in the MV
+    * receives additional mass — the merge exercises additivity on
+    * every key, not a disjoint union of date ranges.
+    */
+  def mvIncrementalMaintain(spark: org.apache.spark.sql.SparkSession,
+      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keyed = li.select(to_date(col("l_shipdate")).as("day"),
+      col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+      (col("l_orderkey") % 10 === 7).as("late"))
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("day", "l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(money(col("l_quantity"))).as("qty_sum"),
+          sum(money(col("l_extendedprice"))).as("price_sum"))
+    val loc = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    partials(keyed.where(!col("late")))
+      .write.mode("overwrite").parquet(loc)
+    val stored = spark.read.parquet(loc)
+    stored.unionByName(partials(keyed.where(col("late"))))
+      .groupBy("day", "l_returnflag")
+      .agg(sum(col("n_lines")).as("n_lines"),
+        sum(col("qty_sum")).as("qty_sum"),
+        sum(col("price_sum")).as("price_sum"))
+      .select(col("day"), col("l_returnflag"), col("n_lines"),
+        round(col("qty_sum"), 2).cast("double").as("qty"),
+        round(col("price_sum"), 2).cast("double").as("revenue"),
+        // exact half-up integer cents: small groups land on .xx5
+        // boundaries constantly, where double ROUND diverges across
+        // engines (SURVEY §7.3) — (2s+n) div 2n is the same BIGINT on
+        // both sides, no float anywhere
+        expr("(2 * CAST(price_sum * 100 AS BIGINT) + n_lines)" +
+          " DIV (2 * n_lines)").as("avg_price_cents"))
+      .orderBy("day", "l_returnflag")
   }
 }

@@ -126,8 +126,9 @@ object ScaleRehearsal {
     "q271_session_patterns", "q272_sketch_overlap", "q273_seasonal_decomp",
     "q274_proximity_match", "q275_calibration_bins",
     // round 10, batch 4: z-order layout write + 2-D manifest-pruned
-    // read (linear layout pass; the read side shrinks with pruning)
-    "q276_zorder_scan")
+    // read (linear layout pass; the read side shrinks with pruning);
+    // MV maintenance (one delta partial-agg + a calendar-bounded merge)
+    "q276_zorder_scan", "q277_mv_maintain")
 
   private val OFFSET = 10000000L
 

@@ -269,4 +269,29 @@ class AnalyticsSpec extends SparkSpec {
       "browse_only" -> ((1L, 2L)),
       "errored_no_convert" -> ((1L, 2L))), s"census: $out")
   }
+
+  test("MV maintenance: late-delta merge equals full rebuild on every key") {
+    // keys deliberately straddle the arrival split: orderkeys 7 and 17
+    // are late (mod-10 rule), and both land on (day 1, 'A') / (day 2,
+    // 'R') keys that ALSO hold base rows — the merge must add mass into
+    // existing MV state, not just append new keys
+    val rows = Seq(
+      (1L, ts("1995-01-01 00:00:00"), "A", 2.0, 100.10),
+      (2L, ts("1995-01-01 00:00:00"), "A", 3.0, 200.20),
+      (7L, ts("1995-01-01 00:00:00"), "A", 5.0, 50.05), // late, shared key
+      (3L, ts("1995-01-02 00:00:00"), "R", 1.0, 10.01),
+      (17L, ts("1995-01-02 00:00:00"), "R", 4.0, 40.04), // late, shared key
+      (27L, ts("1995-01-03 00:00:00"), "N", 6.0, 60.06)) // late, NEW key
+      .toDF("l_orderkey", "l_shipdate", "l_returnflag",
+        "l_quantity", "l_extendedprice")
+    val out = ShapeOps.mvIncrementalMaintain(spark, rows).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    // avg cents half-up: 35035/3 -> 11678 (down), 5005/2 -> 2503 (up)
+    assert(out == Map(
+      ("1995-01-01", "A") -> ((3L, 10.0, 350.35, 11678L)),
+      ("1995-01-02", "R") -> ((2L, 5.0, 50.05, 2503L)),
+      ("1995-01-03", "N") -> ((1L, 6.0, 60.06, 6006L))), s"mv: $out")
+  }
 }
