@@ -396,6 +396,72 @@ object TimeSeriesOps {
       |  CAST(sy AS BIGINT) AS total_cents
       |FROM s ORDER BY n_name""".stripMargin
 
+  /** q278 body: Theil–Sen robust trend — the median of all pairwise
+    * slopes over the trailing `windowDays` of the daily order series,
+    * the estimator that shrugs off the outlier days that drag q195's
+    * least-squares slope (breakdown point 29% vs 0%).
+    *
+    * Plan shape: Theil–Sen is inherently O(points²), so the points MUST
+    * be a calendar-bounded grain (the q273 argument): the fact table
+    * collapses to ≤ `windowDays` (day, cnt) rows in one
+    * map-side-combined shuffle, and the pair fan-out happens ROW-LOCALLY
+    * inside one bounded array via nested `transform` HOFs — no self-join
+    * (a `di < dj` theta-join would plan a nested loop), no
+    * unpartitioned window (the median is `element_at(array_sort(...))`
+    * inside the row). ≤ 365 points → ≤ 66 795 slopes ≈ 0.5 MB of
+    * doubles in one task, a constant independent of data volume.
+    *
+    * Exactness: each slope is ONE IEEE division of two exact BIGINTs —
+    * bit-identical across engines — and selecting the k-th VALUE of the
+    * sorted slopes is tie-insensitive, so the oracle may rank with
+    * ROW_NUMBER while Spark sorts an array: equal values give an equal
+    * k-th element. Lower median at even counts (q231's convention).
+    */
+  def theilSenTrend(orders: DataFrame, windowDays: Int = 365): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = daily.agg(max(col("day")).as("mx"))
+    daily.crossJoin(broadcast(mx))
+      .where(col("day") > date_sub(col("mx"), windowDays))
+      .select(datediff(col("day"), col("mx")).cast("long").as("di"),
+        col("cnt"))
+      .agg(array_sort(collect_list(struct(col("di"), col("cnt"))))
+        .as("pts"))
+      .select(size(col("pts")).cast("long").as("n_days"),
+        expr("""CASE WHEN size(pts) < 2 THEN CAST(array() AS ARRAY<DOUBLE>)
+          |ELSE flatten(transform(sequence(0, size(pts) - 2), i ->
+          |  transform(sequence(i + 1, size(pts) - 1), j ->
+          |    CAST(pts[j].cnt - pts[i].cnt AS DOUBLE) /
+          |      CAST(pts[j].di - pts[i].di AS DOUBLE)))) END"""
+          .stripMargin).as("slopes"))
+      .select(col("n_days"),
+        size(col("slopes")).cast("long").as("n_pairs"),
+        expr("element_at(array_sort(slopes), CAST((size(slopes) + 1) DIV 2 AS INT))")
+          .as("slope_per_day"))
+  }
+
+  private val theilSenOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(day) AS mx FROM daily),
+      |win AS (
+      |  SELECT CAST(date_diff('day', mx.mx, day) AS BIGINT) AS di, cnt
+      |  FROM daily, mx WHERE day > mx.mx - 365),
+      |pairs AS (
+      |  SELECT CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.di - a.di AS DOUBLE)
+      |    AS slope
+      |  FROM win a JOIN win b ON b.di > a.di),
+      |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+      |    COUNT(*) OVER () AS np
+      |  FROM pairs),
+      |d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM win)
+      |SELECT d.n_days, CAST(r.np AS BIGINT) AS n_pairs,
+      |  r.slope AS slope_per_day
+      |FROM r, d WHERE rn = (np + 1) // 2""".stripMargin
+
   /** Rolling z-score anomaly scan (q206): each day's order count
     * against the TRAILING 7-day window (rows between 7 preceding and 1
     * preceding — the day itself excluded, so a spike can't deflate its
@@ -813,6 +879,9 @@ object TimeSeriesOps {
 
     QueryDef("q207_slo_burn", Some(sloBurnOracle),
       (spark, dir) => sloBurn(EventOps.events(spark, dir))),
+
+    QueryDef("q278_theil_sen", Some(theilSenOracle),
+      (spark, dir) => theilSenTrend(t(spark, dir, "orders"))),
 
     QueryDef("q195_trend_slopes", Some(trendSlopesOracle),
       (spark, dir) => trendSlopes(t(spark, dir, "orders"),

@@ -128,7 +128,10 @@ object ScaleRehearsal {
     // round 10, batch 4: z-order layout write + 2-D manifest-pruned
     // read (linear layout pass; the read side shrinks with pruning);
     // MV maintenance (one delta partial-agg + a calendar-bounded merge)
-    "q276_zorder_scan", "q277_mv_maintain")
+    "q276_zorder_scan", "q277_mv_maintain",
+    // Theil-Sen: the pair fan-out is bounded by the calendar, not the
+    // data (copies land on the same days and only move cnt values)
+    "q278_theil_sen")
 
   private val OFFSET = 10000000L
 

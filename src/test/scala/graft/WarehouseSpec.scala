@@ -328,4 +328,33 @@ class WarehouseSpec extends SparkSpec {
       Row("signup", 500000L, 500000L, 0.0),
       Row("view", 500000L, 0L, 10000.0)))
   }
+
+  test("theil-sen: median pairwise slope ignores a count outlier") {
+    // 7 days on an exact cnt = 2·i + 10 line except the last day, a
+    // 1000-order spike. 15 of the 21 pairwise slopes are exactly 2.0,
+    // the 6 spike pairs are huge — the median (rank 11) stays 2.0,
+    // where q195's least-squares slope would be dragged far above it
+    val counts = Seq(10, 12, 14, 16, 18, 20, 1000)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((i.toLong, Timestamp.valueOf(s"1995-01-0${i + 1} 00:00:00")))
+    }
+    val out = TimeSeriesOps.theilSenTrend(
+      rows.toDF("o_orderkey", "o_orderdate")).head()
+    assert(out.getLong(0) === 7L && out.getLong(1) === 21L)
+    assert(out.getDouble(2) === 2.0, s"robust slope: ${out.getDouble(2)}")
+  }
+
+  test("theil-sen: even pair count takes the lower median") {
+    // 4 days, 6 pairs; slopes sorted: [1,1,1,3,5,7] -> rank (6+1)/2 = 3
+    // (lower median) = 1.0. Series 0,1,2,3 days with cnt 1,2,3,8:
+    // pairs (0,1)=1 (0,2)=1 (1,2)=1 (0,3)=7/3 (1,3)=3 (2,3)=5
+    val counts = Seq(1, 2, 3, 8)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((i.toLong, Timestamp.valueOf(s"1995-02-0${i + 1} 00:00:00")))
+    }
+    val out = TimeSeriesOps.theilSenTrend(
+      rows.toDF("o_orderkey", "o_orderdate")).head()
+    assert(out.getLong(1) === 6L)
+    assert(out.getDouble(2) === 1.0, s"lower median: ${out.getDouble(2)}")
+  }
 }
