@@ -618,7 +618,57 @@ object CorpusStatsOps {
       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** q279 body: per-source Gini–Simpson token diversity — the corpus
+    * concentration dashboard that flags low-diversity (template/
+    * machine-generated) sources before they dominate a training mix.
+    * Simpson concentration Σ(c/n)² is an EXACT RATIONAL Σc²/n², unlike
+    * Shannon entropy (whose ln() sum is both partition-order dependent
+    * and libm-divergent across engines) — so the score lands on the
+    * integer basis-point grid via one DECIMAL(38,0) floor division (the
+    * q245 idiom: `div` here, `//` with HUGEINT in the oracle), exact
+    * and order-independent at any scale. Complements q134's TTR, which
+    * counts types but cannot see a skewed frequency profile over a
+    * large vocabulary.
+    *
+    * Scale shape: one (source, term) aggregation (map-side combined),
+    * then a source-bounded rollup — scan-speed, vocabulary-bounded,
+    * no joins.
+    */
+  def simpsonDiversity(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tf = docs.where(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("source")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf").cast(dec) * col("tf")).as("ssq"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr(s"""CAST((ssq * 10000) div
+          |  (CAST(n_tokens AS $dec) * n_tokens) AS BIGINT)""".stripMargin)
+          .as("concentration_bp"))
+      .withColumn("diversity_bp", lit(10000L) - col("concentration_bp"))
+      .orderBy("source")
+  }
+
+  private val simpsonDiversitySql: String =
+    """WITH tf AS (SELECT source, term, CAST(COUNT(*) AS HUGEINT) AS tf
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)
+      |  WHERE text IS NOT NULL GROUP BY source, term),
+      |s AS (SELECT source, CAST(SUM(tf) AS HUGEINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types, SUM(tf * tf) AS ssq
+      |  FROM tf GROUP BY source)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+      |  CAST((ssq * 10000) // (n_tokens * n_tokens) AS BIGINT)
+      |    AS concentration_bp,
+      |  CAST(10000 - (ssq * 10000) // (n_tokens * n_tokens) AS BIGINT)
+      |    AS diversity_bp
+      |FROM s ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q279_simpson_diversity", Some(simpsonDiversitySql),
+      (spark, dir) => simpsonDiversity(t(spark, dir, "documents"))),
+
     QueryDef("q245_bm25_topk", Some(bm25Sql(Bm25Queries, 10)),
       (spark, dir) => bm25TopK(t(spark, dir, "documents"))),
 

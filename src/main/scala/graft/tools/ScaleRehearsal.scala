@@ -131,7 +131,10 @@ object ScaleRehearsal {
     "q276_zorder_scan", "q277_mv_maintain",
     // Theil-Sen: the pair fan-out is bounded by the calendar, not the
     // data (copies land on the same days and only move cnt values)
-    "q278_theil_sen")
+    "q278_theil_sen",
+    // Simpson diversity: vocabulary-bounded (source, term) agg; per-copy
+    // token suffixes grow the vocab linearly (q52's arithmetic)
+    "q279_simpson_diversity")
 
   private val OFFSET = 10000000L
 

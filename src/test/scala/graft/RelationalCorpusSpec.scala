@@ -409,4 +409,21 @@ class RelationalCorpusSpec extends SparkSpec {
     // disjoint s3 never pairs (no shared term -> no candidate row)
     assert(!out.keySet.exists(k => k._1 == "s3" || k._2 == "s3"))
   }
+
+  test("simpson diversity: pure repetition hits 10000 bp, uniform spread floors") {
+    val docs = Seq(
+      (1L, "tpl", "x x x x"),          // ssq 16, n 4 -> conc 10000
+      (2L, "mix", "a b c d"),          // ssq 4, n 4 -> conc 2500
+      (3L, "skew", "a a a b"),         // ssq 10, n 4 -> conc 6250
+      (4L, "skew", "a a"),             // pooled per SOURCE: a 5, b 1
+      (5L, "mix", null))               // null text rows are ignored
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.CorpusStatsOps.simpsonDiversity(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("tpl") === ((4L, 1L, 10000L, 0L)))
+    assert(out("mix") === ((4L, 4L, 2500L, 7500L)))
+    // skew pools both docs: n=6, ssq=25+1=26 -> 26*10000/36 = 7222
+    assert(out("skew") === ((6L, 2L, 7222L, 2778L)))
+  }
 }
