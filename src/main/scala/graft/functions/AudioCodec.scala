@@ -53,8 +53,12 @@ object AudioCodec {
     buf.array()
   }
 
-  /** Total decode: None on null/truncated/non-WAV bytes. */
-  def decode(bytes: Array[Byte]): Option[WavData] = {
+  /** Shared RIFF chunk walk: validates the header, enforces mono 16-bit
+    * PCM, and hands the positioned data chunk (sample count + buffer) to
+    * `onData` together with the fmt facts. Total on arbitrary bytes.
+    */
+  private def walk[A](bytes: Array[Byte])(
+      onData: (Int, Int, Int, Int, ByteBuffer) => A): Option[A] = {
     if (bytes == null || bytes.length < 12) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
@@ -84,18 +88,7 @@ object AudioCodec {
             buf.position(p + len + (len & 1)) // chunks are word-aligned
           case "data" =>
             val (channels, rate, bits) = fmt.getOrElse(return None)
-            val n = len / 2
-            var peak = 0
-            var sumSq = 0L
-            var i = 0
-            while (i < n) {
-              val s = buf.getShort.toInt
-              val a = math.abs(s)
-              if (a > peak) peak = a
-              sumSq += s.toLong * s
-              i += 1
-            }
-            return Some(WavData(rate, channels, bits, n, peak, sumSq))
+            return Some(onData(channels, rate, bits, len / 2, buf))
           case _ =>
             buf.position(buf.position() + len + (len & 1))
         }
@@ -103,6 +96,40 @@ object AudioCodec {
       None // no data chunk
     } catch {
       case _: RuntimeException => None // BufferUnderflow et al: corrupt bytes
+    }
+  }
+
+  /** Total decode: None on null/truncated/non-WAV bytes. */
+  def decode(bytes: Array[Byte]): Option[WavData] =
+    walk(bytes) { (channels, rate, bits, n, buf) =>
+      var peak = 0
+      var sumSq = 0L
+      var i = 0
+      while (i < n) {
+        val s = buf.getShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumSq += s.toLong * s
+        i += 1
+      }
+      WavData(rate, channels, bits, n, peak, sumSq)
+    }
+
+  /** Per-window energy decode for segmentation: Σ sample² over each
+    * `win`-sample window (tail window partial). Exact integer energies —
+    * any partitioning and any engine reports identical values.
+    */
+  def decodeWindows(bytes: Array[Byte], win: Int): Option[(Int, Int, Array[Long])] = {
+    require(win > 0, s"win must be positive, got $win")
+    walk(bytes) { (_, rate, _, n, buf) =>
+      val energies = new Array[Long]((n + win - 1) / win)
+      var i = 0
+      while (i < n) {
+        val s = buf.getShort.toLong
+        energies(i / win) += s * s
+        i += 1
+      }
+      (rate, n, energies)
     }
   }
 }

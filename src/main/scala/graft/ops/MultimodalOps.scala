@@ -146,6 +146,79 @@ object MultimodalOps {
       }
   }
 
+  /** One voiced segment of a decoded waveform (q280). */
+  final case class AudioSegment(
+      doc_id: Long,
+      seg_idx: Int,
+      start_us: Long,
+      end_us: Long,
+      n_windows: Int)
+
+  /** Synthetic GAPPED audio acquisition (q280): the q189 square wave
+    * with a silence pattern — every third 16-sample phase is zeroed
+    * ((i div 16) mod 3 = 2) — so segmentation has real work to do and
+    * the segment list stays a pure function of SQL-visible metadata
+    * (rate, n_chars): a full DuckDB oracle replays it, no golden.
+    */
+  def gappedAudioTable(docs: DataFrame): DataFrame = {
+    val render = udf((id: Long, nChars: Long, hasText: Boolean) =>
+      if (!hasText) null
+      else {
+        val rate = (8000 + 1000 * (id % 4)).toInt
+        val n = (50 + (nChars % 100)).toInt
+        val amp = (1000 + (id % 7) * 3000).toShort
+        val samples = Array.tabulate(n)(i =>
+          if ((i / 16) % 3 == 2) 0.toShort
+          else if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+        graft.functions.AudioCodec.encodeWav(rate, samples,
+          junkChunk = id % 2 == 1)
+      }: Array[Byte])
+    docs.select(col("doc_id"),
+      render(col("doc_id"), coalesce(col("n_chars"), lit(0L)),
+        col("text").isNotNull).as("payload"))
+  }
+
+  /** q280 body: voice-activity segmentation — the speech-corpus chunking
+    * pass (split recordings at silence before transcription/training).
+    * Per-window Σsample² energies come from ONE codec pass
+    * ([[graft.functions.AudioCodec.decodeWindows]]), and the
+    * gaps-and-islands merge of voiced windows into segments runs
+    * ROW-LOCALLY over the per-doc energy array (bounded by the clip
+    * length) — no explode, no per-window shuffle, no window function:
+    * a billion clips segment at scan speed, one row in, k segment rows
+    * out. Timestamps are exact integer microseconds (BIGINT floor
+    * divide); the tail window clamps end_us to the true sample count.
+    * Corrupt/null payloads yield NO segments (the decoder is total).
+    */
+  def audioSegments(spark: SparkSession, media: DataFrame,
+      win: Int = 16): Dataset[AudioSegment] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.functions.AudioCodec.decodeWindows(bytes, win) match {
+          case None => Iterator.empty
+          case Some((rate, n, en)) =>
+            val segs = Iterator.unfold(0) { w0 =>
+              var a = w0
+              while (a < en.length && en(a) == 0L) a += 1
+              if (a >= en.length) None
+              else {
+                var b = a
+                while (b < en.length && en(b) > 0L) b += 1
+                Some(((a, b), b))
+              }
+            }
+            segs.zipWithIndex.map { case ((a, b), k) =>
+              AudioSegment(id, k + 1,
+                a.toLong * win * 1000000L / rate,
+                math.min(b.toLong * win, n.toLong) * 1000000L / rate,
+                b - a)
+            }
+        }
+      }
+  }
+
   /** Resized-thumbnail facts for the graded transform output: container
     * dims plus the exact integer sum of every byte of the 4×4
     * nearest-neighbor thumbnail.
@@ -470,6 +543,28 @@ object MultimodalOps {
       (spark, dir) =>
         decodeAudio(spark, audioTable(t(spark, dir, "documents")))
           .toDF().orderBy("doc_id")),
+
+    // REAL per-window energy decode + row-local silence segmentation of
+    // the gapped synthetic waveform; the full SQL oracle replays the
+    // segment list (every third 16-sample phase silent) from metadata.
+    QueryDef(
+      "q280_audio_segments",
+      Some("""WITH d AS (SELECT doc_id,
+        |    8000 + 1000 * (doc_id % 4) AS rate,
+        |    50 + (n_chars % 100) AS n,
+        |    (50 + (n_chars % 100) + 15) // 16 AS nw
+        |  FROM documents WHERE text IS NOT NULL),
+        |k(k) AS (VALUES (0), (1), (2), (3))
+        |SELECT doc_id, CAST(k + 1 AS INT) AS seg_idx,
+        |  CAST((3 * k * 16 * 1000000) // rate AS BIGINT) AS start_us,
+        |  CAST((LEAST(LEAST(3 * k + 2, nw) * 16, n) * 1000000) // rate
+        |    AS BIGINT) AS end_us,
+        |  CAST(LEAST(3 * k + 2, nw) - 3 * k AS INT) AS n_windows
+        |FROM d, k WHERE 3 * k < nw
+        |ORDER BY doc_id, seg_idx""".stripMargin),
+      (spark, dir) =>
+        audioSegments(spark, gappedAudioTable(t(spark, dir, "documents")))
+          .toDF().orderBy("doc_id", "seg_idx")),
 
     // Metadata extraction stays in codegen'd built-ins: byte length and a
     // "magic bytes" hex prefix straight off the binary column.

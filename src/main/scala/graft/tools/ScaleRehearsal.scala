@@ -134,7 +134,9 @@ object ScaleRehearsal {
     "q278_theil_sen",
     // Simpson diversity: vocabulary-bounded (source, term) agg; per-copy
     // token suffixes grow the vocab linearly (q52's arithmetic)
-    "q279_simpson_diversity")
+    "q279_simpson_diversity",
+    // audio segmentation: linear render+decode, row-local islands
+    "q280_audio_segments")
 
   private val OFFSET = 10000000L
 

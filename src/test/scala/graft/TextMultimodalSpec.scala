@@ -260,4 +260,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(0).format == "corrupt" && out(0).luma_sum == 0L)
     assert(out(1).format == "gvid" && out(1).n_sampled == 2)
   }
+
+  test("audio segmentation: silence splits, tail clamps, corrupt yields none") {
+    import graft.functions.AudioCodec
+    // 40 samples at 1000 Hz, window 16: w0 voiced, w1 silent, w2 voiced
+    // (PARTIAL: 8 samples) -> two 1-window segments; end of seg 2 clamps
+    // to sample 40, not window boundary 48
+    val samples = Array.tabulate(40)(i =>
+      if (i < 16 || i >= 32) 500.toShort else 0.toShort)
+    val wav = AudioCodec.encodeWav(1000, samples)
+    val media = Seq(
+      (1L, wav),
+      (2L, "not a wav".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = MultimodalOps.audioSegments(spark, media).collect()
+      .sortBy(s => (s.doc_id, s.seg_idx))
+    assert(out.length === 2, s"segments: ${out.toSeq}")
+    assert(out(0) === MultimodalOps.AudioSegment(1L, 1, 0L, 16000L, 1))
+    assert(out(1) === MultimodalOps.AudioSegment(1L, 2, 32000L, 40000L, 1))
+  }
 }
