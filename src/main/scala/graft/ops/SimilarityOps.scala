@@ -325,6 +325,157 @@ object SimilarityOps {
   private def queriesOf(v: DataFrame, n: Int): DataFrame =
     v.where(col("vec_id") < n).select(col("vec_id").as("q_id"), col("v").as("qv"))
 
+  // ---- Product quantization (q281/q282) ----
+  // PQ is the embedding-compression scale path the int8 tier (q93) stops
+  // short of: a 64-dim float vector becomes m=4 one-byte codes (64x
+  // smaller), and search runs over codes + a per-query lookup table
+  // (ADC), never touching raw vectors. Jegou et al. 2011 (TPAMI), the
+  // backbone of every billion-vector FAISS deployment.
+
+  /** Squared L2 distance as a strict sequential fold over zip_with —
+    * the [[cosineHof]] doctrine: same fold order on every engine and
+    * every partitioning, so distances are bit-stable.
+    */
+  private def l2sq(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Explode a vector column into its `m` row-local subvectors. */
+  private def subVectors(df: DataFrame, idCol: String, vCol: String,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice($vCol, s * $subDim + 1, $subDim))"))
+      .as(Seq("sub", "sv")))
+
+  /** Nearest code per (vector, subspace): broadcast the m·k-row codebook,
+    * argmin by the deterministic (dist, code) struct order. Keeps the
+    * subvector alongside for the Lloyd means.
+    */
+  private def assignCodes(sv: DataFrame, books: DataFrame): DataFrame =
+    sv.join(broadcast(books), Seq("sub"))
+      .withColumn("dist", l2sq("sv", "cv"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("mn"),
+        first(col("sv")).as("sv")) // sv is constant within the group
+      .select(col("vec_id"), col("sub"), col("mn.code").as("code"),
+        col("mn.dist").as("dist"), col("sv"))
+
+  /** Per-subspace PQ codebooks: `k` codes per subspace seeded on the
+    * first `k` vectors' subvectors (the q47 seeding doctrine), refined
+    * with `iters` Lloyd rounds whose means are DECIMAL-exact (bit-stable
+    * at any parallelism — the same reasoning as [[fitCentroids]]). A
+    * code that captures no vectors keeps its previous centroid instead
+    * of vanishing. The codebook is m·k rows — broadcast metadata.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    val sv = subVectors(corpus, "vec_id", "v", m, dim / m)
+    var books = sv.where(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+      .cache()
+    for (_ <- 1 to iters) {
+      val means = assignCodes(sv, books)
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "code", "dim")
+        .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy("sub", "code")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("sub"), col("code"),
+          expr("transform(dm, e -> e.m)").as("ncv"))
+      val rebuilt = books
+        .join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("ncv"), col("cv")).as("cv"))
+        .cache()
+      rebuilt.count() // materialize before the old round's cache drops
+      books.unpersist()
+      books = rebuilt
+    }
+    books
+  }
+
+  /** q281 body: PQ encode audit — per (subspace, code): assignment count
+    * and the exact quantization-error mass (decimal-summed squared L2,
+    * order-independent). The m·k-row output is the codebook-health
+    * dashboard (dead codes, fat cells, error budget) a PQ index needs
+    * before anyone trusts its ADC distances. Scale shape: one broadcast
+    * codebook join over the row-local subvector explode, partial-agged
+    * on a 64-key grid — scan-speed.
+    */
+  def pqEncodeStats(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val books = pqCodebooks(corpus, m, k, iters)
+    assignCodes(subVectors(corpus, "vec_id", "v", m, 64 / m), books)
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("dist").cast("decimal(30,15)")).cast("double").as("err_sum"))
+      .orderBy("sub", "code")
+  }
+
+  /** ADC (asymmetric distance) top-k over codes alone: each query
+    * precomputes its distance to every codebook entry (an m·k lookup
+    * table, broadcast), and a vector's approximate distance is the SUM
+    * of m table lookups keyed by its codes — raw corpus vectors are
+    * never touched. Per-(query, vector) sums go through decimal so
+    * partial-merge order cannot wobble a near-tie rank. This is the
+    * SHORTLIST stage of [[pqAdcRerank]]; at m=8 on these embeddings the
+    * codes-only top-5 recall is ~0.2, which is exactly why production
+    * PQ always reranks a shortlist.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+      m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    val subDim = 64 / m
+    val books = pqCodebooks(corpus, m, k, iters)
+    val codes = assignCodes(subVectors(corpus, "vec_id", "v", m, subDim),
+      books).select(col("vec_id"), col("sub"), col("code"))
+    val lut = subVectors(queries, "q_id", "qv", m, subDim)
+      .withColumnRenamed("sv", "qsv")
+      .join(books, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        l2sq("qsv", "cv").as("qdist"))
+    val adist = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("qdist").cast("decimal(30,15)")).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    adist.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** q282 body: PQ search the way production systems run it — an ADC
+    * shortlist over codes alone ([[pqAdcTopK]], raw vectors untouched),
+    * then an EXACT cosine rerank of only the shortlisted pairs. The
+    * shortlist is a CONSTANT (100) while the corpus grows, so at 10⁹
+    * vectors the exact stage touches 100 vectors per query instead of
+    * the corpus — compression 32× (8 one-byte codes vs 64 floats) with
+    * recall@5 ≈ 0.94 on sf0.001 (SimilaritySpec pins ≥ 0.9). Same
+    * output contract as q27/q28/q47.
+    */
+  def pqAdcRerank(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+      shortlist: Int = 100, m: Int = 8, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist must cover topK $topK")
+    val short = pqAdcTopK(corpus, queries, shortlist, m, k, iters)
+      .select(col("q_id"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short
+      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("sim", cosine("qv", "v"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** q166: the SQL-TEXT path of the native cosine expression — the same
     * brute-force top-k contract as q27, but the similarity is computed by
     * `cosine_sim(...)` inside `spark.sql` on a session whose function
@@ -401,6 +552,22 @@ object SimilarityOps {
       (spark, dir) => {
         val v = vectors(spark, dir)
         ivfTopK(v, queriesOf(v, 20), k = 5)
+      }),
+
+    // PQ encode audit: per-(subspace, code) population + exact error
+    // mass. Deterministic (seeded codebooks, decimal means/sums) ->
+    // literal golden oracle; SimilaritySpec pins the code-grid shape and
+    // repartition invariance.
+    QueryDef("q281_pq_encode", literalOracle("q281_pq_encode"),
+      (spark, dir) => pqEncodeStats(vectors(spark, dir))),
+
+    // PQ ADC-shortlist + exact-rerank search: same output contract as
+    // q27/q28/q47. Deterministic -> literal golden; SimilaritySpec pins
+    // recall >= 0.9 vs the exact brute force.
+    QueryDef("q282_pq_adc", literalOracle("q282_pq_adc"),
+      (spark, dir) => {
+        val v = vectors(spark, dir)
+        pqAdcRerank(v, queriesOf(v, 20))
       }),
 
     // Embedding-cosine near-duplicate assignment: LSH candidates verified

@@ -136,7 +136,10 @@ object ScaleRehearsal {
     // token suffixes grow the vocab linearly (q52's arithmetic)
     "q279_simpson_diversity",
     // audio segmentation: linear render+decode, row-local islands
-    "q280_audio_segments")
+    "q280_audio_segments",
+    // PQ: broadcast codebook joins over row-local subvector explodes;
+    // the ADC shortlist is constant per query while the corpus grows
+    "q281_pq_encode", "q282_pq_adc")
 
   private val OFFSET = 10000000L
 

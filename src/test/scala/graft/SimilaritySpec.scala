@@ -48,6 +48,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall was $recall")
   }
 
+  test("PQ encode: full 8x16 code grid, population conserved, errors finite") {
+    val out = SimilarityOps.pqEncodeStats(v).collect()
+    assert(out.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
+    // every (vector, subspace) gets exactly one code
+    assert(out.map(_.getLong(2)).sum === 8L * v.count())
+    assert(out.forall(r => r.getDouble(3) >= 0.0))
+  }
+
+  test("PQ encode stats are repartition-invariant to the bit") {
+    val a = SimilarityOps.pqEncodeStats(v).collect().toSeq
+    val b = SimilarityOps.pqEncodeStats(v.repartition(7)).collect().toSeq
+    assert(a === b, "decimal means/sums must make PQ bit-stable")
+  }
+
+  test("PQ ADC + exact rerank recall vs brute force on sf0.001") {
+    val exact = SimilarityOps.bruteForceTopK(v, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityOps.pqAdcRerank(v, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"PQ rerank recall@5 = $recall (m=8, 16 codes, shortlist 100)")
+    assert(recall >= 0.9, s"recall was $recall")
+    // codes-only ADC is documented as shortlist-grade, not result-grade
+    val codesOnly = SimilarityOps.pqAdcTopK(v, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val codesRecall = exact.intersect(codesOnly).size.toDouble / exact.size
+    info(s"codes-only ADC recall@5 = $codesRecall")
+    assert(codesRecall < recall, "rerank must beat raw code distances")
+  }
+
   test("autoBits grows bucket count with corpus size, floored at test scale") {
     import SimilarityOps.autoBits
     assert(autoBits(500, 6) == 6, "LSH default unchanged at sf0.001")
