@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DamerauLevenshtein}
 
 /** Library entry point for Spark's extension mechanism: deploying with
   *
@@ -31,6 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName,
+        "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"damerau_levenshtein requires exactly 2 arguments, got ${exprs.length}")
+        DamerauLevenshtein(exprs(0), exprs(1))
       }))
   }
 }

@@ -228,10 +228,71 @@ object LinkageOps {
       |FROM customer LEFT JOIN feed ON c_custkey = f_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** q283 body: the fat-finger census — adjacent TRANSPOSITION (the
+    * single most common human typo) vs substitution, scored by plain
+    * levenshtein AND the native Damerau–Levenshtein expression
+    * (graft.functions.DamerauLevenshtein, whole-stage codegen, also
+    * SQL-installable via GraftExtensions). Plain levenshtein charges a
+    * swap 2 edits and throws every dist<=1 linkage threshold off by 2×
+    * on swap typos; the census proves the native expression fixes the
+    * tier: swaps land at (lev 2, dl 1), substitutions at (1, 1),
+    * equal-digit swaps collapse to (0, 0). End-relative positions (the
+    * q261 doctrine); the oracle scores the same derived registry with
+    * DuckDB's built-in damerau_levenshtein — exact integer parity with
+    * the custom expression across the whole corpus.
+    *
+    * Scale shape: row-local derivation + one 3×-ish-key grouped count —
+    * scan-speed; the DP is O(len²) on bounded name strings.
+    */
+  def typoDistanceCensus(customer: DataFrame): DataFrame = {
+    val name = col("c_name")
+    val m = col("c_custkey") % 3
+    val len = length(name)
+    val swapped = concat(
+      name.substr(lit(1), len - 2),
+      name.substr(len, lit(1)),
+      name.substr(len - 1, lit(1)))
+    val substituted = concat(
+      name.substr(lit(1), len - 1),
+      ((name.substr(len, lit(1)).cast("int") + 7) % 10).cast("string"))
+    customer
+      .select(name,
+        when(m === 1, swapped)
+          .when(m === 2, substituted)
+          .otherwise(name).as("r_name"))
+      .select(
+        levenshtein(col("c_name"), col("r_name")).as("lev"),
+        graft.functions.StringFunctions
+          .damerauLevenshtein(col("c_name"), col("r_name")).as("dl"))
+      .groupBy("lev", "dl")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lev", "dl")
+  }
+
+  private val typoCensusSql: String =
+    """WITH reg AS (SELECT c_name,
+      |  CASE WHEN c_custkey % 3 = 1 THEN
+      |    substr(c_name, 1, length(c_name) - 2) ||
+      |    substr(c_name, length(c_name), 1) ||
+      |    substr(c_name, length(c_name) - 1, 1)
+      |  WHEN c_custkey % 3 = 2 THEN
+      |    substr(c_name, 1, length(c_name) - 1) ||
+      |    CAST((CAST(substr(c_name, length(c_name), 1) AS INTEGER) + 7) % 10
+      |      AS VARCHAR)
+      |  ELSE c_name END AS r_name
+      |  FROM customer)
+      |SELECT CAST(levenshtein(c_name, r_name) AS INT) AS lev,
+      |  CAST(damerau_levenshtein(c_name, r_name) AS INT) AS dl,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM reg GROUP BY 1, 2 ORDER BY lev, dl""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q261_record_linkage", Some(linkageSql),
       (spark, dir) => recordLinkage(t(spark, dir, "customer"))),
 
     QueryDef("q268_golden_record", Some(goldenSql),
-      (spark, dir) => goldenRecords(t(spark, dir, "customer"))))
+      (spark, dir) => goldenRecords(t(spark, dir, "customer"))),
+
+    QueryDef("q283_typo_census", Some(typoCensusSql),
+      (spark, dir) => typoDistanceCensus(t(spark, dir, "customer"))))
 }

@@ -139,7 +139,9 @@ object ScaleRehearsal {
     "q280_audio_segments",
     // PQ: broadcast codebook joins over row-local subvector explodes;
     // the ADC shortlist is constant per query while the corpus grows
-    "q281_pq_encode", "q282_pq_adc")
+    "q281_pq_encode", "q282_pq_adc",
+    // typo census: row-local DP on bounded names + tiny grouped count
+    "q283_typo_census")
 
   private val OFFSET = 10000000L
 

@@ -56,4 +56,46 @@ class VectorFunctionsSpec extends SparkSpec {
       "SELECT MIN(cosine_sim(v, v)) AS s FROM vecs_test").first().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("damerau-levenshtein: true-DL cases match DuckDB's built-in semantics") {
+    import graft.functions.StringFunctions
+    val cases = Seq(
+      ("CA", "ABC", 2),      // TRUE DL, not OSA (OSA would say 3)
+      ("teh", "the", 1),     // the fat-finger swap
+      ("ab", "ba", 1),
+      ("abcd", "acbd", 1),
+      ("kitten", "sitting", 3),
+      ("", "abc", 3),
+      ("abc", "", 3),
+      ("same", "same", 0))
+    val df = cases.toDF("a", "b", "want")
+      .select(col("want"),
+        StringFunctions.damerauLevenshtein(col("a"), col("b")).as("got"))
+    df.collect().foreach(r =>
+      assert(r.getInt(1) === r.getInt(0), s"case $r"))
+  }
+
+  test("damerau-levenshtein participates in whole-stage codegen") {
+    import graft.functions.StringFunctions
+    val df = Seq(("teh", "the"), ("abcd", "acbd")).toDF("a", "b")
+      .select(StringFunctions.damerauLevenshtein(col("a"), col("b")).as("d"))
+    df.collect()
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("DamerauLevenshtein.compute") ||
+      gen.contains("dameraulevenshtein"),
+      s"expected generated call into compute():\n${gen.take(2000)}")
+  }
+
+  test("damerau-levenshtein: null propagates, SQL text path registered") {
+    import graft.functions.StringFunctions
+    val out = Seq((Option("abc"), Option.empty[String]))
+      .toDF("a", "b")
+      .select(StringFunctions.damerauLevenshtein(col("a"), col("b")))
+      .first()
+    assert(out.isNullAt(0))
+    StringFunctions.register(spark)
+    assert(spark.sql("SELECT damerau_levenshtein('CA', 'ABC') AS d")
+      .first().getInt(0) === 2)
+  }
 }
