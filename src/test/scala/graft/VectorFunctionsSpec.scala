@@ -77,8 +77,11 @@ class VectorFunctionsSpec extends SparkSpec {
 
   test("damerau-levenshtein participates in whole-stage codegen") {
     import graft.functions.StringFunctions
-    val df = Seq(("teh", "the"), ("abcd", "acbd")).toDF("a", "b")
-      .select(StringFunctions.damerauLevenshtein(col("a"), col("b")).as("d"))
+    // parquet-backed input: a LocalRelation would be constant-folded at
+    // optimization time and never reach codegen at all
+    val df = graft.util.Tables.t(spark, sf, "customer")
+      .select(StringFunctions.damerauLevenshtein(
+        col("c_name"), reverse(col("c_name"))).as("d"))
     df.collect()
     val gen = org.apache.spark.sql.execution.debug.codegenString(
       df.queryExecution.executedPlan)
