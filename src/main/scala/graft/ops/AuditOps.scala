@@ -496,7 +496,91 @@ object AuditOps {
       |  FROM events
       |) ORDER BY table_name""".stripMargin
 
+  /** q284 body: the one-stop column profiler (ANALYZE TABLE / SUMMARIZE
+    * equivalent) — per column: row count, null count, exact NDV, and
+    * type-aware min/max (numerics as DOUBLE, strings as-is, timestamps
+    * rendered on the fixed second grid so no engine's float-to-string
+    * formatting enters the hash). The first query every onboarding
+    * pipeline runs against an unknown table.
+    *
+    * Scale shape: one single-column aggregate per profiled column,
+    * unioned — on columnar storage that is ONE logical pass (each scan
+    * prunes to its own column; ReadSchema carries exactly one field), and
+    * it sidesteps the 40+-expression wide aggregate that stalls Janino
+    * (SURVEY §7.3's >16-column rule). Each partial agg combines map-side;
+    * the union is |columns| one-row frames.
+    */
+  def columnProfile(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
+      tsCols: Seq[String]): DataFrame = {
+    require(numCols.nonEmpty || strCols.nonEmpty || tsCols.nonEmpty,
+      "profile at least one column")
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    def base(c: String) = Seq(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("ndv"))
+    def one(c: String, mins: Seq[org.apache.spark.sql.Column]) =
+      df.agg(base(c).head, (base(c).tail ++ mins): _*)
+        .select(lit(c).as("column"), col("*"))
+    val frames =
+      numCols.map(c => one(c, Seq(
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"),
+        nullS.as("min_str"), nullS.as("max_str")))) ++
+      strCols.map(c => one(c, Seq(
+        nullD.as("min_num"), nullD.as("max_num"),
+        min(col(c)).as("min_str"), max(col(c)).as("max_str")))) ++
+      tsCols.map(c => one(c, Seq(
+        nullD.as("min_num"), nullD.as("max_num"),
+        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as("min_str"),
+        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as("max_str"))))
+    frames.reduce(_.unionByName(_)).orderBy("column")
+  }
+
+  /** The graded lineitem profile set — every column of the fact table,
+    * typed. ONE list drives both engines (the q180 doctrine). Declared
+    * BEFORE the oracle text that maps over it (object init order).
+    */
+  private val ProfileNumCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val ProfileStrCols = Seq("l_returnflag", "l_linestatus")
+  private val ProfileTsCols = Seq("l_shipdate")
+
+  private val columnProfileSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(MIN($c) AS DOUBLE) AS min_num,
+         |  CAST(MAX($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  MIN($c), MAX($c)
+         |FROM lineitem""".stripMargin
+    def ts(c: String) =
+      s"""SELECT '$c', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  strftime(MIN($c), '%Y-%m-%d %H:%M:%S'),
+         |  strftime(MAX($c), '%Y-%m-%d %H:%M:%S')
+         |FROM lineitem""".stripMargin
+    (ProfileNumCols.map(num) ++ ProfileStrCols.map(str) ++
+      ProfileTsCols.map(ts)).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q284_column_profile", Some(columnProfileSql),
+      (spark, dir) => columnProfile(t(spark, dir, "lineitem"),
+        ProfileNumCols, ProfileStrCols, ProfileTsCols)),
+
     QueryDef("q265_erasure_audit", Some(erasureOracle),
       (spark, dir) => erasureAudit(
         t(spark, dir, "customer"), t(spark, dir, "orders"),

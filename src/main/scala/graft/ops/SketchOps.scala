@@ -140,9 +140,55 @@ object SketchOps {
           .cast("int").as("inter_within_bound"))
   }
 
+  /** q285 body: ROLLING 7-day distinct users from mergeable HLL state —
+    * the sketch twin of q131's exact fan-out and q157's exact bitmap
+    * OR-merge. One fixed-size sketch per day (single pass, map-side
+    * partial agg), then a calendar-RANGE window union of the trailing 7
+    * day-sketches: per window the work is 7 blob merges of 2^12-bucket
+    * state, independent of user cardinality — the shape that still
+    * works when a day's audience no longer fits an exact bitmap. The
+    * RANGE frame runs on an epoch-day index so calendar gaps widen the
+    * window correctly (a ROWS frame would silently span more than 7
+    * calendar days across a gap).
+    *
+    * Graded q84-style: the exact WAU comes from q131's machinery
+    * (hash-graded against plain SQL), the estimate is bound-checked
+    * engine-side against the 4 × rsd envelope (exact lgK=12 rsd).
+    */
+  def rollingSketchWau(ev: DataFrame): DataFrame = {
+    val exact = EventOps.rollingDistinctUsers(ev, 7)
+      .select(col("win_day").as("day"), col("n_users_7d").as("exact_wau"))
+    val est = ev
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .select(col("day"), expr(
+        """hll_sketch_estimate(hll_union_agg(sk) OVER
+          |  (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))"""
+          .stripMargin).as("est"))
+    // inner join: the graded spine is event days (the sketch side has a
+    // row only where a day saw events; exact gap-day rows drop)
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("exact_wau"),
+        (abs(col("est") - col("exact_wau")) <=
+          lit(4 * 1.04 / math.sqrt(1 << 12)) * col("exact_wau"))
+          .cast("int").as("within_bound"))
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q229_cms_contract", Some(cmsOracle),
       (spark, dir) => cmsContract(t(spark, dir, "documents"))),
+
+    QueryDef("q285_rolling_hll",
+      Some("""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_wau,
+        |  CAST(1 AS INT) AS within_bound
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin),
+      (spark, dir) => rollingSketchWau(EventOps.events(spark, dir))),
 
     QueryDef("q272_sketch_overlap",
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap,

@@ -141,7 +141,10 @@ object ScaleRehearsal {
     // the ADC shortlist is constant per query while the corpus grows
     "q281_pq_encode", "q282_pq_adc",
     // typo census: row-local DP on bounded names + tiny grouped count
-    "q283_typo_census")
+    "q283_typo_census",
+    // column profile: per-column pruned scans; rolling HLL: fixed
+    // per-day sketch state, calendar-bounded window
+    "q284_column_profile", "q285_rolling_hll")
 
   private val OFFSET = 10000000L
 
@@ -226,8 +229,21 @@ object ScaleRehearsal {
       // grows 10x where real corpora grow sublinearly. Bar 15.
       "q262_quality_classifier" -> 15.0,
       "q275_calibration_bins" -> 15.0,
-      "q274_proximity_match" -> 15.0)
+      "q274_proximity_match" -> 15.0,
+      // q279's (source, term) relation rides the same per-copy
+      // token-suffix vocabulary growth as q132 (Heaps-law superlinear
+      // in the fixture, sublinear in real corpora). Bar 15.
+      "q279_simpson_diversity" -> 15.0)
       .withDefaultValue(10.0)
+
+    // --only=q276,q282 reruns a prefix-matched subset against the full
+    // synthesized corpus (new-batch iterations shouldn't re-time the
+    // whole 150-query family)
+    val selected = args.find(_.startsWith("--only="))
+      .map(_.stripPrefix("--only=").split(",").map(_.trim).filter(_.nonEmpty))
+      .map(ws => family.filter(n => ws.exists(n.startsWith)))
+      .getOrElse(family)
+    require(selected.nonEmpty, "--only matched no rehearsal-family query")
 
     // warm the JVM on the small scale first; report small vs big per query
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${s"${factor}x"}%8s ${"ratio"}%6s")
@@ -238,7 +254,7 @@ object ScaleRehearsal {
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = family.map { name =>
+    val rows = selected.map { name =>
       time(name, src) // warm codegen/JIT for this query's plan shape
       val small = time(name, src)
       val big = time(name, out)

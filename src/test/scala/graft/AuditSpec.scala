@@ -211,4 +211,27 @@ class AuditSpec extends SparkSpec {
       .collect().map(r => r.getLong(2)).sum
     assert(purged === 0L)
   }
+
+  test("column profile: nulls counted, ndv excludes nulls, typed min/max") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (Some(3.5), Some("b"), Some(Timestamp.valueOf("1995-01-02 00:00:00"))),
+      (Some(1.5), None, Some(Timestamp.valueOf("1995-01-01 00:00:00"))),
+      (Some(3.5), Some("a"), None),
+      (None, Some("a"), Some(Timestamp.valueOf("1995-01-03 00:00:00"))))
+      .toDF("x", "s", "ts")
+    val out = AuditOps.columnProfile(rows, Seq("x"), Seq("s"), Seq("ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getLong(1) === 4L && x.getLong(2) === 1L && x.getLong(3) === 2L)
+    assert(x.getDouble(4) === 1.5 && x.getDouble(5) === 3.5)
+    assert(x.isNullAt(6) && x.isNullAt(7))
+    val s = out("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.getString(6) === "a" && s.getString(7) === "b")
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    val ts = out("ts")
+    assert(ts.getString(6) === "1995-01-01 00:00:00")
+    assert(ts.getString(7) === "1995-01-03 00:00:00")
+  }
 }

@@ -70,4 +70,21 @@ class SketchSpec extends SparkSpec {
     assert(row.getLong(0) === 0L)
     assert(row.getInt(1) === 1)
   }
+
+  test("rolling sketch WAU: calendar gap resets the RANGE window") {
+    import java.sql.Timestamp
+    // days 1, 2 hold users {1..4}; day 10 holds only {9} — a ROWS frame
+    // would still union days 1-2 into day 10's window, a RANGE frame on
+    // the epoch-day index must not
+    val ev = (
+      (1 to 4).map(u => (u.toLong, Timestamp.valueOf("1995-01-01 10:00:00"))) ++
+      (3 to 4).map(u => (u.toLong, Timestamp.valueOf("1995-01-02 10:00:00"))) ++
+      Seq((9L, Timestamp.valueOf("1995-01-10 10:00:00"))))
+      .toDF("user_id", "ts")
+    val out = SketchOps.rollingSketchWau(ev).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out("1995-01-01") === ((4L, 1)))
+    assert(out("1995-01-02") === ((4L, 1)))
+    assert(out("1995-01-10") === ((1L, 1)), s"gap day must stand alone: $out")
+  }
 }
