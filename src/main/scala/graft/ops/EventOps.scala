@@ -116,7 +116,79 @@ object EventOps {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** q287 body: out-of-orderness (lateness) histogram — the measurement
+    * every Structured Streaming deployment needs BEFORE choosing a
+    * watermark delay: too tight drops real events, too loose bloats
+    * state. Arrival order is q270's bitemporal ingest model (the events
+    * table itself is stored in event-time order, so the log order IS
+    * the arrival order there): arrival_ts = ts + (event_id mod 5) days.
+    * An event's lateness is how far the per-user running-max EVENT time
+    * had already advanced when the event ARRIVED:
+    * late_ms = runmax_by_arrival(ts) − ts. Bucketed on fixed day-scale
+    * thresholds with exact basis-point shares; the `gt_3d` row is the
+    * mass a 3-day watermark would drop.
+    *
+    * Scale shape: one user-keyed window (per-key frames), a 6-key
+    * grouped count, and a broadcast one-row total — scan speed.
+    */
+  def latenessHistogram(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("arrival_ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = ev
+      .withColumn("arrival_ts", expr("ts + make_dt_interval(event_id % 5)"))
+      .withColumn("ms", expr("unix_millis(ts)"))
+      .withColumn("late_ms", max(col("ms")).over(w) - col("ms"))
+      .withColumn("bucket_idx",
+        when(col("late_ms") === 0, 0)
+          .when(col("late_ms") <= 3600000L, 1)
+          .when(col("late_ms") <= 86400000L, 2)
+          .when(col("late_ms") <= 2 * 86400000L, 3)
+          .when(col("late_ms") <= 3 * 86400000L, 4)
+          .otherwise(5))
+    val total = late.agg(count(lit(1)).as("tot"))
+    late.groupBy("bucket_idx")
+      .agg(count(lit(1)).as("n_events"), max(col("late_ms")).as("max_late_ms"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket_idx"),
+        expr("""element_at(array('in_order', 'le_1h', 'le_1d', 'le_2d',
+          |  'le_3d', 'gt_3d'), bucket_idx + 1)""".stripMargin)
+          .as("bucket"),
+        col("n_events"),
+        expr("n_events * 10000 div tot").as("share_bp"),
+        col("max_late_ms"))
+      .orderBy("bucket_idx")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q287_lateness_histogram",
+      Some("""WITH a AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    ts + (event_id % 5) * INTERVAL 1 DAY AS arrival_ts
+        |  FROM events),
+        |l AS (SELECT
+        |    MAX(ms) OVER (PARTITION BY user_id
+        |      ORDER BY arrival_ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - ms AS late_ms
+        |  FROM a),
+        |b AS (SELECT late_ms,
+        |    CASE WHEN late_ms = 0 THEN 0 WHEN late_ms <= 3600000 THEN 1
+        |         WHEN late_ms <= 86400000 THEN 2
+        |         WHEN late_ms <= 172800000 THEN 3
+        |         WHEN late_ms <= 259200000 THEN 4 ELSE 5 END AS bucket_idx
+        |  FROM l),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM b)
+        |SELECT CAST(bucket_idx AS INT) AS bucket_idx,
+        |  CASE bucket_idx WHEN 0 THEN 'in_order' WHEN 1 THEN 'le_1h'
+        |    WHEN 2 THEN 'le_1d' WHEN 3 THEN 'le_2d' WHEN 4 THEN 'le_3d'
+        |    ELSE 'gt_3d' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) * 10000 // tot AS BIGINT) AS share_bp,
+        |  CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+        |FROM b, t GROUP BY bucket_idx, tot ORDER BY bucket_idx""".stripMargin),
+      (spark, dir) => latenessHistogram(events(spark, dir))),
+
     QueryDef(
       "q94_funnel",
       Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -144,7 +144,9 @@ object ScaleRehearsal {
     "q283_typo_census",
     // column profile: per-column pruned scans; rolling HLL: fixed
     // per-day sketch state, calendar-bounded window
-    "q284_column_profile", "q285_rolling_hll")
+    "q284_column_profile", "q285_rolling_hll",
+    // lateness histogram: per-user window + 6-key count
+    "q287_lateness_histogram")
 
   private val OFFSET = 10000000L
 

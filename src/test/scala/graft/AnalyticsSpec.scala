@@ -270,6 +270,25 @@ class AnalyticsSpec extends SparkSpec {
       "errored_no_convert" -> ((1L, 2L))), s"census: $out")
   }
 
+  test("lateness histogram: arrival-lag inversions counted, shares exact") {
+    // arrival = ts + (event_id % 5) days. id=11 (lag 1d) has event time
+    // Jan 3 12:00 but arrives Jan 4 12:00, AFTER id=20 (lag 0) advanced
+    // the user's event-time high-water mark to Jan 4 00:00 -> 12h late.
+    // Both lag-0 events and the other user's singleton are in order.
+    val ev = Seq(
+      (1L, 5L, ts("1995-01-01 12:00:00")),
+      (1L, 11L, ts("1995-01-03 12:00:00")),
+      (1L, 20L, ts("1995-01-04 00:00:00")),
+      (2L, 30L, ts("1995-01-02 00:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val out = EventOps.latenessHistogram(ev).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out === Map(
+      "in_order" -> ((3L, 7500L, 0L)),
+      "le_1d" -> ((1L, 2500L, 43200000L))), s"histogram: $out")
+  }
+
   test("MV maintenance: late-delta merge equals full rebuild on every key") {
     // keys deliberately straddle the arrival split: orderkeys 7 and 17
     // are late (mod-10 rule), and both land on (day 1, 'A') / (day 2,
