@@ -116,7 +116,7 @@ object EventOps {
       .orderBy("cohort_week", "weeks_since")
   }
 
-  /** q287 body: out-of-orderness (lateness) histogram — the measurement
+  /** q286 body: out-of-orderness (lateness) histogram — the measurement
     * every Structured Streaming deployment needs BEFORE choosing a
     * watermark delay: too tight drops real events, too loose bloats
     * state. Arrival order is q270's bitemporal ingest model (the events
@@ -162,7 +162,7 @@ object EventOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
-      "q287_lateness_histogram",
+      "q286_lateness_histogram",
       Some("""WITH a AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |    ts + (event_id % 5) * INTERVAL 1 DAY AS arrival_ts
         |  FROM events),

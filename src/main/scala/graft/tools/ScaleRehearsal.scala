@@ -146,7 +146,7 @@ object ScaleRehearsal {
     // per-day sketch state, calendar-bounded window
     "q284_column_profile", "q285_rolling_hll",
     // lateness histogram: per-user window + 6-key count
-    "q287_lateness_histogram")
+    "q286_lateness_histogram")
 
   private val OFFSET = 10000000L
 
