@@ -545,13 +545,20 @@ object CorpusStatsOps {
     * rewrites to WindowGroupLimit (the q115 pattern) — bounded state per
     * query, never a global sort of the candidate set.
     */
-  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)] = Bm25Queries,
-      k: Int = 10): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
+  /** The shared retrieval relations (one corpus pass): per-(query, doc,
+    * term) tf, per-doc length, query-term document frequencies, and the
+    * corpus totals — BM25 (q245) and the RRF fusion's second ranker
+    * (q287) both score FROM these, so the corpus is tokenized once per
+    * retrieval query, not once per ranker.
+    */
+  private final case class RetrievalRels(tf: DataFrame, dl: DataFrame,
+      dfreq: DataFrame, totals: DataFrame)
+
+  private def retrievalRels(docs: DataFrame,
+      queries: Seq[(String, String)]): RetrievalRels = {
     require(queries.nonEmpty, "queries must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
-    val dec = "decimal(38,0)"
     val q = queries.toDF("query_id", "term")
     val tok = docs.where(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -564,6 +571,14 @@ object CorpusStatsOps {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val tf = tok.join(broadcast(q), Seq("term"))
       .groupBy("query_id", "doc_id", "term").agg(count(lit(1)).as("tf"))
+    RetrievalRels(tf, dl, dfreq, totals)
+  }
+
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)] = Bm25Queries,
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = "decimal(38,0)"
+    val RetrievalRels(tf, dl, dfreq, totals) = retrievalRels(docs, queries)
     val scored = tf
       .join(dl, Seq("doc_id"))
       .join(broadcast(dfreq), Seq("term"))
@@ -584,10 +599,59 @@ object CorpusStatsOps {
       .orderBy("query_id", "rnk")
   }
 
-  private def bm25Sql(queries: Seq[(String, String)], k: Int): String = {
+  /** q287 body: reciprocal-rank fusion — the hybrid-retrieval combiner
+    * (Cormack et al. 2009) that merges rankings WITHOUT comparable
+    * scores: fused(d) = Σ_r 1/(rrfK + rank_r(d)) over the rankers that
+    * shortlisted d. Rankers here: BM25 (q245's scorer) and a linear
+    * TF-IDF ranker whose per-term weight is the exact integer
+    * (n·10⁶ div df) — both shortlists are top-`shortlist` per query, so
+    * the fusion frame is (2·shortlist)-bounded per query regardless of
+    * corpus size. The RRF sum is a FIXED two-term IEEE tree
+    * (coalesce(1/(60+ra), 0) + coalesce(1/(60+rb), 0)) — no float
+    * aggregation, bit-identical across engines; ties break on doc_id.
+    *
+    * Scale shape: one corpus tokenization feeds both rankers
+    * ([[retrievalRels]]); each ranker is a WindowGroupLimit top-k per
+    * query; the fusion full-outer join touches only shortlist rows.
+    */
+  def rrfFusion(docs: DataFrame, queries: Seq[(String, String)] = Bm25Queries,
+      shortlist: Int = 20, k: Int = 5, rrfK: Int = 60): DataFrame = {
+    // k may exceed shortlist: the fused pool is the UNION of two
+    // shortlists, up to 2·shortlist docs per query
+    require(shortlist > 0 && k > 0, s"need positive shortlist/k, got $shortlist/$k")
+    val rankA = bm25TopK(docs, queries, shortlist)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rank_bm25"))
+    val RetrievalRels(tf, _, dfreq, totals) = retrievalRels(docs, queries)
+    val scoredB = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf") * expr("n * 1000000 div df")).as("score_b"))
+    val wB = Window.partitionBy("query_id")
+      .orderBy(col("score_b").desc, col("doc_id").asc)
+    val rankB = scoredB.withColumn("rnk", row_number().over(wB).cast("int"))
+      .where(col("rnk") <= shortlist)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rank_tfidf"))
+    val fused = rankA.join(rankB, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_tfidf")), lit(0.0)))
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(wF).cast("int"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("rank_bm25"), col("rank_tfidf"), col("rrf"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The retrieval + BM25-ranking CTE block shared verbatim by q245 and
+    * q287's oracle texts (ONE definition — the two oracles cannot drift).
+    */
+  private def bm25Ctes(queries: Seq[(String, String)]): String = {
     val values = queries
       .map { case (qid, term) => s"('$qid', '$term')" }.mkString(", ")
-    s"""WITH q(query_id, term) AS (VALUES $values),
+    s"""q(query_id, term) AS (VALUES $values),
       |tok AS (SELECT doc_id, tt.term
       |        FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)
       |        WHERE text IS NOT NULL),
@@ -613,10 +677,41 @@ object CorpusStatsOps {
       |r AS (SELECT query_id, doc_id, n_hit, score_u,
       |        CAST(row_number() OVER (PARTITION BY query_id
       |          ORDER BY score_u DESC, doc_id) AS INT) AS rnk
-      |      FROM agg)
+      |      FROM agg)""".stripMargin
+  }
+
+  private def bm25Sql(queries: Seq[(String, String)], k: Int): String =
+    s"""WITH ${bm25Ctes(queries)}
       |SELECT query_id, rnk, doc_id, n_hit, score_u
       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
-  }
+
+  private def rrfSql(queries: Seq[(String, String)], shortlist: Int,
+      k: Int, rrfK: Int): String =
+    s"""WITH ${bm25Ctes(queries)},
+      |ra AS (SELECT query_id, doc_id, rnk AS rank_bm25
+      |       FROM r WHERE rnk <= $shortlist),
+      |sb AS (SELECT tfr.query_id, tfr.doc_id,
+      |        SUM(tfr.tf * ((n * 1000000) // df)) AS score_b
+      |      FROM tfr JOIN dfr USING (term) CROSS JOIN tot GROUP BY 1, 2),
+      |rb AS (SELECT query_id, doc_id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_b DESC, doc_id) AS INT) AS rank_tfidf
+      |      FROM sb),
+      |f AS (SELECT COALESCE(ra.query_id, rbs.query_id) AS query_id,
+      |        COALESCE(ra.doc_id, rbs.doc_id) AS doc_id,
+      |        rank_bm25, rank_tfidf,
+      |        COALESCE(CAST(1 AS DOUBLE) / ($rrfK + rank_bm25), 0.0)
+      |          + COALESCE(CAST(1 AS DOUBLE) / ($rrfK + rank_tfidf), 0.0)
+      |          AS rrf
+      |      FROM ra FULL OUTER JOIN
+      |        (SELECT * FROM rb WHERE rank_tfidf <= $shortlist) rbs
+      |        ON ra.query_id = rbs.query_id AND ra.doc_id = rbs.doc_id),
+      |rf AS (SELECT query_id, doc_id, rank_bm25, rank_tfidf, rrf,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+      |      FROM f)
+      |SELECT query_id, rnk, doc_id, rank_bm25, rank_tfidf, rrf
+      |FROM rf WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** q279 body: per-source Gini–Simpson token diversity — the corpus
     * concentration dashboard that flags low-diversity (template/
@@ -671,6 +766,9 @@ object CorpusStatsOps {
 
     QueryDef("q245_bm25_topk", Some(bm25Sql(Bm25Queries, 10)),
       (spark, dir) => bm25TopK(t(spark, dir, "documents"))),
+
+    QueryDef("q287_rrf_fusion", Some(rrfSql(Bm25Queries, 20, 5, 60)),
+      (spark, dir) => rrfFusion(t(spark, dir, "documents"))),
 
     // Incremental index maintenance graded by the FULL-REBUILD oracle
     // (q133's text verbatim): delta-merge must be indistinguishable

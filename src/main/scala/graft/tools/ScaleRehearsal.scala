@@ -146,7 +146,9 @@ object ScaleRehearsal {
     // per-day sketch state, calendar-bounded window
     "q284_column_profile", "q285_rolling_hll",
     // lateness histogram: per-user window + 6-key count
-    "q286_lateness_histogram")
+    "q286_lateness_histogram",
+    // RRF: one tokenization, two shortlist rankers, bounded fusion
+    "q287_rrf_fusion")
 
   private val OFFSET = 10000000L
 

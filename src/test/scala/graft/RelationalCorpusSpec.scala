@@ -410,6 +410,31 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(!out.keySet.exists(k => k._1 == "s3" || k._2 == "s3"))
   }
 
+  test("rrf fusion: disagreeing rankers merge, missing rank coalesces to zero") {
+    import graft.ops.CorpusStatsOps
+    // doc 1: short with one hit -> BM25's length normalization ranks it
+    // first; doc 2: long with three hits -> linear TF-IDF ranks IT
+    // first. shortlist=1 forces each ranker to contribute exactly one
+    // doc, so the fusion must full-outer them with a null missing rank
+    // and equal rrf mass 1/61 on both -> tie broken by doc_id.
+    val filler = "x y z " * 5
+    val docs = Seq(
+      (1L, "dup pad"),
+      (2L, ("dup " * 3) + ("w " * 46).trim),
+      (3L, filler.trim), (4L, filler.trim))
+      .toDF("doc_id", "text")
+    val q = Seq("q1" -> "dup")
+    val a = CorpusStatsOps.bm25TopK(docs, q, 1).collect()
+    assert(a.head.getLong(2) === 1L, s"precondition: BM25 top is doc 1: ${a.toSeq}")
+    val out = CorpusStatsOps.rrfFusion(docs, q, shortlist = 1, k = 2)
+      .collect()
+    assert(out.length === 2, s"fusion rows: ${out.toSeq}")
+    val r1 = out(0); val r2 = out(1)
+    assert(r1.getLong(2) === 1L && r1.getInt(3) === 1 && r1.isNullAt(4))
+    assert(r2.getLong(2) === 2L && r2.isNullAt(3) && r2.getInt(4) === 1)
+    assert(r1.getDouble(5) === 1.0 / 61 && r2.getDouble(5) === 1.0 / 61)
+  }
+
   test("simpson diversity: pure repetition hits 10000 bp, uniform spread floors") {
     val docs = Seq(
       (1L, "tpl", "x x x x"),          // ssq 16, n 4 -> conc 10000
