@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"damerau_levenshtein requires exactly 2 arguments, got ${exprs.length}")
         DamerauLevenshtein(exprs(0), exprs(1))
       }))
+    // the edit-distance length-prefilter (see the rule's doc for the
+    // soundness argument): installed cluster-wide alongside the
+    // functions whose predicates it strengthens
+    extensions.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
   }
 }

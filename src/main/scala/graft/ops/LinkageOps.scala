@@ -286,6 +286,72 @@ object LinkageOps {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM reg GROUP BY 1, 2 ORDER BY lev, dl""".stripMargin
 
+  /** q288 body: a dl ≤ 1 fuzzy-match census run WITH the
+    * [[graft.plans.EditDistancePrefilter]] optimizer rule installed —
+    * the graded proof that the rule is semantics-preserving on a real
+    * threshold filter (the oracle knows nothing about the guard). Three
+    * planted tiers: unchanged (dist 0, matches), adjacent swap (dl 1 —
+    * matches, though plain levenshtein scores it 2 and would lose the
+    * tier), and a NON-adjacent double substitution (dl 2 — correctly
+    * excluded; transpositions don't bridge a gap). PlanSpec-style
+    * assertions (LinkageSpec) pin that the optimized plan carries the
+    * length guard and that the rule is a fixpoint (idempotent).
+    *
+    * extraOptimizations is session-global and the rule is
+    * semantics-preserving by construction, so installing it here leaves
+    * every other graded plan's RESULTS unchanged (and its predicate
+    * shapes: no other graded query filters on an edit distance).
+    */
+  def fuzzyThresholdCensus(spark: org.apache.spark.sql.SparkSession,
+      customer: DataFrame): DataFrame = {
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.EditDistancePrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.EditDistancePrefilter
+    val name = col("c_name")
+    val len = length(name)
+    val m = col("c_custkey") % 3
+    val swapped = concat(
+      name.substr(lit(1), len - 2),
+      name.substr(len, lit(1)),
+      name.substr(len - 1, lit(1)))
+    val doubleSub = concat(
+      name.substr(lit(1), len - 3),
+      ((name.substr(len - 2, lit(1)).cast("int") + 7) % 10).cast("string"),
+      name.substr(len - 1, lit(1)),
+      ((name.substr(len, lit(1)).cast("int") + 7) % 10).cast("string"))
+    customer
+      .select(m.cast("int").as("tier"), name,
+        when(m === 1, swapped)
+          .when(m === 2, doubleSub)
+          .otherwise(name).as("r_name"))
+      .where(graft.functions.StringFunctions
+        .damerauLevenshtein(col("c_name"), col("r_name")) <= 1)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_match"))
+      .orderBy("tier")
+  }
+
+  private val fuzzyThresholdSql: String =
+    """WITH reg AS (SELECT CAST(c_custkey % 3 AS INT) AS tier, c_name,
+      |  CASE WHEN c_custkey % 3 = 1 THEN
+      |    substr(c_name, 1, length(c_name) - 2) ||
+      |    substr(c_name, length(c_name), 1) ||
+      |    substr(c_name, length(c_name) - 1, 1)
+      |  WHEN c_custkey % 3 = 2 THEN
+      |    substr(c_name, 1, length(c_name) - 3) ||
+      |    CAST((CAST(substr(c_name, length(c_name) - 2, 1) AS INTEGER) + 7)
+      |      % 10 AS VARCHAR) ||
+      |    substr(c_name, length(c_name) - 1, 1) ||
+      |    CAST((CAST(substr(c_name, length(c_name), 1) AS INTEGER) + 7)
+      |      % 10 AS VARCHAR)
+      |  ELSE c_name END AS r_name
+      |  FROM customer)
+      |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_match
+      |FROM reg WHERE damerau_levenshtein(c_name, r_name) <= 1
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q261_record_linkage", Some(linkageSql),
       (spark, dir) => recordLinkage(t(spark, dir, "customer"))),
@@ -294,5 +360,10 @@ object LinkageOps {
       (spark, dir) => goldenRecords(t(spark, dir, "customer"))),
 
     QueryDef("q283_typo_census", Some(typoCensusSql),
-      (spark, dir) => typoDistanceCensus(t(spark, dir, "customer"))))
+      (spark, dir) => typoDistanceCensus(t(spark, dir, "customer"))),
+
+    QueryDef("q288_fuzzy_threshold", Some(fuzzyThresholdSql),
+      (spark, dir) =>
+        fuzzyThresholdCensus(spark, t(spark, dir, "customer"))))
+
 }

@@ -148,7 +148,9 @@ object ScaleRehearsal {
     // lateness histogram: per-user window + 6-key count
     "q286_lateness_histogram",
     // RRF: one tokenization, two shortlist rankers, bounded fusion
-    "q287_rrf_fusion")
+    "q287_rrf_fusion",
+    // fuzzy threshold census under the prefilter rule: row-local DP
+    "q288_fuzzy_threshold")
 
   private val OFFSET = 10000000L
 

@@ -76,4 +76,41 @@ class LinkageSpec extends SparkSpec {
       Row(6L, "Customer#000000006", 603.0, "feed", "P-6", true),
       Row(33L, "Customer#000000033", 330.0, "master", "missing", false)))
   }
+
+  test("edit-distance prefilter: guard lands in the plan and is a fixpoint") {
+    import graft.plans.EditDistancePrefilter
+    val df = Seq(("abc", "abd"), ("a", "abcdef")).toDF("a", "b")
+      .where(graft.functions.StringFunctions
+        .damerauLevenshtein(col("a"), col("b")) <= 1)
+    val once = EditDistancePrefilter(df.queryExecution.analyzed)
+    val s = once.toString.toLowerCase
+    assert(s.contains("abs") && s.contains("length"),
+      s"expected the length guard in:\n$once")
+    assert(EditDistancePrefilter(once).toString === once.toString,
+      "re-applying the rule must be a no-op (optimizer fixpoint)")
+    // plain levenshtein thresholds are guarded too
+    val lev = Seq(("abc", "abd")).toDF("a", "b")
+      .where(levenshtein(col("a"), col("b")) <= 1)
+    assert(EditDistancePrefilter(lev.queryExecution.analyzed)
+      .toString.toLowerCase.contains("abs"))
+  }
+
+  test("fuzzy threshold census: swap matches at dl<=1, double-sub excluded") {
+    // tiers by custkey % 3: 4 unchanged (tier 0... keys 0,3 -> tier 0),
+    // keys 1,4 -> tier 1 (swap, dl 1), keys 2,5 -> tier 2 (non-adjacent
+    // double substitution, dl 2 -> NO row for tier 2)
+    val master = (0L to 5L)
+      .map(k => (k, f"Customer#${k}%09d")).toDF("c_custkey", "c_name")
+    val out = LinkageOps.fuzzyThresholdCensus(spark, master).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(0 -> 2L, 1 -> 2L), s"census: $out")
+    // and the INSTALLED rule fired on the graded plan itself — over the
+    // parquet-backed table (a LocalRelation gets constant-folded before
+    // the plan is inspectable)
+    val plan = LinkageOps.fuzzyThresholdCensus(spark,
+        graft.util.Tables.t(spark, sf, "customer"))
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("abs") && plan.contains("length"),
+      s"expected the installed prefilter to strengthen:\n$plan")
+  }
 }
