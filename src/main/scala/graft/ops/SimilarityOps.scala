@@ -325,6 +325,53 @@ object SimilarityOps {
   private def queriesOf(v: DataFrame, n: Int): DataFrame =
     v.where(col("vec_id") < n).select(col("vec_id").as("q_id"), col("v").as("qv"))
 
+  /** q289 body: hard-negative mining — for each anchor, the most
+    * similar vector with a DIFFERENT label: the contrastive-training
+    * upgrade over q239's random negatives (a random negative is easy;
+    * the near-miss with the wrong label is what moves the loss). Same
+    * LSH candidate generation as q28 (bucket joins, never all-pairs),
+    * with the label-mismatch filter applied at the ID stage so same-
+    * label near-dups never reach the exact rerank; top-1 per anchor by
+    * (cosine desc, vec_id). Deterministic (seeded hyperplanes, strict-
+    * fold cosine) → literal golden oracle; SimilaritySpec plants a
+    * wrong-label twin that must win and a same-label twin that must
+    * never be chosen.
+    *
+    * Scale shape: identical to q28's — bucket-bounded fan-out, bare-ID
+    * candidates, vectors rejoined only for survivors, per-anchor
+    * WindowGroupLimit.
+    */
+  def hardNegatives(corpus: DataFrame, nAnchors: Int = 50,
+      tables: Int = 8, bits: Int = 0): DataFrame = {
+    require(nAnchors > 0, s"nAnchors must be positive, got $nAnchors")
+    val nBits = if (bits > 0) bits else autoBits(corpus.count(), floor = 6)
+    val buckets = bucketsUdf(tables, nBits, 64)
+    val corpusB = corpus.select(col("vec_id"), col("label"),
+      posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
+    val anchors = corpus.where(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("av"))
+    val anchorB = anchors.select(col("a_id"), col("a_label"),
+      posexplode(buckets(col("av"))).as(Seq("tbl", "bucket")))
+    val candIds = corpusB.join(broadcast(anchorB), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("a_id") &&
+        col("label") =!= col("a_label"))
+      .select(col("a_id"), col("vec_id"), col("label"))
+      .dropDuplicates("a_id", "vec_id")
+    val cand = candIds
+      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(anchors), Seq("a_id"))
+      .withColumn("sim", cosine("av", "v"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("a_id"), col("a_label"),
+        col("vec_id").as("hard_neg"), col("label").as("neg_label"),
+        col("sim"))
+      .orderBy("a_id")
+  }
+
   // ---- Product quantization (q281/q282) ----
   // PQ is the embedding-compression scale path the int8 tier (q93) stops
   // short of: a 64-dim float vector becomes m=4 one-byte codes (64x
@@ -553,6 +600,12 @@ object SimilarityOps {
         val v = vectors(spark, dir)
         ivfTopK(v, queriesOf(v, 20), k = 5)
       }),
+
+    // Hard-negative mining: q28's LSH machinery with a label-mismatch
+    // gate. Deterministic -> literal golden; SimilaritySpec plants a
+    // wrong-label twin (must win) and a same-label twin (never chosen).
+    QueryDef("q289_hard_negatives", literalOracle("q289_hard_negatives"),
+      (spark, dir) => hardNegatives(vectors(spark, dir))),
 
     // PQ encode audit: per-(subspace, code) population + exact error
     // mass. Deterministic (seeded codebooks, decimal means/sums) ->

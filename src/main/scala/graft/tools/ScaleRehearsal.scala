@@ -150,7 +150,9 @@ object ScaleRehearsal {
     // RRF: one tokenization, two shortlist rankers, bounded fusion
     "q287_rrf_fusion",
     // fuzzy threshold census under the prefilter rule: row-local DP
-    "q288_fuzzy_threshold")
+    "q288_fuzzy_threshold",
+    // hard negatives: q28's bucket-bounded fan-out + label gate
+    "q289_hard_negatives")
 
   private val OFFSET = 10000000L
 

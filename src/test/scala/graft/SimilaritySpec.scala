@@ -79,6 +79,25 @@ class SimilaritySpec extends SparkSpec {
     assert(codesRecall < recall, "rerank must beat raw code distances")
   }
 
+  test("hard negatives: wrong-label twin wins, same-label twin never chosen") {
+    val a = Seq.tabulate(64)(i => math.sin(i + 1))
+    val b = Seq.tabulate(64)(i => math.cos(2 * i + 1))
+    val planted = Seq(
+      (0L, 1, a),            // anchor (vec_id < nAnchors)
+      (100L, 1, a),          // same-label twin: cosine 1 but INELIGIBLE
+      (101L, 2, a.map(_ * 1.001)), // wrong-label near-twin: must win
+      (102L, 2, b)           // wrong label, far away
+    ).toDF("vec_id", "label", "v")
+    val out = SimilarityOps.hardNegatives(planted, nAnchors = 1)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 0L && r.getInt(1) === 1)
+    assert(r.getLong(2) === 101L && r.getInt(3) === 2,
+      s"hard negative must be the wrong-label near-twin: $r")
+    assert(r.getDouble(4) > 0.999)
+  }
+
   test("autoBits grows bucket count with corpus size, floored at test scale") {
     import SimilarityOps.autoBits
     assert(autoBits(500, 6) == 6, "LSH default unchanged at sf0.001")
