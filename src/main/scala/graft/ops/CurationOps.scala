@@ -1079,6 +1079,14 @@ object CurationOps {
     QueryDef("q114_temperature_mix", Some(temperatureMixtureSql),
       (spark, dir) => temperatureMixture(t(spark, dir, "documents"))),
 
+    // Quality-aware near-dup survivorship: keep the BEST member of each
+    // MinHash cluster, not the smallest id. Engine-side clusters ->
+    // literal golden; CurationSpec plants a straddling pair where the
+    // lower-id member is out of the length band and must LOSE.
+    QueryDef("q290_quality_survivors",
+      literalOracle("q290_quality_survivors"),
+      (spark, dir) => qualitySurvivors(t(spark, dir, "documents"))),
+
     QueryDef("q125_equidepth_bins", Some(equidepthSql),
       (spark, dir) => equidepthBins(t(spark, dir, "orders"))))
 
@@ -1110,5 +1118,45 @@ object CurationOps {
         max(col("o_totalprice")).as("p_max"),
         moneySum(col("o_totalprice")).as("rev"))
       .orderBy("bin")
+  }
+
+  /** q290 body: quality-aware survivorship over NEAR-dup clusters — the
+    * curation upgrade over min-id canonicals (q24/q113): when near-dups
+    * differ (truncations, junk-padded variants), "keep the smallest id"
+    * keeps an arbitrary copy; production pipelines keep the BEST one.
+    * Clusters come from the transitive MinHash tier
+    * ([[DedupOps.minhashClusters]]); the survivor is the member
+    * maximizing (in-length-band, token count, then stable min doc_id) —
+    * q30's length-band rule as the quality signal, so a 122-token
+    * out-of-band copy loses to its 118-token in-band twin even with the
+    * smaller id. Output is the keep decision per non-singleton cluster,
+    * not a corpus rewrite (the q113 shape).
+    *
+    * Scale shape: the cluster pass is q51's (bounded star edges +
+    * active-set propagation); the pick adds one cluster-keyed window
+    * whose frames are near-dup-cluster-sized. Engine-side MinHash →
+    * literal golden oracle; semantics pinned by CurationSpec's planted
+    * straddling pair.
+    */
+  def qualitySurvivors(docs: DataFrame): DataFrame = {
+    val clusters = DedupOps.minhashClusters(docs)
+    val quality = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)")
+          .as("n_tokens"))
+      .withColumn("len_ok",
+        when(col("n_tokens").between(30, 120), 1).otherwise(0))
+    val byC = Window.partitionBy("cluster_id")
+    val pick = byC.orderBy(col("len_ok").desc, col("n_tokens").desc,
+      col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byC))
+      .where(col("rn") === 1 && col("n_members") >= 2)
+      .select(col("cluster_id"), col("doc_id").as("kept_id"),
+        col("n_members").cast("long").as("n_members"),
+        col("n_tokens").cast("long").as("kept_tokens"),
+        col("len_ok").cast("int").as("kept_len_ok"))
+      .orderBy("cluster_id")
   }
 }

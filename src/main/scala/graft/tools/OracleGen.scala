@@ -21,7 +21,8 @@ object OracleGen {
     "q04_datagen", "q24_dedup_minhash", "q25_dedup_simhash", "q28_ann_lsh",
     "q38_multimodal_decode", "q43_embed_neardup",
     "q47_ann_ivf", "q51_dedup_clusters", "q118_semdedup",
-    "q281_pq_encode", "q282_pq_adc", "q289_hard_negatives")
+    "q281_pq_encode", "q282_pq_adc", "q289_hard_negatives",
+    "q290_quality_survivors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

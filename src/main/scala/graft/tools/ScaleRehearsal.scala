@@ -152,7 +152,9 @@ object ScaleRehearsal {
     // fuzzy threshold census under the prefilter rule: row-local DP
     "q288_fuzzy_threshold",
     // hard negatives: q28's bucket-bounded fan-out + label gate
-    "q289_hard_negatives")
+    "q289_hard_negatives",
+    // quality survivors: q51's cluster pass + one cluster-keyed window
+    "q290_quality_survivors")
 
   private val OFFSET = 10000000L
 

@@ -328,4 +328,23 @@ class CurationSpec extends SparkSpec {
     // 51 tokens, window 32 stride 24: chunks = (51-32+23) div 24 + 1 = 2
     assert(out("chunks") === ((2L, gtok)))
   }
+
+  test("quality survivors: in-band member beats a lower-id out-of-band twin") {
+    // 122 distinct tokens vs its first 118: Jaccard ~0.93, well above the
+    // 8x8 banding threshold, so they cluster — and the LOWER-id member
+    // is out of the [30, 120] band, so min-id would keep the wrong copy
+    val toks = (1 to 122).map(i => s"tok$i")
+    val long = toks.mkString(" ")             // 122 tokens, len_ok 0
+    val short = toks.take(118).mkString(" ")  // 118 tokens, len_ok 1
+    val docs = Seq(
+      (10L, long), (20L, short),
+      (30L, "an unrelated singleton document about nothing at all"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CurationOps.qualitySurvivors(docs).collect()
+    assert(out.length === 1, s"one non-singleton cluster: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) === 10L, "cluster id is still the member min")
+    assert(r.getLong(1) === 20L, s"quality pick must beat min-id: $r")
+    assert(r.getLong(2) === 2L && r.getLong(3) === 118L && r.getInt(4) === 1)
+  }
 }
