@@ -575,10 +575,17 @@ object CorpusStatsOps {
   }
 
   def bm25TopK(docs: DataFrame, queries: Seq[(String, String)] = Bm25Queries,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    bm25TopK(retrievalRels(docs, queries), k)
+
+  /** Shared-relations overload: rrfFusion passes the ONE tokenization
+    * both its rankers score from (the refactor's whole point — without
+    * this the fusion would scan and aggregate the corpus twice).
+    */
+  private def bm25TopK(rels: RetrievalRels, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val dec = "decimal(38,0)"
-    val RetrievalRels(tf, dl, dfreq, totals) = retrievalRels(docs, queries)
+    val RetrievalRels(tf, dl, dfreq, totals) = rels
     val scored = tf
       .join(dl, Seq("doc_id"))
       .join(broadcast(dfreq), Seq("term"))
@@ -619,14 +626,21 @@ object CorpusStatsOps {
     // k may exceed shortlist: the fused pool is the UNION of two
     // shortlists, up to 2·shortlist docs per query
     require(shortlist > 0 && k > 0, s"need positive shortlist/k, got $shortlist/$k")
-    val rankA = bm25TopK(docs, queries, shortlist)
+    val rels = retrievalRels(docs, queries)
+    val rankA = bm25TopK(rels, shortlist)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rank_bm25"))
-    val RetrievalRels(tf, _, dfreq, totals) = retrievalRels(docs, queries)
-    val scoredB = tf
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(totals))
+    val dec = "decimal(38,0)"
+    val scoredB = rels.tf
+      .join(broadcast(rels.dfreq), Seq("term"))
+      .crossJoin(broadcast(rels.totals))
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("tf") * expr("n * 1000000 div df")).as("score_b"))
+      // decimal(38,0), not Long: tf·(n·10⁶ div df) overflows 2⁶³ once
+      // tf·n > ~9.2e12 (df=1, billion-doc corpus) and non-ANSI Long
+      // arithmetic would wrap silently while the HUGEINT oracle stays
+      // exact — the same hazard score_u above routes through decimal
+      .agg(sum(expr(
+        s"CAST(tf AS $dec) * ((CAST(n AS $dec) * 1000000) div df)"))
+        .as("score_b"))
     val wB = Window.partitionBy("query_id")
       .orderBy(col("score_b").desc, col("doc_id").asc)
     val rankB = scoredB.withColumn("rnk", row_number().over(wB).cast("int"))

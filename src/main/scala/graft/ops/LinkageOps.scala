@@ -299,16 +299,24 @@ object LinkageOps {
     *
     * extraOptimizations is session-global and the rule is
     * semantics-preserving by construction, so installing it here leaves
-    * every other graded plan's RESULTS unchanged (and its predicate
-    * shapes: no other graded query filters on an edit distance).
+    * every other graded plan's RESULTS unchanged. One other graded query
+    * does filter on an edit distance — q261's levenshtein ≤ 2 verify —
+    * and once q288 has run in a session it gains the length guard too:
+    * an intended (and beneficial) plan change, but it makes q261's
+    * optimized PLAN order-dependent within a session, which is why no
+    * plan-shape assertion anywhere keys on q261's filter condition.
     */
   def fuzzyThresholdCensus(spark: org.apache.spark.sql.SparkSession,
       customer: DataFrame): DataFrame = {
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.EditDistancePrefilter))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.EditDistancePrefilter
+    // synchronized: the check-then-append below is not atomic, and
+    // Verify-style harnesses may build queries from multiple threads
+    LinkageOps.synchronized {
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.EditDistancePrefilter))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.EditDistancePrefilter
+    }
     val name = col("c_name")
     val len = length(name)
     val m = col("c_custkey") % 3

@@ -374,10 +374,12 @@ object SimilarityOps {
 
   // ---- Product quantization (q281/q282) ----
   // PQ is the embedding-compression scale path the int8 tier (q93) stops
-  // short of: a 64-dim float vector becomes m=4 one-byte codes (64x
-  // smaller), and search runs over codes + a per-query lookup table
-  // (ADC), never touching raw vectors. Jegou et al. 2011 (TPAMI), the
-  // backbone of every billion-vector FAISS deployment.
+  // short of: a 64-dim float vector becomes m=8 one-byte codes (32x
+  // smaller than the floats), and search runs over codes + a per-query
+  // lookup table (ADC), never touching raw vectors. Jegou et al. 2011
+  // (TPAMI), the backbone of every billion-vector FAISS deployment.
+  // m=8 everywhere: the golden oracles were generated at m=8, so a
+  // different geometry would silently grade against the wrong codebooks.
 
   /** Squared L2 distance as a strict sequential fold over zip_with —
     * the [[cosineHof]] doctrine: same fold order on every engine and
@@ -414,7 +416,7 @@ object SimilarityOps {
     * code that captures no vectors keeps its previous centroid instead
     * of vanishing. The codebook is m·k rows — broadcast metadata.
     */
-  def pqCodebooks(corpus: DataFrame, m: Int = 4, k: Int = 16,
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
       iters: Int = 2, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m $m subspaces")
     val sv = subVectors(corpus, "vec_id", "v", m, dim / m)
@@ -442,7 +444,14 @@ object SimilarityOps {
       books.unpersist()
       books = rebuilt
     }
-    books
+    // hand back a checkpointed frame and drop the loop cache: cache()
+    // entries would outlive the call in the shared session's block
+    // manager (one leak per graded run/spec), while a localCheckpoint's
+    // blocks are reclaimed once the frame is unreachable — the
+    // minhashTiers doctrine
+    val out = books.localCheckpoint(true)
+    books.unpersist()
+    out
   }
 
   /** q281 body: PQ encode audit — per (subspace, code): assignment count

@@ -435,6 +435,9 @@ object TimeSeriesOps {
           |    CAST(pts[j].cnt - pts[i].cnt AS DOUBLE) /
           |      CAST(pts[j].di - pts[i].di AS DOUBLE)))) END"""
           .stripMargin).as("slopes"))
+      // a <2-day window has no pairs: emit NO row (matching the oracle's
+      // empty join result) rather than feeding element_at an index of 0
+      .where(size(col("slopes")) > 0)
       .select(col("n_days"),
         size(col("slopes")).cast("long").as("n_pairs"),
         expr("element_at(array_sort(slopes), CAST((size(slopes) + 1) DIV 2 AS INT))")

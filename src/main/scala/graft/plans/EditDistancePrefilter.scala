@@ -40,7 +40,12 @@ object EditDistancePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private def editDistanceArgs(e: Expression): Option[(Expression, Expression)] =
     e match {
-      case lev: Levenshtein => Some((lev.children(0), lev.children(1)))
+      // 2-arg form ONLY: Spark's 3-arg levenshtein(a, b, threshold)
+      // returns -1 above the threshold, so its comparisons do NOT imply
+      // the length bound (levenshtein(a,b,1) = -1 selects the DISTANT
+      // pairs) — rewriting it would corrupt results
+      case lev: Levenshtein if lev.children.length == 2 =>
+        Some((lev.children(0), lev.children(1)))
       case dl: DamerauLevenshtein => Some((dl.left, dl.right))
       case _ => None
     }
