@@ -659,6 +659,123 @@ object CorpusStatsOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Rank discounts 1/log2(r+1) for r = 1..10, and the cumulative ideal
+    * DCG for R = 1..10 relevant docs — computed ONCE here in Scala and
+    * embedded as shortest-roundtrip double literals in BOTH engines (the
+    * q180 one-list doctrine), so no libm log2 parity bet ever enters the
+    * graded surface.
+    */
+  private val NdcgDiscounts: Seq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private val NdcgIdeal: Seq[Double] = NdcgDiscounts.scanLeft(0.0)(_ + _).tail
+
+  /** q291 body: retrieval evaluation — nDCG@10 and recall@10 of the
+    * BM25 ranking against DERIVED binary relevance (a doc is relevant to
+    * a query iff it contains ALL the query's terms — computable by both
+    * engines from the corpus, no judgment file). The metric layer every
+    * retrieval pipeline needs next to its rankings (q245/q287): rank
+    * quality as a number you can regress on.
+    *
+    * Exactness: discounts and ideal-DCG values are shared literals (no
+    * log2 parity bet); the per-query DCG sums decimal-cast terms (exact,
+    * order-independent) and only the final DCG/IDCG division runs in
+    * double — one IEEE op, identical bits. recall is exact integer basis
+    * points. Scale shape: one retrievalRels tokenization; relevance is a
+    * (query, doc) aggregate over the already-term-pruned tf relation;
+    * the metric join touches only top-k rows per query.
+    */
+  def retrievalNdcg(docs: DataFrame,
+      queries: Seq[(String, String)] = Bm25Queries, k: Int = 10): DataFrame = {
+    require(k > 0 && k <= 10, s"k must be in [1, 10] (discount table), got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dec = "decimal(30,15)"
+    val rels = retrievalRels(docs, queries)
+    val ranked = bm25TopK(rels, k)
+    val qn = queries.groupBy(_._1).map { case (q, ts) =>
+      (q, ts.map(_._2).distinct.size.toLong)
+    }.toSeq.toDF("query_id", "qn")
+    val relevant = rels.tf.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("nh"))
+      .join(broadcast(qn), Seq("query_id"))
+      .where(col("nh") === col("qn"))
+      .select(col("query_id"), col("doc_id"))
+    val rcount = qn.select("query_id")
+      .join(relevant.groupBy("query_id").agg(count(lit(1)).as("n_relevant")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"))
+    val discArr = NdcgDiscounts.map(d => s"CAST('$d' AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val idealArr = NdcgIdeal.map(d => s"CAST('$d' AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val dcg = ranked
+      .join(relevant.withColumn("rel", lit(1)), Seq("query_id", "doc_id"),
+        "left")
+      .withColumn("disc", expr(s"element_at($discArr, rnk)"))
+      .groupBy("query_id")
+      .agg(sum(when(col("rel") === 1, col("disc").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("dcg_dec"),
+        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("hits"))
+    rcount.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("hits"), lit(0L)).as("hits_at_k"),
+        expr("CASE WHEN n_relevant = 0 THEN 0 " +
+          "ELSE hits * 10000 div n_relevant END").as("recall_bp"),
+        expr(s"""CASE WHEN n_relevant = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(dcg_dec AS DOUBLE) /
+          |  element_at($idealArr, CAST(least($k, n_relevant) AS INT))
+          |END""".stripMargin).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  private def ndcgSql(queries: Seq[(String, String)], k: Int): String = {
+    val qnValues = queries.groupBy(_._1).map { case (q, ts) =>
+      s"('$q', ${ts.map(_._2).distinct.size})"
+    }.toSeq.sorted.mkString(", ")
+    val discValues = NdcgDiscounts.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST('$d' AS DOUBLE))" }
+      .mkString(", ")
+    val idealValues = NdcgIdeal.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST('$d' AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH ${bm25Ctes(queries)},
+      |topk AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= $k),
+      |qn(query_id, qn) AS (VALUES $qnValues),
+      |disc(rnk, d) AS (VALUES $discValues),
+      |ideal(nrel, idcg) AS (VALUES $idealValues),
+      |rel AS (SELECT tfr.query_id, tfr.doc_id
+      |  FROM tfr JOIN qn ON qn.query_id = tfr.query_id
+      |  GROUP BY tfr.query_id, tfr.doc_id, qn.qn
+      |  HAVING COUNT(*) = qn.qn),
+      |rc AS (SELECT qn.query_id,
+      |    CAST(COALESCE(COUNT(rel.doc_id), 0) AS BIGINT) AS n_relevant
+      |  FROM qn LEFT JOIN rel ON rel.query_id = qn.query_id
+      |  GROUP BY qn.query_id),
+      |dd AS (SELECT t.query_id,
+      |    SUM(CASE WHEN rel.doc_id IS NOT NULL
+      |        THEN CAST(disc.d AS DECIMAL(30,15))
+      |        ELSE CAST(0 AS DECIMAL(30,15)) END) AS dcg_dec,
+      |    CAST(SUM(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS hits
+      |  FROM topk t
+      |  JOIN disc ON disc.rnk = t.rnk
+      |  LEFT JOIN rel ON rel.query_id = t.query_id
+      |    AND rel.doc_id = t.doc_id
+      |  GROUP BY t.query_id)
+      |SELECT rc.query_id, rc.n_relevant,
+      |  CAST(COALESCE(dd.hits, 0) AS BIGINT) AS hits_at_k,
+      |  CAST(CASE WHEN rc.n_relevant = 0 THEN 0
+      |    ELSE COALESCE(dd.hits, 0) * 10000 // rc.n_relevant END AS BIGINT)
+      |    AS recall_bp,
+      |  CASE WHEN rc.n_relevant = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(dd.dcg_dec AS DOUBLE) /
+      |      (SELECT idcg FROM ideal
+      |       WHERE nrel = LEAST($k, rc.n_relevant)) END AS ndcg
+      |FROM rc LEFT JOIN dd ON dd.query_id = rc.query_id
+      |ORDER BY rc.query_id""".stripMargin
+  }
+
   /** The retrieval + BM25-ranking CTE block shared verbatim by q245 and
     * q287's oracle texts (ONE definition — the two oracles cannot drift).
     */
@@ -783,6 +900,9 @@ object CorpusStatsOps {
 
     QueryDef("q287_rrf_fusion", Some(rrfSql(Bm25Queries, 20, 5, 60)),
       (spark, dir) => rrfFusion(t(spark, dir, "documents"))),
+
+    QueryDef("q291_retrieval_ndcg", Some(ndcgSql(Bm25Queries, 10)),
+      (spark, dir) => retrievalNdcg(t(spark, dir, "documents"))),
 
     // Incremental index maintenance graded by the FULL-REBUILD oracle
     // (q133's text verbatim): delta-merge must be indistinguishable

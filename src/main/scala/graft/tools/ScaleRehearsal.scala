@@ -154,7 +154,9 @@ object ScaleRehearsal {
     // hard negatives: q28's bucket-bounded fan-out + label gate
     "q289_hard_negatives",
     // quality survivors: q51's cluster pass + one cluster-keyed window
-    "q290_quality_survivors")
+    "q290_quality_survivors",
+    // ndcg: q245's pruned postings + a top-k-bounded metric join
+    "q291_retrieval_ndcg")
 
   private val OFFSET = 10000000L
 

@@ -435,6 +435,22 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(r1.getDouble(5) === 1.0 / 61 && r2.getDouble(5) === 1.0 / 61)
   }
 
+  test("retrieval ndcg: perfect single hit scores 1.0, zero-relevant query scores 0") {
+    import graft.ops.CorpusStatsOps
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"),       // the only all-terms doc for qa
+      (2L, "alpha w w w w w w w w w w"),   // partial match, ranked but irrelevant
+      (3L, "beta w w w w w w w w w w"),
+      (4L, "gamma w w"), (5L, "delta w w") // qb's terms never co-occur
+    ).toDF("doc_id", "text")
+    val q = Seq("qa" -> "alpha", "qa" -> "beta", "qb" -> "gamma", "qb" -> "delta")
+    val out = CorpusStatsOps.retrievalNdcg(docs, q).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("qa") === ((1L, 1L, 10000L, 1.0)), s"qa: ${out("qa")}")
+    assert(out("qb") === ((0L, 0L, 0L, 0.0)), s"qb: ${out("qb")}")
+  }
+
   test("simpson diversity: pure repetition hits 10000 bp, uniform spread floors") {
     val docs = Seq(
       (1L, "tpl", "x x x x"),          // ssq 16, n 4 -> conc 10000
