@@ -312,6 +312,72 @@ object CorpusStatsOps {
       |FROM sh JOIN fo USING (sh)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q292 body: train→eval n-gram leakage under the DOC-keyed split —
+    * the generalization-gap audit (GPT-3 appendix-C dedup class): what
+    * share of each eval split's 8-grams already appears in ANY train
+    * doc. Deliberately measured under the doc-id hash split (q64's
+    * shape, via SampleOps.splitOf), the split whose contamination this
+    * audit exists to expose — q119's cluster-aware split is the fix,
+    * and this query puts a NUMBER on what the naive split leaks.
+    *
+    * Scale shape: q184's shingle machinery — map-side shingling, one
+    * shingle-keyed shuffle (train grams distinct + eval probe on the
+    * same key; at 100 TB the key becomes xxhash64(sh), grading keeps
+    * the string for oracle bit-parity), split-bounded rollup with exact
+    * basis points.
+    */
+  def splitNgramLeakage(docs: DataFrame, n: Int = 8): DataFrame = {
+    val shingles = docs.where(col("text").isNotNull &&
+        size(split(col("text"), " ")) >= n)
+      .withColumn("split",
+        SampleOps.splitOf(col("doc_id").cast("string")))
+      .select(col("doc_id"), col("split"), explode(expr(
+        s"""transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+           |  i -> array_join(slice(split(text, ' '), i, $n), ' '))"""
+          .stripMargin)).as("sh"))
+    val trainGrams = shingles.where(col("split") === "train")
+      .select(col("sh")).distinct().withColumn("in_train", lit(1))
+    shingles.where(col("split") =!= "train")
+      .join(trainGrams, Seq("sh"), "left")
+      .groupBy("split")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(when(col("in_train") === 1, 1L).otherwise(0L))
+          .as("leaked_grams"))
+      .withColumn("leak_bp",
+        expr("leaked_grams * 10000 div n_grams"))
+      .orderBy("split")
+  }
+
+  private val splitLeakageSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+      |           THEN 'train'
+      |         WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e7'
+      |           THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(string_split(text, ' ')) >= 8),
+      |sh AS (
+      |  SELECT doc_id, split,
+      |    unnest(list_transform(
+      |      generate_series(1, length(string_split(text, ' ')) - 7),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+      |      AS sh
+      |  FROM base),
+      |tg AS (SELECT DISTINCT sh FROM sh WHERE split = 'train')
+      |SELECT s.split,
+      |  CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN tg.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS leaked_grams,
+      |  CAST(SUM(CASE WHEN tg.sh IS NOT NULL THEN 1 ELSE 0 END) * 10000
+      |    // COUNT(*) AS BIGINT) AS leak_bp
+      |FROM sh s LEFT JOIN tg ON tg.sh = s.sh
+      |WHERE s.split <> 'train'
+      |GROUP BY s.split ORDER BY s.split""".stripMargin
+
   /** Phrase search through a POSITIONAL posting intersection — the
     * primitive q133's doc-level inverted index lacks: find exact
     * multi-word phrases by joining the first word's postings against the
@@ -903,6 +969,9 @@ object CorpusStatsOps {
 
     QueryDef("q291_retrieval_ndcg", Some(ndcgSql(Bm25Queries, 10)),
       (spark, dir) => retrievalNdcg(t(spark, dir, "documents"))),
+
+    QueryDef("q292_split_leakage", Some(splitLeakageSql),
+      (spark, dir) => splitNgramLeakage(t(spark, dir, "documents"))),
 
     // Incremental index maintenance graded by the FULL-REBUILD oracle
     // (q133's text verbatim): delta-merge must be indistinguishable

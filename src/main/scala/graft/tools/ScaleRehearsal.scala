@@ -156,7 +156,9 @@ object ScaleRehearsal {
     // quality survivors: q51's cluster pass + one cluster-keyed window
     "q290_quality_survivors",
     // ndcg: q245's pruned postings + a top-k-bounded metric join
-    "q291_retrieval_ndcg")
+    "q291_retrieval_ndcg",
+    // split leakage: q184's shingle shuffle + split-bounded rollup
+    "q292_split_leakage")
 
   private val OFFSET = 10000000L
 

@@ -451,6 +451,30 @@ class RelationalCorpusSpec extends SparkSpec {
     assert(out("qb") === ((0L, 0L, 0L, 0.0)), s"qb: ${out("qb")}")
   }
 
+  test("split leakage: a duplicate straddling the split leaks all its grams") {
+    import graft.ops.CorpusStatsOps
+    // recompute the real split function driver-side to pick ids landing
+    // on each side (the spec must not hardcode md5 outcomes)
+    def splitOf(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-split:$id".getBytes("UTF-8"))
+      val h = d.take(1).map("%02x".format(_)).mkString
+      if (h < "cd") "train" else if (h < "e7") "val" else "test"
+    }
+    val trainId = (1L to 500L).find(splitOf(_) == "train").get
+    val testIds = (1L to 500L).filter(splitOf(_) == "test").take(2)
+    val dup = "a b c d e f g h i j"           // 10 tokens -> 3 8-grams
+    val fresh = "k l m n o p q r s t"
+    val docs = Seq(
+      (trainId, dup), (testIds(0), dup), (testIds(1), fresh))
+      .toDF("doc_id", "text")
+    val out = CorpusStatsOps.splitNgramLeakage(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("test") === ((2L, 6L, 3L, 5000L)), s"leak: $out")
+    assert(!out.contains("val"), "no val docs -> no val row")
+  }
+
   test("simpson diversity: pure repetition hits 10000 bp, uniform spread floors") {
     val docs = Seq(
       (1L, "tpl", "x x x x"),          // ssq 16, n 4 -> conc 10000
