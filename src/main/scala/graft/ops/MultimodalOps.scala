@@ -263,6 +263,71 @@ object MultimodalOps {
     docs.select(col("doc_id"), render(col("doc_id")).as("payload"))
   }
 
+  /** q293 body: media-binary deduplication — the missing third leg next
+    * to text dedup (q23+) and embedding dedup (q43/q118): cluster
+    * decoded images by their exact thumbnail fingerprint
+    * (format, w, h, 4×4 resized byte sum — the q215 signature, computed
+    * by the REAL decode+resize path). Equal pixels ⇒ equal signature,
+    * so re-uploads collapse no matter what id/filename they arrived
+    * under; distinct-but-similar images stay apart (exact media dedup —
+    * a perceptual near-dup tier would quantize the grid before hashing,
+    * same plan shape). The acquisition keys the q215 pattern render on
+    * doc_id mod 97, so every 97th document "uploads" a byte-identical
+    * image — the re-upload population a media lake actually carries.
+    *
+    * Scale shape: the decode (the codec slot) runs once per DISTINCT
+    * payload, not per document — signatures join back to documents on
+    * the narrow media key, the dedup pass is ONE shuffle on the
+    * signature tuple, and the output is cluster-bounded. Full SQL
+    * oracle: q215's pixel-replay arithmetic wrapped in the dedup
+    * GROUP BY. Output: one row per non-singleton cluster with the
+    * canonical (min) member.
+    */
+  def mediaDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), (col("doc_id") % 97).as("media_key"))
+    val payloads = patternImageTable(
+      keyed.select(col("media_key").as("doc_id")).distinct())
+    val sigs = thumbnailFeatures(spark, payloads).toDF()
+      .select(col("doc_id").as("media_key"), col("format"),
+        col("width"), col("height"), col("resized_sum"))
+    keyed.join(sigs, Seq("media_key"))
+      .groupBy("format", "width", "height", "resized_sum")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+      .orderBy("canonical_id")
+  }
+
+  private val mediaDedupSql: String =
+    """WITH g AS (
+      |  SELECT gx.range AS ox, gy.range AS oy
+      |  FROM range(4) gx, range(4) gy),
+      |d AS (
+      |  SELECT doc_id, doc_id % 97 AS k,
+      |    4 + (doc_id % 97) % 9 AS w, 4 + (doc_id % 97) % 7 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, k, w, h,
+      |    (ox * w) // 4 AS sx, (oy * h) // 4 AS sy
+      |  FROM d, g),
+      |v AS (
+      |  SELECT doc_id, k, w, h,
+      |    (sx * 7 + sy * 13 + k) % 256
+      |      + (sx * 3 + sy * 5 + 2 * k) % 256
+      |      + (sx * 11 + sy + 3 * k) % 256 AS s
+      |  FROM px),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CASE WHEN k % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+      |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |    CAST(SUM(s) AS BIGINT) AS resized_sum
+      |  FROM v GROUP BY doc_id, k, w, h)
+      |SELECT format, width, height, resized_sum,
+      |  CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM sig GROUP BY 1, 2, 3, 4
+      |HAVING COUNT(*) >= 2 ORDER BY canonical_id""".stripMargin
+
   /** Partition-wise decode → nearest-neighbor 4×4 thumbnail → exact
     * byte-sum fingerprint. Same iterator shape as [[decodeFeatures]];
     * this is the frame-sample/resize step of a media pipeline, with the
@@ -519,6 +584,11 @@ object MultimodalOps {
       (spark, dir) =>
         thumbnailFeatures(spark, patternImageTable(t(spark, dir, "documents")))
           .toDF().orderBy("doc_id")),
+
+    // Media-binary dedup over REAL decode+resize signatures; the full
+    // SQL oracle replays the pixel arithmetic inside the dedup GROUP BY.
+    QueryDef("q293_media_dedup", Some(mediaDedupSql),
+      (spark, dir) => mediaDedup(spark, t(spark, dir, "documents"))),
 
     // REAL WAV decode (RIFF chunk walk + PCM sample scan) of the
     // metadata-parameterized synthetic audio table, graded by a full

@@ -158,7 +158,9 @@ object ScaleRehearsal {
     // ndcg: q245's pruned postings + a top-k-bounded metric join
     "q291_retrieval_ndcg",
     // split leakage: q184's shingle shuffle + split-bounded rollup
-    "q292_split_leakage")
+    "q292_split_leakage",
+    // media dedup: per-distinct-payload decode + one signature shuffle
+    "q293_media_dedup")
 
   private val OFFSET = 10000000L
 

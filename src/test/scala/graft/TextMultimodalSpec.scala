@@ -261,6 +261,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1).format == "gvid" && out(1).n_sampled == 2)
   }
 
+  test("media dedup: re-uploads collapse on the decoded signature") {
+    // 1 and 98 share media key 1 (mod 97) -> byte-identical renders ->
+    // one cluster with canonical 1; key-2 doc stays a singleton (no row)
+    val docs = Seq(1L, 98L, 2L).toDF("doc_id")
+    val out = MultimodalOps.mediaDedup(spark, docs).collect()
+    assert(out.length === 1, s"clusters: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(4) === 1L && r.getLong(5) === 2L,
+      s"canonical 1, two members: $r")
+  }
+
   test("audio segmentation: silence splits, tail clamps, corrupt yields none") {
     import graft.functions.AudioCodec
     // 40 samples at 1000 Hz, window 16: w0 voiced, w1 silent, w2 voiced
