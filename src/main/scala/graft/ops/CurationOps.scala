@@ -17,6 +17,67 @@ import graft.util.Tables._
   */
 object CurationOps {
 
+  /** q294 body: content-defined chunking (CDC) — boundaries where the
+    * hash of the local 4-token window lands in 1/16 of hash space
+    * (md5 first hex = '0', shared with the oracle verbatim), giving
+    * ~16-token mean chunks whose boundaries are functions of CONTENT,
+    * not position. The property fixed-stride chunking (q91) lacks and
+    * dedup-aware pipelines need: inserting one token near a doc's head
+    * shifts every q91 window (all chunk hashes change, dedup misses
+    * everything downstream) but only the chunk containing the edit here
+    * — CurationSpec pins exactly that, and the rsync/LBFS lineage is
+    * the design source. Graded output is the chunk-length histogram
+    * (capped at 64 — the grid is bounded by construction).
+    *
+    * Scale shape: everything before the final 64-key count is ROW-LOCAL
+    * array HOFs (gram hash, boundary filter, adjacent-difference) — no
+    * window, no join, scan-speed; short docs (< 5 tokens) are a single
+    * chunk by definition on both engines.
+    */
+  def cdcChunkHistogram(docs: DataFrame): DataFrame = {
+    val lens = expr(
+      """CASE WHEN size(split(text, ' ')) < 5
+        |  THEN array(size(split(text, ' ')))
+        |ELSE zip_with(
+        |  concat(
+        |    transform(filter(sequence(2, size(split(text, ' ')) - 3),
+        |      i -> substring(md5(array_join(slice(split(text, ' '), i, 4), ' ')), 1, 1) = '0'),
+        |      i -> i - 1),
+        |    array(size(split(text, ' ')))),
+        |  concat(array(0),
+        |    transform(filter(sequence(2, size(split(text, ' ')) - 3),
+        |      i -> substring(md5(array_join(slice(split(text, ' '), i, 4), ' ')), 1, 1) = '0'),
+        |      i -> i - 1)),
+        |  (hi, lo) -> hi - lo)
+        |END""".stripMargin)
+    docs.where(col("text").isNotNull)
+      .select(explode(lens).as("clen"))
+      .groupBy(least(col("clen"), lit(64)).cast("int").as("chunk_len"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy("chunk_len")
+  }
+
+  private val cdcChunkSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |b AS (SELECT doc_id, len(toks) AS n,
+      |    CASE WHEN len(toks) < 5 THEN [0, len(toks)]
+      |    ELSE list_concat(list_concat([0],
+      |      list_transform(
+      |        list_filter(range(2, len(toks) - 2),
+      |          i -> substr(md5(array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 1) = '0'),
+      |        i -> i - 1)),
+      |      [len(toks)]) END AS cuts
+      |  FROM t),
+      |l AS (SELECT doc_id,
+      |    unnest(list_transform(range(2, len(cuts) + 1),
+      |      k -> cuts[k] - cuts[k - 1])) AS clen
+      |  FROM b)
+      |SELECT CAST(LEAST(clen, 64) AS INT) AS chunk_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
+
   /** Per-document repetition signals: token count, type (distinct-token)
     * count, the most-frequent-token count, bigram count, and duplicated
     * bigram excess — the inputs to Gopher/C4-style repetition filters. A
@@ -1086,6 +1147,9 @@ object CurationOps {
     QueryDef("q290_quality_survivors",
       literalOracle("q290_quality_survivors"),
       (spark, dir) => qualitySurvivors(t(spark, dir, "documents"))),
+
+    QueryDef("q294_cdc_chunks", Some(cdcChunkSql),
+      (spark, dir) => cdcChunkHistogram(t(spark, dir, "documents"))),
 
     QueryDef("q125_equidepth_bins", Some(equidepthSql),
       (spark, dir) => equidepthBins(t(spark, dir, "orders"))))

@@ -160,7 +160,9 @@ object ScaleRehearsal {
     // split leakage: q184's shingle shuffle + split-bounded rollup
     "q292_split_leakage",
     // media dedup: per-distinct-payload decode + one signature shuffle
-    "q293_media_dedup")
+    "q293_media_dedup",
+    // cdc chunking: row-local gram hashes + a bounded histogram
+    "q294_cdc_chunks")
 
   private val OFFSET = 10000000L
 

@@ -329,6 +329,40 @@ class CurationSpec extends SparkSpec {
     assert(out("chunks") === ((2L, gtok)))
   }
 
+  test("cdc chunks: histogram matches an independent md5 path; boundaries shift with content") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def cuts(toks: Vector[String]): Vector[Int] = {
+      val n = toks.length
+      if (n < 5) Vector(0, n)
+      else 0 +: (2 to n - 3).filter(i =>
+        md5hex(toks.slice(i - 1, i + 3).mkString(" ")).head == '0')
+        .map(_ - 1).toVector :+ n
+    }
+    def hist(ts: Vector[String]): Map[Int, Long] = {
+      val c = cuts(ts)
+      c.sliding(2).map(p => math.min(p(1) - p(0), 64)).toVector
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    val a = (0 until 200).map(i => s"w$i").toVector
+    val b = "zzz" +: a
+    // the content-defined property: every interior boundary of A
+    // reappears in B shifted by exactly the insertion (fixed-stride
+    // chunking would instead re-cut everything after the edit)
+    val ia = cuts(a).drop(1).dropRight(1)
+    val ib = cuts(b).drop(1).dropRight(1)
+    assert(ia.nonEmpty && ia.map(_ + 1).toSet.subsetOf(ib.toSet),
+      s"boundaries must shift with content: $ia vs $ib")
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val expect = (hist(a).toSeq ++ hist(b).toSeq)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val got = graft.ops.CurationOps.cdcChunkHistogram(docs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === expect, s"histogram: $got vs $expect")
+  }
+
   test("quality survivors: in-band member beats a lower-id out-of-band twin") {
     // 122 distinct tokens vs its first 118: Jaccard ~0.93, well above the
     // 8x8 banding threshold, so they cluster — and the LOWER-id member
