@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Data-selection operators (SURVEY §7.4 extension surface): the
+  * "which documents should a training run actually consume" layer that
+  * sits between curation (q191's drop reasons) and mixing (q67/q198's
+  * quotas). Two public designs re-expressed Spark-first:
+  *
+  *   - DSIR-style importance resampling (Xie et al. 2023, "Data
+  *     Selection for Language Models via Importance Resampling"):
+  *     hashed n-gram features, a target-vs-raw distribution ratio, and
+  *     per-document importance weights (q295).
+  *   - C4 line-level cleaning (Raffel et al. 2020, the C4 appendix
+  *     rules): terminal-punctuation / short-line / boilerplate line
+  *     drops plus page-level lorem-ipsum and brace kills (q296).
+  *
+  * Both are exactly SQL-expressible (md5 is the shared hash; the line
+  * rules are string predicates), so both grade against full DuckDB
+  * oracles.
+  */
+object SelectionOps {
+
+  /** q295: DSIR-style importance weights over hashed unigram features.
+    *
+    * The public recipe: featurize each document as a bag of hashed
+    * n-grams, fit target and raw unigram distributions over the hash
+    * buckets, and weight each document by how much more likely its
+    * features are under the TARGET distribution than the raw one —
+    * then resample by that weight. Here the target domain is the
+    * English slice (`lang = 'en'`), features are unigrams hashed to
+    * 256 buckets by md5 hex prefix (engine-independent, so the oracle
+    * recomputes everything), and the per-bucket ratio is kept EXACT:
+    *
+    *   w(b) = floor( (T_b + 1) * (R + 256) * 10000
+    *               / ((R_b + 1) * (T + 256)) )        [basis points]
+    *
+    * — the Laplace-smoothed likelihood ratio in integer basis points
+    * instead of log space, so per-document scores (the sum of w(b)
+    * over token occurrences) are BIGINTs and the oracle hash cannot
+    * drift on libm. Monotonicity vs the log formulation is not global
+    * (sum-of-ratios vs sum-of-logs), but the selection signal — docs
+    * whose vocabulary looks like the target score high — is the same,
+    * and the arithmetic is reproducible on any engine. Magnitude
+    * audit: at sf0.1 the corpus is ~3e5 tokens, so the widest product
+    * (T_b+1)*(R+256)*1e4 < 1e15 « 2^63; a petascale corpus would hoist
+    * the same arithmetic to DECIMAL(38,0) — same plan, wider lanes.
+    *
+    * Output: one row per language — doc count, total score, and how
+    * many docs beat the GLOBAL mean score (exact cross-multiplied
+    * compare `score * n > s`, no double division).
+    *
+    * Scale shape: tokens shuffle once to build the 256-row bucket
+    * distributions (map-side combine collapses each partition to ≤256
+    * rows first); the weight table and the two scalar total frames are
+    * broadcast back; per-doc scoring is a broadcast join plus one
+    * doc-keyed aggregate. Nothing sorts, nothing windows, no driver
+    * collect.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val toks = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .withColumn("b", substring(md5(col("term")), 1, 2))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgt = toks.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val tot = toks.agg(count(lit(1)).as("rt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val w = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr("((tc + 1) * (rt + 256) * 10000L) div ((rc + 1) * (tt + 256))")
+          .as("wbp"))
+    val scores = toks.join(broadcast(w), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("wbp")).as("score"))
+    val g = scores.agg(sum(col("score")).as("s"), count(lit(1)).as("n"))
+    scores.crossJoin(broadcast(g))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("sum_score"),
+        sum(when(col("score") * col("n") > col("s"), 1L).otherwise(0L))
+          .as("n_above_mean"))
+      .orderBy("lang")
+  }
+
+  private val dsirSql: String =
+    """WITH tok AS (SELECT doc_id, lang, substr(md5(term), 1, 2) AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |        FROM documents WHERE text IS NOT NULL)),
+      |raw AS (SELECT b, COUNT(*) AS rc FROM tok GROUP BY b),
+      |tgt AS (SELECT b, COUNT(*) AS tc FROM tok WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT COUNT(*) AS rt,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+      |  FROM tok),
+      |w AS (SELECT raw.b,
+      |    ((COALESCE(tgt.tc, 0) + 1) * (tot.rt + 256) * 10000)
+      |      // ((raw.rc + 1) * (tot.tt + 256)) AS wbp
+      |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+      |ds AS (SELECT doc_id, lang, CAST(SUM(wbp) AS BIGINT) AS score
+      |  FROM tok JOIN w USING (b) GROUP BY doc_id, lang),
+      |g AS (SELECT CAST(SUM(score) AS BIGINT) AS s, COUNT(*) AS n FROM ds)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  CAST(SUM(CASE WHEN score * g.n > g.s THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above_mean
+      |FROM ds CROSS JOIN g GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q296: C4-style line-level cleaning census.
+    *
+    * The C4 cleaning pass (public appendix of Raffel et al. 2020)
+    * removes LINES, not just documents: keep only lines that end in
+    * terminal punctuation and have at least 3 words, drop lines that
+    * mention javascript (cookie/JS boilerplate), and kill whole pages
+    * containing "lorem ipsum" or a curly brace (code). The corpus
+    * tables are single-line, so the graded input unions planted
+    * multi-line pages (mirrored VALUES in the oracle, q76's pattern)
+    * that exercise every rule.
+    *
+    * Per line: terminal = trimmed line ends in . ! ? or " ; words =
+    * non-empty space-separated tokens; js = contains 'javascript'
+    * (case-folded). Per doc: brace/lorem kill the whole page; a kept
+    * doc needs >= 1 surviving line, and the C4 ">= 3 sentences" page
+    * gate is reported alongside (n_docs_ge3_kept).
+    *
+    * Output: one global census row, all BIGINT.
+    *
+    * Scale shape: every rule is a row-local string predicate over the
+    * exploded lines; the census is one partial-aggregated global agg.
+    * No shuffle moves more than per-partition partial sums.
+    */
+  def lineRules(docs: DataFrame): DataFrame = {
+    val lines = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        (lower(col("text")).contains("lorem ipsum")).as("lorem"),
+        col("text").contains("{").as("brace"),
+        explode(split(col("text"), "\n")).as("line"))
+      .withColumn("terminal",
+        expr("right(trim(line), 1)").isin(".", "!", "?", "\""))
+      .withColumn("words",
+        size(filter(split(col("line"), " "), x => x =!= "")))
+      .withColumn("js", lower(col("line")).contains("javascript"))
+      .withColumn("doc_killed", col("lorem") || col("brace"))
+      .withColumn("kept",
+        col("terminal") && col("words") >= 3 && !col("js") &&
+          !col("doc_killed"))
+    val perDoc = lines.groupBy("doc_id")
+      .agg(max(when(col("doc_killed"), 1L).otherwise(0L)).as("killed"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_lines"))
+    val docCensus = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("killed")).as("n_docs_killed"),
+      sum(when(col("kept_lines") >= 1, 1L).otherwise(0L)).as("n_docs_kept"),
+      sum(when(col("kept_lines") >= 3, 1L).otherwise(0L))
+        .as("n_docs_ge3_kept"))
+    val lineCensus = lines.agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(!col("terminal"), 1L).otherwise(0L)).as("n_no_punct"),
+      sum(when(col("words") < 3, 1L).otherwise(0L)).as("n_short_line"),
+      sum(when(col("js"), 1L).otherwise(0L)).as("n_js"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_lines"))
+    docCensus.crossJoin(lineCensus)
+      .select("n_docs", "n_lines", "n_no_punct", "n_short_line", "n_js",
+        "n_docs_killed", "n_kept_lines", "n_docs_kept", "n_docs_ge3_kept")
+  }
+
+  /** Planted multi-line pages for q296 — every rule gets a witness:
+    * clean kept lines, a no-punct line, a short line, a javascript
+    * line, a brace-killed page, and a lorem-ipsum page. Mirrored
+    * verbatim (via chr(10)) in [[lineRulesSql]].
+    */
+  private[graft] def c4Docs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (4000000000051L, Some("This page keeps three full sentences intact." +
+        "\nEach of them ends with terminal punctuation!" +
+        "\nSo the page survives the sentence gate?" +
+        "\nshort one\nthis line has no terminal punctuation at all")),
+      (4000000000052L, Some("Enable JavaScript to view this page." +
+        "\nOnly one real sentence survives here.")),
+      (4000000000053L, Some("function f() { return 1; }" +
+        "\nA fine sentence that the brace kill still removes.")),
+      (4000000000054L, Some("Lorem ipsum dolor sit amet." +
+        "\nAnother casualty of the lorem filter.")),
+      (4000000000055L, Option.empty[String])
+    ).toDF("doc_id", "text")
+  }
+
+  private val lineRulesSql: String =
+    """WITH all_docs(doc_id, text) AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  VALUES
+      |    (4000000000051, 'This page keeps three full sentences intact.'
+      |      || chr(10) || 'Each of them ends with terminal punctuation!'
+      |      || chr(10) || 'So the page survives the sentence gate?'
+      |      || chr(10) || 'short one'
+      |      || chr(10) || 'this line has no terminal punctuation at all'),
+      |    (4000000000052, 'Enable JavaScript to view this page.'
+      |      || chr(10) || 'Only one real sentence survives here.'),
+      |    (4000000000053, 'function f() { return 1; }'
+      |      || chr(10) || 'A fine sentence that the brace kill still removes.'),
+      |    (4000000000054, 'Lorem ipsum dolor sit amet.'
+      |      || chr(10) || 'Another casualty of the lorem filter.'),
+      |    (4000000000055, NULL)),
+      |lines AS (SELECT doc_id,
+      |    contains(lower(text), 'lorem ipsum') AS lorem,
+      |    contains(text, '{') AS brace,
+      |    unnest(string_split(text, chr(10))) AS line
+      |  FROM all_docs WHERE text IS NOT NULL),
+      |f AS (SELECT doc_id, lorem, brace, line,
+      |    right(trim(line), 1) IN ('.', '!', '?', '"') AS terminal,
+      |    len(list_filter(string_split(line, ' '), x -> x != ''))
+      |      AS words,
+      |    contains(lower(line), 'javascript') AS js,
+      |    (lorem OR brace) AS doc_killed
+      |  FROM lines),
+      |k AS (SELECT *,
+      |    (terminal AND words >= 3 AND NOT js AND NOT doc_killed) AS kept
+      |  FROM f),
+      |pd AS (SELECT doc_id,
+      |    MAX(CASE WHEN doc_killed THEN 1 ELSE 0 END) AS killed,
+      |    SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS kept_lines
+      |  FROM k GROUP BY doc_id),
+      |dc AS (SELECT COUNT(*) AS n_docs, SUM(killed) AS n_docs_killed,
+      |    SUM(CASE WHEN kept_lines >= 1 THEN 1 ELSE 0 END) AS n_docs_kept,
+      |    SUM(CASE WHEN kept_lines >= 3 THEN 1 ELSE 0 END)
+      |      AS n_docs_ge3_kept
+      |  FROM pd),
+      |lc AS (SELECT COUNT(*) AS n_lines,
+      |    SUM(CASE WHEN NOT terminal THEN 1 ELSE 0 END) AS n_no_punct,
+      |    SUM(CASE WHEN words < 3 THEN 1 ELSE 0 END) AS n_short_line,
+      |    SUM(CASE WHEN js THEN 1 ELSE 0 END) AS n_js,
+      |    SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept_lines
+      |  FROM k)
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(n_no_punct AS BIGINT) AS n_no_punct,
+      |  CAST(n_short_line AS BIGINT) AS n_short_line,
+      |  CAST(n_js AS BIGINT) AS n_js,
+      |  CAST(n_docs_killed AS BIGINT) AS n_docs_killed,
+      |  CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+      |  CAST(n_docs_kept AS BIGINT) AS n_docs_kept,
+      |  CAST(n_docs_ge3_kept AS BIGINT) AS n_docs_ge3_kept
+      |FROM dc CROSS JOIN lc""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q295_dsir_weights", Some(dsirSql),
+      (spark, dir) => dsirWeights(t(spark, dir, "documents"))),
+
+    QueryDef("q296_line_rules", Some(lineRulesSql),
+      (spark, dir) => lineRules(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(c4Docs(spark)))))
+}

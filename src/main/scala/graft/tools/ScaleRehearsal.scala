@@ -162,7 +162,11 @@ object ScaleRehearsal {
     // media dedup: per-distinct-payload decode + one signature shuffle
     "q293_media_dedup",
     // cdc chunking: row-local gram hashes + a bounded histogram
-    "q294_cdc_chunks")
+    "q294_cdc_chunks",
+    // DSIR: one bucket-keyed token shuffle, 256-row broadcast weights
+    "q295_dsir_weights",
+    // C4 line census: row-local string predicates + one global agg
+    "q296_line_rules")
 
   private val OFFSET = 10000000L
 
