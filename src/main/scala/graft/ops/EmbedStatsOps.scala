@@ -339,7 +339,123 @@ object EmbedStatsOps {
       |FROM sq JOIN cent ON cent.label = sq.label
       |ORDER BY sq.label""".stripMargin
 
+  /** q297 body: two full Lloyd rounds of k-means (k = 8, seeds =
+    * `vec_id < 8`) — the clustering step itself, where q233 only
+    * maintains an EXISTING clustering. The part naive ports get wrong
+    * at scale is centroid division: means are floats, so re-runs and
+    * repartitionings drift. Here centroids stay RATIONAL end to end
+    * (q233's doctrine):
+    *
+    *   round 1: seeds are single vectors, so the squared distance is
+    *     the plain integer Σ_d (x_d − c_d)² — argmin over k integer
+    *     scores, ties by seed id; no division exists at all.
+    *   round 2: cluster l's centroid is the rational (s_l / n_l) per
+    *     dimension; distance cross-multiplies to the integer
+    *     Σ_d (n_l·x_d − s_l d)² and the cross-cluster argmin divides by
+    *     n_l² in ONE shared double expression (identical text in the
+    *     oracle), ties by cluster id.
+    *
+    * Graded output per surviving cluster: member count after round 2,
+    * how many members CHANGED assignment between rounds (the Lloyd
+    * convergence signal), and the round-2 inertia — the cluster's
+    * summed integer Σ(n·x−s)² divided ONCE by n²·10⁶ (milli-units² →
+    * units²), so the only double op is one division per output row.
+    *
+    * Scale shape: two corpus passes (one per round), each a ≤k-bounded
+    * broadcast fan-out per element row with map-side combine down to
+    * (vec, cluster) partials; the argmin windows are ≤k-row frames
+    * partitioned by vec_id; centroids (k·dim rows) broadcast back. At
+    * 100 TB each round is one scan + one n·k-row shuffle — the
+    * textbook distributed Lloyd plan.
+    */
+  def kmeansLloyd(emb: DataFrame, k: Int = 8): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = elems(emb)
+    val seeds = x.where(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("d"), col("xq").as("cq"))
+    // round 1: integer distance to single-vector seeds
+    val d1 = x.join(broadcast(seeds), Seq("d"))
+      .withColumn("diff", col("xq").cast(dec) - col("cq").cast(dec))
+      .groupBy(col("vec_id"), col("cl"))
+      .agg(sum(col("diff") * col("diff")).as("d2"))
+    val w1 = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+    val a1 = d1.withColumn("rn", row_number().over(w1))
+      .where(col("rn") === 1).select(col("vec_id"), col("cl").as("cl1"))
+    // round-1 centroids as rationals (component sums + counts)
+    val cent = x.join(broadcast(a1), Seq("vec_id"))
+      .groupBy(col("cl1").as("cl"), col("d"))
+      .agg(sum(col("xq")).as("s"))
+    val n = a1.groupBy(col("cl1").as("cl")).agg(count(lit(1)).as("n"))
+    val centN = cent.join(broadcast(n), Seq("cl"))
+    // round 2: cross-multiplied distance to rational centroids
+    val d2r = x.join(broadcast(centN), Seq("d"))
+      .withColumn("diff",
+        col("n").cast(dec) * col("xq").cast(dec) - col("s").cast(dec))
+      .groupBy(col("vec_id"), col("cl"), col("n"))
+      .agg(sum(col("diff") * col("diff")).as("d2"))
+      .withColumn("score",
+        col("d2").cast("double") / (col("n") * col("n")).cast("double"))
+    val w2 = Window.partitionBy("vec_id").orderBy(col("score"), col("cl"))
+    val a2 = d2r.withColumn("rn", row_number().over(w2))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cl"), col("n"), col("d2"))
+    a2.join(broadcast(a1), Seq("vec_id"))
+      .groupBy(col("cl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("cl") =!= col("cl1"), 1L).otherwise(0L))
+          .as("n_changed"),
+        max(col("n")).cast("long").as("n_r1"),
+        sum(col("d2")).as("sum_d2"))
+      .withColumn("inertia",
+        col("sum_d2").cast("double") /
+          (col("n_r1").cast(dec) * col("n_r1").cast(dec)
+            * lit(1000000L).cast(dec)).cast("double"))
+      .select(col("cluster"), col("n_members"), col("n_changed"),
+        col("inertia"))
+      .orderBy("cluster")
+  }
+
+  private val kmeansOracle: String =
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+      |      AS HUGEINT) AS xq
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |seeds AS (SELECT vec_id AS cl, d, xq AS cq FROM x WHERE vec_id < 8),
+      |d1 AS (SELECT x.vec_id, s.cl,
+      |    SUM((x.xq - s.cq) * (x.xq - s.cq)) AS d2
+      |  FROM x JOIN seeds s ON s.d = x.d GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cl AS cl1 FROM (
+      |    SELECT vec_id, cl,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |cent AS (SELECT a1.cl1 AS cl, x.d, SUM(x.xq) AS s
+      |  FROM x JOIN a1 ON a1.vec_id = x.vec_id GROUP BY 1, 2),
+      |nn AS (SELECT cl1 AS cl, CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM a1 GROUP BY 1),
+      |d2r AS (SELECT x.vec_id, cent.cl, nn.n,
+      |    SUM((nn.n * x.xq - cent.s) * (nn.n * x.xq - cent.s)) AS d2
+      |  FROM x JOIN cent ON cent.d = x.d JOIN nn ON nn.cl = cent.cl
+      |  GROUP BY 1, 2, 3),
+      |a2 AS (SELECT vec_id, cl, n, d2 FROM (
+      |    SELECT vec_id, cl, n, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |        ORDER BY CAST(d2 AS DOUBLE) / CAST(n * n AS DOUBLE), cl)
+      |        AS rn
+      |    FROM d2r) WHERE rn = 1)
+      |SELECT a2.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(SUM(CASE WHEN a2.cl <> a1.cl1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(SUM(a2.d2) AS DOUBLE)
+      |    / CAST(MAX(a2.n) * MAX(a2.n) * 1000000 AS DOUBLE) AS inertia
+      |FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
+      |GROUP BY a2.cl ORDER BY cluster""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q297_kmeans_lloyd", Some(kmeansOracle),
+      (spark, dir) => kmeansLloyd(t(spark, dir, "embeddings"))),
+
     QueryDef("q242_label_cohesion", Some(cohesionOracle),
       (spark, dir) => labelCohesion(t(spark, dir, "embeddings"))),
 

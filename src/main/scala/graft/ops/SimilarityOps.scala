@@ -325,6 +325,106 @@ object SimilarityOps {
   private def queriesOf(v: DataFrame, n: Int): DataFrame =
     v.where(col("vec_id") < n).select(col("vec_id").as("q_id"), col("v").as("qv"))
 
+  /** q298 body: margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix scorer): a raw cosine threshold over-selects HUB
+    * vectors (close to everything), so each pair is scored by its cosine
+    * RELATIVE to both endpoints' neighborhoods:
+    *
+    *   margin(x, y) = cos(x, y) / (topk̄(x) + topk̄(y))
+    *
+    * where topk̄ is the sum of the endpoint's k best similarities (the
+    * ratio-margin variant; the constant 2k denominator folds into the
+    * ranking). Source side = even-label queries, target side = the
+    * odd-label corpus — the two "languages".
+    *
+    * Determinism: similarities quantize to integer basis points FIRST
+    * (floor(cos·10⁴ + 0.5), the same IEEE text in both engines — the
+    * q27 parity pairing), so both neighborhood sums are exact BIGINTs
+    * and the margin is one division of identical integers — boundary-
+    * tie-free by construction, ties broken by vec_id.
+    *
+    * Scale shape: the query side rides in ONE broadcast row, so the
+    * per-target similarity vector, and the target-side top-k sum, are
+    * ROW-LOCAL higher-order expressions (no shuffle touches the wide
+    * corpus); the query-side top-k sums come from the bounded TopK
+    * AGGREGATE (map-side k-trim, q187's plan), and the final per-query
+    * top-3 is a window over the |queries|-bounded key space — the same
+    * contract as q27's baseline. One corpus-keyed exchange total.
+    */
+  def bitextMargin(corpus: DataFrame, nQueries: Int = 40, kNn: Int = 4,
+      topK: Int = 3): DataFrame = {
+    val queries = corpus.where(col("label") % 2 === 0)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val targets = corpus.where(col("label") % 2 === 1)
+      .select(col("vec_id"), col("v"))
+    val qArr = queries.agg(collect_list(struct(col("q_id"), col("qv"))).as("qarr"))
+    val cosText =
+      """aggregate(zip_with(s.qv, v, (p, q) -> p * q),
+        |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+        |/ (sqrt(aggregate(transform(s.qv, p -> p * p),
+        |     CAST(0 AS DOUBLE), (acc, x) -> acc + x))
+        |   * sqrt(aggregate(transform(v, p -> p * p),
+        |       CAST(0 AS DOUBLE), (acc, x) -> acc + x)))""".stripMargin
+    val sims = targets.crossJoin(broadcast(qArr))
+      .select(col("vec_id"),
+        expr(s"""transform(qarr, s -> struct(s.q_id AS q_id,
+          |CAST(floor(($cosText) * 10000 + 0.5d) AS BIGINT) AS simbp))"""
+          .stripMargin).as("sims"))
+      .withColumn("sc", expr(
+        s"""aggregate(slice(reverse(array_sort(
+           |transform(sims, s -> s.simbp))), 1, $kNn),
+           |0L, (a, x) -> a + x)""".stripMargin))
+    val ex = sims
+      .select(col("vec_id"), col("sc"), explode(col("sims")).as("s"))
+      .select(col("vec_id"), col("sc"),
+        col("s.q_id").as("q_id"), col("s.simbp").as("simbp"))
+    val topNn = graft.functions.TopKAggregate.topK(kNn)
+    val sq = ex.groupBy("q_id")
+      .agg(topNn(col("simbp"), col("vec_id")).as("top"))
+      .select(col("q_id"),
+        expr("aggregate(top.values, 0L, (a, x) -> a + x)").as("sq"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("margin").desc, col("vec_id"))
+    ex.join(broadcast(sq), Seq("q_id"))
+      .withColumn("margin",
+        col("simbp").cast("double") / (col("sq") + col("sc")).cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("margin"))
+      .orderBy("q_id", "rnk")
+  }
+
+  private val bitextMarginSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |    FROM embeddings WHERE label % 2 = 0 AND vec_id < 40),
+      |tg AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |    FROM embeddings WHERE label % 2 = 1),
+      |s AS (SELECT q.q_id, tg.vec_id,
+      |    CAST(floor(list_cosine_similarity(q.qv, tg.v) * 10000 + 0.5)
+      |      AS BIGINT) AS simbp
+      |  FROM q CROSS JOIN tg),
+      |scs AS (SELECT vec_id, CAST(SUM(simbp) AS BIGINT) AS sc FROM (
+      |    SELECT vec_id, simbp,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY simbp DESC)
+      |        AS rn FROM s)
+      |  WHERE rn <= 4 GROUP BY vec_id),
+      |sqs AS (SELECT q_id, CAST(SUM(simbp) AS BIGINT) AS sq FROM (
+      |    SELECT q_id, simbp,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY simbp DESC)
+      |        AS rn FROM s)
+      |  WHERE rn <= 4 GROUP BY q_id),
+      |m AS (SELECT s.q_id, s.vec_id,
+      |    CAST(s.simbp AS DOUBLE) / CAST(sqs.sq + scs.sc AS DOUBLE)
+      |      AS margin
+      |  FROM s JOIN sqs ON sqs.q_id = s.q_id
+      |  JOIN scs ON scs.vec_id = s.vec_id),
+      |r AS (SELECT q_id, vec_id, margin,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY margin DESC, vec_id) AS rnk FROM m)
+      |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, margin
+      |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   /** q289 body: hard-negative mining — for each anchor, the most
     * similar vector with a DIFFERENT label: the contrastive-training
     * upgrade over q239's random negatives (a random negative is easy;
@@ -559,6 +659,9 @@ object SimilarityOps {
       |ORDER BY q_id, rnk""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q298_bitext_margin", Some(bitextMarginSql),
+      (spark, dir) => bitextMargin(vectors(spark, dir))),
+
     QueryDef(
       "q166_cosine_sim_sql",
       Some("""WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),

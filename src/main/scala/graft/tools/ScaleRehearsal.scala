@@ -166,7 +166,11 @@ object ScaleRehearsal {
     // DSIR: one bucket-keyed token shuffle, 256-row broadcast weights
     "q295_dsir_weights",
     // C4 line census: row-local string predicates + one global agg
-    "q296_line_rules")
+    "q296_line_rules",
+    // Lloyd: two k-bounded broadcast fan-out passes, k*dim centroids
+    "q297_kmeans_lloyd",
+    // bitext margin: row-local sims vs a broadcast query row + TopK agg
+    "q298_bitext_margin")
 
   private val OFFSET = 10000000L
 

@@ -99,4 +99,32 @@ class EmbedStatsSpec extends SparkSpec {
       EmbedStatsOps.pcaPowerLoadings(emb, rounds = 4)
     }
   }
+
+  test("q297 Lloyd: planted point-mass clusters converge in one round " +
+    "with zero inertia") {
+    val emb = (
+      // group A: exact copies of seed 0 at (1, 0)
+      Seq((0L, Seq(1.0f, 0.0f)), (10L, Seq(1.0f, 0.0f)),
+        (11L, Seq(1.0f, 0.0f)), (12L, Seq(1.0f, 0.0f)),
+        // group B: exact copies of seed 1 at (0, 1)
+        (1L, Seq(0.0f, 1.0f)), (20L, Seq(0.0f, 1.0f)),
+        (21L, Seq(0.0f, 1.0f))) ++
+      // seeds 2..7: far-away singletons, each its own cluster
+      (2L to 7L).map(i => (i, Seq(10.0f + i, -10.0f - i)))
+    ).toDF("vec_id", "embedding")
+    val out = EmbedStatsOps.kmeansLloyd(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == (0L to 7L).toSet)
+    assert(out(0L) === ((4L, 0L, 0.0)))
+    assert(out(1L) === ((3L, 0L, 0.0)))
+    (2L to 7L).foreach(c => assert(out(c) === ((1L, 0L, 0.0))))
+  }
+
+  test("q297 Lloyd is repartition-invariant (rational centroids)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = EmbedStatsOps.kmeansLloyd(emb).collect().toSeq
+    val b = EmbedStatsOps.kmeansLloyd(emb.repartition(7)).collect().toSeq
+    assert(a == b, "Lloyd output must not depend on partitioning")
+  }
 }

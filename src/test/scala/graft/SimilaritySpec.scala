@@ -167,4 +167,29 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Long]("range_violations") == 0L)
     assert(row.getAs[Long]("recon_violations") == 0L)
   }
+
+  test("q298 margin scoring penalizes hubs: the hub outranks by raw " +
+    "cosine but LOSES by margin") {
+    def v(xs: Double*): Seq[Double] = xs ++ Seq.fill(64 - xs.length)(0.0)
+    val corpus = Seq(
+      // source side (even label, id < 40): two correlated queries
+      (0L, 0, v(1.0, 0.0)),
+      (2L, 0, v(0.8, 0.6)),
+      // target side (odd label): a hub near BOTH queries, a twin near
+      // only q1, and two orthogonal fillers
+      (101L, 1, v(0.949, 0.316)), // cos ~0.949 to q1 AND q2 (hub)
+      (102L, 1, v(0.94, -0.34)),  // cos ~0.940 to q1, ~0.548 to q2
+      (103L, 1, v(0.0, 0.0, 1.0)),
+      (104L, 1, v(0.0, 0.0, 0.0, 1.0))
+    ).toDF("vec_id", "label", "v")
+    val out = SimilarityOps.bitextMargin(corpus).collect()
+    val q1 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    // raw cosine prefers the hub (0.949 > 0.940); margin must flip it
+    assert(q1.head.getLong(2) == 102L,
+      s"twin must outrank the hub under margin scoring: ${q1.toSeq}")
+    assert(q1(1).getLong(2) == 101L)
+    // margins are strictly decreasing down the ranking
+    val ms = q1.map(_.getDouble(3)).toSeq
+    assert(ms == ms.sorted.reverse && ms.distinct.size == ms.size)
+  }
 }
