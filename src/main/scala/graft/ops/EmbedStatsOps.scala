@@ -369,10 +369,17 @@ object EmbedStatsOps {
     * textbook distributed Lloyd plan.
     */
   def kmeansLloyd(emb: DataFrame, k: Int = 8): DataFrame = {
-    val dec = "decimal(38,0)"
     val x = elems(emb)
-    val seeds = x.where(col("vec_id") < k)
-      .select(col("vec_id").as("cl"), col("d"), col("xq").as("cq"))
+    lloydFromSeeds(x, x.where(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("d"), col("xq").as("cq")))
+  }
+
+  /** Shared Lloyd rounds over a (cl, d, cq) single-vector seed frame —
+    * the q297 body from "round 1" on, extracted so q299's D²-seeded run
+    * and q297's naive-seeded run grade the SAME clustering code.
+    */
+  private def lloydFromSeeds(x: DataFrame, seeds: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     // round 1: integer distance to single-vector seeds
     val d1 = x.join(broadcast(seeds), Seq("d"))
       .withColumn("diff", col("xq").cast(dec) - col("cq").cast(dec))
@@ -452,7 +459,139 @@ object EmbedStatsOps {
       |FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
       |GROUP BY a2.cl ORDER BY cluster""".stripMargin
 
+  /** Shared by the q299 body and its generated oracle (the PcaRounds /
+    * bpeChainSql doctrine): number of D²-seeded clusters.
+    */
+  val PpK = 8
+
+  /** q299 body: deterministic k-means++/D² (farthest-point) seeding in
+    * front of the SAME two Lloyd rounds as q297 — the clustering-quality
+    * step q297 stops short of (VERDICT r10 #1): naive `vec_id < k` seeds
+    * can all land in one dense region and Lloyd inherits the bad start;
+    * D² seeding spreads seeds by construction, which is what SemDeDup
+    * cell quality (q118) and hard-negative mining (q289) actually lean
+    * on. The seeding is the deterministic maximin variant of k-means++
+    * (argmax-D² instead of D²-proportional sampling — no RNG to match
+    * across engines): seed 0 is the min-vec_id vector; each next seed is
+    * the vector maximizing its squared distance to the nearest chosen
+    * seed, ties broken by min vec_id. All distances are the plain
+    * integer Σ_d (x_d − c_d)² of the q297 doctrine — seeds are corpus
+    * vectors, so no centroid division exists during seeding at all.
+    *
+    * Scale shape: k−1 seeding passes, each one corpus scan against ONE
+    * broadcast dim-row seed vector with map-side combine to a vec-keyed
+    * partial, a LEAST merge into the running per-vector D² frame (kept
+    * flat via localCheckpoint — k frames of n rows, never deeper), and a
+    * TakeOrdered(1) argmax (per-partition heaps, one row to the driver's
+    * plan — no collect in the data path). At 100 TB that is k scans —
+    * the known cost of sequential D² seeding; the scalable refinement
+    * (k-means‖ oversampling, which trades the k passes for O(log k))
+    * keeps this exact plan shape per pass. Lloyd after seeding is
+    * byte-identical to q297's.
+    *
+    * EmbedStatsSpec pins the quality claim: on a planted
+    * two-blobs-plus-outlier fixture the D²-seeded inertia is ≤ the
+    * naive-seeded inertia (strictly < on the planted geometry).
+    */
+  def kmeansPlusPlus(emb: DataFrame, k: Int = PpK): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val dec = "decimal(38,0)"
+    // flat base for the k re-scans (and Lloyd): one parquet read + explode
+    val x = elems(emb).localCheckpoint()
+    val first = x.join(
+      broadcast(x.groupBy().agg(min(col("vec_id")).as("vec_id"))),
+      Seq("vec_id"))
+    var latest = first.select(col("d"), col("xq").as("cq"))
+    var seeds = latest.select(lit(0L).as("cl"), col("d"), col("cq"))
+    var dmin: DataFrame = null
+    for (j <- 1 until k) {
+      val dist = x.join(broadcast(latest), Seq("d"))
+        .withColumn("diff", col("xq").cast(dec) - col("cq").cast(dec))
+        .groupBy("vec_id")
+        .agg(sum(col("diff") * col("diff")).as("dist"))
+      dmin = (if (dmin == null) dist.select(col("vec_id"), col("dist").as("dmin"))
+        else dmin.join(dist, Seq("vec_id"))
+          .select(col("vec_id"), least(col("dmin"), col("dist")).as("dmin")))
+        .localCheckpoint()
+      val pick = dmin.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .select("vec_id")
+      latest = x.join(broadcast(pick), Seq("vec_id"))
+        .select(col("d"), col("xq").as("cq")).localCheckpoint()
+      seeds = seeds.unionByName(
+        latest.select(lit(j.toLong).as("cl"), col("d"), col("cq")))
+    }
+    lloydFromSeeds(x, seeds)
+  }
+
+  /** Oracle generated from the SAME k as the graded body: a CTE chain of
+    * k−1 (distance, LEAST-merge, argmax, seed) rounds, then the verbatim
+    * q297 Lloyd SQL over the assembled seed set.
+    */
+  private def ppOracle(k: Int): String = {
+    val rounds = (1 until k).map { j =>
+      val prev = if (j == 1) "" else s"dm${j - 1}"
+      val dj =
+        s"""dj$j AS (SELECT x.vec_id,
+           |    SUM((x.xq - s.cq) * (x.xq - s.cq)) AS dist
+           |  FROM x JOIN s${j - 1} s ON s.d = x.d GROUP BY 1)""".stripMargin
+      val dm =
+        if (j == 1) s"dm1 AS (SELECT vec_id, dist AS dmin FROM dj1)"
+        else
+          s"""dm$j AS (SELECT $prev.vec_id, LEAST($prev.dmin, dj$j.dist) AS dmin
+             |  FROM $prev JOIN dj$j USING (vec_id))""".stripMargin
+      s"""$dj,
+         |$dm,
+         |p$j AS (SELECT vec_id FROM dm$j ORDER BY dmin DESC, vec_id LIMIT 1),
+         |s$j AS (SELECT CAST($j AS BIGINT) AS cl, x.d, x.xq AS cq
+         |  FROM x JOIN p$j USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until k).map(j => s"SELECT * FROM s$j")
+      .mkString(" UNION ALL ")
+    s"""WITH x AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+      |      AS HUGEINT) AS xq
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |m0 AS (SELECT MIN(vec_id) AS vid FROM x),
+      |s0 AS (SELECT CAST(0 AS BIGINT) AS cl, x.d, x.xq AS cq
+      |  FROM x JOIN m0 ON x.vec_id = m0.vid),
+      |$rounds,
+      |seeds AS ($union),
+      |d1 AS (SELECT x.vec_id, s.cl,
+      |    SUM((x.xq - s.cq) * (x.xq - s.cq)) AS d2
+      |  FROM x JOIN seeds s ON s.d = x.d GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cl AS cl1 FROM (
+      |    SELECT vec_id, cl,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |cent AS (SELECT a1.cl1 AS cl, x.d, SUM(x.xq) AS s
+      |  FROM x JOIN a1 ON a1.vec_id = x.vec_id GROUP BY 1, 2),
+      |nn AS (SELECT cl1 AS cl, CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM a1 GROUP BY 1),
+      |d2r AS (SELECT x.vec_id, cent.cl, nn.n,
+      |    SUM((nn.n * x.xq - cent.s) * (nn.n * x.xq - cent.s)) AS d2
+      |  FROM x JOIN cent ON cent.d = x.d JOIN nn ON nn.cl = cent.cl
+      |  GROUP BY 1, 2, 3),
+      |a2 AS (SELECT vec_id, cl, n, d2 FROM (
+      |    SELECT vec_id, cl, n, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |        ORDER BY CAST(d2 AS DOUBLE) / CAST(n * n AS DOUBLE), cl)
+      |        AS rn
+      |    FROM d2r) WHERE rn = 1)
+      |SELECT a2.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(SUM(CASE WHEN a2.cl <> a1.cl1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(SUM(a2.d2) AS DOUBLE)
+      |    / CAST(MAX(a2.n) * MAX(a2.n) * 1000000 AS DOUBLE) AS inertia
+      |FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
+      |GROUP BY a2.cl ORDER BY cluster""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q299_kmeans_pp", Some(ppOracle(PpK)),
+      (spark, dir) => kmeansPlusPlus(t(spark, dir, "embeddings"))),
+
     QueryDef("q297_kmeans_lloyd", Some(kmeansOracle),
       (spark, dir) => kmeansLloyd(t(spark, dir, "embeddings"))),
 

@@ -127,4 +127,47 @@ class EmbedStatsSpec extends SparkSpec {
     val b = EmbedStatsOps.kmeansLloyd(emb.repartition(7)).collect().toSeq
     assert(a == b, "Lloyd output must not depend on partitioning")
   }
+
+  /** Two blobs plus an outlier, all low vec_ids inside blob A — the
+    * geometry where naive `vec_id < k` seeding fails (every seed lands
+    * in A, so B and the outlier get lumped) and D² seeding wins (seed 0
+    * in A, then the outlier, then a B member — maximin spreads by
+    * construction).
+    */
+  private def twoBlobsPlusOutlier = (
+    (0L to 7L).map(i => (i, Seq(0.001f * i, 0.0f, 0.0f, 0.0f))) ++
+      (8L to 15L).map(i =>
+        (i, Seq(10.0f + 0.001f * i, 10.0f, 10.0f, 10.0f))) ++
+      Seq((16L, Seq(30.0f, 30.0f, 30.0f, 30.0f)))
+  ).toDF("vec_id", "embedding")
+
+  test("q299 D2 seeding: inertia <= naive seeding on two blobs + outlier") {
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(_.getDouble(3)).sum
+    val pp = total(EmbedStatsOps.kmeansPlusPlus(twoBlobsPlusOutlier, k = 3))
+    val naive = total(EmbedStatsOps.kmeansLloyd(twoBlobsPlusOutlier, k = 3))
+    assert(pp <= naive,
+      s"D2-seeded inertia $pp must not exceed naive-seeded $naive")
+    // on this planted geometry the win is strict: pp separates A/B/outlier
+    // (near-zero intra-blob jitter), naive lumps B with the outlier
+    assert(pp < naive * 0.5,
+      s"expected a decisive win on the planted geometry: $pp vs $naive")
+  }
+
+  test("q299 D2 seeds pick the spread: blob A, outlier, blob B") {
+    // k=3 on the planted fixture: every D2-seeded cluster is pure —
+    // member counts (8, 8, 1) — while naive seeding cannot produce that
+    // split (its three clusters partition blob A's neighborhood)
+    val out = EmbedStatsOps.kmeansPlusPlus(twoBlobsPlusOutlier, k = 3)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(out == Seq(1L, 8L, 8L),
+      s"expected pure clusters (1, 8, 8), got $out")
+  }
+
+  test("q299 is repartition-invariant (integer seeding + rational Lloyd)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = EmbedStatsOps.kmeansPlusPlus(emb).collect().toSeq
+    val b = EmbedStatsOps.kmeansPlusPlus(emb.repartition(7)).collect().toSeq
+    assert(a == b, "D2-seeded output must not depend on partitioning")
+  }
 }
