@@ -353,6 +353,160 @@ object MultimodalOps {
       }
   }
 
+  /** One perceptually-hashed media payload variant: vb identifies the
+    * distinct (pattern, brightness) payload, phash is the 32-bit
+    * (16 cells × 2 bits) quantized-grid code.
+    */
+  final case class PerceptualHash(vb: Long, format: String, phash: Long)
+
+  /** Synthetic BRIGHTNESS-VARIANT image acquisition (q300): the q215
+    * pattern family with channel values bounded to [0, 195] and a flat
+    * brightness offset b ∈ {0, 30, 60} added to every channel (195 + 60
+    * = 255 — never wraps, so "brighter" stays a pure luminance shift,
+    * exactly what a re-exported/re-graded upload looks like). Every
+    * pixel stays a pure integer function of (k, b), so the whole
+    * decode → resize → quantize chain grades against a FULL DuckDB
+    * oracle. Even k encode as PPM, odd as BMP.
+    */
+  def brightnessImageTable(variants: DataFrame): DataFrame = {
+    val render = udf((k: Long, b: Long) => {
+      val w = (4 + k % 9).toInt
+      val h = (4 + k % 7).toInt
+      val pix = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          pix(o) = ((x * 7 + y * 13 + k) % 196 + b).toByte
+          pix(o + 1) = ((x * 3 + y * 5 + 2 * k) % 196 + b).toByte
+          pix(o + 2) = ((x * 11 + y + 3 * k) % 196 + b).toByte
+          x += 1
+        }
+        y += 1
+      }
+      if (k % 2 == 0) graft.functions.ImageCodec.encodePpm(w, h, pix)
+      else graft.functions.ImageCodec.encodeBmp(w, h, pix)
+    })
+    variants.select(col("vb"), render(col("k"), col("b")).as("payload"))
+  }
+
+  /** Partition-wise perceptual hash: REAL decode → 4×4 nearest-neighbor
+    * thumbnail → per-cell luma (R+G+B, 0..765) → MEAN-CENTERED 2-bit
+    * quantization → 32-bit grid code. The mean-centering is the whole
+    * point: a flat brightness shift b adds 3b to every cell and 48b to
+    * the 16-cell sum, so `16·luma vs S ± 16T` is invariant — shifted
+    * re-uploads collapse to the SAME code while structurally different
+    * images (different spatial pattern) land elsewhere. All integer
+    * (the only "division" is cross-multiplied away), T = 48 luma units.
+    */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.select(col("vb"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          graft.functions.ImageCodec.decodePixels(bytes) match {
+            case Some(d) =>
+              val thumb = graft.functions.ImageCodec.resizeNearest(d, 4, 4)
+              val luma = Array.tabulate(16)(i =>
+                (thumb(3 * i) & 0xff) + (thumb(3 * i + 1) & 0xff) +
+                  (thumb(3 * i + 2) & 0xff))
+              val s = luma.sum.toLong
+              var code = 0L
+              var i = 0
+              while (i < 16) {
+                val v16 = 16L * luma(i)
+                val lvl =
+                  if (v16 < s - 768L) 0L
+                  else if (v16 < s) 1L
+                  else if (v16 < s + 768L) 2L
+                  else 3L
+                code |= lvl << (2 * i)
+                i += 1
+              }
+              PerceptualHash(id, d.format, code)
+            case None => PerceptualHash(id, "unknown", -1L)
+          }
+        }
+      }
+  }
+
+  /** q300 body: PERCEPTUAL image near-dup — the tier q293's exact
+    * signature dedup deliberately stops short of (its own doc names this
+    * as the next leg): recompressed/brightness-shifted re-uploads carry
+    * DIFFERENT bytes and different exact signatures, but the same
+    * mean-centered quantized thumbnail grid. Acquisition: pattern key
+    * k = doc_id mod 89, brightness b = 30·(doc_id mod 3) — every pattern
+    * arrives at three brightness grades, the population a media lake
+    * holds after users run "auto-enhance". The dedup clusters on the
+    * perceptual code; `n_payloads` counts DISTINCT byte-level payload
+    * variants per cluster, so the graded output itself proves the
+    * brightness twins collapsed (clusters with n_payloads ≥ 2) — while
+    * TextMultimodalSpec additionally pins that a structurally different
+    * pattern does NOT join the cluster.
+    *
+    * Scale shape: q293's plan — the codec pass runs once per DISTINCT
+    * (k, b) payload, not per document; signatures join back on the
+    * narrow variant key; the dedup is ONE shuffle on the code; output is
+    * cluster-bounded. Full SQL oracle replays every sampled pixel, the
+    * luma sums, and the 2-bit quantization.
+    */
+  def perceptualDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      (col("doc_id") % 89).as("k"), (lit(30) * (col("doc_id") % 3)).as("b"),
+      ((col("doc_id") % 89) * 3 + col("doc_id") % 3).as("vb"))
+    val variants = keyed.select(col("vb"), col("k"), col("b")).distinct()
+    val hashes = perceptualHashes(spark, brightnessImageTable(variants))
+      .toDF().select(col("vb"), col("phash"))
+    keyed.join(hashes, Seq("vb"))
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("vb")).as("n_payloads"),
+        min(col("doc_id")).as("canonical_id"))
+      .where(col("n_members") >= 2)
+      .select(col("phash"), col("n_members"), col("n_payloads"),
+        col("canonical_id"))
+      .orderBy("canonical_id")
+  }
+
+  private val perceptualDedupSql: String =
+    """WITH g AS (
+      |  SELECT gx.range AS ox, gy.range AS oy
+      |  FROM range(4) gx, range(4) gy),
+      |d AS (
+      |  SELECT doc_id, doc_id % 89 AS k, 30 * (doc_id % 3) AS b
+      |  FROM documents),
+      |var AS (SELECT DISTINCT k, b FROM d),
+      |px AS (
+      |  SELECT k, b, oy * 4 + ox AS i,
+      |    (ox * (4 + k % 9)) // 4 AS sx, (oy * (4 + k % 7)) // 4 AS sy
+      |  FROM var, g),
+      |v AS (
+      |  SELECT k, b, i,
+      |    (sx * 7 + sy * 13 + k) % 196
+      |      + (sx * 3 + sy * 5 + 2 * k) % 196
+      |      + (sx * 11 + sy + 3 * k) % 196 + 3 * b AS luma
+      |  FROM px),
+      |s AS (SELECT k, b, SUM(luma) AS s FROM v GROUP BY 1, 2),
+      |lev AS (
+      |  SELECT v.k, v.b, v.i,
+      |    CASE WHEN 16 * v.luma < s.s - 768 THEN 0
+      |         WHEN 16 * v.luma < s.s THEN 1
+      |         WHEN 16 * v.luma < s.s + 768 THEN 2
+      |         ELSE 3 END AS lvl
+      |  FROM v JOIN s ON s.k = v.k AND s.b = v.b),
+      |ph AS (
+      |  SELECT k, b,
+      |    CAST(SUM(CAST(lvl AS BIGINT) << (2 * i)) AS BIGINT) AS phash
+      |  FROM lev GROUP BY 1, 2)
+      |SELECT ph.phash, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(COUNT(DISTINCT d.k * 3 + d.b // 30) AS BIGINT) AS n_payloads,
+      |  CAST(MIN(d.doc_id) AS BIGINT) AS canonical_id
+      |FROM d JOIN ph ON ph.k = d.k AND ph.b = d.b
+      |GROUP BY ph.phash HAVING COUNT(*) >= 2
+      |ORDER BY canonical_id""".stripMargin
+
   private val thumbOracle: String =
     """WITH g AS (
       |  SELECT gx.range AS ox, gy.range AS oy
@@ -589,6 +743,12 @@ object MultimodalOps {
     // SQL oracle replays the pixel arithmetic inside the dedup GROUP BY.
     QueryDef("q293_media_dedup", Some(mediaDedupSql),
       (spark, dir) => mediaDedup(spark, t(spark, dir, "documents"))),
+
+    // Perceptual near-dup tier over q293: mean-centered 2-bit thumbnail
+    // grid hashing collapses brightness-shifted re-uploads; the full SQL
+    // oracle replays decode, resize, luma, and quantization per variant.
+    QueryDef("q300_perceptual_dedup", Some(perceptualDedupSql),
+      (spark, dir) => perceptualDedup(spark, t(spark, dir, "documents"))),
 
     // REAL WAV decode (RIFF chunk walk + PCM sample scan) of the
     // metadata-parameterized synthetic audio table, graded by a full

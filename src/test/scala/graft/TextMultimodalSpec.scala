@@ -272,6 +272,33 @@ class TextMultimodalSpec extends SparkSpec {
       s"canonical 1, two members: $r")
   }
 
+  test("perceptual dedup: brightness twins collapse, different pattern survives") {
+    // docs 1 and 90 share pattern key 1 (mod 89) at brightness 30 and 0
+    // -> different bytes, same mean-centered grid code -> ONE cluster
+    // with TWO distinct payload variants; doc 2 (pattern key 2) must not
+    // join it
+    val docs = Seq(1L, 90L, 2L).toDF("doc_id")
+    val out = MultimodalOps.perceptualDedup(spark, docs).collect()
+    assert(out.length === 1, s"clusters: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L && r.getLong(3) === 1L,
+      s"two members, two payload variants, canonical 1: $r")
+  }
+
+  test("perceptual hash is brightness-invariant but pattern-sensitive") {
+    import spark.implicits._
+    // same pattern key at all three brightness grades -> one code;
+    // a different pattern key -> a different code
+    val variants = Seq((0L, 5L, 0L), (1L, 5L, 30L), (2L, 5L, 60L),
+      (3L, 6L, 0L)).toDF("vb", "k", "b")
+    val media = MultimodalOps.brightnessImageTable(variants)
+    val out = MultimodalOps.perceptualHashes(spark, media).collect()
+      .map(p => p.vb -> p.phash).toMap
+    assert(out(0L) === out(1L) && out(1L) === out(2L),
+      s"brightness variants must share a code: $out")
+    assert(out(3L) !== out(0L), s"different pattern must differ: $out")
+  }
+
   test("audio segmentation: silence splits, tail clamps, corrupt yields none") {
     import graft.functions.AudioCodec
     // 40 samples at 1000 Hz, window 16: w0 voiced, w1 silent, w2 voiced
