@@ -392,7 +392,180 @@ object VocabModelOps {
       |    AS predicted_bp
       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Shared by the q301 body and its oracle text (the PcaRounds
+    * doctrine): the GD step divisor — the update is
+    * w_j ← w_j − trunc(G_j / (TrainLrDiv · n)). Chosen by a measured
+    * sweep (256k..8192k on the sf0.01 corpus): smaller divisors
+    * overshoot the minority class (epoch-2 loss RISES — squared loss
+    * under a ±1000-scale feature grid), 1024000 gives the largest
+    * epoch-2 decrease while staying inside the hard-sigmoid's linear
+    * band.
+    */
+  val TrainLrDiv = 1024000L
+
+  /** −trunc(g / (TrainLrDiv·n)): the signed integer step, written with
+    * the explicit negative branch so Spark's truncating `div` and
+    * DuckDB's flooring `//` can never disagree (the pcaOracle pattern).
+    */
+  private def sdiv(g: String, n: String, div: String): String =
+    s"CASE WHEN $g < 0 THEN (-$g) $div ($TrainLrDiv * $n) " +
+      s"ELSE -($g $div ($TrainLrDiv * $n)) END"
+
+  /** q301 body: the TRAINING step that closes the classifier loop —
+    * DSIR-select (q295) → train → infer (q262) → calibrate (q275): two
+    * full-batch gradient-descent epochs of logistic regression with the
+    * HARD sigmoid σ̂(z) = clamp(½ + z/4, 0, 1) (the piecewise-linear
+    * logistic surrogate), over q262's feature pipeline. The hard sigmoid
+    * is what makes training EXACT: scaling it by 4·10⁶ gives
+    * p4 = clamp(2·10⁶ + z, 0, 4·10⁶) — a pure integer clamp, no
+    * transcendental, no division — so gradients Σ(p4 − 4·10⁶y)·x,
+    * updates, and the per-epoch loss are all exact integer arithmetic
+    * that hash-matches a full DuckDB oracle. Features per document (all
+    * integer): bias 1000, mean distinct-token English-share f1 ∈
+    * [0, 1000] permille (q262's score div n_toks), and the capped token
+    * count f2 = min(n_toks, 1000). Weights live in micro-units from 0.
+    *
+    * Graded output: per (epoch, feature) the post-update weight and the
+    * loss ENTERING the epoch (mse_u = Σ(p4−4·10⁶y)² div (16·10⁶·n) —
+    * micro-units of mean squared error, exactly 250000 at the zero
+    * start where σ̂ ≡ ½). The epoch-2 row's mse_u is the loss under the
+    * epoch-1 weights, so "training improves the model" is part of the
+    * hash-graded surface itself, not just a spec claim (and
+    * VocabModelSpec pins the strict decrease on a separable fixture).
+    *
+    * Scale shape: rides q262's pipeline (vocabulary-bounded broadcast,
+    * one doc-keyed shuffle) into a flat checkpointed feature frame; each
+    * epoch is ONE scan with map-side combine down to a single gradient
+    * row (sums cast through DECIMAL(38,0) — Σ|err4·f| ≤ 4·10⁹/doc wraps
+    * a Long near 2·10⁹ docs); the weight row broadcasts back. Full-batch
+    * GD on 100 TB is 2 scans — the textbook distributed linear-model
+    * epoch (mini-batching changes the slice, not the plan).
+    */
+  def classifierTrain(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val feats = classifierScores(docs)
+      .select(
+        expr("score * 1000 div (1000000 * n_toks)").as("f1"),
+        least(col("n_toks"), lit(1000L)).as("f2"),
+        when(col("is_en"), 1L).otherwise(0L).as("y"))
+      .localCheckpoint() // 3 consumers (e1, s2, e2) — keep the vocab
+                         // shuffle + doc shuffle a one-time cost
+    val e1 = feats
+      .select(col("f1"), col("f2"),
+        (lit(2000000L) - lit(4000000L) * col("y")).as("err4"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("err4").cast(dec) * 1000).as("g0"),
+        sum(col("err4").cast(dec) * col("f1")).as("g1"),
+        sum(col("err4").cast(dec) * col("f2")).as("g2"),
+        sum(col("err4").cast(dec) * col("err4")).as("sse1"))
+    val w1 = e1.selectExpr("n", "sse1",
+      s"CAST(${sdiv("g0", "n", "div")} AS BIGINT) AS w0",
+      s"CAST(${sdiv("g1", "n", "div")} AS BIGINT) AS w1",
+      s"CAST(${sdiv("g2", "n", "div")} AS BIGINT) AS w2")
+    val s2 = feats.crossJoin(broadcast(w1))
+      .select(col("f1"), col("f2"), col("y"),
+        col("w0"), col("w1"), col("w2"), col("n"), col("sse1"),
+        greatest(least(lit(2000000L) + col("w0") * 1000 +
+          col("w1") * col("f1") + col("w2") * col("f2"),
+          lit(4000000L)), lit(0L)).as("p4"))
+    val e2 = s2
+      .select(col("f1"), col("f2"), col("w0"), col("w1"), col("w2"),
+        col("n"), col("sse1"),
+        (col("p4") - lit(4000000L) * col("y")).as("err4"))
+      .groupBy("w0", "w1", "w2", "n", "sse1")
+      .agg(sum(col("err4").cast(dec) * 1000).as("g0"),
+        sum(col("err4").cast(dec) * col("f1")).as("g1"),
+        sum(col("err4").cast(dec) * col("f2")).as("g2"),
+        sum(col("err4").cast(dec) * col("err4")).as("sse2"))
+    e2.selectExpr(
+        "w0", "w1", "w2",
+        s"CAST(w0 + ${sdiv("g0", "n", "div")} AS BIGINT) AS v0",
+        s"CAST(w1 + ${sdiv("g1", "n", "div")} AS BIGINT) AS v1",
+        s"CAST(w2 + ${sdiv("g2", "n", "div")} AS BIGINT) AS v2",
+        "CAST(sse1 div (16000000 * n) AS BIGINT) AS m1",
+        "CAST(sse2 div (16000000 * n) AS BIGINT) AS m2")
+      .selectExpr("""stack(6,
+        |  1L, 0L, w0, m1,  1L, 1L, w1, m1,  1L, 2L, w2, m1,
+        |  2L, 0L, v0, m2,  2L, 1L, v1, m2,  2L, 2L, v2, m2)
+        |AS (epoch, feature, w_micro, mse_u)""".stripMargin)
+      .orderBy("epoch", "feature")
+  }
+
+  private val trainOracle: String = {
+    val d1 = sdiv("g0", "n", "//")
+    val d2 = sdiv("g1", "n", "//")
+    val d3 = sdiv("g2", "n", "//")
+    s"""WITH doc_tokens AS (
+      |  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |toks AS (SELECT * FROM doc_tokens WHERE tok <> ''),
+      |weights AS (
+      |  SELECT tok,
+      |    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000
+      |      // COUNT(*) AS w
+      |  FROM toks GROUP BY tok),
+      |scored AS (
+      |  SELECT t.doc_id, t.is_en, SUM(w.w) AS score, COUNT(*) AS n_toks
+      |  FROM toks t JOIN weights w ON t.tok = w.tok
+      |  GROUP BY t.doc_id, t.is_en),
+      |feats AS (
+      |  SELECT score * 1000 // (1000000 * n_toks) AS f1,
+      |    LEAST(n_toks, 1000) AS f2,
+      |    CAST(is_en AS INTEGER) AS y
+      |  FROM scored),
+      |e1 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(err4 AS HUGEINT) * 1000) AS g0,
+      |    SUM(CAST(err4 AS HUGEINT) * f1) AS g1,
+      |    SUM(CAST(err4 AS HUGEINT) * f2) AS g2,
+      |    SUM(CAST(err4 AS HUGEINT) * err4) AS sse1
+      |  FROM (SELECT f1, f2, 2000000 - 4000000 * y AS err4 FROM feats)),
+      |w1 AS (
+      |  SELECT n, sse1,
+      |    CAST($d1 AS BIGINT) AS w0,
+      |    CAST($d2 AS BIGINT) AS w1,
+      |    CAST($d3 AS BIGINT) AS w2
+      |  FROM e1),
+      |s2 AS (
+      |  SELECT f1, f2, y, w0, w1, w2, n, sse1,
+      |    GREATEST(LEAST(2000000 + w0 * 1000 + w1 * f1 + w2 * f2,
+      |      4000000), 0) AS p4
+      |  FROM feats, w1),
+      |e2 AS (
+      |  SELECT w0, w1, w2, n, sse1,
+      |    SUM(CAST(err4 AS HUGEINT) * 1000) AS g0,
+      |    SUM(CAST(err4 AS HUGEINT) * f1) AS g1,
+      |    SUM(CAST(err4 AS HUGEINT) * f2) AS g2,
+      |    SUM(CAST(err4 AS HUGEINT) * err4) AS sse2
+      |  FROM (SELECT f1, f2, w0, w1, w2, n, sse1,
+      |      p4 - 4000000 * y AS err4 FROM s2)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |fin AS (
+      |  SELECT w0, w1, w2,
+      |    CAST(w0 + $d1 AS BIGINT) AS v0,
+      |    CAST(w1 + $d2 AS BIGINT) AS v1,
+      |    CAST(w2 + $d3 AS BIGINT) AS v2,
+      |    CAST(sse1 // (16000000 * n) AS BIGINT) AS m1,
+      |    CAST(sse2 // (16000000 * n) AS BIGINT) AS m2
+      |  FROM e2)
+      |SELECT CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(feature AS BIGINT) AS feature,
+      |  CAST(w_micro AS BIGINT) AS w_micro, CAST(mse_u AS BIGINT) AS mse_u
+      |FROM (
+      |  SELECT 1 AS epoch, 0 AS feature, w0 AS w_micro, m1 AS mse_u FROM fin
+      |  UNION ALL SELECT 1, 1, w1, m1 FROM fin
+      |  UNION ALL SELECT 1, 2, w2, m1 FROM fin
+      |  UNION ALL SELECT 2, 0, v0, m2 FROM fin
+      |  UNION ALL SELECT 2, 1, v1, m2 FROM fin
+      |  UNION ALL SELECT 2, 2, v2, m2 FROM fin)
+      |ORDER BY epoch, feature""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q301_classifier_train", Some(trainOracle),
+      (spark, dir) => classifierTrain(t(spark, dir, "documents"))),
+
     QueryDef("q262_quality_classifier", Some(classifierOracle),
       (spark, dir) => qualityClassifier(t(spark, dir, "documents"))),
 

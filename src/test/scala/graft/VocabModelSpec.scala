@@ -109,6 +109,38 @@ class VocabModelSpec extends SparkSpec {
       org.apache.spark.sql.Row(666L, 1L, 1L, 10000L, 6666L)))
   }
 
+  test("q301 training: loss decreases strictly on a separable fixture") {
+    // perfectly separable: every en token appears only in en docs
+    // (weight 1e6 -> f1 = 1000) and every de token only in de docs
+    // (weight 0 -> f1 = 0); balanced classes and equal token counts zero
+    // the bias and length gradients, so epoch 1 moves ONLY the en-share
+    // weight — and must move it positive, cutting the loss
+    val docs = Seq(
+      (1L, "en", "ea eb"), (2L, "en", "ec ed"),
+      (3L, "en", "ee ef"), (4L, "en", "eg eh"),
+      (5L, "de", "da db"), (6L, "de", "dc dd"),
+      (7L, "de", "de df"), (8L, "de", "dg dh"))
+      .toDF("doc_id", "lang", "text")
+    val out = VocabModelOps.classifierTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val (w1e1, m1) = out((1L, 1L))
+    val (w1e2, m2) = out((2L, 1L))
+    assert(m1 === 250000L, "zero-start hard sigmoid loss is exactly 1/4")
+    assert(m2 < m1, s"epoch-2 entering loss $m2 must be below $m1")
+    assert(w1e1 > 0L, s"en-share weight must learn positive: $w1e1")
+    assert(w1e2 >= w1e1, s"separable fixture keeps pushing: $w1e2 < $w1e1")
+    // bias and length see zero gradient on the balanced fixture
+    assert(out((1L, 0L))._1 === 0L && out((1L, 2L))._1 === 0L)
+  }
+
+  test("q301 training is repartition-invariant (integer gradients)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = VocabModelOps.classifierTrain(docs).collect().toSeq
+    val b = VocabModelOps.classifierTrain(docs.repartition(7)).collect().toSeq
+    assert(a == b)
+  }
+
   test("quality classifier counts repeated tokens once per document") {
     // without the distinct, doc 2 would double-count 'a' and flip cells
     val docs = Seq(
