@@ -593,6 +593,124 @@ object MultimodalOps {
           col("content").as("payload")))
   }
 
+  /** One fingerprinted audio payload variant: vb identifies the distinct
+    * (rhythm key, amplitude) payload; fp is the voiced-window bitmask,
+    * nw the window count.
+    */
+  final case class AudioFingerprint(vb: Long, fp: Long, nw: Int)
+
+  /** Synthetic RHYTHM audio acquisition (q302): the q280 gapped square
+    * wave with a per-key silence RHYTHM — phase p (16 samples) is silent
+    * iff bit (p mod 7) of the rhythm key k is set — and an amplitude
+    * grade amp = 1000 + 3000·par. Same rhythm at different amplitude is
+    * the "re-encoded at another volume" twin an audio lake carries; all
+    * parameters are pure functions of (k, par), so the whole
+    * decode → window-energy → fingerprint chain grades against a FULL
+    * DuckDB oracle. rate = 8000 + 1000·(k mod 4), n = 50 + (k·7 mod 100)
+    * samples; odd keys carry the LIST/INFO junk chunk (the chunk walk
+    * stays graded).
+    */
+  def rhythmAudioTable(variants: DataFrame): DataFrame = {
+    val render = udf((k: Long, par: Long) => {
+      val rate = (8000 + 1000 * (k % 4)).toInt
+      val n = (50 + (k * 7 % 100)).toInt
+      val amp = (1000 + 3000 * par).toShort
+      val samples = Array.tabulate(n) { i =>
+        val p = i / 16
+        if (((k >> (p % 7)) & 1L) == 1L) 0.toShort
+        else if ((i / 4) % 2 == 0) amp else (-amp).toShort
+      }
+      graft.functions.AudioCodec.encodeWav(rate, samples,
+        junkChunk = k % 2 == 1)
+    })
+    variants.select(col("vb"), render(col("k"), col("par")).as("payload"))
+  }
+
+  /** Partition-wise audio fingerprint: REAL decode → per-16-sample-window
+    * Σsample² energies (ONE codec pass, q280's machinery) → the
+    * AMPLITUDE-INVARIANT voiced-pattern fingerprint: bit w of fp is set
+    * iff window w has nonzero energy, plus the window count. Volume
+    * changes scale every energy by amp² but never flip zero/nonzero, so
+    * re-encoded-louder twins share (fp, nw); a different silence rhythm
+    * or clip length lands elsewhere. Corrupt payloads → fp = −1 (never
+    * a real mask, which is ≥ 0).
+    */
+  def audioFingerprints(spark: SparkSession, media: DataFrame): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    media.select(col("vb"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          graft.functions.AudioCodec.decodeWindows(bytes, 16) match {
+            case Some((_, _, en)) =>
+              var fp = 0L
+              var w = 0
+              while (w < en.length) {
+                if (en(w) > 0L) fp |= 1L << w
+                w += 1
+              }
+              AudioFingerprint(id, fp, en.length)
+            case None => AudioFingerprint(id, -1L, 0)
+          }
+        }
+      }
+  }
+
+  /** q302 body: audio fingerprint dedup — the audio leg next to q293's
+    * image dedup and q300's perceptual tier (VERDICT r10 #5): cluster
+    * clips by the decoded voiced-window pattern (fp, nw), which is
+    * invariant to the amplitude grade — so the same rhythm uploaded at
+    * two volumes (par = doc_id mod 2) collapses, while clips with a
+    * different silence rhythm or length survive. Acquisition keys the
+    * rhythm on k = doc_id mod 83 (7 rhythm bits + 100 length grades).
+    *
+    * Scale shape: the q293/q300 plan — the codec pass runs once per
+    * DISTINCT (k, par) payload; fingerprints join back on the narrow
+    * variant key; the dedup is ONE shuffle on (fp, nw); output is
+    * cluster-bounded. Full SQL oracle replays window count and the
+    * silence-bit arithmetic from metadata.
+    */
+  def audioFingerprintDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      (col("doc_id") % 83).as("k"), (col("doc_id") % 2).as("par"),
+      ((col("doc_id") % 83) * 2 + col("doc_id") % 2).as("vb"))
+    val variants = keyed.select(col("vb"), col("k"), col("par")).distinct()
+    val prints = audioFingerprints(spark, rhythmAudioTable(variants))
+      .toDF().select(col("vb"), col("fp"), col("nw"))
+    keyed.join(prints, Seq("vb"))
+      .groupBy("fp", "nw")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("vb")).as("n_variants"),
+        min(col("doc_id")).as("canonical_id"))
+      .where(col("n_members") >= 2)
+      .select(col("fp"), col("nw"), col("n_members"), col("n_variants"),
+        col("canonical_id"))
+      .orderBy("canonical_id")
+  }
+
+  private val audioDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 83 AS k, doc_id % 2 AS par
+      |  FROM documents),
+      |var AS (SELECT DISTINCT k, par FROM d),
+      |nn AS (
+      |  SELECT k, par, (50 + (k * 7 % 100) + 15) // 16 AS nw FROM var),
+      |w AS (
+      |  SELECT k, par, nw, wr.range AS w
+      |  FROM nn, range(10) wr WHERE wr.range < nw),
+      |fp AS (
+      |  SELECT k, par, MAX(nw) AS nw,
+      |    CAST(SUM(CASE WHEN ((k >> (w % 7)) & 1) = 0
+      |      THEN CAST(1 AS BIGINT) << w ELSE 0 END) AS BIGINT) AS fp
+      |  FROM w GROUP BY 1, 2)
+      |SELECT fp.fp, CAST(fp.nw AS INT) AS nw,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(COUNT(DISTINCT d.k * 2 + d.par) AS BIGINT) AS n_variants,
+      |  CAST(MIN(d.doc_id) AS BIGINT) AS canonical_id
+      |FROM d JOIN fp ON fp.k = d.k AND fp.par = d.par
+      |GROUP BY fp.fp, fp.nw HAVING COUNT(*) >= 2
+      |ORDER BY canonical_id""".stripMargin
+
   /** Decoded frame-sample features: all-integer (sums of 0-255 pixels
     * and absolute frame diffs), so the row is bit-stable everywhere.
     */
@@ -749,6 +867,12 @@ object MultimodalOps {
     // oracle replays decode, resize, luma, and quantization per variant.
     QueryDef("q300_perceptual_dedup", Some(perceptualDedupSql),
       (spark, dir) => perceptualDedup(spark, t(spark, dir, "documents"))),
+
+    // Audio fingerprint dedup: amplitude-invariant voiced-window masks
+    // from the REAL WAV decode; the full SQL oracle replays the rhythm
+    // bits and window counts from metadata.
+    QueryDef("q302_audio_dedup", Some(audioDedupSql),
+      (spark, dir) => audioFingerprintDedup(spark, t(spark, dir, "documents"))),
 
     // REAL WAV decode (RIFF chunk walk + PCM sample scan) of the
     // metadata-parameterized synthetic audio table, graded by a full

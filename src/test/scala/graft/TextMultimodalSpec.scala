@@ -299,6 +299,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L) !== out(0L), s"different pattern must differ: $out")
   }
 
+  test("audio fingerprint dedup: volume twins collapse, different rhythm survives") {
+    // docs 1 and 84 share rhythm key 1 (mod 83) at amplitudes 4000 and
+    // 1000 -> different bytes (and junk-chunk layout is key-driven, so
+    // both carry it), same voiced mask -> ONE cluster with TWO payload
+    // variants; doc 2 (rhythm key 2, different length) must not join
+    val docs = Seq(1L, 84L, 2L).toDF("doc_id")
+    val out = MultimodalOps.audioFingerprintDedup(spark, docs).collect()
+    assert(out.length === 1, s"clusters: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(2) === 2L && r.getLong(3) === 2L && r.getLong(4) === 1L,
+      s"two members, two variants, canonical 1: $r")
+  }
+
+  test("audio fingerprint is amplitude-invariant and rhythm-sensitive") {
+    import spark.implicits._
+    val variants = Seq((0L, 5L, 0L), (1L, 5L, 1L), (2L, 12L, 0L))
+      .toDF("vb", "k", "par")
+    val media = MultimodalOps.rhythmAudioTable(variants)
+    val out = MultimodalOps.audioFingerprints(spark, media).collect()
+      .map(p => p.vb -> ((p.fp, p.nw))).toMap
+    assert(out(0L) === out(1L), s"amplitude grades must share a mask: $out")
+    assert(out(2L) !== out(0L), s"different rhythm must differ: $out")
+    // k=5 (bits 101): phases p with p%7 in {0, 2} silent; n = 85 -> nw 6;
+    // voiced windows {1, 3, 4, 5, 6}? no - w in 0..5, silent at 0, 2 ->
+    // mask = 2 + 8 + 16 + 32 = 58
+    assert(out(0L) === ((58L, 6)), s"hand-computed mask for k=5: $out")
+  }
+
   test("audio segmentation: silence splits, tail clamps, corrupt yields none") {
     import graft.functions.AudioCodec
     // 40 samples at 1000 Hz, window 16: w0 voiced, w1 silent, w2 voiced
