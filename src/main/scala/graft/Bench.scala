@@ -119,6 +119,16 @@ object Bench {
     val top20 = results.filter(_._5.isEmpty).sortBy(-_._3).take(20)
       .map(r => "\"" + r._1 + "\":" + f"${r._3}%.3f").mkString("{", ",", "}")
     println(s"""{"metric":"slowest20_mean_sec","queries":$top20,"sf":"$sfDir"}""")
+    // round-over-round regression check from the driver file alone: the
+    // carried-over subtotal (every query up to the PREVIOUS round's max
+    // number) survives tail truncation where the full per-query map does
+    // not. Bump the bound each round when the round's additions land.
+    val carryOverMax = 298
+    val num = "^q(\\d+)".r
+    val carried = results.filter { r =>
+      r._5.isEmpty && num.findFirstMatchIn(r._1).exists(_.group(1).toInt <= carryOverMax)
+    }
+    println(s"""{"metric":"subtotal_upto","q":"q$carryOverMax","value":${carried.map(_._2).sum},"nqueries":${carried.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -135,26 +135,49 @@ object InvariantOps {
     val shortness = docs.select(col("doc_id"),
       (col("text").isNull || size(split(col("text"), " ")) < 3).as("is_short"),
       col("text").isNull.as("is_null"))
-    val mhStats = mh.join(shortness, "doc_id").agg(
-      count(lit(1)).as("minhash_rows"),
-      countDistinct(col("doc_id")).as("minhash_distinct_docs"),
-      zsum(col("canonical_id") > col("doc_id")).as("minhash_canonical_gt_doc"),
-      zsum(col("is_dup") =!= (col("canonical_id") < col("doc_id")).cast("int"))
-        .as("minhash_isdup_wrong"),
-      zsum(col("is_short") && col("canonical_id") =!= col("doc_id"))
-        .as("minhash_short_or_null_merged"))
-    val shStats = sh.join(shortness, "doc_id").agg(
-      count(lit(1)).as("simhash_rows"),
-      countDistinct(col("doc_id")).as("simhash_distinct_docs"),
-      zsum(col("canonical_id") > col("doc_id")).as("simhash_canonical_gt_doc"),
-      zsum(col("is_null") && col("canonical_id") =!= col("doc_id"))
-        .as("simhash_null_text_merged"))
-    val clStats = cl.agg(
-      count(lit(1)).as("clusters_rows"),
-      countDistinct(col("doc_id")).as("clusters_distinct_docs"),
-      zsum(col("cluster_id") > col("doc_id")).as("clusters_label_gt_doc"),
-      zsum(col("is_dup") =!= (col("cluster_id") < col("doc_id")).cast("int"))
-        .as("clusters_isdup_wrong"))
+    // ONE tall union + ONE shortness join + ONE grouped aggregate for all
+    // three tiers' structural stats, re-pivoted to the tier-specific
+    // check names afterwards — three separate join+agg subtrees cost
+    // ~6 extra exchanges of per-stage scheduling latency inside the
+    // gate's single action (the dominant cost at gate scale, measured:
+    // partition count is irrelevant, stage count is not)
+    val tall = mh.select(lit("minhash").as("tier"), col("doc_id"),
+        col("canonical_id").as("label"), col("is_dup").cast("long").as("is_dup"))
+      .unionByName(sh.select(lit("simhash").as("tier"), col("doc_id"),
+        col("canonical_id").as("label"), lit(null).cast("long").as("is_dup")))
+      .unionByName(cl.select(lit("clusters").as("tier"), col("doc_id"),
+        col("cluster_id").as("label"), col("is_dup").cast("long").as("is_dup")))
+    val tierChecks = tall.join(shortness, "doc_id")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("doc_id")).as("distinct_docs"),
+        zsum(col("label") > col("doc_id")).as("label_gt"),
+        zsum(col("is_dup") =!= (col("label") < col("doc_id")).cast("long"))
+          .as("isdup_wrong"),
+        zsum(col("is_short") && col("label") =!= col("doc_id"))
+          .as("short_merged"),
+        zsum(col("is_null") && col("label") =!= col("doc_id"))
+          .as("null_merged"))
+      .selectExpr(
+        """explode(CASE tier
+          |  WHEN 'minhash' THEN array(
+          |    named_struct('check_name', 'minhash_rows', 'value', rows),
+          |    named_struct('check_name', 'minhash_distinct_docs', 'value', distinct_docs),
+          |    named_struct('check_name', 'minhash_canonical_gt_doc', 'value', label_gt),
+          |    named_struct('check_name', 'minhash_isdup_wrong', 'value', isdup_wrong),
+          |    named_struct('check_name', 'minhash_short_or_null_merged', 'value', short_merged))
+          |  WHEN 'simhash' THEN array(
+          |    named_struct('check_name', 'simhash_rows', 'value', rows),
+          |    named_struct('check_name', 'simhash_distinct_docs', 'value', distinct_docs),
+          |    named_struct('check_name', 'simhash_canonical_gt_doc', 'value', label_gt),
+          |    named_struct('check_name', 'simhash_null_text_merged', 'value', null_merged))
+          |  ELSE array(
+          |    named_struct('check_name', 'clusters_rows', 'value', rows),
+          |    named_struct('check_name', 'clusters_distinct_docs', 'value', distinct_docs),
+          |    named_struct('check_name', 'clusters_label_gt_doc', 'value', label_gt),
+          |    named_struct('check_name', 'clusters_isdup_wrong', 'value', isdup_wrong))
+          |END) AS kv""".stripMargin)
+      .select(col("kv.check_name").as("check_name"), col("kv.value").as("value"))
 
     // Every MinHash merge must be explainable: a doc and its canonical
     // co-banded, and two docs with disjoint shingle sets have independent
@@ -250,9 +273,9 @@ object InvariantOps {
           coalesce(col("bad"), lit(0L)).as("value"))
     }
 
-    val result = (Seq(nDocs, mhStats, shStats, clStats,
+    val result = (Seq(nDocs,
         mhOverlap, shChunk, clFix, clLattice, exStats)
-      .map(stackChecks) :+ members)
+      .map(stackChecks) ++ Seq(tierChecks, members))
       .reduce(_ unionByName _)
       // materialize before dropping the caches the plan was built from
       .localCheckpoint(eager = true)
@@ -335,8 +358,10 @@ object InvariantOps {
     // race the lazy cache and recompute the bucket self-join + verify pass
     val nd = SimilarityOps.embedNearDup(v, threshold = 0.95, sort = false).cache()
     nd.count()
-    val lsh = SimilarityOps.lshTopK(v, queries, k = 5)
-    val ivf = SimilarityOps.ivfTopK(v, queries, k = 5)
+    // sort = false: the gate only aggregates per-query shape, so the
+    // graded q28/q47 global sorts would be wasted range exchanges here
+    val lsh = SimilarityOps.lshTopK(v, queries, k = 5, sort = false)
+    val ivf = SimilarityOps.ivfTopK(v, queries, k = 5, sort = false)
 
     val nVecs = v.agg(count(lit(1)).as("n_vecs"))
 

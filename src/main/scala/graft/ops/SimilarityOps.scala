@@ -127,7 +127,8 @@ object SimilarityOps {
     * the corpus size via [[autoBits]] (floor 6).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 0, multiprobe: Boolean = true): DataFrame = {
+      tables: Int = 8, bits: Int = 0, multiprobe: Boolean = true,
+      sort: Boolean = true): DataFrame = {
     // the count() here is a parquet-footer rowcount (no data scan) — one
     // cheap extra action per call, priced in for the adaptive bucket width
     val nBits = if (bits > 0) bits else autoBits(corpus.count(), floor = 6)
@@ -155,10 +156,13 @@ object SimilarityOps {
       .join(broadcast(queries.select(col("q_id"), col("qv"))), Seq("q_id"))
       .withColumn("sim", cosine("qv", "v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    cand.withColumn("rnk", row_number().over(w))
+    val ranked = cand.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"))
-      .orderBy("q_id", "rnk")
+    // the global range sort (sampling pass + exchange) is only worth
+    // paying for the hash-graded q28 output; gate consumers (per-query
+    // shape aggregates) skip it — the q51 sortResult doctrine
+    if (sort) ranked.orderBy("q_id", "rnk") else ranked
   }
 
   /** n nearest centroid cells per row of `df`, by cosine; argmax
@@ -237,7 +241,8 @@ object SimilarityOps {
     * mean + rebuild, assignment is a broadcast of the (tiny) centroid set.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cells: Int = 16, probes: Int = 3, iters: Int = 2): DataFrame = {
+      cells: Int = 16, probes: Int = 3, iters: Int = 2,
+      sort: Boolean = true): DataFrame = {
     val centroids = fitCentroids(corpus, cells, iters)
     val corpusCells = nearestCells(corpus.select(col("vec_id"), col("v")),
         "vec_id", "v", centroids, 1)
@@ -249,10 +254,11 @@ object SimilarityOps {
       .dropDuplicates("q_id", "vec_id")
       .withColumn("sim", cosine("qv", "v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    cand.withColumn("rnk", row_number().over(w))
+    val ranked = cand.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"))
-      .orderBy("q_id", "rnk")
+    // sort = false: the q51 sortResult doctrine (see lshTopK)
+    if (sort) ranked.orderBy("q_id", "rnk") else ranked
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
