@@ -89,6 +89,87 @@ object DamerauLevenshtein {
   }
 }
 
+/** Native bag-of-characters L1 distance — Σ_c |freq_a(c) − freq_b(c)|,
+  * the classic q-gram/count prefilter for edit-distance thresholds
+  * (Ukkonen 1992's q=1 case): one edit changes at most two unit counts,
+  * so dist(a, b) ≤ k implies bag L1 ≤ 2k, and the O(n+m) counting pass
+  * short-circuits the O(n·m) DP on candidates the LENGTH guard cannot
+  * kill (same-length strings over different characters — exactly the
+  * id-like registry shape q261 blocks on). Used as the second conjunct
+  * by [[graft.plans.EditDistancePrefilter]].
+  *
+  * `codePoints = true` counts Unicode code points — the unit Spark's
+  * `levenshtein` edits, so 2k is sound for it on ANY string;
+  * `codePoints = false` counts UTF-16 units — the unit
+  * [[DamerauLevenshtein]] edits, sound for it likewise. (Mixing the
+  * units would need a 4k bound to stay sound off the BMP.)
+  *
+  * Same codegen doctrine as [[DamerauLevenshtein]]: one static call,
+  * whole-stage codegen, NULL-safe binary contract.
+  */
+case class BagOfCharsL1(left: Expression, right: Expression,
+    codePoints: Boolean) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BagOfCharsL1.compute(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], codePoints)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.BagOfCharsL1.compute($a, $b, $codePoints);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BagOfCharsL1 =
+    copy(left = newLeft, right = newRight)
+}
+
+object BagOfCharsL1 {
+
+  /** Shared by interpreted eval and generated code: signed counts in a
+    * dense array for the Latin-1 range (the common registry case, no
+    * allocation churn beyond one 256-int array) plus a spill map for
+    * everything above; L1 = Σ|count|.
+    */
+  def compute(ua: UTF8String, ub: UTF8String, codePoints: Boolean): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val small = new Array[Int](256)
+    var big: java.util.HashMap[Integer, Integer] = null
+    def bump(cp: Int, d: Int): Unit =
+      if (cp < 256) small(cp) += d
+      else {
+        if (big == null) big = new java.util.HashMap[Integer, Integer]()
+        val v = big.get(cp)
+        big.put(cp, (if (v == null) 0 else v.intValue()) + d)
+      }
+    def walk(s: String, d: Int): Unit = {
+      var i = 0
+      while (i < s.length) {
+        if (codePoints) {
+          val cp = s.codePointAt(i)
+          bump(cp, d)
+          i += Character.charCount(cp)
+        } else {
+          bump(s.charAt(i).toInt, d)
+          i += 1
+        }
+      }
+    }
+    walk(a, 1)
+    walk(b, -1)
+    var l1 = 0
+    var c = 0
+    while (c < 256) { l1 += math.abs(small(c)); c += 1 }
+    if (big != null) {
+      val it = big.values().iterator()
+      while (it.hasNext) l1 += math.abs(it.next().intValue())
+    }
+    l1
+  }
+}
+
 object StringFunctions {
   /** Column API for the native Damerau–Levenshtein expression. */
   def damerauLevenshtein(a: Column, b: Column): Column =
