@@ -176,6 +176,14 @@ object StringFunctions {
     GraftBridge.toColumn(DamerauLevenshtein(
       GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 
+  /** Column API for the native bag-of-characters L1 distance (the
+    * prefilter guard [[graft.plans.EditDistancePrefilter]] injects;
+    * exposed for direct use and for the rule's soundness specs).
+    */
+  def bagOfCharsL1(a: Column, b: Column, codePoints: Boolean): Column =
+    GraftBridge.toColumn(BagOfCharsL1(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b), codePoints))
+
   /** SQL registration: `damerau_levenshtein(a, b)` in spark.sql text. */
   def register(spark: SparkSession): Unit =
     GraftBridge.registerFunction(spark, "damerau_levenshtein",

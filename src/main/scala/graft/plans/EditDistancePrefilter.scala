@@ -7,28 +7,38 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.DamerauLevenshtein
+import graft.functions.{BagOfCharsL1, DamerauLevenshtein}
 
 /** Optimizer rule: strengthen edit-distance threshold predicates with
-  * their length-difference necessary condition —
+  * their necessary conditions —
   *
   *   levenshtein(a, b) <= k   ==>   abs(length(a) - length(b)) <= k
+  *                                    AND bag_l1(a, b) <= 2k
   *                                    AND levenshtein(a, b) <= k
   *
-  * Sound because every single edit (insert/delete/substitute — and the
-  * transposition DL adds) changes a string's length by at most 1, so a
-  * length gap > k already proves distance > k. The guard is a codegen'd
-  * integer comparison that short-circuits the O(len²) DP inside the
-  * conjunction — on a fuzzy join's candidate stream (q261's verify
-  * stage) most pairs fail the guard and never pay the DP — and, unlike
-  * the DP expression, the guard is a form downstream rules know how to
-  * push toward scans and joins.
+  * The length guard is sound because every single edit (insert/delete/
+  * substitute — and the transposition DL adds) changes a string's length
+  * by at most 1, so a length gap > k already proves distance > k. The
+  * bag-of-characters guard ([[graft.functions.BagOfCharsL1]], Ukkonen
+  * 1992's q=1 count filter) is sound because one edit changes at most
+  * two unit counts — insert/delete move one count by 1, substitute and
+  * transpose move two counts by 1 each — so dist <= k implies
+  * Σ_c |freq_a(c) − freq_b(c)| <= 2k; it kills the candidates the
+  * length guard cannot (same-length strings over different characters —
+  * exactly the id-like registry shape q261 blocks on). The counting
+  * unit pairs with the distance's edit unit: code points for Spark's
+  * `levenshtein`, UTF-16 units for [[DamerauLevenshtein]] (mixing them
+  * would need a 4k bound to stay sound off the BMP). Both guards are
+  * codegen'd expressions — O(1) and O(n+m) respectively — that
+  * short-circuit the O(n·m) DP inside the conjunction; the length guard
+  * is additionally a form downstream rules know how to push toward
+  * scans and joins.
   *
   * Idempotent by construction (the optimizer runs rules to fixpoint): a
   * guard is added only when no semantically-equal conjunct is already
   * present. Covers Filter conditions and Join conditions, for the
   * `<= k` / `< k` / `= k` comparison shapes in either operand order.
-  * Null semantics are preserved: a null input makes both the guard and
+  * Null semantics are preserved: a null input makes both guards and
   * the original predicate null, and a conjunction with null stays
   * filter-false.
   *
@@ -38,46 +48,64 @@ import graft.functions.DamerauLevenshtein
   */
 object EditDistancePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def editDistanceArgs(e: Expression): Option[(Expression, Expression)] =
+  /** (left, right, countCodePoints): the bag guard's counting unit must
+    * match the unit the distance edits (see the class doc).
+    */
+  private def editDistanceArgs(
+      e: Expression): Option[(Expression, Expression, Boolean)] =
     e match {
       // 2-arg form ONLY: Spark's 3-arg levenshtein(a, b, threshold)
       // returns -1 above the threshold, so its comparisons do NOT imply
       // the length bound (levenshtein(a,b,1) = -1 selects the DISTANT
       // pairs) — rewriting it would corrupt results
       case lev: Levenshtein if lev.children.length == 2 =>
-        Some((lev.children(0), lev.children(1)))
-      case dl: DamerauLevenshtein => Some((dl.left, dl.right))
+        Some((lev.children(0), lev.children(1), true))
+      case dl: DamerauLevenshtein => Some((dl.left, dl.right, false))
       case _ => None
     }
 
-  /** The length guard for one edit-distance comparison, if `e` is one. */
-  private def guardFor(e: Expression): Option[Expression] = {
-    def guard(d: Expression, k: Expression,
-        cmp: (Expression, Expression) => Expression): Option[Expression] =
-      editDistanceArgs(d).map { case (a, b) =>
-        cmp(Abs(Subtract(Length(a), Length(b))), k)
+  /** The guards for one edit-distance comparison, if `e` is one: the
+    * length guard always, plus the bag-L1 guard when the literal
+    * threshold is a concrete value whose doubled effective bound fits
+    * an Int (`d < k` tightens to `d <= k − 1`, so its bag bound is
+    * 2(k−1); a null/overflowing literal keeps the length guard only).
+    */
+  private def guardsFor(e: Expression): Seq[Expression] = {
+    def kVal(k: Literal): Option[Int] = k.value match {
+      case i: java.lang.Integer => Some(i.intValue())
+      case _ => None // null literal: predicate is never true, don't guard
+    }
+    def guards(d: Expression, k: Literal, kEff: Option[Int],
+        cmp: (Expression, Expression) => Expression): Seq[Expression] =
+      editDistanceArgs(d).toSeq.flatMap { case (a, b, codePoints) =>
+        val len = cmp(Abs(Subtract(Length(a), Length(b))), k)
+        val bag = kEff.filter(ke => ke >= 0 && ke <= Int.MaxValue / 2)
+          .map(ke => LessThanOrEqual(
+            BagOfCharsL1(a, b, codePoints), Literal(2 * ke)))
+        len +: bag.toSeq
       }
     e match {
       case LessThanOrEqual(d, k @ Literal(_, IntegerType)) =>
-        guard(d, k, LessThanOrEqual)
-      case LessThan(d, k @ Literal(_, IntegerType)) => guard(d, k, LessThan)
+        guards(d, k, kVal(k), LessThanOrEqual)
+      case LessThan(d, k @ Literal(_, IntegerType)) =>
+        guards(d, k, kVal(k).map(_ - 1), LessThan)
       case EqualTo(d, k @ Literal(_, IntegerType)) =>
-        guard(d, k, LessThanOrEqual)
+        guards(d, k, kVal(k), LessThanOrEqual)
       case EqualTo(k @ Literal(_, IntegerType), d) =>
-        guard(d, k, LessThanOrEqual)
+        guards(d, k, kVal(k), LessThanOrEqual)
       case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
           k @ Literal(_, IntegerType), d) =>
-        guard(d, k, LessThanOrEqual)
+        guards(d, k, kVal(k), LessThanOrEqual)
       case org.apache.spark.sql.catalyst.expressions.GreaterThan(
           k @ Literal(_, IntegerType), d) =>
-        guard(d, k, LessThan)
-      case _ => None
+        guards(d, k, kVal(k).map(_ - 1), LessThan)
+      case _ => Seq.empty
     }
   }
 
   private def strengthen(cond: Expression): Option[Expression] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    val guards = conjuncts.flatMap(guardFor)
+    val guards = conjuncts.flatMap(guardsFor)
       .filterNot(g => conjuncts.exists(_.semanticEquals(g)))
     // distinct by semantics so `d <= k AND d <= k` can't double-guard
     val unique = guards.foldLeft(Seq.empty[Expression]) { (acc, g) =>

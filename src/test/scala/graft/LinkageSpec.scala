@@ -77,7 +77,7 @@ class LinkageSpec extends SparkSpec {
       Row(33L, "Customer#000000033", 330.0, "master", "missing", false)))
   }
 
-  test("edit-distance prefilter: guard lands in the plan and is a fixpoint") {
+  test("edit-distance prefilter: both guards land in the plan and fixpoint holds") {
     import graft.plans.EditDistancePrefilter
     val df = Seq(("abc", "abd"), ("a", "abcdef")).toDF("a", "b")
       .where(graft.functions.StringFunctions
@@ -86,13 +86,91 @@ class LinkageSpec extends SparkSpec {
     val s = once.toString.toLowerCase
     assert(s.contains("abs") && s.contains("length"),
       s"expected the length guard in:\n$once")
+    assert(s.contains("bagofcharsl1"),
+      s"expected the bag-L1 guard in:\n$once")
     assert(EditDistancePrefilter(once).toString === once.toString,
       "re-applying the rule must be a no-op (optimizer fixpoint)")
     // plain levenshtein thresholds are guarded too
     val lev = Seq(("abc", "abd")).toDF("a", "b")
       .where(levenshtein(col("a"), col("b")) <= 1)
-    assert(EditDistancePrefilter(lev.queryExecution.analyzed)
-      .toString.toLowerCase.contains("abs"))
+    val levOnce = EditDistancePrefilter(lev.queryExecution.analyzed)
+      .toString.toLowerCase
+    assert(levOnce.contains("abs") && levOnce.contains("bagofcharsl1"))
+  }
+
+  test("bag-of-chars L1: values, spill map, and edit-unit pairing") {
+    import graft.functions.BagOfCharsL1
+    import org.apache.spark.unsafe.types.UTF8String
+    def bag(a: String, b: String, cp: Boolean): Int =
+      BagOfCharsL1.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b), cp)
+    assert(bag("abc", "abc", true) === 0)
+    assert(bag("abc", "abd", true) === 2) // substitution: two counts move
+    assert(bag("abc", "abcd", true) === 1) // insertion: one count moves
+    assert(bag("ab", "ba", true) === 0) // transposition: bag-invariant
+    // non-Latin-1 goes through the spill map, same answer
+    assert(bag("añc", "añd", true) === 2)
+    assert(bag("日本語", "日本話", false) === 2)
+    // unit pairing off the BMP: U+1D11E is ONE code point, TWO UTF-16
+    // units. levenshtein("𝄞","a") = 1 code-point substitution, and the
+    // code-point bag is exactly 2 = 2k — while the UTF-16 bag is 3 > 2k,
+    // which is why pairing levenshtein with UTF-16 counting would
+    // falsely kill a true match (the 4k-mixing note in the scaladoc).
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(bag(clef, "a", true) === 2)
+    assert(bag(clef, "a", false) === 3)
+  }
+
+  test("bag guard is sound on every planted typo tier (bag <= 2*dist)") {
+    // one (master, dirty) pair per mod-9 tier at its advertised edit
+    // distance: exact (0), one-sub (1), double-sub (2), tail-sub (1)
+    val pairs = LinkageOps.dirtyRegistry(
+        cust(0L, 1L, 3L, 4L, 6L, 7L))
+      .withColumn("c_custkey", col("r_id") - 9000000L)
+      .join(cust(0L, 1L, 3L, 4L, 6L, 7L), Seq("c_custkey"))
+    val checked = pairs.select(
+        levenshtein(col("c_name"), col("r_name")).as("lev"),
+        graft.functions.StringFunctions
+          .damerauLevenshtein(col("c_name"), col("r_name")).as("dl"),
+        graft.functions.StringFunctions
+          .bagOfCharsL1(col("c_name"), col("r_name"), codePoints = true)
+          .as("bag_cp"),
+        graft.functions.StringFunctions
+          .bagOfCharsL1(col("c_name"), col("r_name"), codePoints = false)
+          .as("bag_u16"))
+      .collect()
+    assert(checked.length === 6)
+    checked.foreach { r =>
+      assert(r.getInt(2) <= 2 * r.getInt(0),
+        s"code-point bag must bound 2*levenshtein: $r")
+      assert(r.getInt(3) <= 2 * r.getInt(1),
+        s"UTF-16 bag must bound 2*damerau: $r")
+    }
+  }
+
+  test("prefilter rule adds no false negatives to the q261 linkage (planted tiers)") {
+    import graft.plans.EditDistancePrefilter
+    val keys = Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 9L, 10L, 12L, 13L, 15L, 16L)
+    val base = LinkageOps.recordLinkage(cust(keys: _*)).collect().toSeq
+    val prev = spark.experimental.extraOptimizations
+    try {
+      if (!prev.contains(EditDistancePrefilter))
+        spark.experimental.extraOptimizations = prev :+ EditDistancePrefilter
+      val guarded = LinkageOps.recordLinkage(cust(keys: _*)).collect().toSeq
+      assert(guarded === base,
+        "the strengthened plan must keep every planted match")
+      // and the off-BMP true match survives the code-point-unit guard —
+      // through a join, so the filter sits over attributes (not
+      // constant-foldable literals) and the guard's generated code runs
+      val clef = new String(Character.toChars(0x1D11E))
+      val left = Seq((1, clef), (2, "xy")).toDF("id", "a")
+      val right = Seq((1, "a"), (2, "zw")).toDF("id", "b")
+      val bmp = left.join(right, "id")
+        .where(levenshtein(col("a"), col("b")) <= 1)
+        .select(col("a"), col("b")).collect()
+      assert(bmp.toSeq === Seq(Row(clef, "a")),
+        "guard must keep the 1-code-point-edit pair and kill the distant one")
+    } finally spark.experimental.extraOptimizations = prev
   }
 
   test("fuzzy threshold census: swap matches at dl<=1, double-sub excluded") {
@@ -112,5 +190,7 @@ class LinkageSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(plan.contains("abs") && plan.contains("length"),
       s"expected the installed prefilter to strengthen:\n$plan")
+    assert(plan.contains("bagofcharsl1"),
+      s"expected the installed prefilter's bag-L1 guard in:\n$plan")
   }
 }
