@@ -123,12 +123,18 @@ object Bench {
     // carried-over subtotal (every query up to the PREVIOUS round's max
     // number) survives tail truncation where the full per-query map does
     // not. Bump the bound each round when the round's additions land.
-    val carryOverMax = 298
+    val carryOverMax = 302
     val num = "^q(\\d+)".r
     val carried = results.filter { r =>
       r._5.isEmpty && num.findFirstMatchIn(r._1).exists(_.group(1).toInt <= carryOverMax)
     }
-    println(s"""{"metric":"subtotal_upto","q":"q$carryOverMax","value":${carried.map(_._2).sum},"nqueries":${carried.length},"sf":"$sfDir"}""")
+    // set_hash fingerprints the carried query-name list (sorted, so
+    // run order can't move it): two rounds comparing subtotal_upto are
+    // comparing the SAME set iff their hashes match — a mis-bumped
+    // carryOverMax is detectable from the driver files alone
+    // (ADVICE r11: a silently wrong bound defeats the regression check)
+    val setHash = carried.map(_._1).sorted.mkString(",").hashCode
+    println(s"""{"metric":"subtotal_upto","q":"q$carryOverMax","value":${carried.map(_._2).sum},"nqueries":${carried.length},"set_hash":$setHash,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -170,7 +170,21 @@ object ScaleRehearsal {
     // Lloyd: two k-bounded broadcast fan-out passes, k*dim centroids
     "q297_kmeans_lloyd",
     // bitext margin: row-local sims vs a broadcast query row + TopK agg
-    "q298_bitext_margin")
+    "q298_bitext_margin",
+    // round 11 (recorded in round 12 — the gap VERDICT r11 #2 flags;
+    // rule going forward: a graded query joins this family in the SAME
+    // commit that adds it):
+    // k-means++/D2 seeding: k-1 one-seed broadcast scans + Lloyd
+    "q299_kmeans_pp",
+    // perceptual image dedup: decode once per distinct variant, one
+    // shuffle on the 32-bit grid code
+    "q300_perceptual_dedup",
+    // classifier training: vocab-bounded feature build + 2 scan-to-one-
+    // row gradient epochs
+    "q301_classifier_train",
+    // audio fingerprint dedup: decode per distinct (rhythm, amp), one
+    // shuffle on (fp, nw)
+    "q302_audio_dedup")
 
   private val OFFSET = 10000000L
 
