@@ -711,6 +711,167 @@ object MultimodalOps {
       |GROUP BY fp.fp, fp.nw HAVING COUNT(*) >= 2
       |ORDER BY canonical_id""".stripMargin
 
+  /** One fingerprinted video payload variant: vb identifies the
+    * distinct (pattern, variant) payload; vhash is the per-sampled-frame
+    * mean-centered 2-bit grid code (8 bits per fingerprinted frame).
+    */
+  final case class VideoFingerprint(
+      vb: Long, format: String, width: Int, height: Int, vhash: Long)
+
+  /** Synthetic VARIANT video acquisition (q304): the q269 pattern GVID
+    * with the channel values bounded to [0, 195] and two twin axes a
+    * video lake actually carries — variant 1 adds a flat brightness
+    * offset 40 to every pixel of every frame ("re-graded" re-encode;
+    * 195 + 40 < 256, never wraps), variant 2 drops the last 3 frames
+    * ("truncated-tail" upload). Frames below the cut are byte-identical
+    * across variants by construction. nf = 8 + k mod 9 (≥ 8, so the
+    * truncated variant still holds both fingerprinted frames), dims
+    * w = 3 + k mod 5, h = 3 + k mod 4 — every pixel a pure integer
+    * function of (k, variant), so the decode → sample → quantize chain
+    * grades against a FULL DuckDB oracle.
+    */
+  def variantVideoTable(variants: DataFrame): DataFrame = {
+    val render = udf((k: Long, vr: Long) => {
+      val w = (3 + k % 5).toInt
+      val h = (3 + k % 4).toInt
+      val nf = (8 + k % 9).toInt - (if (vr == 2) 3 else 0)
+      val b = if (vr == 1) 40 else 0
+      graft.functions.VideoCodec.encode(w, h, nf,
+        (f, x, y) => (((x * 7 + y * 13 + f * 29 + k) % 196) + b).toInt)
+    })
+    variants.select(col("vb"), render(col("k"), col("vr")).as("payload"))
+  }
+
+  /** Partition-wise video fingerprint: REAL decode → for each of the
+    * first `frames` stride-sampled frames, a 2×2 nearest-neighbor pixel
+    * grid (q300's index map at grid 2) → per-frame MEAN-CENTERED 2-bit
+    * quantization (4·p vs S ± 4·thr — a flat brightness shift adds thr-
+    * free +b to every sampled pixel and +4b to the frame sum, so the
+    * comparison is invariant) → 8 bits per frame packed into vhash.
+    * Only the first `frames` sampled frames participate, so dropping
+    * TAIL frames beyond them cannot move the code — that is the
+    * truncated-twin collapse, by construction rather than by fuzzy
+    * matching. A sampled frame past nFrames contributes a zero byte
+    * (distinguishable: a real frame's code is never 0 — the cell at or
+    * above the frame mean quantizes to ≥ 2). Corrupt payloads →
+    * vhash = −1 (never a real code, which is ≥ 0).
+    */
+  def videoFingerprints(spark: SparkSession, media: DataFrame,
+      stride: Int = 3, frames: Int = 2, thr: Int = 16): Dataset[VideoFingerprint] = {
+    import spark.implicits._
+    media.select(col("vb"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          graft.functions.VideoCodec.decode(bytes) match {
+            case Some(v) =>
+              var vhash = 0L
+              var fi = 0
+              while (fi < frames) {
+                val f = fi * stride
+                if (f < v.nFrames) {
+                  val p = Array.tabulate(4) { i =>
+                    v.at(f, (i % 2) * v.width / 2, (i / 2) * v.height / 2)
+                  }
+                  val s = p(0) + p(1) + p(2) + p(3)
+                  var fc = 0L
+                  var i = 0
+                  while (i < 4) {
+                    val v4 = 4 * p(i)
+                    val lvl =
+                      if (v4 < s - 4 * thr) 0L
+                      else if (v4 < s) 1L
+                      else if (v4 < s + 4 * thr) 2L
+                      else 3L
+                    fc |= lvl << (2 * i)
+                    i += 1
+                  }
+                  vhash |= fc << (8 * fi)
+                }
+                fi += 1
+              }
+              VideoFingerprint(id, "gvid", v.width, v.height, vhash)
+            case None => VideoFingerprint(id, "corrupt", 0, 0, -1L)
+          }
+        }
+      }
+  }
+
+  /** q304 body: video fingerprint dedup — the leg that completes the
+    * multimodal dedup matrix (images: exact q293 + perceptual q300;
+    * audio: q302; video: this): cluster clips by (width, height, vhash),
+    * where vhash is the per-sampled-frame mean-centered grid code of
+    * [[videoFingerprints]]. Brightness-regraded re-encodes collapse
+    * because the per-frame quantization is mean-centered; truncated-tail
+    * re-uploads collapse because only the first fingerprinted frames
+    * participate; different footage (different pattern key) lands
+    * elsewhere on dims or code. Acquisition keys the pattern on
+    * k = doc_id mod 79 with variant = doc_id mod 3.
+    *
+    * Scale shape: the q293/q300/q302 plan — the codec pass runs once
+    * per DISTINCT (k, variant) payload; fingerprints join back on the
+    * narrow variant key; the dedup is ONE shuffle on (w, h, vhash);
+    * output is cluster-bounded. Full SQL oracle replays the sampled
+    * pixels, frame sums, and 2-bit quantization from metadata.
+    */
+  def videoFingerprintDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      (col("doc_id") % 79).as("k"), (col("doc_id") % 3).as("vr"),
+      ((col("doc_id") % 79) * 3 + col("doc_id") % 3).as("vb"))
+    val variants = keyed.select(col("vb"), col("k"), col("vr")).distinct()
+    val prints = videoFingerprints(spark, variantVideoTable(variants))
+      .toDF().select(col("vb"), col("width"), col("height"), col("vhash"))
+    keyed.join(prints, Seq("vb"))
+      .groupBy("width", "height", "vhash")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("vb")).as("n_variants"),
+        min(col("doc_id")).as("canonical_id"))
+      .where(col("n_members") >= 2)
+      .select(col("vhash"), col("width"), col("height"), col("n_members"),
+        col("n_variants"), col("canonical_id"))
+      .orderBy("canonical_id")
+  }
+
+  private val videoDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 79 AS k, doc_id % 3 AS vr
+      |  FROM documents),
+      |var AS (SELECT DISTINCT k, vr FROM d),
+      |dim AS (
+      |  SELECT k, vr, 3 + k % 5 AS w, 3 + k % 4 AS h,
+      |    CASE WHEN vr = 1 THEN 40 ELSE 0 END AS b
+      |  FROM var),
+      |p AS (
+      |  SELECT k, vr, w, h, fr.fi AS fi, oy.range * 2 + ox.range AS i,
+      |    ((ox.range * w) // 2 * 7 + (oy.range * h) // 2 * 13
+      |      + fr.f * 29 + k) % 196 + b AS p
+      |  FROM dim, (VALUES (0, 0), (3, 1)) fr(f, fi),
+      |    range(2) ox, range(2) oy),
+      |s AS (SELECT k, vr, fi, SUM(p) AS s FROM p GROUP BY 1, 2, 3),
+      |lev AS (
+      |  SELECT p.k, p.vr, p.fi, p.i,
+      |    CASE WHEN 4 * p.p < s.s - 64 THEN 0
+      |         WHEN 4 * p.p < s.s THEN 1
+      |         WHEN 4 * p.p < s.s + 64 THEN 2
+      |         ELSE 3 END AS lvl
+      |  FROM p JOIN s ON s.k = p.k AND s.vr = p.vr AND s.fi = p.fi),
+      |ph AS (
+      |  SELECT k, vr,
+      |    CAST(SUM(CAST(lvl AS BIGINT) << (2 * i + 8 * fi)) AS BIGINT)
+      |      AS vhash
+      |  FROM lev GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT dim.k, dim.vr, dim.w, dim.h, ph.vhash
+      |  FROM dim JOIN ph ON ph.k = dim.k AND ph.vr = dim.vr)
+      |SELECT sig.vhash, CAST(sig.w AS INT) AS width,
+      |  CAST(sig.h AS INT) AS height,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(COUNT(DISTINCT d.k * 3 + d.vr) AS BIGINT) AS n_variants,
+      |  CAST(MIN(d.doc_id) AS BIGINT) AS canonical_id
+      |FROM d JOIN sig ON sig.k = d.k AND sig.vr = d.vr
+      |GROUP BY sig.vhash, sig.w, sig.h HAVING COUNT(*) >= 2
+      |ORDER BY canonical_id""".stripMargin
+
   /** Decoded frame-sample features: all-integer (sums of 0-255 pixels
     * and absolute frame diffs), so the row is bit-stable everywhere.
     */
@@ -873,6 +1034,12 @@ object MultimodalOps {
     // bits and window counts from metadata.
     QueryDef("q302_audio_dedup", Some(audioDedupSql),
       (spark, dir) => audioFingerprintDedup(spark, t(spark, dir, "documents"))),
+
+    // Video fingerprint dedup: per-sampled-frame mean-centered grid
+    // codes collapse brightness-regraded and truncated-tail re-uploads;
+    // the full SQL oracle replays every sampled pixel and quantization.
+    QueryDef("q304_video_dedup", Some(videoDedupSql),
+      (spark, dir) => videoFingerprintDedup(spark, t(spark, dir, "documents"))),
 
     // REAL WAV decode (RIFF chunk walk + PCM sample scan) of the
     // metadata-parameterized synthetic audio table, graded by a full

@@ -22,11 +22,17 @@ object OracleGen {
     "q38_multimodal_decode", "q43_embed_neardup",
     "q47_ann_ivf", "q51_dedup_clusters", "q118_semdedup",
     "q281_pq_encode", "q282_pq_adc", "q289_hard_negatives",
-    "q290_quality_survivors")
+    "q290_quality_survivors", "q303_ivf_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outBase = if (args.length > 1) args(1) else "src/main/resources/oracle"
+    // optional 3rd arg: comma list restricting WHICH goldens to
+    // regenerate (a new query's fixture lands without rewriting — and
+    // risking accidental drift in — the 13 vetted existing ones)
+    val only = if (args.length > 2)
+      Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    else None
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -56,7 +62,7 @@ object OracleGen {
       case x => x.toString
     }
 
-    targets.foreach { name =>
+    targets.filter(n => only.forall(_.contains(n))).foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val schema = df.schema
       val rows = df.collect()

@@ -184,7 +184,10 @@ object ScaleRehearsal {
     "q301_classifier_train",
     // audio fingerprint dedup: decode per distinct (rhythm, amp), one
     // shuffle on (fp, nw)
-    "q302_audio_dedup")
+    "q302_audio_dedup",
+    // round 12: IVF-PQ composed ANN — cell-routed ADC over codes, a
+    // constant shortlist, exact rerank bounded by shortlist x queries
+    "q303_ivf_pq")
 
   private val OFFSET = 10000000L
 

@@ -79,6 +79,21 @@ class SimilaritySpec extends SparkSpec {
     assert(codesRecall < recall, "rerank must beat raw code distances")
   }
 
+  test("IVF-PQ composed search: recall >= 0.9 vs brute force (the q282 bar)") {
+    val exact = SimilarityOps.bruteForceTopK(v, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityOps.ivfPqTopK(v, queries, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"IVF-PQ recall@5 = $recall (16 cells, 8 probes, shortlist 100)")
+    assert(recall >= 0.9, s"recall was $recall")
+    // output contract matches the q27/q282 family: 5 ranked rows/query
+    val out = SimilarityOps.ivfPqTopK(v, queries, topK = 5).collect()
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5))
+    }
+  }
+
   test("hard negatives: wrong-label twin wins, same-label twin never chosen") {
     val a = Seq.tabulate(64)(i => math.sin(i + 1))
     val b = Seq.tabulate(64)(i => math.cos(2 * i + 1))

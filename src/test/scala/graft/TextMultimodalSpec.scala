@@ -299,6 +299,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L) !== out(0L), s"different pattern must differ: $out")
   }
 
+  test("video fingerprint dedup: brightness + truncated twins collapse, different footage survives") {
+    // docs 1, 80, 159 share pattern key 1 (mod 79) as variants 1
+    // (brightness +40), 2 (3 tail frames dropped), 0 (base) -> three
+    // different byte payloads, ONE (w, h, vhash) cluster with THREE
+    // distinct variants; doc 2 (pattern key 2) must not join
+    val docs = Seq(1L, 80L, 159L, 2L).toDF("doc_id")
+    val out = MultimodalOps.videoFingerprintDedup(spark, docs).collect()
+    assert(out.length === 1, s"clusters: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(3) === 3L && r.getLong(4) === 3L && r.getLong(5) === 1L,
+      s"three members, three variants, canonical 1: $r")
+  }
+
+  test("video fingerprint is brightness/truncation-invariant, footage-sensitive, corrupt-total") {
+    import spark.implicits._
+    val variants = Seq((0L, 5L, 0L), (1L, 5L, 1L), (2L, 5L, 2L),
+      (3L, 6L, 0L)).toDF("vb", "k", "vr")
+    val out = MultimodalOps.videoFingerprints(
+        spark, MultimodalOps.variantVideoTable(variants)).collect()
+      .map(p => p.vb -> ((p.width, p.height, p.vhash))).toMap
+    assert(out(0L) === out(1L) && out(0L) === out(2L),
+      s"brightness and truncated variants must share the signature: $out")
+    assert(out(3L) !== out(0L), s"different footage must differ: $out")
+    assert(out(0L)._3 >= 0L, s"real code is non-negative: $out")
+    // corrupt payloads degrade to vhash = -1, never a real code
+    val junk = Seq((9L, "not a video".getBytes)).toDF("vb", "payload")
+    val bad = MultimodalOps.videoFingerprints(spark, junk).collect().head
+    assert(bad.format === "corrupt" && bad.vhash === -1L)
+  }
+
   test("audio fingerprint dedup: volume twins collapse, different rhythm survives") {
     // docs 1 and 84 share rhythm key 1 (mod 83) at amplitudes 4000 and
     // 1000 -> different bytes (and junk-chunk layout is key-driven, so
