@@ -736,22 +736,27 @@ object MultimodalOps {
       val h = (3 + k % 4).toInt
       val nf = (8 + k % 9).toInt - (if (vr == 2) 3 else 0)
       val b = if (vr == 1) 40 else 0
+      // the pattern key must vary the spatial GRADIENT, not just add a
+      // constant — (c + k) % 196 would make every key a near-uniform
+      // shift of every other, which is exactly the class the mean-
+      // centered hash is built to ignore
       graft.functions.VideoCodec.encode(w, h, nf,
-        (f, x, y) => (((x * 7 + y * 13 + f * 29 + k) % 196) + b).toInt)
+        (f, x, y) => (((x * (7 + k % 11) + y * (13 + k % 7)
+          + f * 29 + k) % 196) + b).toInt)
     })
     variants.select(col("vb"), render(col("k"), col("vr")).as("payload"))
   }
 
   /** Partition-wise video fingerprint: REAL decode → for each of the
-    * first `frames` stride-sampled frames, a 2×2 nearest-neighbor pixel
-    * grid (q300's index map at grid 2) → per-frame MEAN-CENTERED 2-bit
-    * quantization (4·p vs S ± 4·thr — a flat brightness shift adds thr-
-    * free +b to every sampled pixel and +4b to the frame sum, so the
-    * comparison is invariant) → 8 bits per frame packed into vhash.
+    * first `frames` stride-sampled frames, a 3×3 nearest-neighbor pixel
+    * grid (q300's index map at grid 3) → per-frame MEAN-CENTERED 2-bit
+    * quantization (9·p vs S ± 9·thr — a flat brightness shift adds
+    * +b to every sampled pixel and +9b to the frame sum, so the
+    * comparison is invariant) → 18 bits per frame packed into vhash.
     * Only the first `frames` sampled frames participate, so dropping
     * TAIL frames beyond them cannot move the code — that is the
     * truncated-twin collapse, by construction rather than by fuzzy
-    * matching. A sampled frame past nFrames contributes a zero byte
+    * matching. A sampled frame past nFrames contributes a zero slot
     * (distinguishable: a real frame's code is never 0 — the cell at or
     * above the frame mean quantizes to ≥ 2). Corrupt payloads →
     * vhash = −1 (never a real code, which is ≥ 0).
@@ -770,23 +775,23 @@ object MultimodalOps {
               while (fi < frames) {
                 val f = fi * stride
                 if (f < v.nFrames) {
-                  val p = Array.tabulate(4) { i =>
-                    v.at(f, (i % 2) * v.width / 2, (i / 2) * v.height / 2)
+                  val p = Array.tabulate(9) { i =>
+                    v.at(f, (i % 3) * v.width / 3, (i / 3) * v.height / 3)
                   }
-                  val s = p(0) + p(1) + p(2) + p(3)
+                  val s = p.sum
                   var fc = 0L
                   var i = 0
-                  while (i < 4) {
-                    val v4 = 4 * p(i)
+                  while (i < 9) {
+                    val v9 = 9 * p(i)
                     val lvl =
-                      if (v4 < s - 4 * thr) 0L
-                      else if (v4 < s) 1L
-                      else if (v4 < s + 4 * thr) 2L
+                      if (v9 < s - 9 * thr) 0L
+                      else if (v9 < s) 1L
+                      else if (v9 < s + 9 * thr) 2L
                       else 3L
                     fc |= lvl << (2 * i)
                     i += 1
                   }
-                  vhash |= fc << (8 * fi)
+                  vhash |= fc << (18 * fi)
                 }
                 fi += 1
               }
@@ -842,22 +847,23 @@ object MultimodalOps {
       |    CASE WHEN vr = 1 THEN 40 ELSE 0 END AS b
       |  FROM var),
       |p AS (
-      |  SELECT k, vr, w, h, fr.fi AS fi, oy.range * 2 + ox.range AS i,
-      |    ((ox.range * w) // 2 * 7 + (oy.range * h) // 2 * 13
+      |  SELECT k, vr, w, h, fr.fi AS fi, oy.range * 3 + ox.range AS i,
+      |    ((ox.range * w) // 3 * (7 + k % 11)
+      |      + (oy.range * h) // 3 * (13 + k % 7)
       |      + fr.f * 29 + k) % 196 + b AS p
       |  FROM dim, (VALUES (0, 0), (3, 1)) fr(f, fi),
-      |    range(2) ox, range(2) oy),
+      |    range(3) ox, range(3) oy),
       |s AS (SELECT k, vr, fi, SUM(p) AS s FROM p GROUP BY 1, 2, 3),
       |lev AS (
       |  SELECT p.k, p.vr, p.fi, p.i,
-      |    CASE WHEN 4 * p.p < s.s - 64 THEN 0
-      |         WHEN 4 * p.p < s.s THEN 1
-      |         WHEN 4 * p.p < s.s + 64 THEN 2
+      |    CASE WHEN 9 * p.p < s.s - 144 THEN 0
+      |         WHEN 9 * p.p < s.s THEN 1
+      |         WHEN 9 * p.p < s.s + 144 THEN 2
       |         ELSE 3 END AS lvl
       |  FROM p JOIN s ON s.k = p.k AND s.vr = p.vr AND s.fi = p.fi),
       |ph AS (
       |  SELECT k, vr,
-      |    CAST(SUM(CAST(lvl AS BIGINT) << (2 * i + 8 * fi)) AS BIGINT)
+      |    CAST(SUM(CAST(lvl AS BIGINT) << (2 * i + 18 * fi)) AS BIGINT)
       |      AS vhash
       |  FROM lev GROUP BY 1, 2),
       |sig AS (

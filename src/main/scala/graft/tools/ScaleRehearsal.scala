@@ -187,7 +187,10 @@ object ScaleRehearsal {
     "q302_audio_dedup",
     // round 12: IVF-PQ composed ANN — cell-routed ADC over codes, a
     // constant shortlist, exact rerank bounded by shortlist x queries
-    "q303_ivf_pq")
+    "q303_ivf_pq",
+    // video fingerprint dedup: decode per distinct (pattern, variant),
+    // one shuffle on (w, h, vhash)
+    "q304_video_dedup")
 
   private val OFFSET = 10000000L
 

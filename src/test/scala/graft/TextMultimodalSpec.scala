@@ -327,6 +327,15 @@ class TextMultimodalSpec extends SparkSpec {
     val junk = Seq((9L, "not a video".getBytes)).toDF("vb", "payload")
     val bad = MultimodalOps.videoFingerprints(spark, junk).collect().head
     assert(bad.format === "corrupt" && bad.vhash === -1L)
+    // discrimination across the whole key space: the 79 base patterns
+    // must spread over many signatures, or "different footage
+    // survives" would hold only on the hand-picked pair above
+    val all = (0L until 79L).map(k => (k, k, 0L)).toDF("vb", "k", "vr")
+    val sigs = MultimodalOps.videoFingerprints(
+        spark, MultimodalOps.variantVideoTable(all)).collect()
+      .map(p => (p.width, p.height, p.vhash)).distinct
+    info(s"distinct signatures over 79 patterns: ${sigs.length}")
+    assert(sigs.length >= 60, s"only ${sigs.length} distinct signatures")
   }
 
   test("audio fingerprint dedup: volume twins collapse, different rhythm survives") {
