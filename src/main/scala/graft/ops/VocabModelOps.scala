@@ -491,6 +491,176 @@ object VocabModelOps {
       .orderBy("epoch", "feature")
   }
 
+  /** q305 body: deterministic MINI-BATCH training epochs — the claim
+    * q301's doc makes ("mini-batching changes the slice, not the plan")
+    * graded: the same hard-sigmoid integer-exact GD, but each epoch is
+    * `TrainBatches` sequential weight updates over md5-hash-sliced
+    * batches (the q64 split doctrine: batch = first md5 hex digit of
+    * doc_id, bucketed 4 ways by lexicographic thresholds — identical
+    * text in both engines, stable under repartition/growth, and
+    * uncorrelated with doc_id order). Weights stay exact micro-unit
+    * integers; the graded output is the full WEIGHT TRAJECTORY — one
+    * row per (epoch, batch, feature) with the post-update weight and
+    * the batch size — so any engine drift in any step's gradient is
+    * hash-visible.
+    *
+    * Each step is the SAME uniform update (no epoch-1 shortcut): score
+    * the batch under the incoming broadcast weight row, one scan with
+    * map-side combine to a single gradient row (DECIMAL(38,0) lanes),
+    * divide by TrainLrDiv·n_batch with the explicit-negative-branch
+    * integer division. An empty batch (impossible at corpus scale —
+    * slices are ~n/4 — but reachable on tiny fixtures) carries the
+    * weights through unchanged (the CASE n=0 arm, mirrored in the
+    * oracle).
+    *
+    * Scale shape: q301's — the feature frame is built once (vocabulary
+    * shuffle + doc shuffle) and checkpointed flat; each update is ONE
+    * scan of its batch slice against a broadcast 1-row weight frame,
+    * checkpointed so the E·B-step chain stays flat (the q299 dmin
+    * doctrine). Mini-batch GD on 100 TB is E·B bounded scans — the
+    * slice changed, the plan did not.
+    */
+  def classifierTrainMiniBatch(docs: DataFrame,
+      epochs: Int = 2): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val feats = classifierScores(docs)
+      .select(
+        when(h <= "3", 0).when(h <= "7", 1).when(h <= "b", 2)
+          .otherwise(3).as("b"),
+        expr("score * 1000 div (1000000 * n_toks)").as("f1"),
+        least(col("n_toks"), lit(1000L)).as("f2"),
+        when(col("is_en"), 1L).otherwise(0L).as("y"))
+      .localCheckpoint()
+    def upd(w: String, g: String): String =
+      s"""CAST($w + CASE WHEN n = 0 THEN 0
+         |  WHEN $g < 0 THEN (-$g) div ($TrainLrDiv * n)
+         |  ELSE -($g div ($TrainLrDiv * n)) END AS BIGINT)""".stripMargin
+    var weights: DataFrame = docs.sparkSession.sql(
+      "SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
+        "CAST(0 AS BIGINT) AS w2")
+    val steps = Seq.newBuilder[DataFrame]
+    for (e <- 1 to epochs; i <- 0 until TrainBatches) {
+      val g = feats.where(col("b") === i)
+        .crossJoin(broadcast(weights))
+        .select(col("f1"), col("f2"),
+          (greatest(least(lit(2000000L) + col("w0") * 1000 +
+            col("w1") * col("f1") + col("w2") * col("f2"),
+            lit(4000000L)), lit(0L)) - lit(4000000L) * col("y")).as("err4"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("err4").cast(dec) * 1000).as("g0"),
+          sum(col("err4").cast(dec) * col("f1")).as("g1"),
+          sum(col("err4").cast(dec) * col("f2")).as("g2"))
+      weights = weights.crossJoin(broadcast(g)).selectExpr(
+        s"${upd("w0", "g0")} AS w0",
+        s"${upd("w1", "g1")} AS w1",
+        s"${upd("w2", "g2")} AS w2",
+        "CAST(n AS BIGINT) AS nb")
+        .localCheckpoint()
+      steps += weights.selectExpr(s"CAST($e AS BIGINT) AS epoch",
+        s"CAST($i AS BIGINT) AS batch",
+        "stack(3, 0L, w0, 1L, w1, 2L, w2) AS (feature, w_micro)",
+        "nb AS n_batch")
+      weights = weights.select(col("w0"), col("w1"), col("w2"))
+    }
+    steps.result().reduce(_.unionByName(_))
+      .orderBy("epoch", "batch", "feature")
+  }
+
+  /** Number of md5-hash mini-batch slices (shared by the q305 body and
+    * its generated oracle — the PcaRounds doctrine; the 4-way CASE
+    * thresholds are hardwired to this).
+    */
+  val TrainBatches = 4
+
+  /** Full-corpus hard-sigmoid MSE (micro-units) under given micro-unit
+    * weights — the model-evaluation primitive VocabModelSpec uses to
+    * prove the mini-batch trajectory's equal-data-pass loss claim
+    * against q301's full-batch epochs.
+    */
+  def hardSigmoidMse(docs: DataFrame, w0: Long, w1: Long, w2: Long): Long = {
+    val dec = "decimal(38,0)"
+    classifierScores(docs)
+      .select(
+        expr("score * 1000 div (1000000 * n_toks)").as("f1"),
+        least(col("n_toks"), lit(1000L)).as("f2"),
+        when(col("is_en"), 1L).otherwise(0L).as("y"))
+      .select((greatest(least(lit(2000000L) + lit(w0) * 1000 +
+        lit(w1) * col("f1") + lit(w2) * col("f2"),
+        lit(4000000L)), lit(0L)) - lit(4000000L) * col("y")).as("err4"))
+      .agg((sum(col("err4").cast(dec) * col("err4"))
+        / (lit(16000000L).cast(dec) * count(lit(1)).cast(dec)))
+        .cast("long").as("mse_u"))
+      .collect()(0).getLong(0)
+  }
+
+  private val miniBatchOracle: String = {
+    val batchCase =
+      """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3' THEN 0
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' THEN 1
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 2
+        |  ELSE 3 END""".stripMargin
+    def upd(w: String, g: String): String =
+      s"""CAST($w + CASE WHEN g.n = 0 THEN 0
+         |  WHEN g.$g < 0 THEN (-g.$g) // ($TrainLrDiv * g.n)
+         |  ELSE -(g.$g // ($TrainLrDiv * g.n)) END AS BIGINT)""".stripMargin
+    val steps = (for (e <- 1 to 2; i <- 0 until TrainBatches)
+      yield (e, i)).zipWithIndex
+    val chain = steps.map { case ((_, i), s0) =>
+      val s = s0 + 1
+      s"""g$s AS (
+         |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |    SUM(CAST(err4 AS HUGEINT) * 1000) AS g0,
+         |    SUM(CAST(err4 AS HUGEINT) * f1) AS g1,
+         |    SUM(CAST(err4 AS HUGEINT) * f2) AS g2
+         |  FROM (SELECT f1, f2,
+         |      GREATEST(LEAST(2000000 + w.w0 * 1000 + w.w1 * f1
+         |        + w.w2 * f2, 4000000), 0) - 4000000 * y AS err4
+         |    FROM feats, ws${s - 1} w WHERE b = $i)),
+         |ws$s AS (
+         |  SELECT ${upd("w.w0", "g0")} AS w0,
+         |    ${upd("w.w1", "g1")} AS w1,
+         |    ${upd("w.w2", "g2")} AS w2,
+         |    CAST(g.n AS BIGINT) AS nb
+         |  FROM ws${s - 1} w, g$s g)""".stripMargin
+    }.mkString(",\n")
+    val rows = steps.flatMap { case ((e, i), s0) =>
+      val s = s0 + 1
+      Seq(s"SELECT $e AS epoch, $i AS batch, 0 AS feature, w0 AS w_micro, nb FROM ws$s",
+        s"SELECT $e, $i, 1, w1, nb FROM ws$s",
+        s"SELECT $e, $i, 2, w2, nb FROM ws$s")
+    }.mkString("\n  UNION ALL ")
+    s"""WITH doc_tokens AS (
+       |  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+       |    unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |toks AS (SELECT * FROM doc_tokens WHERE tok <> ''),
+       |weights AS (
+       |  SELECT tok,
+       |    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000
+       |      // COUNT(*) AS w
+       |  FROM toks GROUP BY tok),
+       |scored AS (
+       |  SELECT t.doc_id, t.is_en, SUM(w.w) AS score, COUNT(*) AS n_toks
+       |  FROM toks t JOIN weights w ON t.tok = w.tok
+       |  GROUP BY t.doc_id, t.is_en),
+       |feats AS (
+       |  SELECT $batchCase AS b,
+       |    score * 1000 // (1000000 * n_toks) AS f1,
+       |    LEAST(n_toks, 1000) AS f2,
+       |    CAST(is_en AS INTEGER) AS y
+       |  FROM scored),
+       |ws0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2),
+       |$chain
+       |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(batch AS BIGINT) AS batch,
+       |  CAST(feature AS BIGINT) AS feature,
+       |  CAST(w_micro AS BIGINT) AS w_micro, CAST(nb AS BIGINT) AS n_batch
+       |FROM (
+       |  $rows)
+       |ORDER BY epoch, batch, feature""".stripMargin
+  }
+
   private val trainOracle: String = {
     val d1 = sdiv("g0", "n", "//")
     val d2 = sdiv("g1", "n", "//")
@@ -565,6 +735,9 @@ object VocabModelOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q301_classifier_train", Some(trainOracle),
       (spark, dir) => classifierTrain(t(spark, dir, "documents"))),
+
+    QueryDef("q305_minibatch_train", Some(miniBatchOracle),
+      (spark, dir) => classifierTrainMiniBatch(t(spark, dir, "documents"))),
 
     QueryDef("q262_quality_classifier", Some(classifierOracle),
       (spark, dir) => qualityClassifier(t(spark, dir, "documents"))),

@@ -190,7 +190,10 @@ object ScaleRehearsal {
     "q303_ivf_pq",
     // video fingerprint dedup: decode per distinct (pattern, variant),
     // one shuffle on (w, h, vhash)
-    "q304_video_dedup")
+    "q304_video_dedup",
+    // mini-batch training: one checkpointed feature build + 8 bounded
+    // batch-slice scans against broadcast weight rows
+    "q305_minibatch_train")
 
   private val OFFSET = 10000000L
 

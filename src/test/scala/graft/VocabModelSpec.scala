@@ -134,6 +134,43 @@ class VocabModelSpec extends SparkSpec {
     assert(out((1L, 0L))._1 === 0L && out((1L, 2L))._1 === 0L)
   }
 
+  test("q305 mini-batch training: loss <= full-batch after equal data passes") {
+    // the q301 separable fixture; 2 epochs x 4 md5-sliced batches = 8
+    // sequential updates over the same data the full-batch run sees in
+    // its 2 epochs — the mini-batch trajectory must end at least as low
+    val docs = Seq(
+      (1L, "en", "ea eb"), (2L, "en", "ec ed"),
+      (3L, "en", "ee ef"), (4L, "en", "eg eh"),
+      (5L, "de", "da db"), (6L, "de", "dc dd"),
+      (7L, "de", "de df"), (8L, "de", "dg dh"))
+      .toDF("doc_id", "lang", "text")
+    val mb = VocabModelOps.classifierTrainMiniBatch(docs).collect()
+    assert(mb.length === 2 * 4 * 3, "one row per (epoch, batch, feature)")
+    val fw = mb.filter(r => r.getLong(0) == 2L && r.getLong(1) == 3L)
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val fb = VocabModelOps.classifierTrain(docs).collect()
+      .filter(_.getLong(0) == 2L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val mbLoss = VocabModelOps.hardSigmoidMse(docs, fw(0L), fw(1L), fw(2L))
+    val fbLoss = VocabModelOps.hardSigmoidMse(docs, fb(0L), fb(1L), fb(2L))
+    info(s"mini-batch final loss $mbLoss vs full-batch $fbLoss (micro-units)")
+    assert(mbLoss <= fbLoss,
+      s"equal data passes: mini-batch $mbLoss must not exceed full-batch $fbLoss")
+    assert(mbLoss < 250000L, "training must improve on the zero start")
+    // the epoch's batch sizes partition the corpus (empty slices allowed)
+    val nsum = mb.filter(r => r.getLong(0) == 1L && r.getLong(2) == 0L)
+      .map(_.getLong(4)).sum
+    assert(nsum === 8L, s"batch sizes must sum to the corpus: $nsum")
+  }
+
+  test("q305 mini-batch training is repartition-invariant (integer steps)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = VocabModelOps.classifierTrainMiniBatch(docs).collect().toSeq
+    val b = VocabModelOps.classifierTrainMiniBatch(docs.repartition(7))
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("q301 training is repartition-invariant (integer gradients)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val a = VocabModelOps.classifierTrain(docs).collect().toSeq
