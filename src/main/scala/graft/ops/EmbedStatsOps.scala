@@ -495,9 +495,23 @@ object EmbedStatsOps {
     */
   def kmeansPlusPlus(emb: DataFrame, k: Int = PpK): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val dec = "decimal(38,0)"
     // flat base for the k re-scans (and Lloyd): one parquet read + explode
     val x = elems(emb).localCheckpoint()
+    lloydFromSeeds(x, maximinSeeds(x, k))
+  }
+
+  /** Sequential deterministic D² (maximin) seed selection over a
+    * (vec_id, d, xq) element frame — q299's seeding, extracted so
+    * q306's k-means‖ run can apply it to the oversampled CANDIDATE set
+    * (where it costs k−1 scans of a candidates-sized frame, not the
+    * corpus). Degenerate note (ADVICE r11): with k greater than the
+    * number of distinct vectors, every dmin reaches 0 and the argmax
+    * re-picks the min-vec_id vector — duplicate seeds under distinct cl
+    * ids, mirrored exactly by the generated oracle; callers wanting k
+    * real clusters must supply k distinct vectors.
+    */
+  private def maximinSeeds(x: DataFrame, k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
     val first = x.join(
       broadcast(x.groupBy().agg(min(col("vec_id")).as("vec_id"))),
       Seq("vec_id"))
@@ -520,45 +534,124 @@ object EmbedStatsOps {
       seeds = seeds.unionByName(
         latest.select(lit(j.toLong).as("cl"), col("d"), col("cq")))
     }
-    lloydFromSeeds(x, seeds)
+    seeds
   }
 
-  /** Oracle generated from the SAME k as the graded body: a CTE chain of
-    * k−1 (distance, LEAST-merge, argmax, seed) rounds, then the verbatim
-    * q297 Lloyd SQL over the assembled seed set.
+  /** Shared by the q306 body and its generated oracle: oversampling
+    * factor ℓ (candidates taken per round) and round count.
     */
-  private def ppOracle(k: Int): String = {
-    val rounds = (1 until k).map { j =>
-      val prev = if (j == 1) "" else s"dm${j - 1}"
-      val dj =
-        s"""dj$j AS (SELECT x.vec_id,
-           |    SUM((x.xq - s.cq) * (x.xq - s.cq)) AS dist
-           |  FROM x JOIN s${j - 1} s ON s.d = x.d GROUP BY 1)""".stripMargin
-      val dm =
-        if (j == 1) s"dm1 AS (SELECT vec_id, dist AS dmin FROM dj1)"
-        else
-          s"""dm$j AS (SELECT $prev.vec_id, LEAST($prev.dmin, dj$j.dist) AS dmin
-             |  FROM $prev JOIN dj$j USING (vec_id))""".stripMargin
-      s"""$dj,
-         |$dm,
-         |p$j AS (SELECT vec_id FROM dm$j ORDER BY dmin DESC, vec_id LIMIT 1),
-         |s$j AS (SELECT CAST($j AS BIGINT) AS cl, x.d, x.xq AS cq
-         |  FROM x JOIN p$j USING (vec_id))""".stripMargin
-    }.mkString(",\n")
-    val union = (0 until k).map(j => s"SELECT * FROM s$j")
-      .mkString(" UNION ALL ")
-    s"""WITH x AS (
+  val ParL = 4
+  val ParRounds = 3
+
+  /** q306 body: k-means‖ oversampled seeding (Bahmani et al. 2012,
+    * VLDB — "Scalable k-means++") in front of the SAME Lloyd rounds —
+    * the at-scale refinement q299's own doc names: sequential D² costs
+    * k−1 corpus scans, one per seed; k-means‖ collapses that to
+    * `rounds` scans by taking ℓ candidates per round, then runs the
+    * cheap seed selection over the candidate set only.
+    *
+    * Determinization (no RNG to match across engines): Bahmani samples
+    * each point with probability ℓ·d²(x)/φ; here a round instead takes
+    * the ℓ points with the LARGEST current D² (ties by min vec_id) —
+    * thresholding on the ℓ-th largest exact integer D², the maximin
+    * analog of the expected-ℓ sample, batched. A point already chosen
+    * has D² = 0 and can never be re-taken. After `rounds` rounds the
+    * ≤ 1 + ℓ·rounds candidates are reduced to k seeds by the SAME
+    * sequential-D² machinery as q299 ([[maximinSeeds]]) — now over a
+    * candidates-sized frame, where its k−1 passes are free — and Lloyd
+    * from there is byte-identical to q297/q299's.
+    *
+    * Scale shape: `rounds` corpus scans, each one broadcast join
+    * against the ≤ ℓ previous-round candidate vectors with map-side
+    * combine to (vec, cand) partials, a LEAST merge into the flat
+    * checkpointed D² frame, and a TakeOrdered(ℓ) pick (per-partition
+    * heaps — no driver collect). At 100 TB: 3 scans instead of q299's
+    * k−1, the whole point of the algorithm.
+    */
+  def kmeansParallel(emb: DataFrame, k: Int = PpK, l: Int = ParL,
+      rounds: Int = ParRounds): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(l >= 1 && rounds >= 1 && 1 + l * rounds >= k,
+      s"need 1 + l*rounds >= k candidates, got l=$l rounds=$rounds k=$k")
+    val dec = "decimal(38,0)"
+    val x = elems(emb).localCheckpoint()
+    // candidate 0: the min-vec_id vector (q299's start)
+    var newCand = x.join(
+      broadcast(x.groupBy().agg(min(col("vec_id")).as("vec_id"))),
+      Seq("vec_id")).localCheckpoint()
+    var candIds = newCand.select(col("vec_id")).distinct()
+    var dmin: DataFrame = null
+    for (_ <- 1 to rounds) {
+      // one scan: distance of every vector to EVERY new candidate,
+      // min over candidates, LEAST-merged into the running D² frame
+      val dist = x.join(broadcast(newCand.select(col("vec_id").as("cid"),
+          col("d"), col("xq").as("cq"))), Seq("d"))
+        .withColumn("diff", col("xq").cast(dec) - col("cq").cast(dec))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("diff") * col("diff")).as("dc"))
+        .groupBy("vec_id").agg(min(col("dc")).as("dist"))
+      dmin = (if (dmin == null) dist.select(col("vec_id"), col("dist").as("dmin"))
+        else dmin.join(dist, Seq("vec_id"))
+          .select(col("vec_id"), least(col("dmin"), col("dist")).as("dmin")))
+        .localCheckpoint()
+      val pick = dmin.orderBy(col("dmin").desc, col("vec_id")).limit(l)
+        .select("vec_id")
+      newCand = x.join(broadcast(pick), Seq("vec_id")).localCheckpoint()
+      candIds = candIds.unionByName(newCand.select(col("vec_id")).distinct())
+    }
+    val cx = x.join(broadcast(candIds.distinct()), Seq("vec_id"))
+      .localCheckpoint()
+    lloydFromSeeds(x, maximinSeeds(cx, k))
+  }
+
+  /** The quantized-elements CTE shared by the generated seeding
+    * oracles (identical to kmeansOracle's x).
+    */
+  private val xCteSql: String =
+    """x AS MATERIALIZED (
       |  SELECT vec_id,
       |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
       |      AS HUGEINT) AS xq
-      |  FROM embeddings WHERE embedding IS NOT NULL),
-      |m0 AS (SELECT MIN(vec_id) AS vid FROM x),
-      |s0 AS (SELECT CAST(0 AS BIGINT) AS cl, x.d, x.xq AS cq
-      |  FROM x JOIN m0 ON x.vec_id = m0.vid),
-      |$rounds,
-      |seeds AS ($union),
-      |d1 AS (SELECT x.vec_id, s.cl,
+      |  FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
+
+  /** The sequential-D² seeding CTE chain of [[maximinSeeds]] over the
+    * element relation `base`, producing the CTE `seeds` — shared by the
+    * q299 oracle (base = x) and the q306 oracle (base = the candidate
+    * relation cx).
+    */
+  private def maximinSql(base: String, k: Int): String = {
+    val rounds = (1 until k).map { j =>
+      val prev = if (j == 1) "" else s"dm${j - 1}"
+      val dj =
+        s"""dj$j AS MATERIALIZED (SELECT $base.vec_id,
+           |    SUM(($base.xq - s.cq) * ($base.xq - s.cq)) AS dist
+           |  FROM $base JOIN s${j - 1} s ON s.d = $base.d GROUP BY 1)""".stripMargin
+      val dm =
+        if (j == 1) s"dm1 AS MATERIALIZED (SELECT vec_id, dist AS dmin FROM dj1)"
+        else
+          s"""dm$j AS MATERIALIZED (SELECT $prev.vec_id, LEAST($prev.dmin, dj$j.dist) AS dmin
+             |  FROM $prev JOIN dj$j USING (vec_id))""".stripMargin
+      s"""$dj,
+         |$dm,
+         |p$j AS (SELECT vec_id FROM dm$j ORDER BY dmin DESC, vec_id LIMIT 1),
+         |s$j AS MATERIALIZED (SELECT CAST($j AS BIGINT) AS cl, $base.d, $base.xq AS cq
+         |  FROM $base JOIN p$j USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until k).map(j => s"SELECT * FROM s$j")
+      .mkString(" UNION ALL ")
+    s"""m0 AS MATERIALIZED (SELECT MIN(vec_id) AS vid FROM $base),
+       |s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cl, $base.d, $base.xq AS cq
+       |  FROM $base JOIN m0 ON $base.vec_id = m0.vid),
+       |$rounds,
+       |seeds AS ($union)""".stripMargin
+  }
+
+  /** The verbatim q297 Lloyd SQL over `x` and the assembled `seeds`
+    * CTE (the tail of kmeansOracle, shared by both seeded oracles).
+    */
+  private val lloydTailSql: String =
+    """d1 AS (SELECT x.vec_id, s.cl,
       |    SUM((x.xq - s.cq) * (x.xq - s.cq)) AS d2
       |  FROM x JOIN seeds s ON s.d = x.d GROUP BY 1, 2),
       |a1 AS (SELECT vec_id, cl AS cl1 FROM (
@@ -586,11 +679,60 @@ object EmbedStatsOps {
       |    / CAST(MAX(a2.n) * MAX(a2.n) * 1000000 AS DOUBLE) AS inertia
       |FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
       |GROUP BY a2.cl ORDER BY cluster""".stripMargin
+
+  /** Oracle generated from the SAME k as the graded body: a CTE chain of
+    * k−1 (distance, LEAST-merge, argmax, seed) rounds, then the verbatim
+    * q297 Lloyd SQL over the assembled seed set.
+    */
+  private def ppOracle(k: Int): String =
+    s"""WITH $xCteSql,
+       |${maximinSql("x", k)},
+       |$lloydTailSql""".stripMargin
+
+  /** q306 oracle: `rounds` oversampling rounds (distance to the
+    * previous round's candidates, LEAST merge, top-ℓ pick), candidate
+    * union, then the SAME maximin chain over the candidate elements and
+    * the SAME Lloyd tail.
+    */
+  private def parOracle(k: Int, l: Int, rounds: Int): String = {
+    val overs = (1 to rounds).map { j =>
+      val prev = if (j == 1) "" else s"om${j - 1}"
+      val od =
+        s"""od$j AS MATERIALIZED (SELECT vec_id, MIN(dc) AS dist FROM (
+           |    SELECT x.vec_id, c.vec_id AS cid,
+           |      SUM((x.xq - c.xq) * (x.xq - c.xq)) AS dc
+           |    FROM x JOIN oc${j - 1} c ON c.d = x.d GROUP BY 1, 2)
+           |  GROUP BY vec_id)""".stripMargin
+      val om =
+        if (j == 1) s"om1 AS MATERIALIZED (SELECT vec_id, dist AS dmin FROM od1)"
+        else
+          s"""om$j AS MATERIALIZED (SELECT $prev.vec_id, LEAST($prev.dmin, od$j.dist) AS dmin
+             |  FROM $prev JOIN od$j USING (vec_id))""".stripMargin
+      s"""$od,
+         |$om,
+         |op$j AS MATERIALIZED (SELECT vec_id FROM (
+         |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY dmin DESC, vec_id)
+         |      AS rn FROM om$j) WHERE rn <= $l),
+         |oc$j AS MATERIALIZED (SELECT x.vec_id, x.d, x.xq FROM x JOIN op$j USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val candUnion = (s"SELECT vec_id FROM oc0" +:
+      (1 to rounds).map(j => s"SELECT vec_id FROM op$j")).mkString(" UNION ")
+    s"""WITH $xCteSql,
+       |om0 AS MATERIALIZED (SELECT MIN(vec_id) AS vid FROM x),
+       |oc0 AS MATERIALIZED (SELECT x.vec_id, x.d, x.xq FROM x JOIN om0 ON x.vec_id = om0.vid),
+       |$overs,
+       |cand AS MATERIALIZED (SELECT DISTINCT vec_id FROM ($candUnion)),
+       |cx AS MATERIALIZED (SELECT x.vec_id, x.d, x.xq FROM x JOIN cand USING (vec_id)),
+       |${maximinSql("cx", k)},
+       |$lloydTailSql""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q299_kmeans_pp", Some(ppOracle(PpK)),
       (spark, dir) => kmeansPlusPlus(t(spark, dir, "embeddings"))),
+
+    QueryDef("q306_kmeans_parallel", Some(parOracle(PpK, ParL, ParRounds)),
+      (spark, dir) => kmeansParallel(t(spark, dir, "embeddings"))),
 
     QueryDef("q297_kmeans_lloyd", Some(kmeansOracle),
       (spark, dir) => kmeansLloyd(t(spark, dir, "embeddings"))),

@@ -193,7 +193,10 @@ object ScaleRehearsal {
     "q304_video_dedup",
     // mini-batch training: one checkpointed feature build + 8 bounded
     // batch-slice scans against broadcast weight rows
-    "q305_minibatch_train")
+    "q305_minibatch_train",
+    // k-means|| oversampled seeding: `rounds` corpus scans (vs q299's
+    // k-1), candidate-set maximin is candidates-sized
+    "q306_kmeans_parallel")
 
   private val OFFSET = 10000000L
 

@@ -170,4 +170,29 @@ class EmbedStatsSpec extends SparkSpec {
     val b = EmbedStatsOps.kmeansPlusPlus(emb.repartition(7)).collect().toSeq
     assert(a == b, "D2-seeded output must not depend on partitioning")
   }
+
+  test("q306 k-means|| seeding: inertia <= q299 with bounded rounds on the fixture") {
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(_.getDouble(3)).sum
+    // 2 rounds x l=2 gives <= 5 candidates — far fewer scans than
+    // q299's k-1 — and must still find the spread seeds here
+    val par = total(EmbedStatsOps.kmeansParallel(
+      twoBlobsPlusOutlier, k = 3, l = 2, rounds = 2))
+    val pp = total(EmbedStatsOps.kmeansPlusPlus(twoBlobsPlusOutlier, k = 3))
+    assert(par <= pp,
+      s"oversampled seeding $par must not exceed sequential D2 $pp")
+    // and the clusters come out pure, like q299's
+    val counts = EmbedStatsOps.kmeansParallel(
+        twoBlobsPlusOutlier, k = 3, l = 2, rounds = 2)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(counts == Seq(1L, 8L, 8L),
+      s"expected pure clusters (1, 8, 8), got $counts")
+  }
+
+  test("q306 is repartition-invariant (integer oversampling + rational Lloyd)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = EmbedStatsOps.kmeansParallel(emb).collect().toSeq
+    val b = EmbedStatsOps.kmeansParallel(emb.repartition(7)).collect().toSeq
+    assert(a == b, "oversampled seeding must not depend on partitioning")
+  }
 }
