@@ -147,17 +147,22 @@ object InvariantOps {
         col("canonical_id").as("label"), lit(null).cast("long").as("is_dup")))
       .unionByName(cl.select(lit("clusters").as("tier"), col("doc_id"),
         col("cluster_id").as("label"), col("is_dup").cast("long").as("is_dup")))
-    val tierChecks = tall.join(shortness, "doc_id")
+    // LEFT join (ADVICE r11): a tier row whose doc_id is not a document
+    // must still be COUNTED — an inner join would silently drop it from
+    // rows/distinct_docs and the count-vs-COUNT(*)+7 oracle check would
+    // pass on a corrupt tier. Missing shortness rows read as not-short /
+    // not-null, so the phantom row fails the count checks instead.
+    val tierChecks = tall.join(shortness, Seq("doc_id"), "left")
       .groupBy("tier")
       .agg(count(lit(1)).as("rows"),
         countDistinct(col("doc_id")).as("distinct_docs"),
         zsum(col("label") > col("doc_id")).as("label_gt"),
         zsum(col("is_dup") =!= (col("label") < col("doc_id")).cast("long"))
           .as("isdup_wrong"),
-        zsum(col("is_short") && col("label") =!= col("doc_id"))
-          .as("short_merged"),
-        zsum(col("is_null") && col("label") =!= col("doc_id"))
-          .as("null_merged"))
+        zsum(coalesce(col("is_short"), lit(false)) &&
+          col("label") =!= col("doc_id")).as("short_merged"),
+        zsum(coalesce(col("is_null"), lit(false)) &&
+          col("label") =!= col("doc_id")).as("null_merged"))
       .selectExpr(
         """explode(CASE tier
           |  WHEN 'minhash' THEN array(
@@ -212,16 +217,27 @@ object InvariantOps {
                   |  b -> (shiftright(ha, b * 16) & 65535) = (shiftright(hb, b * 16) & 65535))""".stripMargin))
         .as("simhash_merged_no_shared_chunk"))
 
+    // The lattice and exact-dup checks all ride the SAME doc-keyed
+    // mh ⋈ cl join (plus the label-of-label lookup and the text column)
+    // — build it ONCE, checkpoint flat, and run the three checks as
+    // aggregation branches over it. Second leg of the tier-stats fusion:
+    // the three former join subtrees were ~6 exchanges of per-stage
+    // scheduling latency inside the gate's single action; a regression
+    // this fusion could mask (an mh row vanishing for a doc cl still
+    // labels) already fails the rows/distinct_docs counts above.
+    val fused = mh.select(col("doc_id"), col("canonical_id"))
+      .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+      .join(cl.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("label_of_label")), Seq("cluster_id"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+      .localCheckpoint(eager = true)
+
     // Transitive-closure lattice: labels are fixpoints, refine the 1-hop
     // assignment (never coarser), and never split a 1-hop class.
-    val clFix = cl.select(col("doc_id"), col("cluster_id"))
-      .join(cl.select(col("doc_id").as("cluster_id"), col("cluster_id").as("label_of_label")),
-        Seq("cluster_id"))
-      .agg(zsum(col("label_of_label") =!= col("cluster_id")).as("clusters_nonfixpoint"))
-    // coarser + split share the mh-cl join: one two-level aggregation
-    // instead of recomputing the join per check
-    val clLattice = mh.select(col("doc_id"), col("canonical_id"))
-      .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+    val clFix = fused.agg(
+      zsum(col("label_of_label") =!= col("cluster_id")).as("clusters_nonfixpoint"))
+    // coarser + split share one two-level aggregation
+    val clLattice = fused
       .groupBy("canonical_id")
       .agg(countDistinct(col("cluster_id")).as("nc"),
         zsum(col("cluster_id") > col("canonical_id")).as("coarser"))
@@ -235,19 +251,16 @@ object InvariantOps {
     // (>= 3 tokens): shorter duplicate texts band into private singleton
     // buckets and stay canonical = self BY DESIGN, so counting them would
     // fail the gate on correct behavior if such docs ever enter a corpus.
-    val exact = docs
+    val exStats = fused
       .where(col("text").isNotNull && size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), col("text"))
-      .join(mh.select(col("doc_id"), col("canonical_id")), Seq("doc_id"))
-      .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
       .groupBy("text")
       .agg(count(lit(1)).as("c"),
         countDistinct(col("canonical_id")).as("km"),
         countDistinct(col("cluster_id")).as("kc"))
-    val exStats = exact.agg(
-      zsum(col("c") > 1).as("exact_dup_groups"),
-      zsum(col("km") > 1).as("exact_dup_split_minhash"),
-      zsum(col("kc") > 1).as("exact_dup_split_clusters"))
+      .agg(
+        zsum(col("c") > 1).as("exact_dup_groups"),
+        zsum(col("km") > 1).as("exact_dup_split_minhash"),
+        zsum(col("kc") > 1).as("exact_dup_split_clusters"))
 
     // one anti-join for all three tiers' membership checks instead of
     // three separate distinct+anti-join subtrees: tag each tier's
