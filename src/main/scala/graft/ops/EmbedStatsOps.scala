@@ -193,6 +193,47 @@ object EmbedStatsOps {
     * — with one sqrt/divide at the end. The per-delta-vector argmin
     * window is a ≤|labels|-row frame.
     */
+  /** Quantized (vec_id, d, xq) elements of a raw (vec_id, embedding)
+    * frame — [[elems]] made public for the q307 streaming component,
+    * whose micro-batches must quantize with the IDENTICAL expression.
+    */
+  def quantElems(emb: DataFrame): DataFrame = elems(emb)
+
+  /** Rational (cl, d, s, n) centroids of a LABELED element frame
+    * (vec_id, label, d, xq) — the q233 centroid build, extracted so the
+    * q307 streaming component scores micro-batches against the same
+    * relation.
+    */
+  def ratCentroids(oldElems: DataFrame): DataFrame = {
+    val cent = oldElems.groupBy(col("label").as("cl"), col("d"))
+      .agg(sum(col("xq")).as("s"))
+    val n = oldElems.select(col("label").as("cl"), col("vec_id")).distinct()
+      .groupBy("cl").agg(count(lit(1)).as("n"))
+    cent.join(broadcast(n), Seq("cl"))
+  }
+
+  /** Nearest-centroid (vec_id, cl) assignment of an element frame
+    * against broadcast rational centroids — q233's exact scoring
+    * (cross-multiplied integer distance, ONE shared double divide, ties
+    * by cl), shared verbatim with the q307 streaming component so the
+    * continuous and batch paths cannot drift.
+    */
+  def assignToCentroids(elemsIn: DataFrame, centN: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val scored = elemsIn.join(broadcast(centN), Seq("d"))
+      .withColumn("diff",
+        col("n").cast(dec) * col("xq").cast(dec) - col("s").cast(dec))
+      .groupBy(col("vec_id"), col("cl"), col("n"))
+      .agg(sum(col("diff") * col("diff")).as("d2"))
+      .withColumn("score",
+        col("d2").cast("double") / (col("n") * col("n")).cast("double"))
+    val byScore = Window.partitionBy("vec_id")
+      .orderBy(col("score"), col("cl"))
+    scored
+      .withColumn("rn", row_number().over(byScore)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cl"))
+  }
+
   def centroidAssignDrift(emb: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val x = emb.where(col("embedding").isNotNull)
@@ -207,18 +248,8 @@ object EmbedStatsOps {
     val n = old.select(col("label").as("cl"), col("vec_id")).distinct()
       .groupBy("cl").agg(count(lit(1)).as("n"))
     val centN = cent.join(broadcast(n), Seq("cl"))
-    val scored = delta.join(broadcast(centN), Seq("d"))
-      .withColumn("diff",
-        col("n").cast(dec) * col("xq").cast(dec) - col("s").cast(dec))
-      .groupBy(col("vec_id"), col("cl"), col("n"))
-      .agg(sum(col("diff") * col("diff")).as("d2"))
-      .withColumn("score",
-        col("d2").cast("double") / (col("n") * col("n")).cast("double"))
-    val byScore = Window.partitionBy("vec_id")
-      .orderBy(col("score"), col("cl"))
-    val assigned = scored
-      .withColumn("rn", row_number().over(byScore)).where(col("rn") === 1)
-      .select(col("vec_id"), col("cl"))
+    val assigned = assignToCentroids(
+      delta.select(col("vec_id"), col("d"), col("xq")), centN)
     val absorbed = delta.join(broadcast(assigned), Seq("vec_id"))
       .groupBy(col("cl"), col("d")).agg(sum(col("xq")).as("t"),
         countDistinct(col("vec_id")).as("m"))

@@ -840,7 +840,78 @@ object StreamReplayOps {
       .orderBy("term")
   }
 
+  /** q307 body: replay the delta slice of the embedding table
+    * (vec_id % 5 == 0 — q233's split) through
+    * [[graft.streaming.StreamingCentroidAssign]]'s stream-static
+    * nearest-centroid enrichment, one time slice per micro-batch, and
+    * grade the per-cell assignment census. The assignment arithmetic is
+    * fully SQL-replayable (q233's cross-multiplied integers), so unlike
+    * the MinHash replays this grades against a FULL DuckDB oracle — the
+    * continuous path must land every delta vector in the same cell the
+    * batch path computes. max_by(cl, batch_id) per vec_id keeps the
+    * read idempotent under the sink's at-least-once appends.
+    */
+  def centroidAssignReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-ca-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val emb = t(spark, dir, "embeddings")
+    val static = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    landTimeSlices(spark, delta.withColumn("slice_key", col("vec_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingCentroidAssign.assignAvailableNow(
+        spark, landing, static, out, ckpt,
+        StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    spark.read.schema(StructType.fromDDL(
+        "vec_id BIGINT, cl INT, batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("vec_id")
+      .agg(expr("max_by(cl, batch_id)").as("cl"))
+      .groupBy(col("cl").as("label"))
+      .agg(count(lit(1)).as("n_assigned"))
+      .orderBy("label")
+  }
+
+  private val centroidAssignReplaySql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+      |      AS HUGEINT) AS xq
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |old AS (SELECT * FROM x WHERE vec_id % 5 <> 0),
+      |delta AS (SELECT * FROM x WHERE vec_id % 5 = 0),
+      |cent AS (SELECT label AS cl, d, SUM(xq) AS s FROM old GROUP BY 1, 2),
+      |nn AS (SELECT label AS cl, CAST(COUNT(DISTINCT vec_id) AS HUGEINT)
+      |  AS n FROM old GROUP BY 1),
+      |scored AS (
+      |  SELECT delta.vec_id, cent.cl, nn.n,
+      |    SUM((nn.n * delta.xq - cent.s) * (nn.n * delta.xq - cent.s))
+      |      AS d2
+      |  FROM delta JOIN cent ON cent.d = delta.d
+      |  JOIN nn ON nn.cl = cent.cl
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT vec_id, cl,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY CAST(d2 AS DOUBLE) / CAST(n * n AS DOUBLE), cl)
+      |      AS rn
+      |  FROM scored),
+      |assigned AS (SELECT vec_id, cl FROM ranked WHERE rn = 1)
+      |SELECT cl AS label, CAST(COUNT(*) AS BIGINT) AS n_assigned
+      |FROM assigned GROUP BY cl ORDER BY label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    // Stream-static centroid assignment replay: the continuous path of
+    // q233's incremental index maintenance, graded by the batch tier's
+    // full SQL oracle (per-cell assignment census).
+    QueryDef("q307_centroidassign_replay", Some(centroidAssignReplaySql),
+      (spark, dir) => centroidAssignReplay(spark, dir)),
     // Graded against the SAME oracle text as q120: the incremental
     // streaming dimension build must reproduce the batch dimension.
     QueryDef(

@@ -196,7 +196,10 @@ object ScaleRehearsal {
     "q305_minibatch_train",
     // k-means|| oversampled seeding: `rounds` corpus scans (vs q299's
     // k-1), candidate-set maximin is candidates-sized
-    "q306_kmeans_parallel")
+    "q306_kmeans_parallel",
+    // stream-static centroid assignment replay: linear in the delta,
+    // broadcast centroid relation per micro-batch
+    "q307_centroidassign_replay")
 
   private val OFFSET = 10000000L
 
