@@ -199,7 +199,9 @@ object ScaleRehearsal {
     "q306_kmeans_parallel",
     // stream-static centroid assignment replay: linear in the delta,
     // broadcast centroid relation per micro-batch
-    "q307_centroidassign_replay")
+    "q307_centroidassign_replay",
+    // alternating-star CC: log^2 rounds over a shrinking edge set
+    "q308_cc_star")
 
   private val OFFSET = 10000000L
 

@@ -197,6 +197,37 @@ class DedupSpec extends SparkSpec {
       "converged run must not warn")
   }
 
+  test("star CC: path graph converges in O(log) rounds to the component min") {
+    // a 64-node path — the depth that costs min-label propagation ~64
+    // rounds; alternating stars must close it within the log^2 budget
+    val path = (0L until 63L).map(i => (i + 1, i)).toDF("a", "b")
+    val (labels, rounds) = DedupOps.starComponentsWithRounds(path)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 63L).forall(n => got(n) == 0L),
+      s"every path node must label to 0: $got")
+    assert(rounds <= 8, s"expected O(log) rounds on a 64-path, got $rounds")
+  }
+
+  test("star CC: multiple components and isolated nodes resolve independently") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L),          // component min 3 (star + chain)
+      (20L, 21L), (22L, 21L),      // component min 20
+      (30L, 30L)                   // self-loop: dropped, 30 is isolated
+    ).toDF("a", "b")
+    val (labels, _) = DedupOps.starComponentsWithRounds(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 3L, 9L -> 3L, 21L -> 20L, 22L -> 20L),
+      s"components must close on their minima: $got")
+  }
+
+  test("q308 star clusters equal q51 label-propagation clusters on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val star = DedupOps.starClusters(docs).collect().toSeq
+    val prop = DedupOps.minhashClusters(docs).collect().toSeq
+    assert(star === prop,
+      "the two closure algorithms must produce byte-identical clusters")
+  }
+
   test("null-text and short docs stay canonical=self instead of collapsing") {
     val withNull = docs.unionByName(Seq(
       (6L, null.asInstanceOf[String]),
