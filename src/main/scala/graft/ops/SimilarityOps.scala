@@ -712,6 +712,81 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** q309 body: RESIDUAL IVF-PQ — the detail that makes q303's
+    * composition the actual IVFADC of Jegou et al. 2011 §V.B / FAISS's
+    * IVFPQ: the codes quantize the RESIDUAL r = x − centroid(cell(x)),
+    * not the raw vector. Residuals concentrate near the origin (the
+    * cell centroid has absorbed the coarse position), so the same m·k
+    * code budget spends its resolution on the fine structure — ADC
+    * distances tighten and a SMALLER shortlist reaches the same recall
+    * (SimilaritySpec pins the claim head-to-head: at shortlist = topK,
+    * where the exact rerank cannot repair the shortlist, residual
+    * recall strictly beats raw-vector recall).
+    *
+    * Asymmetry does the matching work: a query's LUT is built from ITS
+    * residual against EACH probed cell (q − c, per cell), so a
+    * candidate's approximate distance ‖(q−c) − code(x−c)‖² estimates
+    * ‖q − x‖² with the cell's coarse offset cancelled. Everything else
+    * is q303's plan — routed candidates, broadcast LUT (now keyed by
+    * (q, cell, sub, code)), decimal ADC sums, constant shortlist, exact
+    * rerank — and the whole chain stays deterministic (seeded centroids
+    * + codebooks, strict-fold arithmetic) → literal golden oracle.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+      cells: Int = 16, probes: Int = 8, iters: Int = 2,
+      shortlist: Int = 100, m: Int = 8, k: Int = 16): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist must cover topK $topK")
+    val subDim = 64 / m
+    val centroids = fitCentroids(corpus, cells, iters)
+    val corpusCells = nearestCells(corpus.select(col("vec_id"), col("v")),
+      "vec_id", "v", centroids, 1)
+    // row-local residuals against the broadcast centroid frame
+    val resid = corpusCells.join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, cv, (p, q) -> p - q)").as("v"))
+    val books = pqCodebooks(resid.select(col("vec_id"), col("v")),
+      m, k, iters)
+    val codes = assignCodes(
+      subVectors(resid.select(col("vec_id"), col("v")), "vec_id", "v",
+        m, subDim), books)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val queryCells = nearestCells(queries, "q_id", "qv", centroids, probes)
+    val qResid = queryCells.join(broadcast(centroids), Seq("cell"))
+      .select(col("q_id"), col("cell"),
+        expr("zip_with(qv, cv, (p, q) -> p - q)").as("qrv"))
+    val lut = qResid
+      .select(col("q_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(qrv, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "qsv")))
+      .join(books, Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"), col("code"),
+        l2sq("qsv", "cv").as("qdist"))
+    // a vector lives in exactly one cell, so routed pairs are unique
+    val routed = corpusCells.select(col("vec_id"), col("cell"))
+      .join(broadcast(queryCells.select(col("q_id"), col("cell"))), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"))
+    val adist = codes.join(routed, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "cell", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("qdist").cast("decimal(30,15)")).as("adist"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val short = adist.withColumn("rnk", row_number().over(ws))
+      .where(col("rnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short
+      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("sim", cosine("qv", "v"))
+      .withColumn("rnk", row_number().over(wr))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** q166: the SQL-TEXT path of the native cosine expression — the same
     * brute-force top-k contract as q27, but the similarity is computed by
     * `cosine_sim(...)` inside `spark.sql` on a session whose function
@@ -823,6 +898,16 @@ object SimilarityOps {
       (spark, dir) => {
         val v = vectors(spark, dir)
         ivfPqTopK(v, queriesOf(v, 20))
+      }),
+
+    // Residual IVF-PQ (the true IVFADC): codes quantize x - centroid,
+    // per-cell query LUTs cancel the coarse offset. Deterministic ->
+    // literal golden; SimilaritySpec pins the shortlist-quality win
+    // over raw-vector codes and the family recall bar.
+    QueryDef("q309_ivf_pq_residual", literalOracle("q309_ivf_pq_residual"),
+      (spark, dir) => {
+        val v = vectors(spark, dir)
+        ivfPqResidualTopK(v, queriesOf(v, 20))
       }),
 
     // Embedding-cosine near-duplicate assignment: LSH candidates verified

@@ -201,7 +201,9 @@ object ScaleRehearsal {
     // broadcast centroid relation per micro-batch
     "q307_centroidassign_replay",
     // alternating-star CC: log^2 rounds over a shrinking edge set
-    "q308_cc_star")
+    "q308_cc_star",
+    // residual IVF-PQ: q303's routed-ADC plan with per-cell query LUTs
+    "q309_ivf_pq_residual")
 
   private val OFFSET = 10000000L
 

@@ -94,6 +94,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: tighter ADC shortlist than raw codes, family bar holds") {
+    val exact = SimilarityOps.bruteForceTopK(v, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def rec(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      exact.intersect(s).size.toDouble / exact.size
+    }
+    // head-to-head at shortlist = topK, where the exact rerank cannot
+    // repair the shortlist: the residual codes' ADC must rank better
+    val raw5 = rec(SimilarityOps.ivfPqTopK(v, queries, shortlist = 5))
+    val res5 = rec(SimilarityOps.ivfPqResidualTopK(v, queries, shortlist = 5))
+    info(s"shortlist-5 recall: residual $res5 vs raw $raw5")
+    assert(res5 > raw5,
+      s"residual encoding must tighten the ADC shortlist: $res5 <= $raw5")
+    // and at the graded config the family recall bar holds
+    val full = rec(SimilarityOps.ivfPqResidualTopK(v, queries))
+    info(s"residual IVF-PQ recall@5 = $full (shortlist 100)")
+    assert(full >= 0.9, s"recall was $full")
+  }
+
   test("hard negatives: wrong-label twin wins, same-label twin never chosen") {
     val a = Seq.tabulate(64)(i => math.sin(i + 1))
     val b = Seq.tabulate(64)(i => math.cos(2 * i + 1))
