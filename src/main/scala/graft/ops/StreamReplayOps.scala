@@ -906,12 +906,55 @@ object StreamReplayOps {
       |SELECT cl AS label, CAST(COUNT(*) AS BIGINT) AS n_assigned
       |FROM assigned GROUP BY cl ORDER BY label""".stripMargin
 
+  /** q310 body: replay the documents corpus in doc_id-ordered time
+    * slices through [[graft.streaming.StreamingMinHashDedup]]'s
+    * stateful per-bucket fold. Under id-ordered delivery the continuous
+    * assignment equals the batch 1-hop canonical exactly (see the
+    * component doc), so the drained output is graded against q24's OWN
+    * golden — the q308 doctrine: two independent mechanisms (stateless
+    * batch window vs per-bucket GroupState across micro-batches) held
+    * to one output. min() on the read side keeps at-least-once appends
+    * idempotent; the left join restores any doc the stream never
+    * emitted (none, by the singleton-bucket contract — a missing row
+    * would fail the golden's row count).
+    */
+  def minhashDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-smh-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    landTimeSlices(spark, docs.withColumn("slice_key", col("doc_id")),
+      nSlices = 4, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingMinHashDedup.dedupAvailableNow(
+        spark, landing, out, ckpt,
+        StructType.fromDDL("doc_id BIGINT, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    val streamed = spark.read.schema(StructType.fromDDL(
+        "doc_id BIGINT, canonical_id BIGINT, batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("doc_id")
+      .agg(min(col("canonical_id")).as("c"))
+    docs.select(col("doc_id")).join(streamed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_dup", (col("canonical_id") < col("doc_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Stream-static centroid assignment replay: the continuous path of
     // q233's incremental index maintenance, graded by the batch tier's
     // full SQL oracle (per-cell assignment census).
     QueryDef("q307_centroidassign_replay", Some(centroidAssignReplaySql),
       (spark, dir) => centroidAssignReplay(spark, dir)),
+
+    // Stateful streaming MinHash dedup replay: per-bucket GroupState
+    // memory, graded against the batch 1-hop tier's own golden (q24).
+    QueryDef("q310_streamminhash_replay",
+      graft.util.Tables.literalOracle("q24_dedup_minhash"),
+      (spark, dir) => minhashDedupReplay(spark, dir)),
     // Graded against the SAME oracle text as q120: the incremental
     // streaming dimension build must reproduce the batch dimension.
     QueryDef(

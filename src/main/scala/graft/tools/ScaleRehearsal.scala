@@ -203,7 +203,10 @@ object ScaleRehearsal {
     // alternating-star CC: log^2 rounds over a shrinking edge set
     "q308_cc_star",
     // residual IVF-PQ: q303's routed-ADC plan with per-cell query LUTs
-    "q309_ivf_pq_residual")
+    "q309_ivf_pq_residual",
+    // stateful streaming minhash dedup: one long per touched bucket,
+    // linear in landed docs
+    "q310_streamminhash_replay")
 
   private val OFFSET = 10000000L
 
