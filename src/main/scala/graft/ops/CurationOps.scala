@@ -772,6 +772,106 @@ object CurationOps {
       |  CAST(floor(w / tw * 100000000) AS BIGINT) AS alloc_chars
       |FROM w, t ORDER BY source""".stripMargin
 
+  /** q311 body: UniMax language sampling (Chung et al. 2023,
+    * arXiv:2304.09151) — the waterfilling allocation that replaced
+    * temperature sampling (q114) for multilingual pretraining mixes:
+    * give every language an EQUAL share of the character budget, except
+    * that no language may be repeated past `epochCap` epochs; budget a
+    * capped language can't absorb spills evenly onto the rest. Budget
+    * here is 3/2 of the corpus (floor-exact integers), so with cap 2 the
+    * four small languages saturate at 2 epochs and `en` absorbs the
+    * remainder at under 1 epoch — the paper's headline shape (tail
+    * languages epoch-capped, head languages under-sampled relative to
+    * uniform), visible in the graded rows themselves.
+    *
+    * The waterfill is solved in closed form, not a driver loop: sort
+    * languages by ascending cap (`epochCap`·chars, ties on lang);
+    * saturation is prefix-closed in that order (if the fair share
+    * already exceeds a language's cap, it exceeds every larger cap
+    * after the spill too — the spilled share only grows), so language i
+    * is saturated iff EVERY prefix row j ≤ i passes
+    * cap_j·(n−j+1) ≤ budget − prefix_caps_{j−1} — a cross-multiplied
+    * ALL-INTEGER test (no division), prefix-ANDed with a running MIN.
+    * The shared fair share for the unsaturated suffix is then one exact
+    * integer floor-division of the unspent budget. Every graded value is
+    * integer arithmetic end to end — `epochs_permille` is
+    * alloc·1000 div chars — so the full DuckDB oracle hash-matches with
+    * no double anywhere.
+    *
+    * Scale shape: ONE shuffle — the per-language aggregate with map-side
+    * combine (the q114 shape). The windows and the scalar agg after it
+    * run over one row per LANGUAGE (a bounded vocabulary, ≤ a few
+    * hundred in any real corpus), so the single-partition sort window is
+    * a no-op at any corpus size; the two scalar frames broadcast back.
+    * Long math bounds: cap·n_langs ≤ epochCap·corpus_chars·n_langs —
+    * at 10¹⁴ chars (100 TB), cap 2, 200 languages that is 4·10¹⁸,
+    * inside Long; past that the sums move to DECIMAL(38,0) lanes.
+    */
+  def unimaxBudget(docs: DataFrame, epochCap: Int = 2): DataFrame = {
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("corpus_chars"))
+      .withColumn("cap_chars", col("corpus_chars") * epochCap)
+    val totals = byLang.agg(
+      expr("(sum(corpus_chars) * 3) div 2").as("budget"),
+      count(lit(1)).as("n_langs"))
+    val ord = Window.orderBy(col("cap_chars"), col("lang"))
+    val pfxW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byLang.crossJoin(broadcast(totals))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("pfx", sum(col("cap_chars")).over(pfxW))
+      .withColumn("sat_raw",
+        col("cap_chars") * (col("n_langs") - col("i") + 1) <=
+          col("budget") - col("pfx") + col("cap_chars"))
+      .withColumn("saturated",
+        min(when(col("sat_raw"), 1).otherwise(0)).over(pfxW) === 1)
+    val fair = ranked.agg(
+        max(col("budget")).as("budget"), max(col("n_langs")).as("n_langs"),
+        coalesce(sum(when(col("saturated"), col("cap_chars"))), lit(0L))
+          .as("sat_chars"),
+        sum(when(col("saturated"), 1L).otherwise(0L)).as("n_sat"))
+      .select(expr(
+        """CASE WHEN n_langs = n_sat THEN CAST(0 AS BIGINT)
+          |ELSE (budget - sat_chars) div (n_langs - n_sat) END"""
+          .stripMargin).as("fair"))
+    ranked.crossJoin(broadcast(fair))
+      .withColumn("alloc_chars",
+        when(col("saturated"), col("cap_chars")).otherwise(col("fair")))
+      .select(col("lang"), col("n_docs"), col("corpus_chars"),
+        col("cap_chars"), col("saturated"), col("alloc_chars"),
+        expr("(alloc_chars * 1000) div corpus_chars").as("epochs_permille"))
+      .orderBy("lang")
+  }
+
+  private val unimaxBudgetSql =
+    """WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS corpus_chars
+      |  FROM documents GROUP BY lang),
+      |c AS (SELECT *, corpus_chars * 2 AS cap_chars FROM s),
+      |t AS (SELECT CAST((SUM(corpus_chars) * 3) // 2 AS BIGINT) AS budget,
+      |    CAST(COUNT(*) AS BIGINT) AS n_langs FROM c),
+      |r AS (SELECT c.*, t.budget, t.n_langs,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cap_chars, lang) AS BIGINT) AS i,
+      |    CAST(SUM(cap_chars) OVER (ORDER BY cap_chars, lang
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+      |  FROM c, t),
+      |f AS (SELECT *,
+      |    MIN(CASE WHEN cap_chars * (n_langs - i + 1)
+      |          <= budget - pfx + cap_chars THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY cap_chars, lang ROWS UNBOUNDED PRECEDING) = 1
+      |      AS saturated
+      |  FROM r),
+      |lvl AS (SELECT CASE
+      |    WHEN COUNT(*) FILTER (WHERE NOT saturated) = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST((MAX(budget)
+      |        - COALESCE(SUM(cap_chars) FILTER (WHERE saturated), 0))
+      |      // COUNT(*) FILTER (WHERE NOT saturated) AS BIGINT) END AS fair
+      |  FROM f)
+      |SELECT lang, n_docs, corpus_chars, cap_chars, saturated,
+      |  CASE WHEN saturated THEN cap_chars ELSE lvl.fair END AS alloc_chars,
+      |  CAST((CASE WHEN saturated THEN cap_chars ELSE lvl.fair END) * 1000
+      |    // corpus_chars AS BIGINT) AS epochs_permille
+      |FROM f, lvl ORDER BY lang""".stripMargin
+
   /** Deciles (1/10 .. 9/10); [[equidepthBins]] computes the same list
     * for bins = 10, so the fraction literals — and therefore the
     * interpolated boundary doubles — agree between the two engines.
@@ -1139,6 +1239,9 @@ object CurationOps {
 
     QueryDef("q114_temperature_mix", Some(temperatureMixtureSql),
       (spark, dir) => temperatureMixture(t(spark, dir, "documents"))),
+
+    QueryDef("q311_unimax_budget", Some(unimaxBudgetSql),
+      (spark, dir) => unimaxBudget(t(spark, dir, "documents"))),
 
     // Quality-aware near-dup survivorship: keep the BEST member of each
     // MinHash cluster, not the smallest id. Engine-side clusters ->

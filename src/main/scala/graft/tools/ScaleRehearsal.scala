@@ -206,7 +206,10 @@ object ScaleRehearsal {
     "q309_ivf_pq_residual",
     // stateful streaming minhash dedup: one long per touched bucket,
     // linear in landed docs
-    "q310_streamminhash_replay")
+    "q310_streamminhash_replay",
+    // UniMax waterfill: one per-language agg; the windows run over the
+    // language vocabulary (5 rows), constant at any corpus size
+    "q311_unimax_budget")
 
   private val OFFSET = 10000000L
 

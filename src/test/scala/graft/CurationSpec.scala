@@ -363,6 +363,71 @@ class CurationSpec extends SparkSpec {
     assert(got === expect, s"histogram: $got vs $expect")
   }
 
+  test("unimax: tail languages epoch-capped, head absorbs the spill exactly") {
+    // chars: a=10, b=20, c=1000; cap(2 epochs)=20/40/2000; budget=3*1030/2
+    // =1545. Waterfill: a sat (20*3<=1545), b sat (40*2<=1525), c unsat
+    // (2000>1485) -> alloc 1485 = 1.485 epochs. Sums land the budget
+    // exactly (no floor remainder here: one unsaturated language).
+    val docs = Seq(
+      (1L, "a", 4L), (2L, "a", 6L),
+      (3L, "b", 20L),
+      (4L, "c", 500L), (5L, "c", 500L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = CurationOps.unimaxBudget(docs, epochCap = 2).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Boolean]("saturated"), r.getAs[Long]("alloc_chars"),
+          r.getAs[Long]("epochs_permille")))).toMap
+    assert(out("a") === ((true, 20L, 2000L)))
+    assert(out("b") === ((true, 40L, 2000L)))
+    assert(out("c") === ((false, 1485L, 1485L)))
+    assert(out.values.map(_._2).sum === 1545L, "budget landed exactly")
+  }
+
+  test("unimax: saturation needs the spill — a global fair share would miss it") {
+    // caps (epochCap=1) 1,1,1,60,62; budget = 3*125/2 = 187. A global
+    // B/n = 37 fair share calls the 60- and 62-char languages unsaturated;
+    // the waterfill spills the three tiny languages' unused share onto
+    // them (fair rises to 92) and saturates BOTH. Also the all-saturated
+    // edge: the corpus is exhausted below budget, fair-branch hits m = 0.
+    val docs = Seq(
+      (1L, "t1", 1L), (2L, "t2", 1L), (3L, "t3", 1L),
+      (4L, "mid", 60L), (5L, "big", 62L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = CurationOps.unimaxBudget(docs, epochCap = 1).collect()
+    assert(out.forall(_.getAs[Boolean]("saturated")),
+      s"all saturated via spill: ${out.toSeq}")
+    assert(out.map(_.getAs[Long]("alloc_chars")).sum === 125L,
+      "corpus exhausted at 1 epoch, below budget")
+    assert(out.forall(_.getAs[Long]("epochs_permille") === 1000L))
+  }
+
+  test("unimax: waterfill invariants hold and survive repartition") {
+    // Messier masses; assert the documented closed-form semantics: every
+    // unsaturated language gets the SAME floored fair share, that share
+    // stays below each unsaturated cap (else it should have saturated),
+    // and the floor remainder is smaller than the unsaturated count.
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"l${i % 7}", (i * 37 % 211 + 5).toLong))
+      .toDF("doc_id", "lang", "n_chars")
+    for (d <- Seq(docs, docs.repartition(13))) {
+      val rows = CurationOps.unimaxBudget(d, epochCap = 2).collect()
+      val budget = rows.map(_.getAs[Long]("corpus_chars")).sum * 3 / 2
+      val (sat, unsat) = rows.partition(_.getAs[Boolean]("saturated"))
+      sat.foreach(r => assert(
+        r.getAs[Long]("alloc_chars") === r.getAs[Long]("cap_chars")))
+      val fairs = unsat.map(_.getAs[Long]("alloc_chars")).distinct
+      assert(fairs.length <= 1, s"one shared fair share: ${fairs.toSeq}")
+      unsat.foreach(r => assert(
+        r.getAs[Long]("alloc_chars") < r.getAs[Long]("cap_chars"),
+        s"unsaturated cap above fair: $r"))
+      val total = rows.map(_.getAs[Long]("alloc_chars")).sum
+      if (unsat.nonEmpty) {
+        assert(total <= budget && budget - total < unsat.length,
+          s"floor remainder bounded: $total vs $budget")
+      } else assert(total <= budget)
+    }
+  }
+
   test("quality survivors: in-band member beats a lower-id out-of-band twin") {
     // 122 distinct tokens vs its first 118: Jaccard ~0.93, well above the
     // 8x8 banding threshold, so they cluster — and the LOWER-id member
