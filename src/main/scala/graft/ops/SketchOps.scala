@@ -176,7 +176,70 @@ object SketchOps {
       .orderBy("day")
   }
 
+  /** q312 body: GUARANTEED-exact heavy hitters in two bounded passes —
+    * the production answer to "which items exceed φ = 1/(k+1) of a
+    * 100 TB stream" when the full GROUP BY would carry the unbounded
+    * vocabulary through the shuffle. Pass 1 runs the Misra-Gries typed
+    * Aggregator ([[graft.functions.MisraGries]], capacity k = 64):
+    * every partition's contribution to the exchange is ONE ≤ 64-entry
+    * summary, and the merged candidate set provably contains every item
+    * with true frequency > N/(k+1). Pass 2 recounts ONLY the candidates
+    * exactly (a broadcast semi-join keeps the shuffle candidate-bounded)
+    * and filters on the cross-multiplied integer threshold
+    * cnt·(k+1) > N. The candidate SET is merge-order-dependent; the
+    * final output is NOT — the recount intersects it down to exactly
+    * the true heavy-hitter set, so the full DuckDB oracle (plain
+    * GROUP BY ... HAVING over the same stream) hash-matches.
+    *
+    * The stream models the real boilerplate-detection workload the
+    * synthetic corpus is too uniform for: corpus tokens (the head),
+    * one `docid_<id>` token per document (the Heaps-law unique tail
+    * that makes the sketch genuinely lossy — vocabulary ≫ k at every
+    * scale, growing with the corpus), and a 3-token boilerplate banner
+    * per document (the cross-document heavy structure a cleaning
+    * pipeline hunts). All shares are ratios of per-document quantities,
+    * so the heavy set is scale-invariant by construction.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 64): DataFrame = {
+    val stream = docs.where(col("text").isNotNull)
+      .select(explode(concat(
+        split(col("text"), " "),
+        array(concat(lit("docid_"), col("doc_id").cast("string"))),
+        typedLit(Seq("cookie", "policy", "accepted")))).as("term"))
+      .where(col("term") =!= "")
+    val mg = graft.functions.MisraGries.misraGries(k)
+    val summary = stream.agg(mg(col("term")).as("s"))
+      .select(col("s.candidates").as("candidates"),
+        col("s.n_stream").as("n_stream"))
+      .localCheckpoint() // 2 consumers (candidate set + stream length)
+    val cand = summary.select(explode(col("candidates")).as("term"))
+    stream.join(broadcast(cand), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(summary.select(col("n_stream"))))
+      .where(col("cnt") * (k + 1) > col("n_stream"))
+      .orderBy("term")
+  }
+
+  private val heavyHittersOracle =
+    """WITH stream AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'docid_' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT unnest(['cookie', 'policy', 'accepted'])
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT term FROM stream WHERE term <> ''),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_stream FROM s),
+      |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY term)
+      |SELECT term, cnt, n.n_stream
+      |FROM f, n WHERE cnt * 65 > n.n_stream ORDER BY term""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q312_heavy_hitters", Some(heavyHittersOracle),
+      (spark, dir) => heavyHitters(t(spark, dir, "documents"))),
+
     QueryDef("q229_cms_contract", Some(cmsOracle),
       (spark, dir) => cmsContract(t(spark, dir, "documents"))),
 

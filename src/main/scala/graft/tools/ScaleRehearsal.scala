@@ -209,7 +209,10 @@ object ScaleRehearsal {
     "q310_streamminhash_replay",
     // UniMax waterfill: one per-language agg; the windows run over the
     // language vocabulary (5 rows), constant at any corpus size
-    "q311_unimax_budget")
+    "q311_unimax_budget",
+    // Misra-Gries heavy hitters: O(k) state per partition through the
+    // exchange, then a candidate-bounded exact recount
+    "q312_heavy_hitters")
 
   private val OFFSET = 10000000L
 
