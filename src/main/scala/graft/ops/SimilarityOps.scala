@@ -310,6 +310,92 @@ object SimilarityOps {
   def autoCells(n: Long): Int =
     math.max(16, (n / 64L).toInt)
 
+  /** q313 body: IVF fat-cell rebalancing — the maintenance pass
+    * [[semDedup]]'s doc promises ("at 100 TB you rebalance by splitting
+    * the fattest cells"): k-means cells follow the data distribution,
+    * so a dense region concentrates into one cell whose in-cell work
+    * (SemDeDup's |cell|²/2 pair fan-out, IVF's probe cost) blows past
+    * the budget the cell count was sized for. This pass finds every
+    * cell holding more than `fatNum/fatDen`× the mean population and
+    * bisects it with the deterministic FARTHEST-POINT split (bisecting
+    * k-means seeding, Steinbach et al. 2000, minus the Lloyd rounds):
+    * sub-seed A is the member least similar to the cell centroid,
+    * sub-seed B the member least similar to A (ties on min vec_id —
+    * total order, golden-stable), and members split at the POPULATION
+    * MEDIAN of the A→B projection axis (rank by cos(v,B) − cos(v,A),
+    * ties on vec_id): the lower half joins 'a', the upper 'b'. The
+    * median cut is what makes this a REBALANCE rather than a clustering
+    * nicety — sub-cells are ⌈n/2⌉/⌊n/2⌋ by construction (a pure
+    * farthest-point Voronoi split leaves a tight dominant lobe on one
+    * side: measured 451/36 on the sf0.1 lobe — no balance gained),
+    * while the axis keeps the cut geometric. Graded output: one row per
+    * FINAL cell — (cell, sub, n_members, n_parent, member_hash) with
+    * sub ∈ {'', 'a', 'b'} and member_hash = Σ vec_id mod 1000003 — so
+    * the golden freezes the fat set, the split populations, AND the
+    * exact membership of every final cell.
+    *
+    * Scale shape: fit + assign are q47's (broadcast centroids, argmax
+    * aggregate); the split is two map-side-combinable min_by seed
+    * passes against broadcast ≤ cells-row relations plus ONE window
+    * over fat-cell members only, partitioned by cell — O(fat members),
+    * no in-cell pair join anywhere, exactly the cost profile a
+    * rebalance pass must have to be cheaper than the skew it removes.
+    * Fat-cell membership rides a broadcast semi-join; the assigned
+    * frame is checkpointed once and feeds all passes.
+    */
+  def ivfRebalance(corpus: DataFrame, cells: Int = 16, iters: Int = 2,
+      fatNum: Int = 2, fatDen: Int = 1): DataFrame = {
+    val centroids = fitCentroids(corpus, cells, iters)
+    val assigned = nearestCells(corpus.select(col("vec_id"), col("v")),
+        "vec_id", "v", centroids, 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .localCheckpoint() // sizes + three split passes share the scan
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n_parent"))
+    val total = sizes.agg(sum(col("n_parent")).as("n_total"))
+    val flagged = sizes.crossJoin(broadcast(total))
+      .withColumn("fat",
+        col("n_parent") * cells * fatDen > col("n_total") * fatNum)
+    val fatCells = flagged.where(col("fat"))
+      .select(col("cell"), col("n_parent"))
+    val members = assigned.join(broadcast(fatCells), Seq("cell"))
+    val seedA = members.join(broadcast(centroids), Seq("cell"))
+      .withColumn("c_sim", cosine("v", "cv"))
+      .groupBy("cell")
+      .agg(min_by(struct(col("vec_id").as("a_id"), col("v").as("va")),
+        struct(col("c_sim"), col("vec_id"))).as("s"))
+      .select(col("cell"), col("s.va").as("va"))
+    val withA = members.join(broadcast(seedA), Seq("cell"))
+      .withColumn("a_sim", cosine("v", "va"))
+    val seedB = withA.groupBy("cell")
+      .agg(min_by(struct(col("vec_id").as("b_id"), col("v").as("vb")),
+        struct(col("a_sim"), col("vec_id"))).as("s"))
+      .select(col("cell"), col("s.vb").as("vb"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("t"), col("vec_id"))
+    val fatRows = withA.join(broadcast(seedB), Seq("cell"))
+      .withColumn("t", cosine("v", "vb") - col("a_sim"))
+      .withColumn("rnk", row_number().over(w))
+      // lower half of the A->B axis (A-most first) -> 'a'; rnk*2 <=
+      // n+1 is the integer form of rnk <= ceil(n/2)
+      .withColumn("sub",
+        when(col("rnk") * 2 <= col("n_parent") + 1, "a").otherwise("b"))
+      .groupBy(col("cell"), col("sub"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id") % 1000003L).as("member_hash"))
+      .join(broadcast(fatCells), Seq("cell"))
+      .select(col("cell"), col("sub"), col("n_members"), col("n_parent"),
+        col("member_hash"))
+    val slimRows = assigned
+      .join(broadcast(flagged.where(!col("fat")).select(col("cell"))),
+        Seq("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id") % 1000003L).as("member_hash"))
+      .select(col("cell"), lit("").as("sub"), col("n_members"),
+        col("n_members").as("n_parent"), col("member_hash"))
+    slimRows.unionByName(fatRows).orderBy("cell", "sub")
+  }
+
   /** Planted semantic twins for q118 — the raw corpus has no cosine-0.95
     * neighbors at sf0.01 (q43's assignment is all-self there), so without
     * these the drop list would freeze empty and the golden would grade
@@ -330,6 +416,22 @@ object SimilarityOps {
 
   private def queriesOf(v: DataFrame, n: Int): DataFrame =
     v.where(col("vec_id") < n).select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  /** Scale-proportional dense lobe for q313: a 20% shifted replica of
+    * the corpus, damped and concentrated near one direction
+    * (v' = 0.2·v + 0.8·e₀, row-local IEEE arithmetic — deterministic) —
+    * the embedding-mass concentration a real corpus grows around
+    * boilerplate, which the uniform synthetic embeddings lack. The lobe
+    * is TIGHT (pairwise cosine ≈ 0.999), so Lloyd keeps it whole in one
+    * cell at every SF and that cell lands ≥ 2× the mean population —
+    * the fat path actually fires. Ids offset above every real vec_id so
+    * the first-`cells` seeding is untouched (the twinVectors doctrine).
+    */
+  private def denseLobe(v: DataFrame): DataFrame =
+    v.where(col("vec_id") % 5 === 3)
+      .select((col("vec_id") + lit(8000000000L)).as("vec_id"),
+        expr("transform(v, (x, i) -> 0.2D * x + IF(i = 0, 0.8D, 0D))")
+          .as("v"))
 
   /** q298 body: margin-based bitext mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix scorer): a raw cosine threshold over-selects HUB
@@ -909,6 +1011,21 @@ object SimilarityOps {
         val v = vectors(spark, dir)
         ivfPqResidualTopK(v, queriesOf(v, 20))
       }),
+
+    // IVF fat-cell rebalancing: bisect every cell above the population
+    // threshold with the deterministic farthest-point split — the
+    // maintenance pass that keeps in-cell work bounded when k-means
+    // cells track a skewed distribution. The corpus rides with
+    // [[denseLobe]] (a 20% shifted replica concentrated near one
+    // direction — the boilerplate-embedding mass real corpora grow,
+    // proportional at every SF) so the uniform synthetic embeddings
+    // actually exercise the fat path. Deterministic (decimal-mean
+    // centroids, total-order tie-breaks) -> literal golden;
+    // SimilaritySpec plants a fat two-lobe cell and pins the split.
+    QueryDef("q313_ivf_rebalance", literalOracle("q313_ivf_rebalance"),
+      (spark, dir) => ivfRebalance(vectors(spark, dir)
+        .select(col("vec_id"), col("v"))
+        .unionByName(denseLobe(vectors(spark, dir))))),
 
     // Embedding-cosine near-duplicate assignment: LSH candidates verified
     // by exact cosine >= threshold, then the same 1-hop canonical-id

@@ -212,7 +212,10 @@ object ScaleRehearsal {
     "q311_unimax_budget",
     // Misra-Gries heavy hitters: O(k) state per partition through the
     // exchange, then a candidate-bounded exact recount
-    "q312_heavy_hitters")
+    "q312_heavy_hitters",
+    // IVF fat-cell rebalance: q47's fit/assign + two broadcast seed
+    // passes + one fat-member window — no in-cell pair join
+    "q313_ivf_rebalance")
 
   private val OFFSET = 10000000L
 

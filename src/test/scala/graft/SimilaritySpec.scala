@@ -227,4 +227,44 @@ class SimilaritySpec extends SparkSpec {
     val ms = q1.map(_.getDouble(3)).toSeq
     assert(ms == ms.sorted.reverse && ms.distinct.size == ms.size)
   }
+
+  test("q313 rebalance: fat two-lobe cell median-splits into exact halves") {
+    // cell 0 (seeded by vec 0 = x-axis): 13 members — seed0, an 8-vector
+    // lobe at y ≈ +0.10 and a 4-vector lobe at y ≈ −0.40. cell 1 (seeded
+    // by vec 1 = y-axis): 4 members. With cells = 2 and a >mean threshold
+    // only cell 0 is fat. Hand-computed split: seed A = the lobe-B
+    // extreme (id 23, 18.5° off the centroid vs lobe A's 9.5°), seed B =
+    // the lobe-A extreme (id 17), and the ascending A→B axis ranks
+    // lobe B (t < 0) ahead of seed0 (t = 0.067) ahead of lobe A
+    // (t ≥ 0.114) — so 'a' = {20..23, 0, 10, 11} (hash 107) and
+    // 'b' = {12..17} (hash 87): the small lobe lands WHOLE on one side
+    // and the halves are ⌈13/2⌉/⌊13/2⌋ by construction.
+    def vec(y: Double) = Seq(1.0, y, 0.0, 0.0)
+    val rows =
+      Seq((0L, vec(0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0))) ++
+        (0 until 8).map(j => (10L + j, vec(0.1 + 0.001 * j))) ++
+        (0 until 4).map(j => (20L + j, vec(-0.4 - 0.001 * j))) ++
+        (0 until 3).map(j => (30L + j, Seq(0.05 * j, 1.0, 0.0, 0.0)))
+    val corpus = rows.toDF("vec_id", "v")
+    for (c <- Seq(corpus, corpus.repartition(7))) {
+      val out = SimilarityOps.ivfRebalance(c, cells = 2, iters = 2,
+        fatNum = 1, fatDen = 1).collect()
+        .map(r => (r.getInt(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(out === Map(
+        (0, "a") -> ((7L, 13L, 107L)),
+        (0, "b") -> ((6L, 13L, 87L)),
+        (1, "") -> ((4L, 4L, 94L))), s"unexpected split: $out")
+    }
+  }
+
+  test("q313 rebalance: uniform cells pass through unsplit, totals preserved") {
+    val out = SimilarityOps.ivfRebalance(
+      v.select(col("vec_id"), col("v")), cells = 16, iters = 2).collect()
+    // sf0.001 embeddings are near-uniform over 16 cells: nothing is fat
+    // at the 2x-mean default, every row is a pass-through parent
+    assert(out.forall(_.getString(1) === ""), s"spurious split: ${out.toSeq}")
+    assert(out.map(_.getLong(2)).sum === v.count())
+    out.foreach(r => assert(r.getLong(2) === r.getLong(3)))
+  }
 }
