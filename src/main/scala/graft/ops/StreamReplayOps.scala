@@ -906,6 +906,44 @@ object StreamReplayOps {
       |SELECT cl AS label, CAST(COUNT(*) AS BIGINT) AS n_assigned
       |FROM assigned GROUP BY cl ORDER BY label""".stripMargin
 
+  /** q314 body: replay the delta slice of the documents table
+    * (doc_id % 5 == 0 — q233/q307's split) through
+    * [[graft.streaming.StreamingClassifierScore]]'s stream-static
+    * inference — the model is TRAINED IN BATCH (q301's two hard-sigmoid
+    * integer epochs) on the static slice, then every landed document is
+    * scored continuously against the static vocabulary and the trained
+    * weight row. The whole pipeline is exact integer arithmetic, so
+    * this grades against a FULL DuckDB oracle that recomputes training
+    * AND inference end-to-end — the deploy path must land every delta
+    * document on the same p4/prediction the batch path computes.
+    * max_by(·, batch_id) per doc_id keeps the read idempotent under the
+    * sink's at-least-once appends.
+    */
+  def classifierScoreReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cs-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+    val static = docs.where(col("doc_id") % 5 =!= 0)
+    val delta = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    landTimeSlices(spark, delta.withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingClassifierScore.scoreAvailableNow(
+        spark, landing, static, out, ckpt,
+        StructType.fromDDL("doc_id BIGINT, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    spark.read.schema(StructType.fromDDL(
+        "doc_id BIGINT, p4 BIGINT, pred_en BOOLEAN, batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("doc_id")
+      .agg(expr("max_by(p4, batch_id)").as("p4"),
+        expr("max_by(pred_en, batch_id)").as("pred_en"))
+      .orderBy("doc_id")
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -949,6 +987,14 @@ object StreamReplayOps {
     // full SQL oracle (per-cell assignment census).
     QueryDef("q307_centroidassign_replay", Some(centroidAssignReplaySql),
       (spark, dir) => centroidAssignReplay(spark, dir)),
+
+    // Stream-static classifier inference replay: train offline (q301's
+    // exact-integer epochs on the static slice), score the landing
+    // delta continuously; full SQL oracle recomputes training AND
+    // inference.
+    QueryDef("q314_classifier_score_replay",
+      Some(VocabModelOps.classifierScoreReplaySql),
+      (spark, dir) => classifierScoreReplay(spark, dir)),
 
     // Stateful streaming MinHash dedup replay: per-bucket GroupState
     // memory, graded against the batch 1-hop tier's own golden (q24).

@@ -594,6 +594,144 @@ object VocabModelOps {
       .collect()(0).getLong(0)
   }
 
+  /** The (tok, w) vocabulary relation of q262's model — per-token
+    * English document-frequency share in exact micro-units — built from
+    * a given corpus. Factored out so the streaming inference tier
+    * (q314) can build it ONCE from the static corpus and broadcast it
+    * into every micro-batch; [[classifierScores]] keeps its original
+    * inline form (its five graded consumers are untouched), and
+    * VocabModelSpec pins the two formulations equal.
+    */
+  def tokenWeights(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), (col("lang") === "en").as("is_en"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .distinct()
+      .groupBy(col("tok"))
+      .agg(sum(when(col("is_en"), 1L).otherwise(0L)).as("en_df"),
+        count(lit(1)).as("total_df"))
+      .select(col("tok"), expr("en_df * 1000000 div total_df").as("w"))
+
+  /** Per-document (score, n_toks) against a GIVEN vocabulary — the
+    * inference half of [[classifierScores]]: distinct tokens inner-join
+    * the broadcast weight relation (out-of-vocabulary tokens drop, the
+    * honest OOV behavior; a document with no in-vocabulary token drops
+    * entirely), then one doc-keyed combine.
+    */
+  def inferScores(docs: DataFrame, weights: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .distinct()
+      .join(broadcast(weights), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_toks"))
+
+  /** The trained weight row (w0, w1, w2) after q301's two full-batch
+    * epochs — the epoch-2 updated weights pivoted out of the graded
+    * trajectory, so the deployed model IS the graded one.
+    */
+  def trainedWeights(docs: DataFrame): DataFrame =
+    classifierTrain(docs).where(col("epoch") === 2)
+      .groupBy()
+      .agg(max(when(col("feature") === 0, col("w_micro"))).as("w0"),
+        max(when(col("feature") === 1, col("w_micro"))).as("w1"),
+        max(when(col("feature") === 2, col("w_micro"))).as("w2"))
+
+  /** Hard-sigmoid inference under a broadcast trained-weight row: q301's
+    * exact integer features and p4 clamp, per document —
+    * p4 = clamp(2·10⁶ + w0·1000 + w1·f1 + w2·f2, 0, 4·10⁶), prediction
+    * = p4 ≥ 2·10⁶ (σ̂ ≥ ½). Shared verbatim by the streaming component
+    * and the replay grade, so the continuous path cannot drift from the
+    * batch arithmetic.
+    */
+  def inferP4(docs: DataFrame, weights: DataFrame,
+      trained: DataFrame): DataFrame =
+    inferScores(docs, weights)
+      .crossJoin(broadcast(trained))
+      .select(col("doc_id"),
+        greatest(least(lit(2000000L) + col("w0") * 1000 +
+          col("w1") * expr("score * 1000 div (1000000 * n_toks)") +
+          col("w2") * least(col("n_toks"), lit(1000L)),
+          lit(4000000L)), lit(0L)).as("p4"))
+      .withColumn("pred_en", col("p4") >= lit(2000000L))
+
+  /** q314 oracle: q301's training chain over the STATIC corpus slice
+    * (doc_id % 5 <> 0 — the q233/q307 split), then hard-sigmoid scoring
+    * of every delta document against the static vocabulary and the
+    * epoch-2 weights. Lives here (not in StreamReplayOps) to share
+    * [[sdiv]] and stay textually adjacent to the batch oracle it
+    * extends.
+    */
+  private[ops] val classifierScoreReplaySql: String = {
+    val d1 = sdiv("g0", "n", "//")
+    val d2 = sdiv("g1", "n", "//")
+    val d3 = sdiv("g2", "n", "//")
+    s"""WITH static_tokens AS (
+      |  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |toks AS (SELECT * FROM static_tokens WHERE tok <> ''),
+      |weights AS (
+      |  SELECT tok,
+      |    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000
+      |      // COUNT(*) AS w
+      |  FROM toks GROUP BY tok),
+      |scored AS (
+      |  SELECT t.doc_id, t.is_en, SUM(w.w) AS score, COUNT(*) AS n_toks
+      |  FROM toks t JOIN weights w ON t.tok = w.tok
+      |  GROUP BY 1, 2),
+      |feats AS (
+      |  SELECT score * 1000 // (1000000 * n_toks) AS f1,
+      |    LEAST(n_toks, 1000) AS f2,
+      |    CAST(is_en AS INTEGER) AS y
+      |  FROM scored),
+      |e1 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(err4 AS HUGEINT) * 1000) AS g0,
+      |    SUM(CAST(err4 AS HUGEINT) * f1) AS g1,
+      |    SUM(CAST(err4 AS HUGEINT) * f2) AS g2
+      |  FROM (SELECT f1, f2, 2000000 - 4000000 * y AS err4 FROM feats)),
+      |w1 AS (
+      |  SELECT n,
+      |    CAST($d1 AS BIGINT) AS w0,
+      |    CAST($d2 AS BIGINT) AS w1,
+      |    CAST($d3 AS BIGINT) AS w2
+      |  FROM e1),
+      |s2 AS (
+      |  SELECT f1, f2, y, w0, w1, w2, n,
+      |    GREATEST(LEAST(2000000 + w0 * 1000 + w1 * f1 + w2 * f2,
+      |      4000000), 0) AS p4
+      |  FROM feats, w1),
+      |e2 AS (
+      |  SELECT w0, w1, w2, n,
+      |    SUM(CAST(err4 AS HUGEINT) * 1000) AS g0,
+      |    SUM(CAST(err4 AS HUGEINT) * f1) AS g1,
+      |    SUM(CAST(err4 AS HUGEINT) * f2) AS g2
+      |  FROM (SELECT f1, f2, w0, w1, w2, n,
+      |      p4 - 4000000 * y AS err4 FROM s2)
+      |  GROUP BY 1, 2, 3, 4),
+      |fin AS (
+      |  SELECT CAST(w0 + $d1 AS BIGINT) AS v0,
+      |    CAST(w1 + $d2 AS BIGINT) AS v1,
+      |    CAST(w2 + $d3 AS BIGINT) AS v2
+      |  FROM e2),
+      |delta_toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |dt AS (SELECT * FROM delta_toks WHERE tok <> ''),
+      |dscored AS (
+      |  SELECT d.doc_id, SUM(w.w) AS score, COUNT(*) AS n_toks
+      |  FROM dt d JOIN weights w ON d.tok = w.tok GROUP BY 1),
+      |dp AS (
+      |  SELECT doc_id,
+      |    GREATEST(LEAST(2000000 + fin.v0 * 1000
+      |      + fin.v1 * (score * 1000 // (1000000 * n_toks))
+      |      + fin.v2 * LEAST(n_toks, 1000), 4000000), 0) AS p4
+      |  FROM dscored, fin)
+      |SELECT doc_id, CAST(p4 AS BIGINT) AS p4, p4 >= 2000000 AS pred_en
+      |FROM dp ORDER BY doc_id""".stripMargin
+  }
+
   private val miniBatchOracle: String = {
     val batchCase =
       """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3' THEN 0

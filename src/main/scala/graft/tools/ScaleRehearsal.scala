@@ -215,7 +215,10 @@ object ScaleRehearsal {
     "q312_heavy_hitters",
     // IVF fat-cell rebalance: q47's fit/assign + two broadcast seed
     // passes + one fat-member window — no in-cell pair join
-    "q313_ivf_rebalance")
+    "q313_ivf_rebalance",
+    // stream-static classifier inference replay: train once on the
+    // static slice, per-batch scoring against broadcast relations
+    "q314_classifier_score_replay")
 
   private val OFFSET = 10000000L
 

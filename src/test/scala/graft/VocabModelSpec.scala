@@ -192,4 +192,20 @@ class VocabModelSpec extends SparkSpec {
       org.apache.spark.sql.Row(true, false, 1L),
       org.apache.spark.sql.Row(true, true, 1L)))
   }
+
+  test("factored inference pipeline equals the inline classifierScores") {
+    // the q314 components (tokenWeights + inferScores) applied to the
+    // training corpus itself must reproduce classifierScores exactly —
+    // the two formulations share one arithmetic by construction
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val inline = VocabModelOps.classifierScores(docs)
+      .select("doc_id", "score", "n_toks")
+    val factored = VocabModelOps.inferScores(docs,
+      VocabModelOps.tokenWeights(docs))
+    assert(inline.exceptAll(factored).isEmpty &&
+      factored.exceptAll(inline).isEmpty,
+      "factored inference drifted from the graded inline pipeline")
+    assert(factored.count() > 0)
+  }
 }
