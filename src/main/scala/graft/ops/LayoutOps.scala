@@ -92,6 +92,106 @@ object LayoutOps {
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** Hilbert counterpart of [[zorderBy]]: one range exchange on the
+    * Hilbert index plus an in-partition sort. Same write-side cost as
+    * z-ordering (the curve value is one codegen'd row-local call);
+    * tighter per-file boxes on read (see
+    * [[graft.functions.HilbertIndex]]).
+    */
+  def hilbertBy(df: DataFrame, x: Column, y: Column, numPartitions: Int,
+      bits: Int = 16): DataFrame = {
+    val h = graft.functions.HilbertFunctions.hilbertIndex(x, y, bits)
+    df.withColumn("__h", h)
+      .repartitionByRange(numPartitions, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
+  /** q315 body: q124's bucket census on the HILBERT curve — 32 curve
+    * ranges (top 5 bits of the 32-bit index) with exact index extents
+    * and per-dimension bounding boxes, so the graded rows surface the
+    * locality the curve buys: every bucket's box is a tight tile of the
+    * key plane (LayoutSpec compares summed box areas against the Morton
+    * census). Unlike q124 (raw keys, which under-fill the grid at test
+    * scale and land in one bucket), coordinates are NORMALIZED onto the
+    * full 2^bits grid by exact integer scaling against the key maxima —
+    * what a production curve-writer does with its key-domain stats, and
+    * scale-free: the census populates all 32 buckets at every SF, and
+    * the two maxima are one broadcast row. One partial-agged shuffle on
+    * a 5-bit key; the curve math is one native codegen'd call in the
+    * scan stage.
+    */
+  def hilbertBucketStats(li: DataFrame, bits: Int = 16): DataFrame = {
+    val grid = 1L << bits
+    val mx = li.agg(max(col("l_partkey")).as("mp"),
+      max(col("l_suppkey")).as("ms"))
+    val hv = graft.functions.HilbertFunctions.hilbertIndex(
+      expr(s"l_partkey * $grid div (mp + 1)"),
+      expr(s"l_suppkey * $grid div (ms + 1)"), bits)
+    li.crossJoin(broadcast(mx))
+      .select(col("l_partkey"), col("l_suppkey"), hv.as("hv"))
+      .groupBy(shiftright(col("hv"), 2 * bits - 5).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("hv")).as("h_min"), max(col("hv")).as("h_max"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .orderBy("bucket")
+  }
+
+  /** The Hilbert rounds as a DuckDB MATERIALIZED CTE chain, generated
+    * from one Scala loop so the oracle's per-round algebra cannot drift
+    * from [[graft.functions.HilbertIndex.compute]]. Each round is named
+    * ONCE (hx/hy referenced twice by the next round — inlining would
+    * double the expression tree per bit, which is also why the Spark
+    * side is a native expression rather than a Column chain);
+    * MATERIALIZED pins DuckDB to evaluate rounds once (the q306 CTE
+    * doctrine). s·s rides as a precomputed literal so the arithmetic
+    * stays BIGINT-typed in both engines.
+    */
+  private[ops] def hilbertRoundsSql(bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val grid = 1L << bits
+    val h0 =
+      s"""m AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms
+         |  FROM lineitem),
+         |h0 AS MATERIALIZED (SELECT l_partkey, l_suppkey,
+         |  (l_partkey * $grid // (mp + 1)) & $mask AS hx,
+         |  (l_suppkey * $grid // (ms + 1)) & $mask AS hy,
+         |  CAST(0 AS BIGINT) AS hd FROM lineitem, m)""".stripMargin
+    // every reference is qualified with the source CTE name: DuckDB
+    // resolves LATERAL column aliases, so a bare `hx` inside the hd
+    // expression could bind to the freshly-rotated alias two items up
+    // the same SELECT list instead of the incoming round's column
+    val rounds = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      val ss = s * s
+      val (px, py, pd) = (s"h$i.hx", s"h$i.hy", s"h$i.hd")
+      s"""h${i + 1} AS MATERIALIZED (SELECT l_partkey, l_suppkey,
+         |  CASE WHEN ($py & $s) = 0
+         |    THEN (CASE WHEN ($px & $s) > 0 THEN $mask - $py ELSE $py END)
+         |    ELSE $px END AS hx,
+         |  CASE WHEN ($py & $s) = 0
+         |    THEN (CASE WHEN ($px & $s) > 0 THEN $mask - $px ELSE $px END)
+         |    ELSE $py END AS hy,
+         |  $pd + CAST($ss AS BIGINT)
+         |    * xor(CASE WHEN ($px & $s) > 0 THEN 3 ELSE 0 END,
+         |      CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END) AS hd
+         |  FROM h$i)""".stripMargin
+    }
+    (h0 +: rounds).mkString(",\n")
+  }
+
+  private val q315Sql: String = {
+    val bits = 16
+    s"""WITH ${hilbertRoundsSql(bits)}
+       |SELECT CAST(hd >> ${2 * bits - 5} AS INT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(hd) AS h_min, MAX(hd) AS h_max,
+       |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+       |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+       |FROM h$bits GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** q264 body: a zone-map (manifest) pruned scan — the file-skipping
     * read path of every table format (Iceberg/Delta/Hudi manifests,
     * parquet footer stats) made explicit as an operator. Three steps:
@@ -274,5 +374,10 @@ object LayoutOps {
     QueryDef(
       "q276_zorder_scan",
       Some(q276Sql),
-      (spark, dir) => zorderScanQuery(spark, t(spark, dir, "lineitem"))))
+      (spark, dir) => zorderScanQuery(spark, t(spark, dir, "lineitem"))),
+
+    QueryDef(
+      "q315_hilbert_stats",
+      Some(q315Sql),
+      (spark, dir) => hilbertBucketStats(t(spark, dir, "lineitem"))))
 }

@@ -218,7 +218,10 @@ object ScaleRehearsal {
     "q313_ivf_rebalance",
     // stream-static classifier inference replay: train once on the
     // static slice, per-batch scoring against broadcast relations
-    "q314_classifier_score_replay")
+    "q314_classifier_score_replay",
+    // Hilbert census: one codegen'd row-local curve call + a 5-bit
+    // grouped agg; the key maxima are one broadcast row
+    "q315_hilbert_stats")
 
   private val OFFSET = 10000000L
 

@@ -192,4 +192,84 @@ class MiningLayoutSpec extends SparkSpec {
     assert(read === 0L && total > 0L)
     assert(pruned.count() === 0L)
   }
+
+  test("Hilbert index: the canonical 4x4 curve, cell by cell") {
+    import graft.functions.HilbertIndex
+    // the classic first-order layout (d counts along the U shapes);
+    // also the fixture that catches the s-relative-flip bug (negative
+    // coordinates at x=3)
+    val expected = Map(
+      (0, 0) -> 0, (1, 0) -> 1, (1, 1) -> 2, (0, 1) -> 3,
+      (0, 2) -> 4, (0, 3) -> 5, (1, 3) -> 6, (1, 2) -> 7,
+      (2, 2) -> 8, (2, 3) -> 9, (3, 3) -> 10, (3, 2) -> 11,
+      (3, 1) -> 12, (2, 1) -> 13, (2, 0) -> 14, (3, 0) -> 15)
+    for (((x, y), d) <- expected)
+      assert(HilbertIndex.compute(x.toLong, y.toLong, 2) === d.toLong,
+        s"xy2d($x, $y)")
+  }
+
+  test("Hilbert never jumps; Morton does — the locality the curve buys") {
+    import graft.functions.HilbertIndex
+    // over the full 32x32 grid: walking the Hilbert curve in d order,
+    // every consecutive pair of cells is grid-adjacent (Manhattan
+    // distance exactly 1). The Morton walk takes power-of-two jumps at
+    // quadrant seams — the property that makes Hilbert-clustered files
+    // carry tighter bounding boxes.
+    val bits = 5
+    val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x, y)
+    val byH = cells.sortBy { case (x, y) =>
+      HilbertIndex.compute(x.toLong, y.toLong, bits) }
+    // d values are a permutation of 0..n^2-1 (the curve is a bijection)
+    val ds = cells.map { case (x, y) =>
+      HilbertIndex.compute(x.toLong, y.toLong, bits) }
+    assert(ds.sorted == (0L until (n.toLong * n)).toSeq, "not a bijection")
+    val hSteps = byH.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(hSteps.forall(_ == 1), s"Hilbert jumped: max ${hSteps.max}")
+    // Morton, same grid: interleave via the Scala mirror of zValue
+    def morton(x: Int, y: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1).toLong << (2 * i)) |
+          (((y >> i) & 1).toLong << (2 * i + 1))).reduce(_ | _)
+    val zSteps = cells.sortBy { case (x, y) => morton(x, y) }
+      .sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(zSteps.max > 1, "Morton unexpectedly adjacent everywhere")
+  }
+
+  test("q315 census: full grid coverage, nested extents, counts conserved") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = LayoutOps.hilbertBucketStats(li).collect()
+    assert(out.length === 32, s"normalized grid must fill all buckets: ${out.length}")
+    assert(out.map(_.getAs[Long]("n")).sum === li.count())
+    // h extents nested: bucket b's index range sits inside [b, b+1) << 27
+    out.foreach { r =>
+      val b = r.getInt(0).toLong
+      assert(r.getAs[Long]("h_min") >= (b << 27) &&
+        r.getAs[Long]("h_max") < ((b + 1) << 27), s"extent escape: $r")
+    }
+  }
+
+  test("Hilbert files carry tighter boxes than Morton under UNALIGNED range cuts") {
+    // The honest version of the locality claim: on ALIGNED power-of-two
+    // buckets Morton tiles are perfect rectangles and there is nothing
+    // to win (the first draft of this test compared the 32 aligned
+    // census buckets and measured a tie) — the Hilbert advantage is for
+    // ARBITRARY curve ranges (Moon et al. 2001), which is exactly what
+    // range-partitioned FILES are: repartitionByRange cuts the curve at
+    // data quantiles, not quadrant seams. Dense 128x128 grid, 24 files
+    // (deliberately not a power of four): summed per-file bounding-box
+    // area must be strictly smaller under the Hilbert layout.
+    val pts = spark.range(0, 128L * 128).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    def boxSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("x") - min("x") + 1).as("w"), (max("y") - min("y") + 1).as("h"))
+        .agg(sum(col("w") * col("h"))).collect().head.getLong(0)
+    val h = boxSum(LayoutOps.hilbertBy(pts, col("x"), col("y"), 24, bits = 7))
+    val z = boxSum(LayoutOps.zorderBy(pts, col("x"), col("y"), 24, bits = 7))
+    assert(h < z, s"Hilbert files must be tighter on unaligned cuts: $h vs $z")
+  }
 }
