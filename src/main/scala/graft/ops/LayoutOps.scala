@@ -281,7 +281,8 @@ object LayoutOps {
       li: DataFrame,
       files: Int = 48,
       oneDLayout: Boolean = false,
-      box: Option[(Long, Long, Long, Long)] = None): (Long, Long, DataFrame) = {
+      box: Option[(Long, Long, Long, Long)] = None,
+      hilbert: Boolean = false): (Long, Long, DataFrame) = {
     val slice = li.select(col("l_partkey"), col("l_suppkey"),
       col("l_quantity"), col("l_extendedprice"))
     val loc = java.nio.file.Files
@@ -290,6 +291,8 @@ object LayoutOps {
       if (oneDLayout)
         slice.repartitionByRange(files, col("l_partkey"))
           .sortWithinPartitions("l_partkey")
+      else if (hilbert)
+        hilbertBy(slice, col("l_partkey"), col("l_suppkey"), files)
       else zorderBy(slice, col("l_partkey"), col("l_suppkey"), files)
     laid.write.mode("overwrite").parquet(loc)
     val (loP, hiP, loS, hiS) = box.getOrElse(boxBounds(li))
@@ -325,6 +328,24 @@ object LayoutOps {
   /** The graded q276 aggregate over the z-order-pruned read. */
   def zorderScanQuery(spark: SparkSession, li: DataFrame): DataFrame = {
     val (_, _, pruned) = zorderPrunedScan(spark, li)
+    pruned.agg(count(lit(1)).as("n_lines"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      moneySum(col("l_extendedprice")).as("revenue"))
+  }
+
+  /** q316 body: q276's box scan over a HILBERT layout — the same 2-D
+    * zone map, the same scale-free box predicate, the same exact
+    * residual-filtered aggregate, with only the write-side curve
+    * swapped. Graded against q276's OWN oracle text (the q308/q310
+    * two-mechanisms-one-output doctrine): a pruned read is correct only
+    * if the layout never changes answers, so holding both curves to one
+    * SQL result IS the contract — while MiningLayoutSpec pins the part
+    * the oracle can't see, that the Hilbert layout reads no MORE files
+    * than z-order for the same box (tighter per-file boxes under the
+    * quantile cuts a range partitioner makes).
+    */
+  def hilbertScanQuery(spark: SparkSession, li: DataFrame): DataFrame = {
+    val (_, _, pruned) = zorderPrunedScan(spark, li, hilbert = true)
     pruned.agg(count(lit(1)).as("n_lines"),
       countDistinct(col("l_partkey")).as("n_parts"),
       moneySum(col("l_extendedprice")).as("revenue"))
@@ -379,5 +400,12 @@ object LayoutOps {
     QueryDef(
       "q315_hilbert_stats",
       Some(q315Sql),
-      (spark, dir) => hilbertBucketStats(t(spark, dir, "lineitem"))))
+      (spark, dir) => hilbertBucketStats(t(spark, dir, "lineitem"))),
+
+    // Same oracle text as q276 BY DESIGN: the pruned-read contract is
+    // that layout never changes answers; two curves, one result.
+    QueryDef(
+      "q316_hilbert_scan",
+      Some(q276Sql),
+      (spark, dir) => hilbertScanQuery(spark, t(spark, dir, "lineitem"))))
 }

@@ -221,7 +221,10 @@ object ScaleRehearsal {
     "q314_classifier_score_replay",
     // Hilbert census: one codegen'd row-local curve call + a 5-bit
     // grouped agg; the key maxima are one broadcast row
-    "q315_hilbert_stats")
+    "q315_hilbert_stats",
+    // Hilbert pruned scan: linear layout write; the read side shrinks
+    // with pruning (q276's shape on the better curve)
+    "q316_hilbert_scan")
 
   private val OFFSET = 10000000L
 

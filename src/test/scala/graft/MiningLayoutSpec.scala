@@ -272,4 +272,25 @@ class MiningLayoutSpec extends SparkSpec {
     val z = boxSum(LayoutOps.zorderBy(pts, col("x"), col("y"), 24, bits = 7))
     assert(h < z, s"Hilbert files must be tighter on unaligned cuts: $h vs $z")
   }
+
+  test("q316 Hilbert pruned scan: exact result, files skipped, never more than z-order") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val (totalH, readH, prunedH) =
+      LayoutOps.zorderPrunedScan(spark, li, hilbert = true)
+    val (totalZ, readZ, _) = LayoutOps.zorderPrunedScan(spark, li)
+    assert(readH < totalH, s"no files skipped: $readH of $totalH")
+    assert(readH <= readZ,
+      s"Hilbert must prune at least as hard as z-order: $readH vs $readZ")
+    // the pruned read is exact regardless of layout: equal to the
+    // logical-table box scan
+    val (loP, hiP, loS, hiS) = {
+      val r = li.agg(max(col("l_partkey")).as("mp"),
+        max(col("l_suppkey")).as("ms")).collect()(0)
+      (r.getLong(0) / 4, 2 * r.getLong(0) / 5,
+        r.getLong(1) / 4, 2 * r.getLong(1) / 5)
+    }
+    val direct = li.where(col("l_partkey").between(loP, hiP) &&
+      col("l_suppkey").between(loS, hiS)).count()
+    assert(prunedH.count() === direct, "pruned read changed the answer")
+  }
 }
