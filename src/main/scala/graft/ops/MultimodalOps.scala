@@ -432,6 +432,137 @@ object MultimodalOps {
       }
   }
 
+  /** Synthetic SENSOR-NOISE image acquisition (q317): the q300 pattern
+    * family at channel bound [0, 195], with variant n = 1 adding +48 to
+    * all three channels of pixel (0, 0) ONLY (196 − 1 + 48 = 243 —
+    * never wraps) — the single-hot-pixel / re-crop-corner damage a
+    * perceptual matcher must absorb. Pixel (0, 0) is always sampled by
+    * thumbnail cell 0, so the noisy twin's grid code shifts by a few
+    * bits (cell 0's level, plus any cell the +144 mean shift pushes
+    * across a quantization boundary) instead of collapsing exactly —
+    * the population Hamming-radius matching exists for. Every pixel
+    * stays a pure integer function of (k, n): full DuckDB pixel-replay
+    * oracle, the q300 doctrine.
+    */
+  def noiseImageTable(variants: DataFrame): DataFrame = {
+    val render = udf((k: Long, n: Long) => {
+      val w = (4 + k % 9).toInt
+      val h = (4 + k % 7).toInt
+      val pix = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          val bump = if (n == 1L && x == 0 && y == 0) 48 else 0
+          pix(o) = ((x * 7 + y * 13 + k) % 196 + bump).toByte
+          pix(o + 1) = ((x * 3 + y * 5 + 2 * k) % 196 + bump).toByte
+          pix(o + 2) = ((x * 11 + y + 3 * k) % 196 + bump).toByte
+          x += 1
+        }
+        y += 1
+      }
+      if (k % 2 == 0) graft.functions.ImageCodec.encodePpm(w, h, pix)
+      else graft.functions.ImageCodec.encodeBmp(w, h, pix)
+    })
+    variants.select(col("vb"), render(col("k"), col("n")).as("payload"))
+  }
+
+  /** q317 body: Hamming-RADIUS perceptual matching via multi-index
+    * hashing (Norouzi et al. 2012 — the pHash-at-scale search
+    * structure): q300 collapses byte-shifted re-uploads whose codes are
+    * IDENTICAL, but a hot pixel / corner crop lands the code a few bits
+    * off, and matching within Hamming radius r over 100 TB cannot be an
+    * all-pairs scan. MIH splits the 32-bit code into 4 disjoint 8-bit
+    * bands; by PIGEONHOLE, two codes within Hamming distance r ≤ 3
+    * agree exactly on at least one band, so candidates come from 4
+    * band-keyed equi-joins (bucket joins, never a cross product) and a
+    * row-local bit_count(xor) ≤ r verify trims them. With r = m − 1 the
+    * structure is EXACT — and that theorem is what the grade checks:
+    * the engine runs MIH, the DuckDB oracle brute-forces all pairs on
+    * the variant-bounded code relation, and the hash match IS the
+    * no-missed-pair proof. Output: every unordered variant pair within
+    * radius 3, its distance, and whether the two variants share a
+    * pattern (the ground-truth label a matcher is tuned against).
+    *
+    * Scale shape: the codec pass runs once per DISTINCT (k, n) variant;
+    * the band relation is 4 rows per code; candidates are bounded by
+    * band-bucket populations (the known MIH trade — code-space skew
+    * concentrates buckets; band count is the knob) and dedup + verify
+    * are candidate-bounded. No stage is quadratic in the corpus.
+    */
+  def hammingNearDup(spark: SparkSession, docs: DataFrame,
+      radius: Int = 3): DataFrame = {
+    require(radius <= 3, s"4 bands are exact only to radius 3, got $radius")
+    val keyed = docs.select(col("doc_id"),
+      (col("doc_id") % 89).as("k"), (col("doc_id") % 2).as("n"),
+      ((col("doc_id") % 89) * 2 + col("doc_id") % 2).as("vb"))
+    val variants = keyed.select(col("vb"), col("k"), col("n")).distinct()
+    val hashes = perceptualHashes(spark, noiseImageTable(variants))
+      .toDF().select(col("vb"), col("phash"))
+    val coded = variants.join(hashes, Seq("vb"))
+      .select(col("vb"), col("k"), col("phash"))
+    val bands = coded
+      .select(col("vb"), col("k"), col("phash"),
+        explode(typedLit(Seq(0, 1, 2, 3))).as("band"))
+      .withColumn("bv", expr(
+        """CASE band WHEN 0 THEN phash & 255
+          |  WHEN 1 THEN shiftright(phash, 8) & 255
+          |  WHEN 2 THEN shiftright(phash, 16) & 255
+          |  ELSE shiftright(phash, 24) & 255 END""".stripMargin))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vb") < col("b.vb"))
+      .select(col("a.vb").as("vb_a"), col("b.vb").as("vb_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"),
+        col("a.k").as("k_a"), col("b.k").as("k_b"))
+      .dropDuplicates("vb_a", "vb_b")
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+      .where(col("hamming") <= radius)
+      .select(col("vb_a"), col("vb_b"), col("hamming"),
+        (col("k_a") === col("k_b")).as("same_pattern"))
+      .orderBy("vb_a", "vb_b")
+  }
+
+  private val hammingNearDupSql: String =
+    """WITH g AS (
+      |  SELECT gx.range AS ox, gy.range AS oy
+      |  FROM range(4) gx, range(4) gy),
+      |d AS (
+      |  SELECT doc_id, doc_id % 89 AS k, doc_id % 2 AS n
+      |  FROM documents),
+      |var AS (SELECT DISTINCT k, n, k * 2 + n AS vb FROM d),
+      |px AS (
+      |  SELECT k, n, vb, oy * 4 + ox AS i,
+      |    (ox * (4 + k % 9)) // 4 AS sx, (oy * (4 + k % 7)) // 4 AS sy
+      |  FROM var, g),
+      |v AS (
+      |  SELECT k, n, vb, i,
+      |    (sx * 7 + sy * 13 + k) % 196
+      |      + (sx * 3 + sy * 5 + 2 * k) % 196
+      |      + (sx * 11 + sy + 3 * k) % 196
+      |      + CASE WHEN n = 1 AND sx = 0 AND sy = 0 THEN 144 ELSE 0 END
+      |      AS luma
+      |  FROM px),
+      |s AS (SELECT vb, SUM(luma) AS s FROM v GROUP BY 1),
+      |lev AS (
+      |  SELECT v.vb, v.k, v.i,
+      |    CASE WHEN 16 * v.luma < s.s - 768 THEN 0
+      |         WHEN 16 * v.luma < s.s THEN 1
+      |         WHEN 16 * v.luma < s.s + 768 THEN 2
+      |         ELSE 3 END AS lvl
+      |  FROM v JOIN s ON s.vb = v.vb),
+      |ph AS (
+      |  SELECT vb, k,
+      |    CAST(SUM(CAST(lvl AS BIGINT) << (2 * i)) AS BIGINT) AS phash
+      |  FROM lev GROUP BY 1, 2)
+      |SELECT a.vb AS vb_a, b.vb AS vb_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+      |  a.k = b.k AS same_pattern
+      |FROM ph a, ph b
+      |WHERE a.vb < b.vb AND bit_count(xor(a.phash, b.phash)) <= 3
+      |ORDER BY vb_a, vb_b""".stripMargin
+
   /** q300 body: PERCEPTUAL image near-dup — the tier q293's exact
     * signature dedup deliberately stops short of (its own doc names this
     * as the next leg): recompressed/brightness-shifted re-uploads carry
@@ -1034,6 +1165,13 @@ object MultimodalOps {
     // oracle replays decode, resize, luma, and quantization per variant.
     QueryDef("q300_perceptual_dedup", Some(perceptualDedupSql),
       (spark, dir) => perceptualDedup(spark, t(spark, dir, "documents"))),
+
+    // Hamming-radius perceptual matching via multi-index hashing: band
+    // equi-joins + bit_count verify; the oracle brute-forces the
+    // variant-bounded code relation, so the hash match proves the
+    // pigeonhole exactness of the banded plan.
+    QueryDef("q317_hamming_mih", Some(hammingNearDupSql),
+      (spark, dir) => hammingNearDup(spark, t(spark, dir, "documents"))),
 
     // Audio fingerprint dedup: amplitude-invariant voiced-window masks
     // from the REAL WAV decode; the full SQL oracle replays the rhythm

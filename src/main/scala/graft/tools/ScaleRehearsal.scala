@@ -224,7 +224,10 @@ object ScaleRehearsal {
     "q315_hilbert_stats",
     // Hilbert pruned scan: linear layout write; the read side shrinks
     // with pruning (q276's shape on the better curve)
-    "q316_hilbert_scan")
+    "q316_hilbert_scan",
+    // MIH Hamming matching: decode per distinct variant (bounded 178),
+    // band-keyed equi-joins, candidate-bounded verify
+    "q317_hamming_mih")
 
   private val OFFSET = 10000000L
 

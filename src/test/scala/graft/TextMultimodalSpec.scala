@@ -385,4 +385,46 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(0) === MultimodalOps.AudioSegment(1L, 1, 0L, 16000L, 1))
     assert(out(1) === MultimodalOps.AudioSegment(1L, 2, 32000L, 40000L, 1))
   }
+
+  test("q317 MIH equals brute force — the pigeonhole exactness, on real data") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = MultimodalOps.hammingNearDup(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getBoolean(3)))).toMap
+    // brute force over the variant-bounded code relation (≤ 178 codes)
+    val keyed = docs.select(
+      (col("doc_id") % 89).as("k"), (col("doc_id") % 2).as("n"),
+      ((col("doc_id") % 89) * 2 + col("doc_id") % 2).as("vb")).distinct()
+    val codes = MultimodalOps.perceptualHashes(
+        spark, MultimodalOps.noiseImageTable(keyed))
+      .collect().map(p => p.vb -> p.phash).toMap
+    val ks = keyed.collect().map(r => r.getAs[Long]("vb") -> r.getAs[Long]("k")).toMap
+    val brute = (for {
+      a <- codes.keys; b <- codes.keys if a < b
+      d = java.lang.Long.bitCount(codes(a) ^ codes(b)) if d <= 3
+    } yield (a, b) -> ((d, ks(a) == ks(b)))).toMap
+    assert(out === brute, "MIH missed or invented a pair vs brute force")
+    assert(out.nonEmpty, "radius-3 population is empty — fixture degenerate")
+    assert(out.values.forall(_._1 <= 3))
+    // non-vacuity of the noise tier: at least one same-pattern pair sits
+    // STRICTLY inside the radius band (0 < hamming <= 3) — the hot-pixel
+    // twin the radius search exists for
+    assert(out.exists { case (_, (d, same)) => same && d >= 1 },
+      s"no noisy same-pattern pair within radius: ${out.take(8)}")
+  }
+
+  test("q317 bands: a 4-bits-across-4-bands pair is OUT at radius 3 by design") {
+    // pure pigeonhole boundary check on the band decomposition itself:
+    // codes differing in exactly one bit PER band share no band, and
+    // their Hamming distance is 4 > radius — MIH correctly has no
+    // obligation to find them, and the verify would cut them anyway
+    val a = 0L
+    val b = (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24)
+    assert(java.lang.Long.bitCount(a ^ b) === 4)
+    val bandsA = (0 until 4).map(i => (a >> (8 * i)) & 255)
+    val bandsB = (0 until 4).map(i => (b >> (8 * i)) & 255)
+    assert(bandsA.zip(bandsB).forall { case (x, y) => x != y },
+      "the adversarial pair must share no band")
+  }
 }
