@@ -906,6 +906,74 @@ object StreamReplayOps {
       |SELECT cl AS label, CAST(COUNT(*) AS BIGINT) AS n_assigned
       |FROM assigned GROUP BY cl ORDER BY label""".stripMargin
 
+  /** q318 body: replay the orders table in orderkey-ordered time slices
+    * through [[graft.streaming.StreamingTopK]]'s per-segment bounded
+    * leaderboard — the segment dimension joins stream-static (broadcast
+    * customer lookup inside the streaming query), the cents conversion
+    * is q187's exact integer expression, and the per-segment state is
+    * the SAME BoundedTopK buffer the batch aggregate folds, so the
+    * drained final leaderboards are graded against q187's own full SQL
+    * oracle: window sort vs incremental bounded state, one output. The
+    * fold's total ordering makes the result independent of slicing —
+    * StreamingTopKSpec additionally pins an adversarial high-first
+    * landing order. max_by(·, batch_id) per segment keeps the read
+    * idempotent under the sink's at-least-once appends.
+    */
+  def topkReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-topk-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    landTimeSlices(spark, orders.withColumn("slice_key", col("o_orderkey")),
+      nSlices = 4, landing, None)
+    val segments = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withReplayPartitions(spark) {
+      val stream = spark.readStream
+        .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .join(broadcast(segments), col("o_custkey") === col("c_custkey"))
+        .select(col("segment"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey"))
+        .as[graft.streaming.StreamingTopK.OrderRow]
+      graft.streaming.StreamingTopK.topkPerSegment(stream)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.StreamingTopK.TopKRows], id: Long) =>
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(out)
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(graft.streaming.StreamingTopK.outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.schema(StructType.fromDDL(
+        "segment STRING, values ARRAY<BIGINT>, ids ARRAY<BIGINT>, " +
+          "batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("segment")
+      .agg(expr("max_by(struct(values, ids), batch_id)").as("s"))
+      .select(col("segment"),
+        posexplode(arrays_zip(col("s.values"), col("s.ids"))))
+      .select(col("segment"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.values").as("cents"), col("col.ids").as("o_orderkey"))
+      .orderBy("segment", "rnk")
+  }
+
   /** q314 body: replay the delta slice of the documents table
     * (doc_id % 5 == 0 — q233/q307's split) through
     * [[graft.streaming.StreamingClassifierScore]]'s stream-static
@@ -987,6 +1055,12 @@ object StreamReplayOps {
     // full SQL oracle (per-cell assignment census).
     QueryDef("q307_centroidassign_replay", Some(centroidAssignReplaySql),
       (spark, dir) => centroidAssignReplay(spark, dir)),
+
+    // Stateful streaming bounded top-k replay: per-segment BoundedTopK
+    // state folded incrementally, graded against q187's OWN oracle
+    // (window sort vs incremental bounded state, one output).
+    QueryDef("q318_topk_replay", Some(WarehouseOps.topOrdersOracle),
+      (spark, dir) => topkReplay(spark, dir)),
 
     // Stream-static classifier inference replay: train offline (q301's
     // exact-integer epochs on the static slice), score the landing

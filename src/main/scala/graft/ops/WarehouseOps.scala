@@ -325,7 +325,7 @@ object WarehouseOps {
       .orderBy(col("segment"), col("rnk"))
   }
 
-  private val topOrdersOracle: String =
+  private[ops] val topOrdersOracle: String =
     """SELECT segment, CAST(rnk AS INT) AS rnk, cents, o_orderkey
       |FROM (
       |  SELECT c.c_mktsegment AS segment,

@@ -227,7 +227,10 @@ object ScaleRehearsal {
     "q316_hilbert_scan",
     // MIH Hamming matching: decode per distinct variant (bounded 178),
     // band-keyed equi-joins, candidate-bounded verify
-    "q317_hamming_mih")
+    "q317_hamming_mih",
+    // streaming bounded top-k replay: k longs x 2 per segment of
+    // state, linear in landed orders
+    "q318_topk_replay")
 
   private val OFFSET = 10000000L
 
