@@ -230,7 +230,10 @@ object ScaleRehearsal {
     "q317_hamming_mih",
     // streaming bounded top-k replay: k longs x 2 per segment of
     // state, linear in landed orders
-    "q318_topk_replay")
+    "q318_topk_replay",
+    // MMR diversified top-k: one shortlist scan + constant shortC^2
+    // pair fan-out + k bounded greedy rounds
+    "q319_mmr_topk")
 
   private val OFFSET = 10000000L
 

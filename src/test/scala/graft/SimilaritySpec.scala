@@ -258,6 +258,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q319 MMR breaks out of a redundant cluster that plain top-k drowns in") {
+    // query 0 = x-axis; cluster A: 8 near-copies at cos ~0.9 to the
+    // query and ~1.0 to each other; cluster B: 4 vectors also at ~0.9
+    // to the query but only ~0.62 to A. Plain top-5 is ALL A (the
+    // redundancy failure); with lambda = 0.7 the rank-2 MMR pick must
+    // defect to B: staying in A scores 0.7*0.9 - 0.3*1.0 = 0.33,
+    // crossing scores 0.7*0.9 - 0.3*0.62 = 0.44.
+    val fixture =
+      Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))) ++
+        (0 until 8).map(j => (10L + j, Seq(0.9, 0.436 + 0.0002 * j, 0.0, 0.0))) ++
+        (0 until 4).map(j => (20L + j, Seq(0.88, -0.45 - 0.0002 * j, 0.0, 0.0)))
+    val corpus = fixture.toDF("vec_id", "v")
+    val queries = corpus.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def clusters(rows: Array[org.apache.spark.sql.Row]): Set[String] =
+      rows.map(r => if (r.getLong(1) < 20L) "A" else "B").toSet
+    val plain = SimilarityOps.bruteForceTopK(corpus, queries, 5).collect()
+    assert(clusters(plain.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(2)))) === Set("A"),
+      s"plain top-5 must drown in the redundant cluster: ${plain.toSeq}")
+    for (c <- Seq(corpus, corpus.repartition(7))) {
+      val mmr = SimilarityOps.mmrTopK(c, queries, k = 5).collect()
+      assert(mmr.length === 5)
+      assert(clusters(mmr) === Set("A", "B"),
+        s"MMR must represent both clusters: ${mmr.toSeq}")
+      assert(mmr.map(r => if (r.getLong(1) < 20L) "B" else "B").nonEmpty)
+      // the defection happens exactly at rank 2, per the margin math
+      val rank2 = mmr.find(_.getInt(2) === 2).get.getLong(1)
+      val rank1 = mmr.find(_.getInt(2) === 1).get.getLong(1)
+      assert((rank1 < 20L) != (rank2 < 20L),
+        s"rank 2 must defect to the other cluster: ranks ${mmr.toSeq}")
+      // margins strictly decrease down the ranking (greedy optimality)
+      val ms = mmr.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      assert(ms == ms.sorted.reverse, s"margins must be monotone: $ms")
+    }
+  }
+
   test("q313 rebalance: uniform cells pass through unsplit, totals preserved") {
     val out = SimilarityOps.ivfRebalance(
       v.select(col("vec_id"), col("v")), cells = 16, iters = 2).collect()
