@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -250,7 +251,101 @@ object SelectionOps {
       |  CAST(n_docs_ge3_kept AS BIGINT) AS n_docs_ge3_kept
       |FROM dc CROSS JOIN lc""".stripMargin
 
+  /** q320 body: QUALITY-PER-TOKEN budget selection — the greedy
+    * knapsack every data-pruning recipe reduces to ("fill a token
+    * budget with the highest-quality-density documents"): rank
+    * documents by q262's integer quality density (score·1000 div
+    * (10⁶·n_toks) — the permille ratio, ties on doc_id) and take the
+    * prefix whose cumulative token count fits budget = corpus tokens
+    * div 10. Greedy-by-ratio is the exact fractional-knapsack optimum
+    * and the standard integral approximation; the graded output is the
+    * census a run actually consumes — per selected/rejected side the
+    * doc count, token mass, total quality score, and the boundary
+    * density (the knapsack's dual price: what a token must "pay" to
+    * make the cut).
+    *
+    * Scale shape: the prefix is NOT one global window sort (a single
+    * reducer over the corpus — the q53 scale-killer). The density grid
+    * is BOUNDED (≤ 1001 permille values), so: (1) one partial-agged
+    * shuffle to per-density (n_docs, token) sums; (2) a window over
+    * that ≤ 1001-row frame finds each density's starting offset,
+    * making every density bucket wholesale-in (offset + mass ≤ budget)
+    * or wholesale-out — EXCEPT the one straddling bucket; (3) only the
+    * straddler's rows get a per-doc running sum (window over one
+    * density key, with the q63 doc_id-bucket two-phase available
+    * inside it if a single density ever dominates the corpus).
+    * VocabSampleSpec pins two-phase == the naive global window.
+    */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val s = VocabModelOps.classifierScores(docs)
+      .select(col("doc_id"), col("score"), col("n_toks"),
+        expr("score * 1000 div (1000000 * n_toks)").as("rprm"))
+      .localCheckpoint() // bucket agg + straddle resolve share the scan
+    val tot = s.agg(expr("sum(n_toks) div 10").as("budget"))
+    val wD = Window.orderBy(col("rprm").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = s.groupBy("rprm")
+      .agg(sum(col("n_toks")).as("ts"))
+      .crossJoin(broadcast(tot))
+      .withColumn("before", coalesce(sum(col("ts")).over(wD), lit(0L)))
+      .select(col("rprm"), col("ts"), col("before"), col("budget"))
+    val withB = s.join(broadcast(buckets), Seq("rprm"))
+    val wholesale = withB
+      .where(col("before") + col("ts") <= col("budget") ||
+        col("before") >= col("budget"))
+      .withColumn("selected", col("before") + col("ts") <= col("budget"))
+    val wIn = Window.partitionBy("rprm").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val straddle = withB
+      .where(col("before") < col("budget") &&
+        col("before") + col("ts") > col("budget"))
+      .withColumn("selected",
+        col("before") + sum(col("n_toks")).over(wIn) <= col("budget"))
+    wholesale.unionByName(straddle)
+      .groupBy("selected")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tokens"),
+        sum(col("score")).as("score_sum"),
+        when(max(col("selected")), min(col("rprm")))
+          .otherwise(max(col("rprm"))).as("boundary_rprm"))
+      .orderBy(col("selected").desc)
+  }
+
+  private val budgetSelectSql: String =
+    """WITH doc_tokens AS (
+      |  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |toks AS (SELECT * FROM doc_tokens WHERE tok <> ''),
+      |weights AS (
+      |  SELECT tok,
+      |    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000
+      |      // COUNT(*) AS w
+      |  FROM toks GROUP BY tok),
+      |scored AS (
+      |  SELECT t.doc_id, SUM(w.w) AS score, COUNT(*) AS n_toks
+      |  FROM toks t JOIN weights w ON t.tok = w.tok
+      |  GROUP BY 1),
+      |r AS (SELECT doc_id, score, n_toks,
+      |    score * 1000 // (1000000 * n_toks) AS rprm
+      |  FROM scored),
+      |b AS (SELECT CAST(SUM(n_toks) // 10 AS BIGINT) AS budget FROM r),
+      |o AS (SELECT r.*, b.budget,
+      |    SUM(n_toks) OVER (ORDER BY rprm DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM r, b)
+      |SELECT cum <= budget AS selected,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS tokens,
+      |  CAST(SUM(score) AS BIGINT) AS score_sum,
+      |  CAST(CASE WHEN cum <= budget THEN MIN(rprm) ELSE MAX(rprm) END
+      |    AS BIGINT) AS boundary_rprm
+      |FROM o GROUP BY 1 ORDER BY selected DESC""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q320_budget_select", Some(budgetSelectSql),
+      (spark, dir) => budgetSelect(t(spark, dir, "documents"))),
+
     QueryDef("q295_dsir_weights", Some(dsirSql),
       (spark, dir) => dsirWeights(t(spark, dir, "documents"))),
 

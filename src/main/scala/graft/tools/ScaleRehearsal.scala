@@ -233,7 +233,10 @@ object ScaleRehearsal {
     "q318_topk_replay",
     // MMR diversified top-k: one shortlist scan + constant shortC^2
     // pair fan-out + k bounded greedy rounds
-    "q319_mmr_topk")
+    "q319_mmr_topk",
+    // budget selection: q262's vocab-bounded pipeline + a <=1001-row
+    // density window; only the straddling bucket windows per-doc
+    "q320_budget_select")
 
   private val OFFSET = 10000000L
 

@@ -257,4 +257,56 @@ class VocabSampleSpec extends SparkSpec {
     val gapRows = sparseRows.filter(_.isNullAt(3))
     assert(gapRows.nonEmpty && gapRows.forall(_.getLong(2) === 2L))
   }
+
+  test("budget select: two-phase bucket plan equals the naive global prefix") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.SelectionOps.budgetSelect(docs).collect()
+      .map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // naive: ONE global window over (rprm desc, doc_id)
+    val s = graft.ops.VocabModelOps.classifierScores(docs)
+      .select(col("doc_id"), col("score"), col("n_toks"),
+        expr("score * 1000 div (1000000 * n_toks)").as("rprm"))
+    val budget = s.agg(expr("sum(n_toks) div 10")).collect().head.getLong(0)
+    val w = Window.orderBy(col("rprm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = s.withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("selected", col("cum") <= lit(budget))
+      .groupBy("selected")
+      .agg(count(lit(1)).as("n"), sum("n_toks").as("t"), sum("score").as("sc"))
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (sel <- Seq(true, false)) {
+      assert(out(sel)._1 === naive(sel)._1 && out(sel)._2 === naive(sel)._2 &&
+        out(sel)._3 === naive(sel)._3,
+        s"two-phase drifted from naive at selected=$sel: ${out(sel)} vs ${naive(sel)}")
+    }
+    // the prefix fits the budget and both sides are populated
+    assert(out(true)._2 <= budget, "selected token mass exceeds the budget")
+    assert(out(true)._1 > 0 && out(false)._1 > 0,
+      s"degenerate budget fixture: $out")
+  }
+
+  test("budget select: straddling density bucket splits by doc_id, hand-computed") {
+    // All-English docs 1-3 carry TWO distinct vocab tokens each
+    // (weights 1e6 — every x-token is pure-en), so each has density
+    // rprm = 1000 and 2 tokens: ONE density bucket of mass 6. The de
+    // fillers carry 17 distinct zero-weight tokens each, so the corpus
+    // totals 40 tokens and budget = 4. The 1000-bucket STRADDLES
+    // (0 < 4 < 6) and the within-bucket doc_id order decides: docs 1
+    // and 2 fit (cum 2, 4), doc 3 does not — the two-phase plan's hard
+    // case, hand-computed.
+    val docs = Seq(
+      (1L, "en", "x1 x2"), (2L, "en", "x1 x3"), (3L, "en", "x1 x4"),
+      (4L, "de", (1 to 17).map(i => s"y$i").mkString(" ")),
+      (5L, "de", (1 to 17).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ops.SelectionOps.budgetSelect(docs).collect()
+      .map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(out(true) === ((2L, 4L, 1000L)),
+      s"selected side must be docs 1-2 at boundary 1000: $out")
+    assert(out(false) === ((3L, 36L, 1000L)),
+      s"rejected side must be doc 3 + fillers: $out")
+  }
 }
