@@ -533,6 +533,76 @@ object CorpusStatsOps {
     * vocabulary, not the corpus, is the join key. No |sources|²-scan of
     * raw text ever happens.
     */
+  /** q321 body: pairwise TOTAL-VARIATION distance between per-source
+    * token distributions — the drift metric q201's TF-cosine is not:
+    * cosine compares unnormalized direction (a source twice as long
+    * with the same mix scores 1.0), while TVD = ½·Σ|p_s − p_t| is the
+    * bounded [0, 1] metric on the NORMALIZED distributions with the
+    * operational guarantee drift monitors quote (no event's probability
+    * differs by more than the TVD). Exact integers end to end: the
+    * per-token term |c_s·n_t − c_t·n_s| cross-multiplies the two
+    * denominators away, and the graded permille is one integral
+    * division 500·Σ div (n_s·n_t) — DECIMAL(38,0) lanes so the
+    * cross-products stay exact at any corpus size (n_s·n_t ~ 10²⁸ at
+    * 100 TB; HUGEINT on the oracle side).
+    *
+    * Scale shape: one vocabulary-bounded (source, tok) shuffle with
+    * map-side combine; tokens then fold to ONE row each (a
+    * source→count map — sources are a bounded dimension) and cross the
+    * broadcast |sources|²/2 pair relation, so the pair fan-out is
+    * vocab × pairs, never corpus-sized. Tokens absent from one source
+    * contribute |c·n| through the coalesce — the one-sided mass an
+    * inner join on tok would silently drop.
+    */
+  def sourceTvd(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = docs.where(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val totals = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    val tokMap = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok")
+      .agg(map_from_entries(collect_list(struct(col("source"), col("c"))))
+        .as("m"))
+    val pairs = totals.as("a").join(totals.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+    tokMap.crossJoin(broadcast(pairs))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        abs(coalesce(expr("m[src_a]"), lit(0L)).cast(dec) * col("nb")
+          - coalesce(expr("m[src_b]"), lit(0L)).cast(dec) * col("na"))
+          .as("d"))
+      .groupBy("src_a", "src_b", "na", "nb")
+      .agg(sum(col("d")).as("sd"))
+      .select(col("src_a"), col("src_b"),
+        col("na").as("tokens_a"), col("nb").as("tokens_b"),
+        expr(s"CAST((500 * sd) div (CAST(na AS $dec) * nb) AS BIGINT)")
+          .as("tvd_permille"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceTvdSql: String =
+    """WITH t2 AS (SELECT source, term FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(term)
+      |  WHERE text IS NOT NULL AND term <> ''),
+      |c AS (SELECT source, term, CAST(COUNT(*) AS HUGEINT) AS c
+      |  FROM t2 GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM t2 GROUP BY 1),
+      |p AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+      |  FROM n a, n b WHERE a.source < b.source),
+      |v AS (SELECT DISTINCT term FROM t2),
+      |g AS (SELECT p.sa, p.sb, p.na, p.nb,
+      |    ABS(COALESCE(ca.c, 0) * p.nb - COALESCE(cb.c, 0) * p.na) AS d
+      |  FROM p CROSS JOIN v
+      |  LEFT JOIN c ca ON ca.term = v.term AND ca.source = p.sa
+      |  LEFT JOIN c cb ON cb.term = v.term AND cb.source = p.sb)
+      |SELECT sa AS src_a, sb AS src_b,
+      |  CAST(na AS BIGINT) AS tokens_a, CAST(nb AS BIGINT) AS tokens_b,
+      |  CAST((500 * SUM(d)) // (na * nb) AS BIGINT) AS tvd_permille
+      |FROM g GROUP BY 1, 2, na, nb ORDER BY src_a, src_b""".stripMargin
+
   def sourceSimilarity(docs: DataFrame): DataFrame = {
     val tf = docs.where(col("text").isNotNull)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
@@ -978,6 +1048,9 @@ object CorpusStatsOps {
     // from rebuilding the index over the whole corpus.
     QueryDef("q251_index_delta", Some(invertedIndexSql),
       (spark, dir) => indexDeltaMerge(t(spark, dir, "documents"))),
+
+    QueryDef("q321_source_tvd", Some(sourceTvdSql),
+      (spark, dir) => sourceTvd(t(spark, dir, "documents"))),
 
     QueryDef("q201_source_similarity", Some(sourceSimilaritySql),
       (spark, dir) => sourceSimilarity(t(spark, dir, "documents"))),

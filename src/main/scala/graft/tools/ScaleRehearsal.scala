@@ -236,7 +236,12 @@ object ScaleRehearsal {
     "q319_mmr_topk",
     // budget selection: q262's vocab-bounded pipeline + a <=1001-row
     // density window; only the straddling bucket windows per-doc
-    "q320_budget_select")
+    "q320_budget_select",
+    // source TVD: one vocab-bounded (source, tok) shuffle, then
+    // vocab x |sources|^2/2 bounded pair fan-out (the fixture's
+    // per-copy token suffixes grow the vocab 10x — q52's arithmetic,
+    // bar 15)
+    "q321_source_tvd")
 
   private val OFFSET = 10000000L
 
@@ -325,7 +330,10 @@ object ScaleRehearsal {
       // q279's (source, term) relation rides the same per-copy
       // token-suffix vocabulary growth as q132 (Heaps-law superlinear
       // in the fixture, sublinear in real corpora). Bar 15.
-      "q279_simpson_diversity" -> 15.0)
+      "q279_simpson_diversity" -> 15.0,
+      // q321's token map and pair fan-out are vocab-proportional —
+      // the same fixture vocabulary growth as q52/q279. Bar 15.
+      "q321_source_tvd" -> 15.0)
       .withDefaultValue(10.0)
 
     // --only=q276,q282 reruns a prefix-matched subset against the full

@@ -136,7 +136,9 @@ class PlanSpec extends SparkSpec {
       // it executes at plan-build time and no longer appears in the
       // optimized plan this sweep collects — the bound itself is
       // unchanged and documented at TimeSeriesOps.seasonalDecomposition
-      "q285_rolling_hll" -> "calendar frame: trailing 7-day sketch union over one row per day")
+      "q285_rolling_hll" -> "calendar frame: trailing 7-day sketch union over one row per day",
+      "q311_unimax_budget" -> "language-vocabulary frame: the waterfill windows run over one row per language",
+      "q320_budget_select" -> "<=1001-row permille density grid frame (the straddle bucket's per-doc window IS rprm-partitioned)")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {

@@ -491,4 +491,29 @@ class RelationalCorpusSpec extends SparkSpec {
     // skew pools both docs: n=6, ssq=25+1=26 -> 26*10000/36 = 7222
     assert(out("skew") === ((6L, 2L, 7222L, 2778L)))
   }
+
+  test("source TVD: hand-computed distance, one-sided mass counted, bounds hit") {
+    import graft.ops.CorpusStatsOps
+    // A = {x:2, y:1}/3, B = {x:1, z:1}/2:
+    // TVD = (|2/3-1/2| + |1/3-0| + |0-1/2|)/2 = (1/6 + 1/3 + 1/2)/2
+    //     = 1/2 -> 500 permille. An inner join on tok would see only x
+    // and report 500*1 // 6 = 83 — the y/z one-sided mass is the test.
+    val docs = Seq(
+      (1L, "A", "x x y"), (2L, "B", "x z"),
+      (3L, "C", "x x y"),               // identical mix to A -> TVD 0
+      (4L, "D", "q q r"))               // disjoint from A -> TVD 1000
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStatsOps.sourceTvd(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out(("A", "B")) === 500L, s"hand-computed TVD: $out")
+    assert(out(("A", "C")) === 0L, "identical distributions must be 0")
+    assert(out(("A", "D")) === 1000L, "disjoint vocabularies must be 1000")
+    // symmetry of the metric is encoded by the src_a < src_b canonical
+    // ordering: every unordered pair appears exactly once
+    assert(out.size === 6)
+    // and the token masses ride along for the dashboard
+    val masses = CorpusStatsOps.sourceTvd(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(masses("A") === 3L)
+  }
 }
