@@ -576,7 +576,60 @@ object AuditOps {
       ProfileTsCols.map(ts)).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
   }
 
+  /** q322 body: TAMPER-EVIDENT lineage hash chains — per key, the
+    * md5-fold over the event history in (ts, event_id) order, seeded by
+    * the key itself: head_i = md5(head_{i−1} ∥ ':' ∥ event_id ∥ ':' ∥
+    * event_type). One altered, dropped, reordered, or injected event
+    * anywhere in a user's history changes the head (avalanche), so two
+    * parties (producer and lake, or two replicas) can verify a 100 TB
+    * changelog by exchanging |keys| hashes instead of rows — the
+    * audit-tier counterpart of q137's order-free partition checksums,
+    * for the case where ORDER is part of the contract (CDC streams,
+    * event sourcing). AuditSpec pins the avalanche on flip / reorder /
+    * drop and the chain arithmetic against an independent JVM fold.
+    *
+    * Scale shape: one user-keyed shuffle; each group folds its OWN
+    * bounded history row-locally (collect_list + a strict ascending
+    * HOF fold — per-key history is the bounded dimension here, exactly
+    * the sessionization contract). The fold is order-DEPENDENT by
+    * design, so the sort key (ts, event_id) is total and the oracle's
+    * `list(… ORDER BY ts, event_id)` mirrors it; md5 is bit-identical
+    * across engines, hence the full SQL oracle.
+    */
+  def lineageChains(ev: DataFrame): DataFrame = {
+    val el = concat(lit(":"), col("event_id").cast("string"),
+      lit(":"), coalesce(col("event_type"), lit("")))
+    ev.select(col("user_id"), col("ts"), col("event_id"), el.as("el"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("el")))).as("evs"))
+      .select(col("user_id"), col("n_events"),
+        expr("""aggregate(evs, md5(CAST(user_id AS STRING)),
+          |  (acc, e) -> md5(concat(acc, e.el)))""".stripMargin)
+          .as("chain_head"))
+      .orderBy("user_id")
+  }
+
+  private val lineageChainsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    ':' || CAST(event_id AS VARCHAR) || ':'
+      |      || COALESCE(event_type, '') AS el
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    list_prepend(md5(CAST(user_id AS VARCHAR)),
+      |      list(el ORDER BY ts, event_id)) AS l
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  list_reduce(l, (acc, x) -> md5(acc || x)) AS chain_head
+      |FROM g ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q322_lineage_chain", Some(lineageChainsSql),
+      (spark, dir) => lineageChains(EventOps.events(spark, dir))),
+
     QueryDef("q284_column_profile", Some(columnProfileSql),
       (spark, dir) => columnProfile(t(spark, dir, "lineitem"),
         ProfileNumCols, ProfileStrCols, ProfileTsCols)),

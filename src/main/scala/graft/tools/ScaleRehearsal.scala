@@ -241,7 +241,10 @@ object ScaleRehearsal {
     // vocab x |sources|^2/2 bounded pair fan-out (the fixture's
     // per-copy token suffixes grow the vocab 10x — q52's arithmetic,
     // bar 15)
-    "q321_source_tvd")
+    "q321_source_tvd",
+    // lineage chains: one user-keyed shuffle, per-key bounded history
+    // folds row-locally (10x fixture = 10x users, unchanged histories)
+    "q322_lineage_chain")
 
   private val OFFSET = 10000000L
 

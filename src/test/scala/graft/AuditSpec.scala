@@ -234,4 +234,45 @@ class AuditSpec extends SparkSpec {
     assert(ts.getString(6) === "1995-01-01 00:00:00")
     assert(ts.getString(7) === "1995-01-03 00:00:00")
   }
+
+  test("lineage chains: independent JVM fold agrees; any tamper avalanches") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def t(m: Int) = Timestamp.valueOf(f"1995-01-01 10:$m%02d:00")
+    val base = Seq(
+      (7L, t(1), 100L, "view"), (7L, t(2), 101L, "purchase"),
+      (7L, t(3), 102L, "view"),
+      (8L, t(1), 200L, "view"))
+    def run(rows: Seq[(Long, Timestamp, Long, String)]): Map[Long, String] =
+      AuditOps.lineageChains(
+        rows.toDF("user_id", "ts", "event_id", "event_type"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val heads = run(base)
+    // independent sequential fold, no Spark involved
+    val expect7 = Seq((100L, "view"), (101L, "purchase"), (102L, "view"))
+      .foldLeft(md5hex("7")) { case (acc, (id, et)) =>
+        md5hex(acc + s":$id:$et") }
+    assert(heads(7L) === expect7, "chain arithmetic drifted from the JVM fold")
+    assert(heads(8L) === md5hex(md5hex("8") + ":200:view"))
+    // tamper classes: value flip, reorder (ts swap), drop — each must
+    // change user 7's head while leaving user 8's untouched
+    val flipped = run(base.map { case (u, ts0, id, et) =>
+      if (id == 101L) (u, ts0, id, "view") else (u, ts0, id, et) })
+    val reordered = run(base.map { case (u, ts0, id, et) =>
+      if (id == 100L) (u, t(5), id, et) else (u, ts0, id, et) })
+    val dropped = run(base.filterNot(_._3 == 101L))
+    for ((name, m) <- Seq("flip" -> flipped, "reorder" -> reordered,
+        "drop" -> dropped)) {
+      assert(m(7L) !== heads(7L), s"$name must avalanche user 7's head")
+      assert(m(8L) === heads(8L), s"$name must not touch user 8's head")
+    }
+    // and the fold is partitioning-independent (sort key is total)
+    val heads7 = AuditOps.lineageChains(base.toDF(
+        "user_id", "ts", "event_id", "event_type").repartition(13))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(heads7 === heads)
+  }
 }
