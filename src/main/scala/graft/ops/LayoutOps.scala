@@ -363,6 +363,105 @@ object LayoutOps {
        |WHERE l_partkey BETWEEN b.lo_p AND b.hi_p
        |  AND l_suppkey BETWEEN b.lo_s AND b.hi_s""".stripMargin
 
+  /** q323 body: CONSISTENT-HASHING shard placement and its rebalance
+    * guarantee, graded — the placement layer under every distributed
+    * store this engine would feed (Karger et al. 1997; Dynamo-style
+    * virtual nodes): keys and vnodes hash onto the md5 ring (fixed-width
+    * hex strings — lexicographic order IS numeric order on [0, 2¹²⁸)),
+    * a key belongs to the first vnode clockwise, and ADDING a shard
+    * moves only the keys whose ring successor the new vnodes capture —
+    * ~1/(n+1) of them — where modulo placement reshuffles ~n/(n+1) of
+    * the corpus. The graded census runs BOTH topologies (16 shards,
+    * then +1 with 8 vnodes each) and emits per-shard before/after/
+    * arrived counts, so the movement bound is in the hash-graded rows;
+    * LayoutSpec pins the two theorems (consistent move-rate near 1/17,
+    * modulo move-rate near 16/17) and that survivors never change
+    * shards.
+    *
+    * Scale shape: the vnode ring is a bounded broadcast relation
+    * (shards × vnodes rows); each key's successor is ONE
+    * map-side-combinable min_by over the cross of (key, ring) — a scan,
+    * no shuffle until the final shard-keyed census. Wrap-around rides a
+    * coalesce to the ring's global minimum vnode (broadcast row).
+    */
+  def consistentShards(docs: DataFrame, shards: Int = 16,
+      vnodes: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    def ring(n: Int): DataFrame = spark.range(n.toLong * vnodes)
+      .select(expr(s"CAST(id div $vnodes AS INT)").as("shard"),
+        md5(concat(lit("shard:"),
+          expr(s"CAST(id div $vnodes AS STRING)"),
+          lit(":"), expr(s"CAST(id % $vnodes AS STRING)"))).as("rpos"))
+    def assign(n: Int): DataFrame = {
+      val r = ring(n)
+      val wrap = r.orderBy("rpos").limit(1)
+        .select(col("shard").as("wrap_shard"))
+      docs.select(col("doc_id"),
+          md5(concat(lit("doc:"), col("doc_id").cast("string"))).as("kpos"))
+        .join(broadcast(r))
+        .groupBy("doc_id", "kpos")
+        .agg(min_by(col("shard"),
+          when(col("rpos") >= col("kpos"), col("rpos"))).as("succ"))
+        .crossJoin(broadcast(wrap))
+        .select(col("doc_id"),
+          coalesce(col("succ"), col("wrap_shard")).as("shard"))
+    }
+    val a = assign(shards).withColumnRenamed("shard", "shard_a")
+    val b = assign(shards + 1).withColumnRenamed("shard", "shard_b")
+    val joined = a.join(b, Seq("doc_id"))
+    val grid = spark.range(shards + 1).select(col("id").cast("int").as("shard"))
+    grid.join(joined.groupBy(col("shard_a").as("shard"))
+        .agg(count(lit(1)).as("n_before")), Seq("shard"), "left")
+      .join(joined.groupBy(col("shard_b").as("shard"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("shard_a") =!= col("shard_b"), 1L).otherwise(0L))
+            .as("n_arrived")), Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_arrived"), lit(0L)).as("n_arrived"))
+      .orderBy("shard")
+  }
+
+  private val consistentShardsSql: String =
+    """WITH ring_a AS (
+      |  SELECT CAST(v.range // 8 AS INT) AS shard,
+      |    md5('shard:' || CAST(v.range // 8 AS VARCHAR) || ':'
+      |      || CAST(v.range % 8 AS VARCHAR)) AS rpos
+      |  FROM range(128) v),
+      |ring_b AS (
+      |  SELECT CAST(v.range // 8 AS INT) AS shard,
+      |    md5('shard:' || CAST(v.range // 8 AS VARCHAR) || ':'
+      |      || CAST(v.range % 8 AS VARCHAR)) AS rpos
+      |  FROM range(136) v),
+      |k AS (SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS kpos
+      |  FROM documents),
+      |wa AS (SELECT shard FROM ring_a ORDER BY rpos LIMIT 1),
+      |wb AS (SELECT shard FROM ring_b ORDER BY rpos LIMIT 1),
+      |aa AS (
+      |  SELECT k.doc_id, COALESCE(
+      |      min_by(r.shard, CASE WHEN r.rpos >= k.kpos THEN r.rpos END),
+      |      (SELECT shard FROM wa)) AS shard_a
+      |  FROM k CROSS JOIN ring_a r GROUP BY k.doc_id, k.kpos),
+      |bb AS (
+      |  SELECT k.doc_id, COALESCE(
+      |      min_by(r.shard, CASE WHEN r.rpos >= k.kpos THEN r.rpos END),
+      |      (SELECT shard FROM wb)) AS shard_b
+      |  FROM k CROSS JOIN ring_b r GROUP BY k.doc_id, k.kpos),
+      |j AS (SELECT aa.doc_id, shard_a, shard_b
+      |  FROM aa JOIN bb ON aa.doc_id = bb.doc_id),
+      |g AS (SELECT CAST(v.range AS INT) AS shard FROM range(17) v)
+      |SELECT g.shard,
+      |  CAST(COALESCE(SUM(CASE WHEN j.shard_a = g.shard THEN 1 END), 0)
+      |    AS BIGINT) AS n_before,
+      |  CAST(COALESCE(SUM(CASE WHEN j.shard_b = g.shard THEN 1 END), 0)
+      |    AS BIGINT) AS n_after,
+      |  CAST(COALESCE(SUM(CASE WHEN j.shard_b = g.shard
+      |      AND j.shard_a <> j.shard_b THEN 1 END), 0)
+      |    AS BIGINT) AS n_arrived
+      |FROM g LEFT JOIN j ON TRUE
+      |GROUP BY g.shard ORDER BY g.shard""".stripMargin
+
   /** The graded q264 aggregate over the pruned read. */
   def zoneMapQuery(spark: SparkSession, li: DataFrame): DataFrame = {
     val (_, _, pruned) =
@@ -407,5 +506,10 @@ object LayoutOps {
     QueryDef(
       "q316_hilbert_scan",
       Some(q276Sql),
-      (spark, dir) => hilbertScanQuery(spark, t(spark, dir, "lineitem"))))
+      (spark, dir) => hilbertScanQuery(spark, t(spark, dir, "lineitem"))),
+
+    QueryDef(
+      "q323_consistent_hash",
+      Some(consistentShardsSql),
+      (spark, dir) => consistentShards(t(spark, dir, "documents"))))
 }

@@ -244,7 +244,10 @@ object ScaleRehearsal {
     "q321_source_tvd",
     // lineage chains: one user-keyed shuffle, per-key bounded history
     // folds row-locally (10x fixture = 10x users, unchanged histories)
-    "q322_lineage_chain")
+    "q322_lineage_chain",
+    // consistent hashing: keys cross a bounded broadcast vnode ring,
+    // one map-side min_by per key, shard-keyed census
+    "q323_consistent_hash")
 
   private val OFFSET = 10000000L
 

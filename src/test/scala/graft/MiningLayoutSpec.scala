@@ -293,4 +293,32 @@ class MiningLayoutSpec extends SparkSpec {
       col("l_suppkey").between(loS, hiS)).count()
     assert(prunedH.count() === direct, "pruned read changed the answer")
   }
+
+  test("consistent hashing: adding a shard only pulls keys to itself, ~1/(n+1)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (d <- Seq(docs, docs.repartition(11))) {
+      val out = LayoutOps.consistentShards(d).collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val total = out.values.map(_._1).sum
+      assert(total === docs.count())
+      assert(out.values.map(_._2).sum === total, "after-counts conserved")
+      // THE theorem: survivors receive nothing; only the new shard does
+      for (s <- 0 until 16)
+        assert(out(s)._3 === 0L, s"survivor shard $s received keys: $out")
+      val moved = out(16)._3
+      assert(out(16)._2 === moved && out(16)._1 === 0L)
+      // expected ~1/17 = 5.9%; allow [1%, 15%] for hash variance at n=500
+      assert(moved * 100 >= total && moved * 100 <= 15 * total,
+        s"consistent move rate out of band: $moved of $total")
+      // contrast: modulo placement reshuffles the majority
+      val modMoved = d.select((col("doc_id") % 16 =!=
+        col("doc_id") % 17).cast("long").as("m"))
+        .agg(sum("m")).collect().head.getLong(0)
+      assert(modMoved * 2 > total,
+        s"modulo rehash should move most keys: $modMoved of $total")
+      assert(moved * 5 < modMoved,
+        "consistent hashing must move far fewer keys than modulo")
+    }
+  }
 }
