@@ -247,7 +247,10 @@ object ScaleRehearsal {
     "q322_lineage_chain",
     // consistent hashing: keys cross a bounded broadcast vnode ring,
     // one map-side min_by per key, shard-keyed census
-    "q323_consistent_hash")
+    "q323_consistent_hash",
+    // minhash calibration: q24's bucket-bounded candidate pairs +
+    // row-local est/true array arithmetic + a <=21-key census
+    "q324_minhash_calibration")
 
   private val OFFSET = 10000000L
 

@@ -405,4 +405,43 @@ class DedupSpec extends SparkSpec {
       "rare-band candidates should miss the common-span pair; if this " +
         "fires, the planted family no longer exercises the gap")
   }
+
+  test("q324 calibration: identical pair exact; known-Jaccard pair in envelope") {
+    import graft.ops.DedupOps
+    // identical twins band in EVERY band and agree on EVERY signature
+    // position by construction: est = true = 1000, error bin 0 — no
+    // hash luck involved
+    val twins = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (3L, (100 to 140).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val t = DedupOps.minhashCalibration(twins).collect()
+    assert(t.length === 1 && t.head.getLong(0) === 0L &&
+      t.head.getLong(1) === 1L && t.head.getLong(2) === 1000L &&
+      t.head.getLong(3) === 1000L, s"twin census: ${t.toSeq}")
+
+    // a pair with KNOWN moderate Jaccard: doc B keeps A's first 20
+    // tokens and replaces the rest. True Jaccard is computed here by an
+    // independent Scala shingling; with 64 bands of 1 row each the pair
+    // is a candidate whenever ANY of 64 positions agree (miss odds
+    // (1-J)^64 ~ 1e-12), and the estimator must land within the 4-sigma
+    // MinHash envelope of the exact value.
+    val a = (1 to 40).map(i => s"p$i")
+    val b = a.take(20) ++ (1 to 20).map(i => s"q$i")
+    def sh(ts: Seq[String]): Set[String] =
+      ts.sliding(3).map(_.mkString(" ")).toSet
+    val inter = sh(a).intersect(sh(b)).size
+    val truePm = 1000L * inter / (sh(a).size + sh(b).size - inter)
+    val pair = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = DedupOps.minhashCalibration(pair, bands = 64, rowsPerBand = 1)
+      .collect()
+    assert(out.length === 1, s"the known pair must be a candidate: ${out.toSeq}")
+    assert(out.head.getLong(2) === truePm,
+      s"exact Jaccard drifted: ${out.head.getLong(2)} vs $truePm")
+    val sigma = math.sqrt(truePm / 1000.0 * (1 - truePm / 1000.0) / 64) * 1000
+    assert(math.abs(out.head.getLong(3) - truePm) <= 4 * sigma,
+      s"estimate ${out.head.getLong(3)} outside 4-sigma of $truePm")
+  }
 }
