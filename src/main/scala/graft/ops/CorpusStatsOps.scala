@@ -533,6 +533,71 @@ object CorpusStatsOps {
     * vocabulary, not the corpus, is the join key. No |sources|²-scan of
     * raw text ever happens.
     */
+  /** q325 body: LEAVE-ONE-SOURCE-OUT quality ablation — "which source
+    * drags corpus quality" answered WITHOUT one re-run per source: the
+    * corpus metric is the mean of a per-doc integer quality gate
+    * (q30's signals composed: 500 points for token count in [30, 120],
+    * 500 for carrying the stopword), and removing source s changes the
+    * mean to (ΣQ − Q_s)/(N − n_s) — pure algebra over per-source
+    * PARTIAL SUMS, so all |sources| ablations come from ONE corpus
+    * pass. delta_qp > 0 reads "dropping this source raises corpus
+    * quality" — the mixture-surgery signal a data team acts on. Exact
+    * integers throughout (the metric is already integer points; the
+    * means are integral divisions).
+    *
+    * Scale shape: one per-source shuffle with map-side combine, one
+    * broadcast totals row; the ablation arithmetic runs on the
+    * |sources|-row frame. The same trick generalizes to any
+    * sum-decomposable metric — this is the census form of q192's
+    * filter-ablation doctrine applied across the source dimension.
+    */
+  def sourceAblation(docs: DataFrame): DataFrame = {
+    val perSrc = docs.where(col("text").isNotNull)
+      .select(col("source"),
+        expr("length(text) - length(replace(text, ' ', '')) + 1").as("nt"),
+        expr("""length(' ' || text || ' ')
+          | - length(replace(' ' || text || ' ', ' the ', ''))"""
+          .stripMargin).as("sh"))
+      .select(col("source"),
+        (when(col("nt").between(30, 120), 500L).otherwise(0L) +
+          when(col("sh") >= 5, 500L).otherwise(0L)).as("qp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("qp")).as("qps"))
+    val tot = perSrc.agg(sum(col("n_docs")).as("tn"), sum(col("qps")).as("tq"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("qps div n_docs").as("mean_qp"),
+        expr("""CASE WHEN tn = n_docs THEN CAST(NULL AS BIGINT)
+          |ELSE (tq - qps) div (tn - n_docs) END""".stripMargin)
+          .as("loo_mean_qp"),
+        expr("""CASE WHEN tn = n_docs THEN CAST(NULL AS BIGINT)
+          |ELSE (tq - qps) div (tn - n_docs) - tq div tn END"""
+          .stripMargin).as("delta_qp"))
+      .orderBy("source")
+  }
+
+  private val sourceAblationSql: String =
+    """WITH q AS (
+      |  SELECT source,
+      |    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+      |        BETWEEN 30 AND 120 THEN 500 ELSE 0 END
+      |    + CASE WHEN length(' ' || text || ' ')
+      |        - length(replace(' ' || text || ' ', ' the ', '')) >= 5
+      |      THEN 500 ELSE 0 END AS qp
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(qp) AS BIGINT) AS qps
+      |  FROM q GROUP BY source),
+      |t AS (SELECT SUM(n_docs) AS tn, SUM(qps) AS tq FROM s)
+      |SELECT source, n_docs,
+      |  CAST(qps // n_docs AS BIGINT) AS mean_qp,
+      |  CAST(CASE WHEN tn = n_docs THEN NULL
+      |    ELSE (tq - qps) // (tn - n_docs) END AS BIGINT) AS loo_mean_qp,
+      |  CAST(CASE WHEN tn = n_docs THEN NULL
+      |    ELSE (tq - qps) // (tn - n_docs) - tq // tn END AS BIGINT)
+      |    AS delta_qp
+      |FROM s, t ORDER BY source""".stripMargin
+
   /** q321 body: pairwise TOTAL-VARIATION distance between per-source
     * token distributions — the drift metric q201's TF-cosine is not:
     * cosine compares unnormalized direction (a source twice as long
@@ -1051,6 +1116,9 @@ object CorpusStatsOps {
 
     QueryDef("q321_source_tvd", Some(sourceTvdSql),
       (spark, dir) => sourceTvd(t(spark, dir, "documents"))),
+
+    QueryDef("q325_source_ablation", Some(sourceAblationSql),
+      (spark, dir) => sourceAblation(t(spark, dir, "documents"))),
 
     QueryDef("q201_source_similarity", Some(sourceSimilaritySql),
       (spark, dir) => sourceSimilarity(t(spark, dir, "documents"))),

@@ -250,7 +250,10 @@ object ScaleRehearsal {
     "q323_consistent_hash",
     // minhash calibration: q24's bucket-bounded candidate pairs +
     // row-local est/true array arithmetic + a <=21-key census
-    "q324_minhash_calibration")
+    "q324_minhash_calibration",
+    // LOO source ablation: one per-source shuffle; all ablations from
+    // one pass of partial sums
+    "q325_source_ablation")
 
   private val OFFSET = 10000000L
 

@@ -516,4 +516,28 @@ class RelationalCorpusSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(2))).toMap
     assert(masses("A") === 3L)
   }
+
+  test("source ablation: the dragging source is exposed by its LOO delta") {
+    import graft.ops.CorpusStatsOps
+    // source G: 2 docs at full quality (len in band + ' the ' present,
+    // qp = 1000); source B: 2 docs failing both gates (qp = 0).
+    // Overall mean = 2000/4 = 500. LOO(G) = 0/2 = 0 (delta −500: drop
+    // G and quality collapses); LOO(B) = 2000/2 = 1000 (delta +500:
+    // drop B and quality jumps) — the surgery signal, hand-computed.
+    val good = ("w " * 20 + "the " + "w " * 20).trim // 41 tokens, has ' the '
+    val bad = "short text only"                       // 3 tokens, no gate
+    val docs = Seq(
+      (1L, "G", good), (2L, "G", good),
+      (3L, "B", bad), (4L, "B", bad))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStatsOps.sourceAblation(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("G") === ((2L, 1000L, 0L, -500L)), s"good source: $out")
+    assert(out("B") === ((2L, 0L, 1000L, 500L)), s"bad source: $out")
+    // single-source edge: LOO undefined, NULL not a crash
+    val solo = CorpusStatsOps.sourceAblation(
+      Seq((1L, "X", good)).toDF("doc_id", "source", "text")).collect()
+    assert(solo.length === 1 && solo.head.isNullAt(3) && solo.head.isNullAt(4))
+  }
 }
