@@ -48,18 +48,20 @@ object StreamingCentroidAssign {
       .cache()
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(landingDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        EmbedStatsOps.assignToCentroids(
-            EmbedStatsOps.quantElems(batch), centN)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamCacheCleanup.onTermination(
+      reader
+        .parquet(landingDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          EmbedStatsOps.assignToCentroids(
+              EmbedStatsOps.quantElems(batch), centN)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start(),
+      centN)
   }
 }

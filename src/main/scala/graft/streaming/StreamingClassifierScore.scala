@@ -47,17 +47,19 @@ object StreamingClassifierScore {
     weights.count(); trained.count() // train once, not per micro-batch
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(landingDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        VocabModelOps.inferP4(batch, weights, trained)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamCacheCleanup.onTermination(
+      reader
+        .parquet(landingDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          VocabModelOps.inferP4(batch, weights, trained)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start(),
+      weights, trained)
   }
 }

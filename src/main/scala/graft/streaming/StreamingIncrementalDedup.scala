@@ -46,17 +46,19 @@ object StreamingIncrementalDedup {
     // force several micro-batches (each joining the shared bucket
     // relation independently) instead of one catch-all batch
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(landingDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        DedupOps.incrementalAssignAgainst(buckets, batch)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    StreamCacheCleanup.onTermination(
+      reader
+        .parquet(landingDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          DedupOps.incrementalAssignAgainst(buckets, batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start(),
+      buckets)
   }
 }

@@ -34,6 +34,15 @@ object OracleGen {
     val only = if (args.length > 2)
       Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
     else None
+    // fail fast on typos: a silently-ignored unknown name would exit
+    // success having regenerated NOTHING, leaving a stale golden that
+    // looks freshly refreshed (ADVICE r12)
+    only.foreach { o =>
+      val unknown = o -- targets.toSet
+      require(unknown.isEmpty,
+        s"unknown golden target(s): ${unknown.toSeq.sorted.mkString(",")}" +
+          s" — known: ${targets.mkString(",")}")
+    }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

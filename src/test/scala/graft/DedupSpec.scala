@@ -216,8 +216,9 @@ class DedupSpec extends SparkSpec {
     ).toDF("a", "b")
     val (labels, _) = DedupOps.starComponentsWithRounds(edges)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(5L -> 3L, 9L -> 3L, 21L -> 20L, 22L -> 20L),
-      s"components must close on their minima: $got")
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L),
+      s"components must close on their minima, centers self-labeled: $got")
   }
 
   test("q308 star clusters equal q51 label-propagation clusters on the corpus") {
