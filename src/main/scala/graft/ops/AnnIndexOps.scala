@@ -1,0 +1,270 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** ANN index BUILD/SERVE split (VERDICT r12 #1): the production FAISS
+  * shape that q303/q309 deliberately conflated. Those queries refit
+  * centroids AND codebooks inline on every invocation — the right plan
+  * for a one-shot query, the wrong amortization for a serving path. At
+  * 100 TB the IVFADC build (k-means + per-subspace Lloyd over the
+  * corpus) is an hours-long batch job run ONCE, and every query after
+  * it must touch only the stored index: the probed cells' code lists,
+  * the m·k codebook, and the `nlist` centroids.
+  *
+  * Storage layout (all managed parquet tables, the K1/q62 doctrine):
+  *
+  *   {prefix}_centroids  (cell, cv)            — nlist rows, broadcast
+  *   {prefix}_codebooks  (sub, code, cv)       — m·k rows, broadcast
+  *   {prefix}_codes      (vec_id, sub, code)   partitioned BY CELL,
+  *   {prefix}_vectors    (vec_id, v)           partitioned BY CELL,
+  *                        both bucketed (vec_id) within each cell
+  *
+  * Partitioning by cell makes each directory EXACTLY one FAISS inverted
+  * list: a query probing `probes` of `nlist` cells plans a scan whose
+  * PartitionFilters prune to the probed directories — at a production
+  * nlist probed at 1-10%, the serve reads 1-10% of the index, never the
+  * corpus. The within-cell vec_id bucketing co-locates the rerank
+  * fetches (point lookups by vec_id prune to one bucket file). The raw
+  * vectors ride in the index (partitioned the same way) because the
+  * exact rerank is part of the serve contract — FAISS's refine storage.
+  *
+  * Serve results are BYTE-IDENTICAL to [[SimilarityOps.ivfPqResidualTopK]]
+  * at the same parameters (doubles round-trip parquet exactly; decimal
+  * ADC sums are order-independent), so q326 is graded against q309's OWN
+  * golden — the q308/q316 shared-oracle convention — and AnnIndexSpec
+  * pins stored == inline plus the reads-only-index-tables plan shape.
+  */
+object AnnIndexOps {
+
+  final case class IndexTables(centroids: String, codebooks: String,
+      codes: String, vectors: String)
+
+  def tables(prefix: String): IndexTables = IndexTables(
+    s"${prefix}_centroids", s"${prefix}_codebooks",
+    s"${prefix}_codes", s"${prefix}_vectors")
+
+  /** DROP + location delete before Overwrite — Overwrite can't reclaim a
+    * location the (fresh in-memory) catalog never registered; the same
+    * reset as q42/q55/q62.
+    */
+  private def reset(spark: SparkSession, tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+  }
+
+  /** The residual-quantizing encode shared by build (whole corpus) and
+    * append (new batch): assign each vector to its nearest FIXED
+    * centroid, quantize the residual x − centroid against the FIXED
+    * codebooks. Returns (codes (vec_id, sub, code, cell),
+    * vectors (vec_id, v, cell)).
+    */
+  private def encodeAgainst(vecs: DataFrame, centroids: DataFrame,
+      books: DataFrame, m: Int, dim: Int): (DataFrame, DataFrame) = {
+    val assigned = SimilarityOps.nearestCells(
+      vecs.select(col("vec_id"), col("v")), "vec_id", "v", centroids, 1)
+    val resid = assigned.join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("v"),
+        expr("zip_with(v, cv, (p, q) -> p - q)").as("rv"))
+    val codes = SimilarityOps.assignCodes(
+        SimilarityOps.subVectors(
+          resid.select(col("vec_id"), col("rv").as("v")),
+          "vec_id", "v", m, dim / m),
+        books)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    (codes, resid.select(col("vec_id"), col("v"), col("cell")))
+  }
+
+  /** BUILD: fit the coarse quantizer and the residual PQ codebooks once
+    * (byte-identical arithmetic to q309's inline fit — seeded k-means,
+    * decimal-exact Lloyd means), encode every vector, and persist the
+    * four index tables. The expensive part of IVFADC, amortized over
+    * every serve after it.
+    */
+  def buildResidualIndex(spark: SparkSession, corpus: DataFrame,
+      prefix: String, cells: Int = 16, iters: Int = 2, m: Int = 8,
+      k: Int = 16, dim: Int = 64, buckets: Int = 4): IndexTables = {
+    val tn = tables(prefix)
+    // build-side checkpoints at the natural cut points (a production
+    // build would persist these to durable storage anyway): without
+    // them every Lloyd round of the codebook fit REPLAYS the
+    // cell-assignment aggregate through the resid lineage
+    val centroids = SimilarityOps.fitCentroids(corpus, cells, iters)
+      .localCheckpoint()
+    val assigned = SimilarityOps.nearestCells(
+        corpus.select(col("vec_id"), col("v")), "vec_id", "v", centroids, 1)
+      .localCheckpoint() // consumed by resid + the vectors table write
+    val resid = assigned.join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, cv, (p, q) -> p - q)").as("v"))
+      .localCheckpoint() // consumed by every Lloyd round + the encode
+    val books = SimilarityOps.pqCodebooks(
+      resid.select(col("vec_id"), col("v")), m, k, iters, dim)
+    Seq(tn.centroids, tn.codebooks, tn.codes, tn.vectors)
+      .foreach(reset(spark, _))
+    centroids.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(tn.centroids)
+    books.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(tn.codebooks)
+    val codes = SimilarityOps.assignCodes(
+        SimilarityOps.subVectors(resid.select(col("vec_id"), col("v")),
+          "vec_id", "v", m, dim / m),
+        spark.table(tn.codebooks))
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val vecs = assigned.select(col("vec_id"), col("v"), col("cell"))
+    // repartition on the BUCKET key with the bucket count (the q103
+    // layout recipe): each task owns one bucket across all cell
+    // directories -> cells x buckets files, no small-file explosion
+    codes.repartition(buckets, col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(tn.codes)
+    vecs.repartition(buckets, col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(tn.vectors)
+    tn
+  }
+
+  /** APPEND (the q73 incremental doctrine applied to ANN): index a new
+    * vector batch against the FROZEN coarse quantizer and codebooks —
+    * assign to cells, encode residuals, append to the codes/vectors
+    * tables (bucket spec preserved). Centroids and codebooks are never
+    * touched: appending is O(batch), and the price is drift — fat cells
+    * when the new data shifts — which [[indexCellCensus]] watches.
+    */
+  def appendToIndex(spark: SparkSession, batch: DataFrame, prefix: String,
+      m: Int = 8, dim: Int = 64, buckets: Int = 4): Unit = {
+    val tn = tables(prefix)
+    val (codes, vecs) = encodeAgainst(batch, spark.table(tn.centroids),
+      spark.table(tn.codebooks), m, dim)
+    codes.repartition(buckets, col("vec_id"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(tn.codes)
+    vecs.repartition(buckets, col("vec_id"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(tn.vectors)
+  }
+
+  /** Post-append drift guard — the q313 fat-cell census applied to the
+    * STORED index: per-cell population plus the fat flag (≥ 2× the mean
+    * cell population, q313's bar). The signal that schedules a rebuild
+    * or a fat-cell split when appended batches shift the distribution
+    * the frozen centroids were fit on.
+    */
+  def indexCellCensus(spark: SparkSession, prefix: String): DataFrame = {
+    val tn = tables(prefix)
+    val pops = spark.table(tn.vectors)
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val mean = pops.agg(
+      (sum(col("n_vectors")) / count(lit(1))).as("mean_pop"))
+    pops.crossJoin(broadcast(mean))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors") >= lit(2) * col("mean_pop")).as("fat"))
+      .orderBy("cell")
+  }
+
+  /** SERVE: answer top-k from the STORED index with NO refit — the
+    * milliseconds path of the build/serve split. The plan reads only
+    * index tables: centroids + codebooks broadcast, the codes/vectors
+    * scans partition-pruned to the probed cells (`isin` over the probed
+    * cell list — O(probes·|queries|) ≤ nlist driver-side metadata, the
+    * LayoutOps manifest convention, documented and bounded). Everything
+    * downstream is q309's arithmetic verbatim: per-(q, cell) residual
+    * LUTs, decimal ADC sums, constant shortlist, exact cosine rerank.
+    */
+  def serveTopK(spark: SparkSession, queries: DataFrame, prefix: String,
+      topK: Int = 5, probes: Int = 8, shortlist: Int = 100, m: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist must cover topK $topK")
+    val tn = tables(prefix)
+    val subDim = dim / m
+    val centroids = spark.table(tn.centroids)
+    val books = spark.table(tn.codebooks)
+    val queryCells = SimilarityOps.nearestCells(
+      queries, "q_id", "qv", centroids, probes)
+    // probed-cell list: <= nlist ints of driver metadata, never data —
+    // literal IN over the partition column is what turns the codes scan
+    // into "read only the probed inverted lists" (PartitionFilters)
+    val probed = queryCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val qResid = queryCells.join(broadcast(centroids), Seq("cell"))
+      .select(col("q_id"), col("cell"),
+        expr("zip_with(qv, cv, (p, q) -> p - q)").as("qrv"))
+    val lut = qResid
+      .select(col("q_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(qrv, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "qsv")))
+      .join(books, Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"), col("code"),
+        SimilarityOps.l2sq("qsv", "cv").as("qdist"))
+    // codes carry their cell (one cell per vector), so routing is a
+    // map-side broadcast join against the pruned scan — no vec_id
+    // shuffle before the ADC aggregate
+    val codes = spark.table(tn.codes).where(col("cell").isin(probed: _*))
+    val adist = codes
+      .join(broadcast(queryCells.select(col("q_id"), col("cell"))),
+        Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "cell", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("qdist").cast("decimal(30,15)")).as("adist"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val short = adist.withColumn("rnk", row_number().over(ws))
+      .where(col("rnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // shortlist members live in probed cells by construction, so the
+    // rerank fetch prunes to the same directories
+    val vecs = spark.table(tn.vectors).where(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("v"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short
+      .join(vecs, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("sim", SimilarityOps.cosine("qv", "v"))
+      .withColumn("rnk", row_number().over(wr))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Build once, serve from the stored index with no refit. Graded
+    // against q309's OWN golden (the q308/q316 shared-oracle
+    // convention): the persistence layer must not move a single row.
+    QueryDef("q326_ann_serve", literalOracle("q309_ivf_pq_residual"),
+      (spark, dir) => {
+        val v = SimilarityOps.vectors(spark, dir)
+        buildResidualIndex(spark, v, "graft_ann")
+        serveTopK(spark, SimilarityOps.queriesOf(v, 20), "graft_ann")
+      }),
+
+    // Incremental index maintenance: build on the base slice, append
+    // the delta against the FROZEN centroids/codebooks, serve from the
+    // grown index. Deterministic (frozen fit + decimal sums) -> literal
+    // golden; AnnIndexSpec pins that the append leaves centroids and
+    // codebooks byte-identical, that appended vectors are discoverable,
+    // and the fat-cell drift census fires on a planted shifted batch.
+    QueryDef("q330_ann_append", literalOracle("q330_ann_append"),
+      (spark, dir) => {
+        val v = SimilarityOps.vectors(spark, dir)
+        val base = v.where(col("vec_id") % 5 =!= 0)
+        val delta = v.where(col("vec_id") % 5 === 0)
+        buildResidualIndex(spark, base, "graft_annincr")
+        appendToIndex(spark, delta, "graft_annincr")
+        serveTopK(spark, SimilarityOps.queriesOf(v, 20), "graft_annincr")
+      }))
+}

@@ -235,7 +235,7 @@ object SimilarityOps {
   /** n nearest centroid cells per row of `df`, by cosine; argmax
     * aggregate for n=1, bounded window otherwise.
     */
-  private def nearestCells(df: DataFrame, idCol: String, vcol: String,
+  private[ops] def nearestCells(df: DataFrame, idCol: String, vcol: String,
       centroids: DataFrame, n: Int): DataFrame = {
       val withSim = df.join(broadcast(centroids))
         .withColumn("csim", cosine(vcol, "cv"))
@@ -270,7 +270,7 @@ object SimilarityOps {
     * at sf0.1, but bounds plan depth at any iteration count). Shared by
     * [[ivfTopK]] and [[semDedup]].
     */
-  private def fitCentroids(corpus: DataFrame, cells: Int, iters: Int): DataFrame = {
+  private[ops] def fitCentroids(corpus: DataFrame, cells: Int, iters: Int): DataFrame = {
     var centroids = corpus.where(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
       .cache()
@@ -481,7 +481,7 @@ object SimilarityOps {
     ).toDF("vec_id", "v")
   }
 
-  private def queriesOf(v: DataFrame, n: Int): DataFrame =
+  private[ops] def queriesOf(v: DataFrame, n: Int): DataFrame =
     v.where(col("vec_id") < n).select(col("vec_id").as("q_id"), col("v").as("qv"))
 
   /** Scale-proportional dense lobe for q313: a 20% shifted replica of
@@ -660,12 +660,12 @@ object SimilarityOps {
     * the [[cosineHof]] doctrine: same fold order on every engine and
     * every partitioning, so distances are bit-stable.
     */
-  private def l2sq(a: String, b: String): Column = expr(
+  private[ops] def l2sq(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
   /** Explode a vector column into its `m` row-local subvectors. */
-  private def subVectors(df: DataFrame, idCol: String, vCol: String,
+  private[ops] def subVectors(df: DataFrame, idCol: String, vCol: String,
       m: Int, subDim: Int): DataFrame =
     df.select(col(idCol), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice($vCol, s * $subDim + 1, $subDim))"))
@@ -675,7 +675,7 @@ object SimilarityOps {
     * argmin by the deterministic (dist, code) struct order. Keeps the
     * subvector alongside for the Lloyd means.
     */
-  private def assignCodes(sv: DataFrame, books: DataFrame): DataFrame =
+  private[ops] def assignCodes(sv: DataFrame, books: DataFrame): DataFrame =
     sv.join(broadcast(books), Seq("sub"))
       .withColumn("dist", l2sq("sv", "cv"))
       .groupBy("vec_id", "sub")

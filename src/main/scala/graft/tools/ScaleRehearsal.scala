@@ -253,7 +253,14 @@ object ScaleRehearsal {
     "q324_minhash_calibration",
     // LOO source ablation: one per-source shuffle; all ablations from
     // one pass of partial sums
-    "q325_source_ablation")
+    "q325_source_ablation",
+    // round 13: ANN build/serve split — the measured cost is the BUILD
+    // (q309's fit, amortized in production); the serve reads only the
+    // probed cells' index partitions
+    "q326_ann_serve",
+    // incremental ANN append: O(batch) encode against the frozen
+    // centroids/codebooks + the same partition-pruned serve
+    "q330_ann_append")
 
   private val OFFSET = 10000000L
 

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndexOps, SimilarityOps}
+
+/** ANN index build/serve split (q326) + incremental append (q330):
+  * stored-index serve must be byte-identical to the inline-fit q309
+  * plan, the serve side must READ ONLY THE INDEX TABLES (partition-
+  * pruned to the probed cells), and appending must leave the frozen
+  * centroids/codebooks untouched while making the new vectors
+  * discoverable.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus: DataFrame = SimilarityOps.vectors(spark, sf)
+  private def queries(n: Int): DataFrame =
+    corpus.where(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  test("q326 stored-index serve == inline-fit q309, byte-identical") {
+    val v = corpus
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_annspec")
+    val stored = AnnIndexOps.serveTopK(spark, queries(20), "graft_annspec")
+      .collect().toSeq
+    val inline = SimilarityOps.ivfPqResidualTopK(v, queries(20))
+      .collect().toSeq
+    assert(stored === inline,
+      "the persistence layer must not move a single row vs the inline fit")
+  }
+
+  test("serve is repeatable from the stored index (no refit, no mutation)") {
+    // build once in the test above or here; serve twice must agree
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec2")
+    val a = AnnIndexOps.serveTopK(spark, queries(10), "graft_annspec2")
+      .collect().toSeq
+    val b = AnnIndexOps.serveTopK(spark, queries(10), "graft_annspec2")
+      .collect().toSeq
+    assert(a === b, "two serves against the same stored index must agree")
+  }
+
+  test("serve plan reads ONLY index tables, partition-pruned to probed cells") {
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec3")
+    // local (in-memory) query frame: every FILE scan in the serve plan
+    // must then be an index table — a corpus scan would mean a refit
+    val qLocal = queries(10).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("q_id", "qv")
+    val served = AnnIndexOps.serveTopK(spark, qLocal, "graft_annspec3",
+      probes = 3)
+    // AQE wraps the plan in an AdaptiveSparkPlan leaf, so match the
+    // FileScan LINES of the full plan string instead of collectLeaves
+    val scans = served.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, "expected file scans over the index tables")
+    assert(scans.forall(_.contains("graft_annspec3_")),
+      s"serve must scan only index tables, got:\n${scans.mkString("\n")}")
+    // the codes/vectors scans must carry a cell partition filter (the
+    // probed-inverted-lists read) — 3 probes over 16 cells prunes
+    val pruned = scans.filter(s =>
+      s.contains("_codes") || s.contains("_vectors"))
+    assert(pruned.nonEmpty, "expected codes/vectors scans")
+    assert(pruned.forall(s => s.contains("PartitionFilters: [cell")),
+      s"codes/vectors scans must partition-prune on cell:\n${pruned.mkString("\n")}")
+    // and the result itself is sane
+    assert(served.count() > 0)
+  }
+
+  test("q330 append freezes centroids+codebooks and finds appended vectors") {
+    val v = corpus
+    val base = v.where(col("vec_id") % 5 =!= 0)
+    val delta = v.where(col("vec_id") % 5 === 0)
+    AnnIndexOps.buildResidualIndex(spark, base, "graft_annspec4")
+    val centBefore = spark.table("graft_annspec4_centroids")
+      .orderBy("cell").collect().toSeq
+    val booksBefore = spark.table("graft_annspec4_codebooks")
+      .orderBy("sub", "code").collect().toSeq
+    val nBefore = spark.table("graft_annspec4_vectors").count()
+    AnnIndexOps.appendToIndex(spark, delta, "graft_annspec4")
+    assert(spark.table("graft_annspec4_centroids").orderBy("cell")
+      .collect().toSeq === centBefore,
+      "append must not refit the coarse quantizer")
+    assert(spark.table("graft_annspec4_codebooks").orderBy("sub", "code")
+      .collect().toSeq === booksBefore,
+      "append must not refit the codebooks")
+    assert(spark.table("graft_annspec4_vectors").count() ===
+      nBefore + delta.count(), "appended vectors must land in the index")
+    // discoverability: plant an exact twin of an indexed base vector,
+    // append it, and the serve top-1 for that query must be the twin
+    // (cosine 1.0 beats every other candidate; the twin shares the
+    // query's cell by construction)
+    val anchor = v.where(col("vec_id") === 1L)
+      .select(col("vec_id"), col("v")).collect().head
+    val twin = Seq((9100000001L, anchor.getSeq[Double](1)))
+      .toDF("vec_id", "v")
+    AnnIndexOps.appendToIndex(spark, twin, "graft_annspec4")
+    val q = Seq((1L, anchor.getSeq[Double](1))).toDF("q_id", "qv")
+    val top1 = AnnIndexOps.serveTopK(spark, q, "graft_annspec4", topK = 1)
+      .collect().head.getLong(2)
+    assert(top1 === 9100000001L,
+      s"the appended exact twin must serve as top-1, got $top1")
+  }
+
+  test("fat-cell drift census fires on a planted shifted batch") {
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec5")
+    val before = AnnIndexOps.indexCellCensus(spark, "graft_annspec5")
+      .where(col("fat")).count()
+    // a tight planted lobe, all landing in one cell: 3x the corpus mass
+    // concentrated near e0 (the q313 denseLobe shape, amplified)
+    val shifted = corpus
+      .crossJoin(spark.range(3).select(col("id").as("copy")))
+      .select((col("vec_id") + lit(9200000000L) + col("copy") * lit(1000000L))
+        .as("vec_id"),
+        expr("transform(v, (x, i) -> 0.05D * x + IF(i = 0, 0.95D, 0D))")
+          .as("v"))
+    AnnIndexOps.appendToIndex(spark, shifted, "graft_annspec5")
+    val after = AnnIndexOps.indexCellCensus(spark, "graft_annspec5")
+    val fatAfter = after.where(col("fat")).count()
+    assert(fatAfter >= 1,
+      s"a 3x concentrated appended lobe must trip the fat flag: ${after.collect().mkString(",")}")
+    assert(fatAfter >= before,
+      "the drift census must not lose fat cells after the shifted append")
+  }
+}
