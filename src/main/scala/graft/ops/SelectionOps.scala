@@ -311,6 +311,114 @@ object SelectionOps {
       .orderBy(col("selected").desc)
   }
 
+  /** q327 body: the q320 budget knapsack re-priced in REAL tokenizer
+    * tokens (VERDICT r12 #3) — quality per BPE token instead of per
+    * whitespace word. Whitespace counts misprice documents whose words
+    * fragment under the tokenizer (rare/long words cost several BPE
+    * tokens each; boilerplate-heavy words that made the merge table
+    * cost one), and a token budget is what an LLM training run
+    * actually buys. The per-doc BPE token count is q217's application
+    * doctrine: tokenizing a corpus is a JOIN — the merge loop already
+    * produced the final tokenization of every DISTINCT word, so the
+    * per-doc count is the word stream equi-joined to that broadcast
+    * vocabulary (KBs at any corpus scale, Heaps-law sublinear) and
+    * summed per doc. No per-document re-derivation of the merges.
+    *
+    * Selection then follows q320's exact two-phase shape on the
+    * rebased density rprm = score·1000 div (10⁶·bpe_toks) (≤ 1000,
+    * since every word is ≥ 1 BPE token and weights are ≤ 10⁶ per
+    * distinct word): bounded density grid, wholesale buckets, only the
+    * straddler resolved per-doc. Budget = corpus BPE tokens div 10.
+    * Census mirrors q320 with the token masses in BPE tokens.
+    */
+  def bpeBudgetSelect(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (vocab, _) = VocabModelOps.bpeRounds(docs, rounds)
+    val words = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val bpe = words
+      .join(broadcast(vocab.select(col("w"), size(col("toks")).as("wt"))),
+        Seq("w"))
+      .groupBy("doc_id").agg(sum(col("wt")).cast("long").as("bpe_toks"))
+    val s = VocabModelOps.classifierScores(docs)
+      .select(col("doc_id"), col("score"))
+      .join(bpe, Seq("doc_id"))
+      .withColumn("rprm", expr("score * 1000 div (1000000 * bpe_toks)"))
+      .localCheckpoint() // bucket agg + straddle resolve share the scan
+    val tot = s.agg(expr("sum(bpe_toks) div 10").as("budget"))
+    val wD = Window.orderBy(col("rprm").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = s.groupBy("rprm")
+      .agg(sum(col("bpe_toks")).as("ts"))
+      .crossJoin(broadcast(tot))
+      .withColumn("before", coalesce(sum(col("ts")).over(wD), lit(0L)))
+      .select(col("rprm"), col("ts"), col("before"), col("budget"))
+    val withB = s.join(broadcast(buckets), Seq("rprm"))
+    val wholesale = withB
+      .where(col("before") + col("ts") <= col("budget") ||
+        col("before") >= col("budget"))
+      .withColumn("selected", col("before") + col("ts") <= col("budget"))
+    val wIn = Window.partitionBy("rprm").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val straddle = withB
+      .where(col("before") < col("budget") &&
+        col("before") + col("ts") > col("budget"))
+      .withColumn("selected",
+        col("before") + sum(col("bpe_toks")).over(wIn) <= col("budget"))
+    wholesale.unionByName(straddle)
+      .groupBy("selected")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe_toks")).as("bpe_tokens"),
+        sum(col("score")).as("score_sum"),
+        when(max(col("selected")), min(col("rprm")))
+          .otherwise(max(col("rprm"))).as("boundary_rprm"))
+      .orderBy(col("selected").desc)
+  }
+
+  // The oracle replays the 3-round merge chain (the q217 SQL, shared
+  // via bpeChainSql), prices every doc in BPE tokens through the same
+  // vocabulary join, and checks the census against the NAIVE global
+  // prefix window — the semantics the two-phase plan must reproduce.
+  private val bpeBudgetSql: String =
+    s"""WITH ${VocabModelOps.bpeChainSql(3)},
+      |dwords AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE w <> ''),
+      |bpe AS (
+      |  SELECT dwords.doc_id, CAST(SUM(len(v3.toks)) AS BIGINT) AS bpe_toks
+      |  FROM dwords JOIN v3 ON v3.w = dwords.w GROUP BY dwords.doc_id),
+      |doc_tokens AS (
+      |  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |toks AS (SELECT * FROM doc_tokens WHERE tok <> ''),
+      |weights AS (
+      |  SELECT tok,
+      |    SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000
+      |      // COUNT(*) AS w
+      |  FROM toks GROUP BY tok),
+      |scored AS (
+      |  SELECT t.doc_id, SUM(w.w) AS score
+      |  FROM toks t JOIN weights w ON t.tok = w.tok
+      |  GROUP BY 1),
+      |r AS (SELECT scored.doc_id, scored.score, bpe.bpe_toks,
+      |    scored.score * 1000 // (1000000 * bpe.bpe_toks) AS rprm
+      |  FROM scored JOIN bpe ON scored.doc_id = bpe.doc_id),
+      |b AS (SELECT CAST(SUM(bpe_toks) // 10 AS BIGINT) AS budget FROM r),
+      |o AS (SELECT r.*, b.budget,
+      |    SUM(bpe_toks) OVER (ORDER BY rprm DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM r, b)
+      |SELECT cum <= budget AS selected,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens,
+      |  CAST(SUM(score) AS BIGINT) AS score_sum,
+      |  CAST(CASE WHEN cum <= budget THEN MIN(rprm) ELSE MAX(rprm) END
+      |    AS BIGINT) AS boundary_rprm
+      |FROM o GROUP BY 1 ORDER BY selected DESC""".stripMargin
+
   private val budgetSelectSql: String =
     """WITH doc_tokens AS (
       |  SELECT DISTINCT doc_id, lang = 'en' AS is_en,
@@ -345,6 +453,9 @@ object SelectionOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q320_budget_select", Some(budgetSelectSql),
       (spark, dir) => budgetSelect(t(spark, dir, "documents"))),
+
+    QueryDef("q327_bpe_budget", Some(bpeBudgetSql),
+      (spark, dir) => bpeBudgetSelect(t(spark, dir, "documents"))),
 
     QueryDef("q295_dsir_weights", Some(dsirSql),
       (spark, dir) => dsirWeights(t(spark, dir, "documents"))),

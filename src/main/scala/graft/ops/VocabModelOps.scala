@@ -116,7 +116,7 @@ object VocabModelOps {
     * round). q180 grades the merges; q217 applies the final vocabulary
     * back to the corpus.
     */
-  private def bpeRounds(docs: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def bpeRounds(docs: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, "bpeRounds: need at least one round")
     var vocab = docs.where(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -187,7 +187,7 @@ object VocabModelOps {
   // to Spark's ''-seeded fold (the first CASE arm only seeds the
   // accumulator). Tokens never contain spaces, so the ends_with tail
   // check detects exactly the token boundary.
-  private def bpeChainSql(rounds: Int): String = {
+  private[ops] def bpeChainSql(rounds: Int): String = {
     def round(i: Int): String = {
       val prev = s"v${i - 1}"
       s"""p$i AS (

@@ -254,6 +254,11 @@ object ScaleRehearsal {
     // LOO source ablation: one per-source shuffle; all ablations from
     // one pass of partial sums
     "q325_source_ablation",
+    // BPE-token budget selection: q217's broadcast-vocabulary pricing
+    // join + q320's bounded density grid; the merge loop is vocab-
+    // bounded (per-copy token suffixes grow it 10x — q52's arithmetic,
+    // bar 15 like q180/q217)
+    "q327_bpe_budget",
     // round 13: ANN build/serve split — the measured cost is the BUILD
     // (q309's fit, amortized in production); the serve reads only the
     // probed cells' index partitions
@@ -315,6 +320,9 @@ object ScaleRehearsal {
       "q167_longest_shared_span" -> 25.0, "q180_bpe_merges" -> 15.0,
       "q184_ngram_novelty" -> 15.0, "q190_phrase_match" -> 15.0,
       "q217_bpe_encode" -> 15.0,
+      // q327 rides the same BPE merge loop + vocabulary pricing join
+      // as q217 (fixture vocabulary grows 10x, Heaps-law superlinear).
+      "q327_bpe_budget" -> 15.0,
       // q172 (TPC-H Q18 shape) aggregates on l_orderkey — a key whose
       // cardinality IS the fact table, so the grouped relation grows
       // 10x with 10x data and the honest ratio sits near linear (its

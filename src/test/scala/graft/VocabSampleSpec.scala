@@ -287,6 +287,87 @@ class VocabSampleSpec extends SparkSpec {
       s"degenerate budget fixture: $out")
   }
 
+  test("bpe budget: two-phase bucket plan equals the naive global prefix") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.SelectionOps.bpeBudgetSelect(docs).collect()
+      .map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // naive: per-doc BPE counts via the same vocabulary join, then ONE
+    // global window over (rprm desc, doc_id)
+    val (vocab, _) = graft.ops.VocabModelOps.bpeRounds(docs, 3)
+    val words = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val bpe = words
+      .join(broadcast(vocab.select(col("w"), size(col("toks")).as("wt"))),
+        Seq("w"))
+      .groupBy("doc_id").agg(sum(col("wt")).cast("long").as("bpe_toks"))
+    val s = graft.ops.VocabModelOps.classifierScores(docs)
+      .select(col("doc_id"), col("score"))
+      .join(bpe, Seq("doc_id"))
+      .withColumn("rprm", expr("score * 1000 div (1000000 * bpe_toks)"))
+    val budget = s.agg(expr("sum(bpe_toks) div 10")).collect().head.getLong(0)
+    val w = Window.orderBy(col("rprm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = s.withColumn("cum", sum(col("bpe_toks")).over(w))
+      .withColumn("selected", col("cum") <= lit(budget))
+      .groupBy("selected")
+      .agg(count(lit(1)).as("n"), sum("bpe_toks").as("t"),
+        sum("score").as("sc"))
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (sel <- Seq(true, false)) {
+      assert(out(sel)._1 === naive(sel)._1 && out(sel)._2 === naive(sel)._2 &&
+        out(sel)._3 === naive(sel)._3,
+        s"two-phase drifted from naive at selected=$sel: ${out(sel)} vs ${naive(sel)}")
+    }
+    assert(out(true)._2 <= budget, "selected BPE token mass exceeds the budget")
+    assert(out(true)._1 > 0 && out(false)._1 > 0,
+      s"degenerate budget fixture: $out")
+  }
+
+  test("bpe budget: planted merges re-price what whitespace pricing cannot split") {
+    // Hand-computed merge sequence (weights = sum over word positions of
+    // word count): round 1 'a a' (18) -> aaaa = [aa,aa]; round 2 'aa aa'
+    // (6) -> aaaa = [aaaa]; round 3 'b b' (3) -> bbbb = [bb,bb]. So BPE
+    // costs: aaaa 1, bbbb 2, qrst/uvwx 4 (never merged), fillers 2/word.
+    //   doc 1 (en, 6x aaaa):     score 1e6 (one distinct token), bpe 6
+    //   doc 2 (en, qrst uvwx bbbb): score 3e6, bpe 10
+    //   docs 3-5 (de, 17 2-char fillers each, every character PAIR
+    //     globally unique so no filler pair outweighs the planted
+    //     merges): score 0, bpe 34 each
+    // WHITESPACE pricing (q320's distinct-token rprm) rates both en docs
+    // identically (1000 permille); BPE fertility splits them: doc 2 at
+    // 3000/10 = 300, doc 1 at 1000/6 = 166. Budget = 118 div 10 = 11:
+    // doc 2 wholesale-in (10 <= 11), doc 1 straddles and misses
+    // (10 + 6 > 11), fillers out.
+    def filler(p1: Char, p2: Char): String =
+      ((1 to 9).map(i => s"$p1$i") ++ (1 to 8).map(i => s"$p2$i"))
+        .mkString(" ")
+    val docs = Seq(
+      (1L, "en", "aaaa aaaa aaaa aaaa aaaa aaaa"),
+      (2L, "en", "qrst uvwx bbbb"),
+      (3L, "de", filler('c', 'd')),
+      (4L, "de", filler('e', 'f')),
+      (5L, "de", filler('g', 'h')))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ops.SelectionOps.bpeBudgetSelect(docs).collect()
+      .map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(true) === ((1L, 10L, 3000000L, 300L)),
+      s"selected must be exactly doc 2 at boundary 300: $out")
+    assert(out(false) === ((4L, 108L, 1000000L, 166L)),
+      s"rejected must be doc 1 + fillers at boundary 166: $out")
+    // the q320 whitespace pricing indeed cannot split the two en docs
+    val ws = graft.ops.VocabModelOps.classifierScores(docs)
+      .select(col("doc_id"),
+        expr("score * 1000 div (1000000 * n_toks)").as("rprm"))
+      .where(col("doc_id") <= 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ws(1L) === 1000L && ws(2L) === 1000L,
+      s"fixture drift: whitespace densities must tie at 1000: $ws")
+  }
+
   test("budget select: straddling density bucket splits by doc_id, hand-computed") {
     // All-English docs 1-3 carry TWO distinct vocab tokens each
     // (weights 1e6 — every x-token is pure-en), so each has density
