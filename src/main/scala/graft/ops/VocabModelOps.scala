@@ -870,7 +870,151 @@ object VocabModelOps {
       |ORDER BY epoch, feature""".stripMargin
   }
 
+  /** 6-bit-mantissa micro-bits log2 lookup: T[j] = round(10⁶·log2((64+j)/64))
+    * for j = 0..63. Computed ONCE on the JVM and embedded as the SAME
+    * literal list in the Spark expression and the DuckDB oracle — the
+    * q287/q291 "one literal list, no libm parity bet" doctrine applied
+    * to logarithms (ln()/log2() round differently across engines within
+    * 1 ulp; a shared literal table cannot).
+    */
+  private val log2MantissaMicro: Seq[Long] = (0 until 64).map(j =>
+    Math.round(1e6 * Math.log((64.0 + j) / 64.0) / Math.log(2.0)))
+
+  /** Exact-integer micro-bits log2 of a positive BIGINT column,
+    * quantized to 6 mantissa bits: with e = floor(log2(x)) recovered
+    * from the binary-string length (exact in both engines — no
+    * floating log) and m = the leading 7 bits normalized into
+    * [64, 127] (a pure shift: truncating for e > 6, EXACT for e ≤ 6),
+    *   L(x) = e·10⁶ + T[m − 64]  ≈  10⁶·log2(x),
+    * monotone non-decreasing, engine-identical, max error 2⁻⁶ bits
+    * ≈ 0.011 bits. The resolution a perplexity FILTER needs (bands are
+    * whole bits); the determinism a hash-graded oracle needs.
+    */
+  private def microLog2Spark(x: String): String = {
+    val t = log2MantissaMicro.mkString(",")
+    s"""(CAST(length(bin($x)) - 1 AS BIGINT) * 1000000L +
+       | element_at(array($t), CAST(
+       |   (CASE WHEN length(bin($x)) - 1 >= 6
+       |     THEN shiftright($x, length(bin($x)) - 7)
+       |     ELSE shiftleft($x, 7 - length(bin($x))) END) - 63 AS INT)))"""
+      .stripMargin
+  }
+
+  private def microLog2Duck(x: String): String = {
+    val t = log2MantissaMicro.mkString(",")
+    s"""(CAST(length(bin($x)) - 1 AS BIGINT) * 1000000 +
+       | ([$t])[(CASE WHEN length(bin($x)) - 1 >= 6
+       |   THEN $x >> (length(bin($x)) - 7)
+       |   ELSE $x << (7 - length(bin($x))) END) - 63])"""
+      .stripMargin
+  }
+
+  /** q328 body: word-bigram LM perplexity quality filter — the CCNet /
+    * Gopher signal production pipelines actually gate on (Wenzek et al.
+    * 2020 train a LM on trusted text and band documents by perplexity;
+    * this is that shape with the LM trained in-engine). Train an
+    * add-one-smoothed bigram model on the doc_id-even slice (q179's
+    * held-out split):
+    *
+    *   p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V),
+    *
+    * score every doc_id-odd document's length-normalized negative
+    * log2-likelihood in EXACT INTEGER MICRO-BITS via [[microLog2Spark]]
+    * (surprisal = L(den) − L(num), ≥ 0 since num ≤ den and L is
+    * monotone), and census by whole-bit perplexity band: gibberish
+    * (unseen bigrams) pays ~log2(V) bits per token, fluent text pays
+    * the model's compression rate. Documents with < 2 tokens have no
+    * bigrams and are out of scope (matching WHERE in both engines).
+    *
+    * Scale shape: bigram extraction is row-local; the model relations
+    * (c₁₂, c₁) are BIGRAM-VOCABULARY-bounded shuffles with partial
+    * aggregation (Heaps-law sublinear in a real corpus — the q122
+    * arithmetic); scoring is two vocab-keyed equi-joins plus a one-row
+    * V broadcast; the census shuffles one partial-agged row per
+    * (doc, band). No stage is corpus × corpus.
+    */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val toks = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("ws"))
+      .where(size(col("ws")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', element_at(ws, i),
+          |                    'w2', element_at(ws, CAST(i + 1 AS INT))))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bg.where(col("doc_id") % 2 === 0)
+    val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vv = toks.where(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bg.where(col("doc_id") % 2 === 1)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"),
+        (coalesce(col("c12"), lit(0L)) + 1L).as("num"),
+        (coalesce(col("c1"), lit(0L)) + col("v")).as("den"))
+      .select(col("doc_id"),
+        (expr(microLog2Spark("den")) - expr(microLog2Spark("num")))
+          .as("s"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(expr("sum(s) div count(1)").as("ppl"), count(lit(1)).as("n"))
+    perDoc
+      .groupBy(expr("ppl div 1000000").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_bigrams"),
+        min(col("ppl")).as("min_ppl_microbits"),
+        max(col("ppl")).as("max_ppl_microbits"))
+      .orderBy("band")
+  }
+
+  private val bigramPerplexitySql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+      |    AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |d2 AS (SELECT doc_id, ws FROM base WHERE len(ws) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(ws[1:len(ws) - 1]) AS w1,
+      |    unnest(ws[2:len(ws)]) AS w2
+      |  FROM d2),
+      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT unnest(ws) AS w FROM d2 WHERE doc_id % 2 = 0)),
+      |sc AS (
+      |  SELECT s.doc_id,
+      |    CAST(COALESCE(c12.c12, 0) + 1 AS BIGINT) AS num,
+      |    CAST(COALESCE(c1.c1, 0) + vv.v AS BIGINT) AS den
+      |  FROM bg s
+      |  LEFT JOIN c12 ON s.w1 = c12.w1 AND s.w2 = c12.w2
+      |  LEFT JOIN c1 ON s.w1 = c1.w1
+      |  CROSS JOIN vv
+      |  WHERE s.doc_id % 2 = 1),
+      |su AS (SELECT sc.doc_id,
+      |    ${microLog2Duck("sc.den")} - ${microLog2Duck("sc.num")} AS s
+      |  FROM sc),
+      |pd AS (SELECT su.doc_id,
+      |    CAST(SUM(su.s) // COUNT(*) AS BIGINT) AS ppl,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM su GROUP BY su.doc_id)
+      |SELECT CAST(pd.ppl // 1000000 AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(pd.n) AS BIGINT) AS n_bigrams,
+      |  CAST(MIN(pd.ppl) AS BIGINT) AS min_ppl_microbits,
+      |  CAST(MAX(pd.ppl) AS BIGINT) AS max_ppl_microbits
+      |FROM pd GROUP BY 1 ORDER BY band""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q328_bigram_perplexity", Some(bigramPerplexitySql),
+      (spark, dir) => bigramPerplexity(t(spark, dir, "documents"))),
+
     QueryDef("q301_classifier_train", Some(trainOracle),
       (spark, dir) => classifierTrain(t(spark, dir, "documents"))),
 

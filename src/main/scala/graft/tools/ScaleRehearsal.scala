@@ -259,6 +259,11 @@ object ScaleRehearsal {
     // bounded (per-copy token suffixes grow it 10x — q52's arithmetic,
     // bar 15 like q180/q217)
     "q327_bpe_budget",
+    // bigram-LM perplexity: row-local bigram explode, bigram-vocab-
+    // bounded model shuffles, two vocab-keyed scoring joins (the
+    // fixture's per-copy suffixes grow the bigram vocabulary 10x —
+    // q122/q241's arithmetic, bar 15)
+    "q328_bigram_perplexity",
     // round 13: ANN build/serve split — the measured cost is the BUILD
     // (q309's fit, amortized in production); the serve reads only the
     // probed cells' index partitions
@@ -323,6 +328,10 @@ object ScaleRehearsal {
       // q327 rides the same BPE merge loop + vocabulary pricing join
       // as q217 (fixture vocabulary grows 10x, Heaps-law superlinear).
       "q327_bpe_budget" -> 15.0,
+      // q328's model relations are bigram-vocabulary-bounded; the
+      // fixture's per-copy token suffixes grow that vocabulary 10x
+      // (q122/q241's arithmetic). Bar 15.
+      "q328_bigram_perplexity" -> 15.0,
       // q172 (TPC-H Q18 shape) aggregates on l_orderkey — a key whose
       // cardinality IS the fact table, so the grouped relation grows
       // 10x with 10x data and the honest ratio sits near linear (its

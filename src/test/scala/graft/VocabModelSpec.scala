@@ -208,4 +208,46 @@ class VocabModelSpec extends SparkSpec {
       "factored inference drifted from the graded inline pipeline")
     assert(factored.count() > 0)
   }
+
+  test("bigram perplexity: hand-computed exact micro-bits on one bigram") {
+    // train doc 0 "a b": c12(a,b) = 1, c1(a) = 1, V = 2. Scored doc 1
+    // "a b": num = 2, den = 3. In the 6-bit-mantissa table arithmetic:
+    // L(2) = 1e6 (e=1, mantissa 64 -> T[0] = 0), L(3) = 1e6 + T[32]
+    // where T[32] = round(1e6*log2(96/64)) = 584963. Surprisal =
+    // L(3) - L(2) = 584963 micro-bits over 1 bigram -> band 0.
+    val docs = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    val out = VocabModelOps.bigramPerplexity(docs).collect()
+    assert(out.toSeq === Seq(Row(0L, 1L, 1L, 584963L, 584963L)),
+      s"hand-computed micro-bits drifted: ${out.mkString(",")}")
+  }
+
+  test("bigram perplexity: planted gibberish bands far above fluent text") {
+    // train: 10 copies of a fixed sentence (every scored-sentence
+    // bigram has c12 = 10) + one 50-word vocabulary inflator, so
+    // V = 55. Scored doc 1 repeats the sentence: avg surprisal ~2.65
+    // bits (e.g. p(cat|the) = 11/75) -> band 2. Scored doc 3 is
+    // gibberish with unseen prefixes: every bigram pays L(V) = L(55)
+    // = 5781360 micro-bits -> band 5. Doc 5 has one token: no bigrams,
+    // out of scope by contract.
+    val sentence = "the cat sat on the mat"
+    val train = (0 until 10).map(i => (2L * i, sentence)) :+
+      (20L, (1 to 50).map(i => s"r$i").mkString(" "))
+    val scored = Seq((1L, sentence),
+      (3L, (1 to 7).map(i => s"g$i").mkString(" ")),
+      (5L, "solo"))
+    val docs = (train ++ scored).toDF("doc_id", "text")
+    val out = VocabModelOps.bigramPerplexity(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(out.length === 2 && out.map(_._2._1).sum === 2L,
+      s"exactly the two scored multi-token docs must band: ${out.mkString(",")}")
+    val (lowBand, low) = out.head
+    val (highBand, high) = out.last
+    assert(low._2 === 5L && high._2 === 6L,
+      s"fluent doc has 5 bigrams, gibberish 6: ${out.mkString(",")}")
+    assert(lowBand === 2L && highBand === 5L,
+      s"fluent text must band at 2 bits/token, gibberish at 5 (log2(V)): ${out.mkString(",")}")
+    assert(high._3 === 5781360L && high._4 === 5781360L,
+      s"gibberish pays exactly L(55) = 5781360 micro-bits per bigram: ${out.mkString(",")}")
+  }
 }
