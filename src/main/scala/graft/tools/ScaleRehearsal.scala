@@ -264,6 +264,11 @@ object ScaleRehearsal {
     // fixture's per-copy suffixes grow the bigram vocabulary 10x —
     // q122/q241's arithmetic, bar 15)
     "q328_bigram_perplexity",
+    // paragraph-granularity dedup: q24's map-side signatures one level
+    // down (rows x tokens/parTokens), same (band, bhash) bucket
+    // exchanges; the 30% light-perturbation slice shares paragraphs
+    // across copies, so cross-copy candidates actually amplify
+    "q329_paragraph_dedup",
     // round 13: ANN build/serve split — the measured cost is the BUILD
     // (q309's fit, amortized in production); the serve reads only the
     // probed cells' index partitions

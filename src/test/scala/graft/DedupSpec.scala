@@ -445,4 +445,52 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getLong(3) - truePm) <= 4 * sigma,
       s"estimate ${out.head.getLong(3)} outside 4-sigma of $truePm")
   }
+
+  test("q329: paragraph dedup sees the shared paragraph doc-level minhash cannot") {
+    import graft.ops.DedupOps
+    val docs = DedupOps.paragraphDocs(spark)
+    // doc-level q24 does NOT collapse the planted pair: one shared
+    // 20-token paragraph out of 60 tokens is ~0.19 document Jaccard,
+    // far below the 8x8 banding threshold — every doc stays canonical
+    // = self. This is the granularity gap q329 exists to close.
+    val docLevel = DedupOps.minhashAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(docLevel.forall { case (d, c) => c == d },
+      s"fixture drift: doc-level minhash must not collapse anything: $docLevel")
+    // paragraph level: doc ...102's copy of S (later pid) is dup mass;
+    // doc ...101 holds the earlier occurrence and stays clean; doc
+    // ...103's intra-doc repeat flags its SECOND copy; the 7-token doc
+    // is a sub-shingle singleton
+    val out = DedupOps.paragraphDupMass(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(9300000101L) === ((3L, 0L, 0L)),
+      s"first occurrence of the shared paragraph is not dup: $out")
+    assert(out(9300000102L) === ((3L, 1L, 20L)),
+      s"the cross-doc shared paragraph must be dup mass on the later doc: $out")
+    assert(out(9300000103L) === ((3L, 1L, 20L)),
+      s"the intra-doc repeated paragraph's second copy is dup: $out")
+    assert(out(9300000104L) === ((1L, 0L, 0L)),
+      s"a short-tail-only doc stays canonical = self: $out")
+  }
+
+  test("q329: paragraph boundaries are fixed windows; tails count their real tokens") {
+    import graft.ops.DedupOps
+    // 45 tokens -> paragraphs of 20/20/5; duplicating the doc verbatim
+    // marks ALL of the later doc's paragraphs dup including the 5-token
+    // tail (>= 3 tokens, so it shingles and collides exactly)
+    val text = (1 to 45).map(i => s"tt$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = DedupOps.paragraphDupMass(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 0L, 0L)) && out(2L) === ((3L, 3L, 45L)),
+      s"verbatim copy must carry full dup token mass on the later doc: $out")
+    // null text contributes an all-zero census row, not a dropped doc
+    val withNull = docs.unionByName(
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val z = DedupOps.paragraphDupMass(withNull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z(3L) === 0L, s"null-text doc must census as zero paragraphs: $z")
+  }
 }
