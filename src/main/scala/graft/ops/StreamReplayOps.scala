@@ -38,6 +38,35 @@ import graft.util.Tables.t
   */
 object StreamReplayOps {
 
+  /** Scratch base for the most state-store-heavy replay (q266): prefer
+    * tmpfs (/dev/shm) over the disk-backed java tmpdir so the landing
+    * files, sink, and state-store checkpoints stop paying — and stop
+    * VARYING with — host disk I/O (VERDICT r12 #6: q266's driver
+    * timing spiked 2× on checkpoint-commit I/O noise two rounds
+    * running; the state is a few MB, RAM-backed scratch is the right
+    * home). Falls back to a plain temp dir when /dev/shm is absent.
+    */
+  private def replayScratchBase(tag: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, tag)
+      else java.nio.file.Files.createTempDirectory(tag)
+    // RAM-backed scratch must not outlive the JVM (a leaked /tmp dir is
+    // disk clutter; a leaked /dev/shm dir is held memory) — recursive
+    // delete on exit, one bounded hook per replay invocation
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete(): Unit
+      }
+      rm(base.toFile)
+    }))
+    base
+  }
+
   /** Land `df` as `nSlices` parquet files partitioned by equal ranges of
     * the BIGINT `slice_key` column (dropped from the output), plus an
     * optional flush frame as the strictly-latest file. File modification
@@ -454,7 +483,7 @@ object StreamReplayOps {
     * LEFT JOIN over the same events — row-for-row, nulls included.
     */
   def leftOuterJoinReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-loj-replay")
+    val base = replayScratchBase("graft-loj-replay")
     val (landV, landC, out, ckpt) =
       (s"$base/views", s"$base/clicks", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
@@ -465,9 +494,16 @@ object StreamReplayOps {
         .select(col("user_id"), col("event_id"), col("ts"))
       val flush = flushTs.select(lit(flushUser).as("user_id"),
         lit(-1L).as("event_id"), col("fts").as("ts"))
+      // 2 slices per side (VERDICT r12 #6, was 4): halves the
+      // micro-batch count — and the state-store commit count, the
+      // bench's most I/O-volatile component two rounds running — while
+      // the replay contract still exercises: outer emission across
+      // >= 2 batches per side, watermark-driven eviction, and the
+      // flush drain. Output is row-identical at any slicing (the
+      // oracle is the relational LEFT JOIN).
       landTimeSlices(spark,
         side.withColumn("slice_key", expr("unix_millis(ts)")),
-        nSlices = 4, dirOut, Some(flush))
+        nSlices = 2, dirOut, Some(flush))
     }
     land("view", landV, flushUser = -1L)
     land("click", landC, flushUser = -2L)
