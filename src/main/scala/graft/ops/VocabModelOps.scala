@@ -933,7 +933,13 @@ object VocabModelOps {
     * V broadcast; the census shuffles one partial-agged row per
     * (doc, band). No stage is corpus × corpus.
     */
-  def bigramPerplexity(docs: DataFrame): DataFrame = {
+  def bigramPerplexity(docs: DataFrame): DataFrame =
+    pplCensus(bigramPerplexityPerDoc(docs))
+
+  /** Per-doc (doc_id, ppl, n) frame of [[bigramPerplexity]] — exposed
+    * for the spec-level bound checks against the interpolated tier.
+    */
+  private[graft] def bigramPerplexityPerDoc(docs: DataFrame): DataFrame = {
     val toks = docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("ws"))
@@ -960,8 +966,12 @@ object VocabModelOps {
       .select(col("doc_id"),
         (expr(microLog2Spark("den")) - expr(microLog2Spark("num")))
           .as("s"))
-    val perDoc = scored.groupBy("doc_id")
+    scored.groupBy("doc_id")
       .agg(expr("sum(s) div count(1)").as("ppl"), count(lit(1)).as("n"))
+  }
+
+  /** Whole-bit perplexity-band census shared by q328/q331. */
+  private def pplCensus(perDoc: DataFrame): DataFrame =
     perDoc
       .groupBy(expr("ppl div 1000000").as("band"))
       .agg(count(lit(1)).as("n_docs"),
@@ -969,7 +979,6 @@ object VocabModelOps {
         min(col("ppl")).as("min_ppl_microbits"),
         max(col("ppl")).as("max_ppl_microbits"))
       .orderBy("band")
-  }
 
   private val bigramPerplexitySql: String =
     s"""WITH base AS (
@@ -1011,9 +1020,120 @@ object VocabModelOps {
       |  CAST(MAX(pd.ppl) AS BIGINT) AS max_ppl_microbits
       |FROM pd GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** q331 body: Jelinek-Mercer INTERPOLATED bigram-unigram perplexity —
+    * the backoff refinement CCNet's actual LM carries that pure add-one
+    * bigram (q328) lacks: an unseen bigram whose continuation word is
+    * COMMON should cost far less than one whose continuation is also
+    * unseen. With λ = 1/2,
+    *
+    *   p = ½·(c₁₂+1)/(c₁+V) + ½·(c(w₂)+1)/(N+V),
+    *
+    * kept as ONE exact rational — num = (c₁₂+1)(N+V) + (c(w₂)+1)(c₁+V),
+    * den = 2(c₁+V)(N+V) — and scored through the same literal-table
+    * micro-bits log2 as q328 (surprisal = L(den) − L(num) ≥ 0 because
+    * each addend's numerator is ≤ its denominator). Products stay under
+    * 2⁶³ through N ~ 10⁸ train tokens; past that the counts pre-scale
+    * by a power of two before the rational is formed (a documented
+    * quantization step, not an overflow). Since p ≥ p_bigram/2, the
+    * interpolated surprisal never exceeds q328's by more than one bit —
+    * VocabModelSpec pins that bound and the common-continuation rescue.
+    *
+    * Scale shape: q328's plus one more vocabulary-bounded relation (the
+    * unigram counts) and a second one-row broadcast (N).
+    */
+  def interpolatedPerplexity(docs: DataFrame): DataFrame =
+    pplCensus(interpolatedPerplexityPerDoc(docs))
+
+  /** Per-doc (doc_id, ppl, n) frame of [[interpolatedPerplexity]]. */
+  private[graft] def interpolatedPerplexityPerDoc(docs: DataFrame): DataFrame = {
+    val toks = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("ws"))
+      .where(size(col("ws")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', element_at(ws, i),
+          |                    'w2', element_at(ws, CAST(i + 1 AS INT))))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bg.where(col("doc_id") % 2 === 0)
+    val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val trainToks = toks.where(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w"))
+    val cu = trainToks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val vn = trainToks.agg(countDistinct(col("w")).as("v"),
+      count(lit(1)).as("nn"))
+    val scored = bg.where(col("doc_id") % 2 === 1)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cu.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(vn))
+      .select(col("doc_id"),
+        ((coalesce(col("c12"), lit(0L)) + 1L) * (col("nn") + col("v")) +
+          (coalesce(col("cu"), lit(0L)) + 1L) *
+            (coalesce(col("c1"), lit(0L)) + col("v"))).as("num"),
+        (lit(2L) * (coalesce(col("c1"), lit(0L)) + col("v")) *
+          (col("nn") + col("v"))).as("den"))
+      .select(col("doc_id"),
+        (expr(microLog2Spark("den")) - expr(microLog2Spark("num")))
+          .as("s"))
+    scored.groupBy("doc_id")
+      .agg(expr("sum(s) div count(1)").as("ppl"), count(lit(1)).as("n"))
+  }
+
+  private val interpolatedPerplexitySql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+      |    AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |d2 AS (SELECT doc_id, ws FROM base WHERE len(ws) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(ws[1:len(ws) - 1]) AS w1,
+      |    unnest(ws[2:len(ws)]) AS w2
+      |  FROM d2),
+      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1),
+      |tt AS (SELECT unnest(ws) AS w FROM d2 WHERE doc_id % 2 = 0),
+      |cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM tt GROUP BY w),
+      |vn AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS nn FROM tt),
+      |sc AS (
+      |  SELECT s.doc_id,
+      |    CAST((COALESCE(c12.c12, 0) + 1) * (vn.nn + vn.v)
+      |      + (COALESCE(cu.cu, 0) + 1) * (COALESCE(c1.c1, 0) + vn.v)
+      |      AS BIGINT) AS num,
+      |    CAST(2 * (COALESCE(c1.c1, 0) + vn.v) * (vn.nn + vn.v)
+      |      AS BIGINT) AS den
+      |  FROM bg s
+      |  LEFT JOIN c12 ON s.w1 = c12.w1 AND s.w2 = c12.w2
+      |  LEFT JOIN c1 ON s.w1 = c1.w1
+      |  LEFT JOIN cu ON s.w2 = cu.w
+      |  CROSS JOIN vn
+      |  WHERE s.doc_id % 2 = 1),
+      |su AS (SELECT sc.doc_id,
+      |    ${microLog2Duck("sc.den")} - ${microLog2Duck("sc.num")} AS s
+      |  FROM sc),
+      |pd AS (SELECT su.doc_id,
+      |    CAST(SUM(su.s) // COUNT(*) AS BIGINT) AS ppl,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM su GROUP BY su.doc_id)
+      |SELECT CAST(pd.ppl // 1000000 AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(pd.n) AS BIGINT) AS n_bigrams,
+      |  CAST(MIN(pd.ppl) AS BIGINT) AS min_ppl_microbits,
+      |  CAST(MAX(pd.ppl) AS BIGINT) AS max_ppl_microbits
+      |FROM pd GROUP BY 1 ORDER BY band""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q328_bigram_perplexity", Some(bigramPerplexitySql),
       (spark, dir) => bigramPerplexity(t(spark, dir, "documents"))),
+
+    QueryDef("q331_interp_perplexity", Some(interpolatedPerplexitySql),
+      (spark, dir) => interpolatedPerplexity(t(spark, dir, "documents"))),
 
     QueryDef("q301_classifier_train", Some(trainOracle),
       (spark, dir) => classifierTrain(t(spark, dir, "documents"))),

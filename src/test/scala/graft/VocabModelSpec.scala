@@ -250,4 +250,45 @@ class VocabModelSpec extends SparkSpec {
     assert(high._3 === 5781360L && high._4 === 5781360L,
       s"gibberish pays exactly L(55) = 5781360 micro-bits per bigram: ${out.mkString(",")}")
   }
+
+  test("q331 interpolation: common continuation rescues an unseen bigram") {
+    // train doc 0 "c a c a c a c a c a": V = {c, a} = 2, N = 10,
+    // cu(a) = 5. Scored doc 1 "q a" and doc 3 "q z" both have unseen
+    // PREFIX q, so pure bigram add-one prices them identically at
+    // 1/V = 1/2 (exactly 1e6 micro-bits). Interpolation separates them:
+    //   den = 2*V*(N+V) = 48,
+    //   num(q a) = 1*(N+V) + (cu(a)+1)*V = 12 + 12 = 24 -> exactly 1 bit
+    //   num(q z) = 12 + 1*2 = 14 -> L(48) - L(14) = 5584963 - 3807355
+    val docs = Seq((0L, "c a c a c a c a c a"),
+      (1L, "q a"), (3L, "q z")).toDF("doc_id", "text")
+    val bgOut = VocabModelOps.bigramPerplexityPerDoc(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bgOut(1L) === 1000000L && bgOut(3L) === 1000000L,
+      s"pure bigram cannot separate unseen bigrams: $bgOut")
+    val out = VocabModelOps.interpolatedPerplexityPerDoc(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1000000L,
+      s"common continuation must cost exactly one bit (p = 1/2): $out")
+    assert(out(3L) === 1777608L,
+      s"unseen continuation pays the hand-computed L(48) - L(14): $out")
+  }
+
+  test("q331 interpolation never exceeds the pure-bigram score by over a bit") {
+    // p >= p_bigram / 2 pointwise, so exact surprisal <= bigram + 1 bit;
+    // the 6-bit mantissa quantization adds at most one table step
+    // (<= 22600 micro-bits) per L() call. Checked per doc on the corpus.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bg = VocabModelOps.bigramPerplexityPerDoc(docs)
+      .select(col("doc_id"), col("ppl").as("bg"))
+    val ip = VocabModelOps.interpolatedPerplexityPerDoc(docs)
+      .select(col("doc_id"), col("ppl").as("ip"))
+    val joined = bg.join(ip, Seq("doc_id"))
+    assert(joined.count() > 0)
+    val viol = joined
+      .where(col("ip") > col("bg") + lit(1000000L + 2 * 22600L))
+      .count()
+    assert(viol === 0L,
+      "interpolated perplexity exceeded bigram + 1 bit (+ quantization) somewhere")
+  }
 }
