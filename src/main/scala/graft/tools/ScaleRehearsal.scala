@@ -272,6 +272,9 @@ object ScaleRehearsal {
     // exchanges; the 30% light-perturbation slice shares paragraphs
     // across copies, so cross-copy candidates actually amplify
     "q329_paragraph_dedup",
+    // paragraph scrub: q329's assignments + one per-doc reassembly agg
+    // (collect_list bounded by one document's paragraphs)
+    "q332_paragraph_scrub",
     // round 13: ANN build/serve split — the measured cost is the BUILD
     // (q309's fit, amortized in production); the serve reads only the
     // probed cells' index partitions

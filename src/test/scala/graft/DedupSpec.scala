@@ -493,4 +493,41 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(z(3L) === 0L, s"null-text doc must census as zero paragraphs: $z")
   }
+
+  test("q332: scrub reassembles the kept paragraphs byte-exactly, keep-first") {
+    import graft.ops.DedupOps
+    def jmd5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def par(tag: String): String =
+      (1 to 20).map(i => s"pp$tag$i").mkString(" ")
+    val docs = DedupOps.paragraphDocs(spark)
+    val out = DedupOps.paragraphScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc ...101 keeps everything (first occurrence of S)
+    assert(out(9300000101L) ===
+      ((3L, 0L, 60L, jmd5(s"${par("a1")} ${par("s")} ${par("a3")}"))),
+      s"first-occurrence doc must reassemble unchanged: $out")
+    // doc ...102 loses its copy of S, keeps b1 b2 in order
+    assert(out(9300000102L) ===
+      ((2L, 1L, 40L, jmd5(s"${par("b1")} ${par("b2")}"))),
+      s"the later doc must reassemble without the shared paragraph: $out")
+    // doc ...103 loses the SECOND copy of its repeated paragraph
+    assert(out(9300000103L) ===
+      ((2L, 1L, 40L, jmd5(s"${par("c1")} ${par("c3")}"))),
+      s"intra-doc repeat drops the second copy only: $out")
+    // scrub is idempotent on its own output: re-scrubbing the scrubbed
+    // texts drops nothing (every kept paragraph is now first-of-kind)
+    val scrubbed = Seq(
+      (9300000101L, s"${par("a1")} ${par("s")} ${par("a3")}"),
+      (9300000102L, s"${par("b1")} ${par("b2")}"),
+      (9300000103L, s"${par("c1")} ${par("c3")}"),
+      (9300000104L, (1 to 7).map(i => s"ppd$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val again = DedupOps.paragraphScrub(scrubbed).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again.values.forall(_ === 0L),
+      s"scrub must be idempotent — second pass drops nothing: $again")
+  }
 }
