@@ -1048,6 +1048,42 @@ object StreamReplayOps {
       .orderBy("doc_id")
   }
 
+  /** q333 body: replay the q328 SCORE slice (doc_id odd) through
+    * [[graft.streaming.StreamingPerplexityScore]]'s stream-static
+    * perplexity gate — the LM is trained in batch on the doc_id-even
+    * slice, every landed document is scored continuously in the same
+    * exact micro-bits arithmetic, and the drained per-doc scores census
+    * into q328's whole-bit bands. Graded against q328's OWN full SQL
+    * oracle (the q310/q318 shared-oracle convention): the deployment
+    * seam — batch-trained model, continuous scoring, at-least-once sink
+    * — must not move a single band count. max_by(·, batch_id) per
+    * doc_id keeps the read idempotent under the sink's appends.
+    */
+  def perplexityScoreReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-ppl-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val delta = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    landTimeSlices(spark, delta.withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingPerplexityScore.scoreAvailableNow(
+        spark, landing, train, out, ckpt,
+        StructType.fromDDL("doc_id BIGINT, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    VocabModelOps.pplCensus(
+      spark.read.schema(StructType.fromDDL(
+          "doc_id BIGINT, ppl BIGINT, n BIGINT, batch_id BIGINT"))
+        .parquet(out)
+        .groupBy("doc_id")
+        .agg(expr("max_by(ppl, batch_id)").as("ppl"),
+          expr("max_by(n, batch_id)").as("n")))
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1105,6 +1141,13 @@ object StreamReplayOps {
     QueryDef("q314_classifier_score_replay",
       Some(VocabModelOps.classifierScoreReplaySql),
       (spark, dir) => classifierScoreReplay(spark, dir)),
+
+    // Stream-static perplexity gate replay (20th streaming component):
+    // batch-trained bigram LM, continuous exact-micro-bits scoring,
+    // graded against q328's own full SQL oracle.
+    QueryDef("q333_perplexity_score_replay",
+      Some(VocabModelOps.bigramPerplexitySql),
+      (spark, dir) => perplexityScoreReplay(spark, dir)),
 
     // Stateful streaming MinHash dedup replay: per-bucket GroupState
     // memory, graded against the batch 1-hop tier's own golden (q24).

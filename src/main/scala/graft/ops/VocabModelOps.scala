@@ -940,23 +940,50 @@ object VocabModelOps {
     * for the spec-level bound checks against the interpolated tier.
     */
   private[graft] def bigramPerplexityPerDoc(docs: DataFrame): DataFrame = {
-    val toks = docs.where(col("text").isNotNull)
+    val (c12, c1, vv) = bigramModel(docs.where(col("doc_id") % 2 === 0))
+    scoreBigramsPerDoc(docs.where(col("doc_id") % 2 === 1), c12, c1, vv)
+  }
+
+  /** Tokenized word-bigram frame (doc_id, w1, w2); docs with < 2
+    * non-empty tokens (or null text) have no bigrams and drop out.
+    */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), t -> t <> '')").as("ws"))
       .where(size(col("ws")) >= 2)
-    val bg = toks.select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 1),
           |  i -> named_struct('w1', element_at(ws, i),
           |                    'w2', element_at(ws, CAST(i + 1 AS INT))))"""
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val train = bg.where(col("doc_id") % 2 === 0)
-    val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vv = toks.where(col("doc_id") % 2 === 0)
+
+  /** Add-one bigram model relations from a TRAIN frame: bigram counts
+    * c₁₂, prefix counts c₁ (both vocabulary-bounded), and the one-row
+    * vocabulary size V. Shared by the batch q328 pipeline and the q333
+    * stream-static deployment — one arithmetic, two execution modes.
+    */
+  private[graft] def bigramModel(
+      train: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bg = docBigrams(train)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vv = train.where(col("text").isNotNull)
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("ws"))
+      .where(size(col("ws")) >= 2)
       .select(explode(col("ws")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val scored = bg.where(col("doc_id") % 2 === 1)
+    (c12, c1, vv)
+  }
+
+  /** Score a docs frame against the model relations: per-doc
+    * (doc_id, ppl, n) in exact micro-bits. Row-local bigram explode +
+    * two vocab-keyed left joins + the one-row V broadcast.
+    */
+  private[graft] def scoreBigramsPerDoc(docs: DataFrame, c12: DataFrame,
+      c1: DataFrame, vv: DataFrame): DataFrame =
+    docBigrams(docs)
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vv))
@@ -966,12 +993,11 @@ object VocabModelOps {
       .select(col("doc_id"),
         (expr(microLog2Spark("den")) - expr(microLog2Spark("num")))
           .as("s"))
-    scored.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(expr("sum(s) div count(1)").as("ppl"), count(lit(1)).as("n"))
-  }
 
-  /** Whole-bit perplexity-band census shared by q328/q331. */
-  private def pplCensus(perDoc: DataFrame): DataFrame =
+  /** Whole-bit perplexity-band census shared by q328/q331/q333. */
+  private[graft] def pplCensus(perDoc: DataFrame): DataFrame =
     perDoc
       .groupBy(expr("ppl div 1000000").as("band"))
       .agg(count(lit(1)).as("n_docs"),
@@ -980,7 +1006,7 @@ object VocabModelOps {
         max(col("ppl")).as("max_ppl_microbits"))
       .orderBy("band")
 
-  private val bigramPerplexitySql: String =
+  private[graft] val bigramPerplexitySql: String =
     s"""WITH base AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
       |    AS ws

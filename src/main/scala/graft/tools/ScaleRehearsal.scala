@@ -267,6 +267,9 @@ object ScaleRehearsal {
     // interpolated (Jelinek-Mercer) perplexity: q328's relations plus
     // one unigram-vocab shuffle and a one-row (V, N) broadcast
     "q331_interp_perplexity",
+    // stream-static perplexity gate replay: train once on the static
+    // slice, per-batch scoring against cached vocab-bounded relations
+    "q333_perplexity_score_replay",
     // paragraph-granularity dedup: q24's map-side signatures one level
     // down (rows x tokens/parTokens), same (band, bhash) bucket
     // exchanges; the 30% light-perturbation slice shares paragraphs
@@ -344,6 +347,7 @@ object ScaleRehearsal {
       // (q122/q241's arithmetic). Bar 15.
       "q328_bigram_perplexity" -> 15.0,
       "q331_interp_perplexity" -> 15.0,
+      "q333_perplexity_score_replay" -> 15.0,
       // q172 (TPC-H Q18 shape) aggregates on l_orderkey — a key whose
       // cardinality IS the fact table, so the grouped relation grows
       // 10x with 10x data and the honest ratio sits near linear (its
