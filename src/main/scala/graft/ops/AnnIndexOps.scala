@@ -241,6 +241,49 @@ object AnnIndexOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** q334 body: serve-path RECALL AUDIT — the observability number an
+    * ANN deployment is judged by, computed in-engine: the stored-index
+    * serve's top-k against the brute-force exact top-k on the same
+    * queries, as exact-integer recall@k permille for every k ≤ topK.
+    * A served pair counts toward recall@k iff BOTH its served rank and
+    * its exact rank are ≤ k (m = greatest of the two), so one
+    * served⋈exact equi-join + a 5-row k-grid fan-out produces the whole
+    * curve — no per-k rescans. Denominator is k·|queries| (the corpus
+    * holds ≥ k candidates per query at every SF).
+    *
+    * Scale shape: the serve is q326's pruned-index read; the exact side
+    * is ONE brute-force pass over the corpus against the broadcast
+    * query set (the audit's honest cost — run on a sampled query set in
+    * production); the join and census are (queries·topK)-bounded.
+    * Deterministic → literal golden; AnnIndexSpec pins recall ≡ 1000
+    * under exhaustive parameters and the q282-family ≥ 0.9 bar at the
+    * graded ones.
+    */
+  def serveRecallAudit(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, prefix: String, topK: Int = 5, probes: Int = 8,
+      shortlist: Int = 100): DataFrame = {
+    val served = serveTopK(spark, queries, prefix, topK, probes, shortlist)
+      .select(col("q_id"), col("rnk").as("s_rnk"), col("vec_id"))
+    val exact = SimilarityOps.bruteForceTopK(corpus, queries, topK)
+      .select(col("q_id"), col("rnk").as("e_rnk"), col("vec_id"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val kGrid = spark.range(1, topK + 1).select(col("id").as("k"))
+    served.join(exact, Seq("q_id", "vec_id"))
+      .select(greatest(col("s_rnk"), col("e_rnk")).cast("long").as("m"))
+      .crossJoin(broadcast(kGrid))
+      .where(col("m") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_hits"))
+      // right-join the grid so a k with zero hits still reports a row
+      .join(broadcast(kGrid), Seq("k"), "right")
+      .crossJoin(broadcast(nq))
+      .select(col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (col("k") * col("n_queries")).as("n_possible"))
+      // integer div, not `/` (Column `/` is double division)
+      .withColumn("recall_permille", expr("n_hits * 1000 div n_possible"))
+      .orderBy("k")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Build once, serve from the stored index with no refit. Graded
     // against q309's OWN golden (the q308/q316 shared-oracle
@@ -250,6 +293,16 @@ object AnnIndexOps {
         val v = SimilarityOps.vectors(spark, dir)
         buildResidualIndex(spark, v, "graft_ann")
         serveTopK(spark, SimilarityOps.queriesOf(v, 20), "graft_ann")
+      }),
+
+    // Recall audit of the stored-index serve vs brute-force exact —
+    // the ANN deployment's quality dashboard, exact-integer permille.
+    QueryDef("q334_ann_recall", literalOracle("q334_ann_recall"),
+      (spark, dir) => {
+        val v = SimilarityOps.vectors(spark, dir)
+        buildResidualIndex(spark, v, "graft_annaudit")
+        serveRecallAudit(spark, v, SimilarityOps.queriesOf(v, 20),
+          "graft_annaudit")
       }),
 
     // Incremental index maintenance: build on the base slice, append

@@ -282,6 +282,9 @@ object ScaleRehearsal {
     // (q309's fit, amortized in production); the serve reads only the
     // probed cells' index partitions
     "q326_ann_serve",
+    // ANN recall audit: the serve (pruned index read) + ONE exact
+    // brute-force pass (the audit's honest cost) + a 5-row k-grid
+    "q334_ann_recall",
     // incremental ANN append: O(batch) encode against the frozen
     // centroids/codebooks + the same partition-pruned serve
     "q330_ann_append")

@@ -103,6 +103,25 @@ class AnnIndexSpec extends SparkSpec {
       s"the appended exact twin must serve as top-1, got $top1")
   }
 
+  test("q334 recall audit: exhaustive parameters give exactly 1000 permille") {
+    // probes = all 16 cells and a corpus-sized shortlist make the ADC
+    // stage a full scan and the exact rerank IS brute force — recall
+    // must be identically 1000 at every k, integer-exactly
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec6")
+    val n = corpus.count().toInt
+    val audit = AnnIndexOps.serveRecallAudit(spark, corpus, queries(10),
+      "graft_annspec6", topK = 5, probes = 16, shortlist = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((1 to 5).forall(k => audit(k.toLong) === 1000L),
+      s"exhaustive serve must recall everything: $audit")
+    // and at the graded parameters the family bar holds (q282's 0.9)
+    val graded = AnnIndexOps.serveRecallAudit(spark, corpus, queries(10),
+      "graft_annspec6")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(graded(5L) >= 900L,
+      s"recall@5 must clear the 0.9 family bar: $graded")
+  }
+
   test("fat-cell drift census fires on a planted shifted batch") {
     AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec5")
     val before = AnnIndexOps.indexCellCensus(spark, "graft_annspec5")
