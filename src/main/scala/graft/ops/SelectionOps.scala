@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -311,6 +311,185 @@ object SelectionOps {
       .orderBy(col("selected").desc)
   }
 
+  /** q335 body: the GOPHER quality-rule battery (Rae et al. 2021,
+    * Appendix A1.1) — the other standard rule set next to q296's C4
+    * line rules, applied per document and censused: word count in
+    * [50, 100k]; mean word length in [3, 10]; hash/ellipsis
+    * symbol-to-word ratio ≤ 0.1 each; ≤ 90% bullet-point lines; ≤ 30%
+    * ellipsis-ending lines; ≥ 80% words containing an alphabetic
+    * character; ≥ 2 distinct words from the 8-word stop list. Every
+    * ratio is CROSS-MULTIPLIED into exact integers (10·n_hash > w, not
+    * a double division), so the full DuckDB oracle hash-matches.
+    * Null-text docs evaluate as empty (fail the word-count gate; every
+    * vacuous mean/ratio passes — both engines share the formula).
+    * Planted witnesses (one per rule, plus an all-rules-pass doc) ride
+    * the corpus, mirrored into the oracle from the SAME Scala strings.
+    *
+    * Scale shape: every rule is a row-local string/HOF predicate over
+    * the scan; the census is one partial-aggregated global row.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val verdicts = docs.select(
+      expr("filter(split(coalesce(text, ''), ' '), x -> x <> '')").as("ws"),
+      expr("split(coalesce(text, ''), '\n')").as("ls"),
+      coalesce(col("text"), lit("")).as("t"))
+      .select(
+        size(col("ws")).cast("long").as("w"),
+        expr("CAST(aggregate(ws, 0, (a, x) -> a + length(x)) AS BIGINT)")
+          .as("sumlen"),
+        expr("CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)")
+          .as("n_hash"),
+        expr("CAST((length(t) - length(replace(t, '...', ''))) div 3 AS BIGINT)")
+          .as("n_ell"),
+        size(col("ls")).cast("long").as("n_lines"),
+        expr("""CAST(size(filter(ls, l -> startswith(ltrim(l), '- ')
+          | OR startswith(ltrim(l), '•')
+          | OR startswith(ltrim(l), '*'))) AS BIGINT)""".stripMargin)
+          .as("n_bullet"),
+        expr("CAST(size(filter(ls, l -> endswith(rtrim(l), '...'))) AS BIGINT)")
+          .as("n_ell_ln"),
+        expr("CAST(size(filter(ws, x -> x RLIKE '[A-Za-z]')) AS BIGINT)")
+          .as("n_alpha"),
+        expr("""CAST(size(array_intersect(array_distinct(ws),
+          | array('the','be','to','of','and','that','have','with')))
+          | AS BIGINT)""".stripMargin).as("n_stop"))
+      .select(
+        (col("w") < 50L || col("w") > 100000L).as("f_wordcount"),
+        (col("sumlen") < lit(3L) * col("w") ||
+          col("sumlen") > lit(10L) * col("w")).as("f_meanlen"),
+        (lit(10L) * col("n_hash") > col("w") ||
+          lit(10L) * col("n_ell") > col("w")).as("f_symbol"),
+        (lit(10L) * col("n_bullet") > lit(9L) * col("n_lines"))
+          .as("f_bullets"),
+        (lit(10L) * col("n_ell_ln") > lit(3L) * col("n_lines"))
+          .as("f_ellipsis"),
+        (lit(10L) * col("n_alpha") < lit(8L) * col("w")).as("f_alpha"),
+        (col("n_stop") < 2L).as("f_stop"))
+    def cnt(c: String): Column = sum(when(col(c), 1L).otherwise(0L)).as(c)
+    verdicts.agg(
+      count(lit(1)).as("n_docs"),
+      cnt("f_wordcount"), cnt("f_meanlen"), cnt("f_symbol"),
+      cnt("f_bullets"), cnt("f_ellipsis"), cnt("f_alpha"), cnt("f_stop"),
+      sum(when(!col("f_wordcount") && !col("f_meanlen") &&
+        !col("f_symbol") && !col("f_bullets") && !col("f_ellipsis") &&
+        !col("f_alpha") && !col("f_stop"), 1L).otherwise(0L)).as("n_pass"))
+  }
+
+  /** Planted Gopher witnesses — one failing doc per rule plus one doc
+    * passing every rule; mirrored VERBATIM into [[gopherRulesSql]] from
+    * these same strings (no hand-duplicated literals to drift).
+    */
+  private[graft] val gopherTexts: Seq[(Long, String)] = Seq(
+    // passes all: 54 words, 3-6 letters, alphabetic, 4 stop words
+    4600000000001L -> ((1 to 50).map(i => s"word${('a' + i % 26).toChar}")
+      .mkString(" ") + " the and of have"),
+    // word count: 4 words (passes everything else)
+    4600000000002L -> "tiny doc the and",
+    // mean word length: 55 two-letter words incl stop words be/to
+    4600000000003L -> ((1 to 53).map(i =>
+      f"${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar}")
+      .mkString(" ") + " be to"),
+    // symbol ratio: 6 hashes over 54 words
+    4600000000004L -> ((1 to 44).map(i => s"tok${('a' + i % 26).toChar}")
+      .mkString(" ") + " a# b# c# d# e# f# the and of have"),
+    // bullet lines: 10 of 10 lines bulleted (alpha stays >= 80%,
+    // stop words the/and ride every line)
+    4600000000005L -> (1 to 10).map(i =>
+      s"- item${('a' + i).toChar} alpha beta gamma the and")
+      .mkString("\n"),
+    // ellipsis lines: 4 of 10 lines end with ... (w = 60 keeps symbol ok)
+    4600000000006L -> (1 to 10).map(i =>
+      s"line${('a' + i).toChar} alpha beta gamma the and" +
+        (if (i <= 4) "..." else "")).mkString("\n"),
+    // alpha: 15 numeric words of 50 (70% alphabetic)
+    4600000000007L -> ((1 to 35).map(i => s"word${('a' + i % 26).toChar}")
+      .mkString(" ") + " " + (1 to 13).map(i => s"${100 + i}")
+      .mkString(" ") + " the and"),
+    // stop words: 50 alphabetic words, zero stop-list hits
+    4600000000008L -> (1 to 50).map(i =>
+      s"lex${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar}")
+      .mkString(" "))
+
+  private[graft] def gopherDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (gopherTexts :+ (4600000000009L -> null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+  }
+
+  /** SQL text literal for a planted doc: quotes escaped, newlines
+    * rebuilt via chr(10) (the q296 mirroring pattern, generated instead
+    * of hand-written).
+    */
+  private def sqlText(s: String): String =
+    s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
+
+  private val gopherRulesSql: String = {
+    val planted = (gopherTexts.map { case (id, txt) =>
+      s"    ($id, ${sqlText(txt)})"
+    } :+ "    (4600000000009, NULL)").mkString(",\n")
+    s"""WITH all_docs(doc_id, text) AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  VALUES
+      |$planted),
+      |m AS (
+      |  SELECT
+      |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')
+      |      AS ws,
+      |    string_split(COALESCE(text, ''), chr(10)) AS ls,
+      |    COALESCE(text, '') AS t
+      |  FROM all_docs),
+      |v AS (
+      |  SELECT
+      |    CAST(len(ws) AS BIGINT) AS w,
+      |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+      |      AS BIGINT) AS sumlen,
+      |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+      |    CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT)
+      |      AS n_ell,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+      |      OR starts_with(ltrim(l), '•')
+      |      OR starts_with(ltrim(l), '*'))) AS BIGINT) AS n_bullet,
+      |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+      |      AS BIGINT) AS n_ell_ln,
+      |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_intersect(list_distinct(ws),
+      |      ['the','be','to','of','and','that','have','with']))
+      |      AS BIGINT) AS n_stop
+      |  FROM m),
+      |f AS (
+      |  SELECT
+      |    (w < 50 OR w > 100000) AS f_wordcount,
+      |    (sumlen < 3 * w OR sumlen > 10 * w) AS f_meanlen,
+      |    (10 * n_hash > w OR 10 * n_ell > w) AS f_symbol,
+      |    (10 * n_bullet > 9 * n_lines) AS f_bullets,
+      |    (10 * n_ell_ln > 3 * n_lines) AS f_ellipsis,
+      |    (10 * n_alpha < 8 * w) AS f_alpha,
+      |    (n_stop < 2) AS f_stop
+      |  FROM v)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN f_wordcount THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_wordcount,
+      |  CAST(SUM(CASE WHEN f_meanlen THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_meanlen,
+      |  CAST(SUM(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_symbol,
+      |  CAST(SUM(CASE WHEN f_bullets THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_bullets,
+      |  CAST(SUM(CASE WHEN f_ellipsis THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_ellipsis,
+      |  CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_alpha,
+      |  CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+      |  CAST(SUM(CASE WHEN NOT (f_wordcount OR f_meanlen OR f_symbol
+      |    OR f_bullets OR f_ellipsis OR f_alpha OR f_stop)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |FROM f""".stripMargin
+  }
+
   /** q327 body: the q320 budget knapsack re-priced in REAL tokenizer
     * tokens (VERDICT r12 #3) — quality per BPE token instead of per
     * whitespace word. Whitespace counts misprice documents whose words
@@ -456,6 +635,11 @@ object SelectionOps {
 
     QueryDef("q327_bpe_budget", Some(bpeBudgetSql),
       (spark, dir) => bpeBudgetSelect(t(spark, dir, "documents"))),
+
+    QueryDef("q335_gopher_rules", Some(gopherRulesSql),
+      (spark, dir) => gopherRules(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .unionByName(gopherDocs(spark)))),
 
     QueryDef("q295_dsir_weights", Some(dsirSql),
       (spark, dir) => dsirWeights(t(spark, dir, "documents"))),

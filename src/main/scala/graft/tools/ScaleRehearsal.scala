@@ -270,6 +270,9 @@ object ScaleRehearsal {
     // stream-static perplexity gate replay: train once on the static
     // slice, per-batch scoring against cached vocab-bounded relations
     "q333_perplexity_score_replay",
+    // Gopher rule battery: row-local string/HOF predicates, one
+    // partial-agged census row
+    "q335_gopher_rules",
     // paragraph-granularity dedup: q24's map-side signatures one level
     // down (rows x tokens/parTokens), same (band, bhash) bucket
     // exchanges; the 30% light-perturbation slice shares paragraphs

@@ -368,6 +368,16 @@ class VocabSampleSpec extends SparkSpec {
       s"fixture drift: whitespace densities must tie at 1000: $ws")
   }
 
+  test("q335 gopher rules: one planted witness per rule, hand-computed census") {
+    // planted-only census: doc 1 passes all 7 rules; each other doc
+    // fails exactly its target rule (the null doc fails wordcount AND
+    // stopwords). See SelectionOps.gopherTexts for the constructions.
+    val out = graft.ops.SelectionOps.gopherRules(
+      graft.ops.SelectionOps.gopherDocs(spark)).collect().head
+    assert(out.toSeq === Seq(9L, 2L, 1L, 1L, 1L, 1L, 1L, 2L, 1L),
+      s"planted gopher census drifted: ${out.toSeq}")
+  }
+
   test("budget select: straddling density bucket splits by doc_id, hand-computed") {
     // All-English docs 1-3 carry TWO distinct vocab tokens each
     // (weights 1e6 — every x-token is pure-en), so each has density
