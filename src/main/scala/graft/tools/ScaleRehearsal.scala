@@ -278,6 +278,9 @@ object ScaleRehearsal {
     // exchanges; the 30% light-perturbation slice shares paragraphs
     // across copies, so cross-copy candidates actually amplify
     "q329_paragraph_dedup",
+    // boilerplate paragraph census: one paragraph-keyed partial-agged
+    // exchange + a broadcast flagged-paragraph join
+    "q336_boilerplate_pars",
     // paragraph scrub: q329's assignments + one per-doc reassembly agg
     // (collect_list bounded by one document's paragraphs)
     "q332_paragraph_scrub",

@@ -494,6 +494,29 @@ class DedupSpec extends SparkSpec {
     assert(z(3L) === 0L, s"null-text doc must census as zero paragraphs: $z")
   }
 
+  test("q336: boilerplate census counts DISTINCT docs, not instances") {
+    import graft.ops.DedupOps
+    def par(tag: String): String =
+      (1 to 20).map(i => s"bb$tag$i").mkString(" ")
+    val (b, c, d) = (par("b"), par("c"), par("d"))
+    // B rides 3 distinct docs (boiler at dfBar=3); C rides 2 (not);
+    // D repeats twice INSIDE one doc (df = 1 — the countDistinct pin)
+    val docs = Seq(
+      (1L, s"$b ${par("x1")}", "src1"),
+      (2L, s"$b ${par("x2")}", "src1"),
+      (3L, s"$b $c", "src2"),
+      (4L, s"$c ${par("x3")}", "src2"),
+      (5L, s"$d $d", "src2"))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.boilerplateParagraphs(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("src1") === ((2L, 4L, 2L, 40L)),
+      s"src1 must census 2 boiler instances of B: $out")
+    assert(out("src2") === ((3L, 6L, 1L, 20L)),
+      s"src2 must census only doc 3's B; C is df=2, D is df=1: $out")
+  }
+
   test("q332: scrub reassembles the kept paragraphs byte-exactly, keep-first") {
     import graft.ops.DedupOps
     def jmd5(s: String): String = java.security.MessageDigest
