@@ -1092,7 +1092,88 @@ object CorpusStatsOps {
       |    AS diversity_bp
       |FROM s ORDER BY source""".stripMargin
 
+  /** q337 body: ZIPF rank-frequency slope audit — the corpus-health
+    * number (natural language sits near slope −1 in log-log space;
+    * template spam flattens it, OCR noise steepens the tail) computed
+    * with NO libm anywhere: both axes go through the shared 64-entry
+    * literal log2 mantissa table ([[VocabModelOps.microLog2Spark]],
+    * the q328 doctrine) scaled to milli-bits, and the least-squares
+    * slope over the top-`topK` ranks is one exact integer formula,
+    *
+    *   slope‰ = −( (Σx·Σy − n·Σxy) · 1000 div (n·Σxx − Σx·Σx) ).
+    *
+    * The numerator is NEGATED-BEFORE-DIVISION on purpose: counts are
+    * non-increasing in rank, so by the Chebyshev sum inequality
+    * Σx·Σy − n·Σxy ≥ 0, and flooring a NON-NEGATIVE quotient is the
+    * one integer-division semantics Spark (`div`, truncates toward
+    * zero) and DuckDB (`//`, floors) agree on — a negative numerator
+    * would silently diverge by one between the engines.
+    *
+    * Milli-bit magnitude audit: x ≤ 8000 (log2(256)·10³),
+    * y ≤ 45000 (counts to 2⁴⁵), so n·Σxy ≤ 3·10¹³ and the ×1000
+    * numerator ≤ 3·10¹⁶ — Long-safe with two orders to spare.
+    *
+    * Scale shape: one vocabulary-bounded count exchange with map-side
+    * combine; TakeOrdered keeps the global sort a top-k; the rank
+    * window and the stats aggregate run on ≤ topK rows.
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 256): DataFrame = {
+    val counts = docs.where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
+    val ranked = top
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      .select(
+        col("cnt"),
+        expr(s"(${VocabModelOps.microLog2Spark("r")}) div 1000").as("x"),
+        expr(s"(${VocabModelOps.microLog2Spark("cnt")}) div 1000").as("y"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        max(col("cnt")).as("c_top"), min(col("cnt")).as("c_floor"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"), col("c_top"), col("c_floor"),
+        (-expr("((sx * sy - n * sxy) * 1000) div (n * sxx - sx * sx)"))
+          .as("slope_permille"))
+  }
+
+  private val zipfSlopeSql: String = {
+    val lx = VocabModelOps.microLog2Duck("rk.r")
+    val ly = VocabModelOps.microLog2Duck("rk.cnt")
+    s"""WITH counts AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE term <> '' GROUP BY term),
+      |top AS (SELECT term, cnt FROM counts
+      |  ORDER BY cnt DESC, term LIMIT 256),
+      |rk AS (SELECT cnt, CAST(ROW_NUMBER()
+      |    OVER (ORDER BY cnt DESC, term) AS BIGINT) AS r FROM top),
+      |xy AS (SELECT rk.cnt,
+      |    ($lx) // 1000 AS x,
+      |    ($ly) // 1000 AS y
+      |  FROM rk),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(MAX(cnt) AS BIGINT) AS c_top,
+      |    CAST(MIN(cnt) AS BIGINT) AS c_floor,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM xy)
+      |SELECT n AS n_terms, c_top, c_floor,
+      |  CAST(-(((sx * sy - n * sxy) * 1000) // (n * sxx - sx * sx))
+      |    AS BIGINT) AS slope_permille
+      |FROM st""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q337_zipf_slope", Some(zipfSlopeSql),
+      (spark, dir) => zipfSlope(t(spark, dir, "documents"))),
+
     QueryDef("q279_simpson_diversity", Some(simpsonDiversitySql),
       (spark, dir) => simpsonDiversity(t(spark, dir, "documents"))),
 

@@ -890,7 +890,7 @@ object VocabModelOps {
     * ≈ 0.011 bits. The resolution a perplexity FILTER needs (bands are
     * whole bits); the determinism a hash-graded oracle needs.
     */
-  private def microLog2Spark(x: String): String = {
+  private[ops] def microLog2Spark(x: String): String = {
     val t = log2MantissaMicro.mkString(",")
     s"""(CAST(length(bin($x)) - 1 AS BIGINT) * 1000000L +
        | element_at(array($t), CAST(
@@ -900,7 +900,7 @@ object VocabModelOps {
       .stripMargin
   }
 
-  private def microLog2Duck(x: String): String = {
+  private[ops] def microLog2Duck(x: String): String = {
     val t = log2MantissaMicro.mkString(",")
     s"""(CAST(length(bin($x)) - 1 AS BIGINT) * 1000000 +
        | ([$t])[(CASE WHEN length(bin($x)) - 1 >= 6

@@ -270,6 +270,10 @@ object ScaleRehearsal {
     // stream-static perplexity gate replay: train once on the static
     // slice, per-batch scoring against cached vocab-bounded relations
     "q333_perplexity_score_replay",
+    // Zipf slope: vocab-bounded count exchange + TakeOrdered top-256
+    // + a <=256-row stats aggregate (vocab grows 10x under the fixture
+    // suffixes — q52's arithmetic, bar 15)
+    "q337_zipf_slope",
     // Gopher rule battery: row-local string/HOF predicates, one
     // partial-agged census row
     "q335_gopher_rules",
@@ -357,6 +361,7 @@ object ScaleRehearsal {
       "q328_bigram_perplexity" -> 15.0,
       "q331_interp_perplexity" -> 15.0,
       "q333_perplexity_score_replay" -> 15.0,
+      "q337_zipf_slope" -> 15.0,
       // q172 (TPC-H Q18 shape) aggregates on l_orderkey — a key whose
       // cardinality IS the fact table, so the grouped relation grows
       // 10x with 10x data and the honest ratio sits near linear (its

@@ -540,4 +540,24 @@ class RelationalCorpusSpec extends SparkSpec {
       Seq((1L, "X", good)).toDF("doc_id", "source", "text")).collect()
     assert(solo.length === 1 && solo.head.isNullAt(3) && solo.head.isNullAt(4))
   }
+
+  test("q337 zipf slope: a planted exact power law fits slope -1000") {
+    // counts 840/r for r = 1..8 are exact integers, so in log-log space
+    // the 8 points sit on a line of slope exactly -1; the 6-bit-mantissa
+    // quantization (max 1/64 bit per point over a 3-bit x-range) can
+    // move the fitted slope by ~10 permille at most
+    val text = (1 to 8).flatMap(r => Seq.fill(840 / r)(s"w$r")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = graft.ops.CorpusStatsOps.zipfSlope(docs).collect().head
+    assert(out.getLong(0) === 8L && out.getLong(1) === 840L &&
+      out.getLong(2) === 105L, s"planted vocabulary drifted: $out")
+    val slope = out.getLong(3)
+    assert(slope >= -1015L && slope <= -985L,
+      s"planted 1/r law must fit slope -1000 +- quantization, got $slope")
+    // flat corpus control: equal counts -> slope exactly 0
+    val flat = Seq((1L, (1 to 6).map(i => s"f$i f$i f$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val s0 = graft.ops.CorpusStatsOps.zipfSlope(flat).collect().head.getLong(3)
+    assert(s0 === 0L, s"equal counts must fit slope 0 exactly, got $s0")
+  }
 }
