@@ -1084,6 +1084,89 @@ object StreamReplayOps {
           expr("max_by(n, batch_id)").as("n")))
   }
 
+  /** q338 body: replay the WHOLE documents corpus in doc_id-ordered
+    * time slices through [[graft.streaming.StreamingBudgetAdmission]]'s
+    * per-language quota fold (budget = half each language's corpus
+    * tokens, computed in batch and broadcast), then census the drained
+    * verdicts per language. Graded against a RECURSIVE-CTE DuckDB
+    * oracle that replays the same doc_id-ordered skip-fold — the
+    * admission semantics (a rejected document consumes nothing; later
+    * smaller documents may still fit) has no window-function
+    * equivalent, which is the point of the stateful component.
+    * max_by(·, batch_id) keeps the readback idempotent.
+    */
+  def budgetAdmissionReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-adm-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val budgets = docs
+      .select(col("lang"), expr("""CAST(size(filter(
+        | split(coalesce(text, ''), ' '), t -> t <> '')) AS BIGINT)"""
+        .stripMargin).as("n"))
+      .groupBy("lang").agg(expr("sum(n) div 2").as("budget"))
+    landTimeSlices(spark, docs.withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingBudgetAdmission.admitAvailableNow(
+        spark, landing, budgets, out, ckpt,
+        StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    spark.read.schema(StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, n_toks BIGINT, admitted BOOLEAN, " +
+          "batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("doc_id")
+      .agg(expr("max_by(lang, batch_id)").as("lang"),
+        expr("max_by(n_toks, batch_id)").as("n_toks"),
+        expr("max_by(admitted, batch_id)").as("admitted"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_toks")).otherwise(0L))
+          .as("admitted_tokens"))
+      .join(broadcast(budgets), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_admitted"),
+        col("admitted_tokens"), col("budget"))
+      .orderBy("lang")
+  }
+
+  private val budgetAdmissionSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+      |      x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (SELECT lang, CAST(SUM(n) // 2 AS BIGINT) AS budget
+      |  FROM toks GROUP BY lang),
+      |ord AS (SELECT toks.doc_id, toks.lang, toks.n, b.budget,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY toks.lang
+      |      ORDER BY toks.doc_id) AS BIGINT) AS i
+      |  FROM toks JOIN b ON toks.lang = b.lang),
+      |adm AS (
+      |  SELECT lang, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS spent,
+      |    CAST(0 AS BIGINT) AS n_admitted,
+      |    CAST(0 AS BIGINT) AS admitted_tokens
+      |  FROM b
+      |  UNION ALL
+      |  SELECT o.lang, o.i,
+      |    a.spent + CASE WHEN a.spent + o.n <= o.budget THEN o.n
+      |      ELSE 0 END,
+      |    a.n_admitted + CASE WHEN a.spent + o.n <= o.budget THEN 1
+      |      ELSE 0 END,
+      |    a.admitted_tokens + CASE WHEN a.spent + o.n <= o.budget THEN o.n
+      |      ELSE 0 END
+      |  FROM adm a JOIN ord o ON o.lang = a.lang AND o.i = a.i + 1),
+      |cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM ord GROUP BY lang)
+      |SELECT a.lang, cnt.n_docs, a.n_admitted, a.admitted_tokens, b.budget
+      |FROM adm a
+      |JOIN cnt ON a.lang = cnt.lang AND a.i = cnt.n_docs
+      |JOIN b ON a.lang = b.lang
+      |ORDER BY a.lang""".stripMargin
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1141,6 +1224,11 @@ object StreamReplayOps {
     QueryDef("q314_classifier_score_replay",
       Some(VocabModelOps.classifierScoreReplaySql),
       (spark, dir) => classifierScoreReplay(spark, dir)),
+
+    // Stateful budget-admission replay (21st streaming component):
+    // per-language quota skip-fold, recursive-CTE oracle.
+    QueryDef("q338_budget_admission_replay", Some(budgetAdmissionSql),
+      (spark, dir) => budgetAdmissionReplay(spark, dir)),
 
     // Stream-static perplexity gate replay (20th streaming component):
     // batch-trained bigram LM, continuous exact-micro-bits scoring,

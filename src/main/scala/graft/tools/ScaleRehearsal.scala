@@ -270,6 +270,9 @@ object ScaleRehearsal {
     // stream-static perplexity gate replay: train once on the static
     // slice, per-batch scoring against cached vocab-bounded relations
     "q333_perplexity_score_replay",
+    // stateful budget admission replay: one Long of state per language,
+    // linear in landed docs
+    "q338_budget_admission_replay",
     // Zipf slope: vocab-bounded count exchange + TakeOrdered top-256
     // + a <=256-row stats aggregate (vocab grows 10x under the fixture
     // suffixes — q52's arithmetic, bar 15)
