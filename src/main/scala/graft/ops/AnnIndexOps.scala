@@ -80,7 +80,17 @@ object AnnIndexOps {
         books)
       .select(col("vec_id"), col("sub"), col("code"))
       .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    (codes, resid.select(col("vec_id"), col("v"), col("cell")))
+    // metadata rides IN the index (the filtered-search tier, q339): a
+    // label column on both codes and vectors lets a serve-side filter
+    // PRE-filter candidates at the scan, never post-filtering a
+    // shortlist it already under-filled. Absent label -> constant 0.
+    val lbl =
+      if (vecs.columns.contains("label"))
+        vecs.select(col("vec_id"), col("label").cast("int").as("label"))
+      else vecs.select(col("vec_id"), lit(0).as("label"))
+    (codes.join(lbl, Seq("vec_id")),
+      resid.select(col("vec_id"), col("v"), col("cell"))
+        .join(lbl, Seq("vec_id")))
   }
 
   /** BUILD: fit the coarse quantizer and the residual PQ codebooks once
@@ -114,13 +124,19 @@ object AnnIndexOps {
       .saveAsTable(tn.centroids)
     books.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tn.codebooks)
+    val lbl =
+      if (corpus.columns.contains("label"))
+        corpus.select(col("vec_id"), col("label").cast("int").as("label"))
+      else corpus.select(col("vec_id"), lit(0).as("label"))
     val codes = SimilarityOps.assignCodes(
         SimilarityOps.subVectors(resid.select(col("vec_id"), col("v")),
           "vec_id", "v", m, dim / m),
         spark.table(tn.codebooks))
       .select(col("vec_id"), col("sub"), col("code"))
       .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(lbl, Seq("vec_id"))
     val vecs = assigned.select(col("vec_id"), col("v"), col("cell"))
+      .join(lbl, Seq("vec_id"))
     // repartition on the BUCKET key with the bucket count (the q103
     // layout recipe): each task owns one bucket across all cell
     // directories -> cells x buckets files, no small-file explosion
@@ -186,7 +202,7 @@ object AnnIndexOps {
     */
   def serveTopK(spark: SparkSession, queries: DataFrame, prefix: String,
       topK: Int = 5, probes: Int = 8, shortlist: Int = 100, m: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, labels: Option[Seq[Int]] = None): DataFrame = {
     require(shortlist >= topK, s"shortlist $shortlist must cover topK $topK")
     val tn = tables(prefix)
     val subDim = dim / m
@@ -212,7 +228,16 @@ object AnnIndexOps {
     // codes carry their cell (one cell per vector), so routing is a
     // map-side broadcast join against the pruned scan — no vec_id
     // shuffle before the ADC aggregate
-    val codes = spark.table(tn.codes).where(col("cell").isin(probed: _*))
+    // attribute PRE-filter (q339): the label predicate lands on the
+    // pruned scans themselves (a pushed parquet data filter next to the
+    // cell partition filter), so the ADC stage never scores an
+    // ineligible candidate and the shortlist is full-depth among
+    // eligibles — the post-filter alternative returns < topK whenever
+    // the filter is selective
+    def filt(df: DataFrame): DataFrame =
+      labels.fold(df)(ls => df.where(col("label").isin(ls: _*)))
+    val codes = filt(
+      spark.table(tn.codes).where(col("cell").isin(probed: _*)))
     val adist = codes
       .join(broadcast(queryCells.select(col("q_id"), col("cell"))),
         Seq("cell"))
@@ -227,7 +252,8 @@ object AnnIndexOps {
       .select(col("q_id"), col("vec_id"))
     // shortlist members live in probed cells by construction, so the
     // rerank fetch prunes to the same directories
-    val vecs = spark.table(tn.vectors).where(col("cell").isin(probed: _*))
+    val vecs = filt(
+        spark.table(tn.vectors).where(col("cell").isin(probed: _*)))
       .select(col("vec_id"), col("v"))
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -303,6 +329,16 @@ object AnnIndexOps {
         buildResidualIndex(spark, v, "graft_annaudit")
         serveRecallAudit(spark, v, SimilarityOps.queriesOf(v, 20),
           "graft_annaudit")
+      }),
+
+    // Attribute-filtered serve: the label predicate pre-filters the
+    // pruned scans; top-k among eligible vectors only.
+    QueryDef("q339_ann_filtered", literalOracle("q339_ann_filtered"),
+      (spark, dir) => {
+        val v = SimilarityOps.vectors(spark, dir)
+        buildResidualIndex(spark, v, "graft_annfilt")
+        serveTopK(spark, SimilarityOps.queriesOf(v, 20), "graft_annfilt",
+          labels = Some(Seq(0, 1, 2, 3, 4)))
       }),
 
     // Incremental index maintenance: build on the base slice, append

@@ -298,6 +298,10 @@ object ScaleRehearsal {
     // ANN recall audit: the serve (pruned index read) + ONE exact
     // brute-force pass (the audit's honest cost) + a 5-row k-grid
     "q334_ann_recall",
+    // attribute-filtered ANN serve: the label predicate pre-filters
+    // the pruned scans (pushed data filter next to the partition
+    // filter); candidate mass only shrinks vs q326
+    "q339_ann_filtered",
     // incremental ANN append: O(batch) encode against the frozen
     // centroids/codebooks + the same partition-pruned serve
     "q330_ann_append")

@@ -122,6 +122,45 @@ class AnnIndexSpec extends SparkSpec {
       s"recall@5 must clear the 0.9 family bar: $graded")
   }
 
+  test("q339 filtered serve: exact among eligibles, full-depth pre-filter") {
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec7")
+    val allowed = Seq(0, 1, 2, 3, 4)
+    // exhaustive parameters: filtered serve must equal brute force over
+    // the FILTERED corpus, byte-identically
+    val n = corpus.count().toInt
+    val got = AnnIndexOps.serveTopK(spark, queries(10), "graft_annspec7",
+      probes = 16, shortlist = n, labels = Some(allowed)).collect().toSeq
+    val exact = SimilarityOps.bruteForceTopK(
+      corpus.where(col("label").isin(allowed: _*)), queries(10), 5)
+      .collect().toSeq
+    assert(got === exact,
+      "filtered serve at exhaustive params must equal filtered brute force")
+    // graded params: every result is eligible and full-depth
+    val graded = AnnIndexOps.serveTopK(spark, queries(10), "graft_annspec7",
+      labels = Some(allowed))
+    val labs = graded.join(
+        corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select("label").collect().map(_.getInt(0)).toSet
+    assert(labs.subsetOf(allowed.toSet),
+      s"filtered serve leaked ineligible labels: $labs")
+    // the PRE-filter pin: restricting to ONE label (~10% of the corpus)
+    // still fills topK because the shortlist ranks among eligibles; the
+    // post-filter alternative (filter AFTER an unfiltered top-5) comes
+    // up short for almost every query
+    val one = AnnIndexOps.serveTopK(spark, queries(10), "graft_annspec7",
+      probes = 16, shortlist = n, labels = Some(Seq(7)))
+      .groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(one.nonEmpty && one.forall(_ === 5L),
+      s"pre-filter must return full depth per query: ${one.toSeq}")
+    val post = AnnIndexOps.serveTopK(spark, queries(10), "graft_annspec7",
+      probes = 16, shortlist = n)
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .where(col("label") === 7)
+      .groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(post.isEmpty || post.exists(_ < 5L),
+      s"fixture drift: post-filtering an unfiltered top-5 should under-fill: ${post.toSeq}")
+  }
+
   test("fat-cell drift census fires on a planted shifted batch") {
     AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec5")
     val before = AnnIndexOps.indexCellCensus(spark, "graft_annspec5")
