@@ -71,7 +71,162 @@ object TextOps {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Mojibake artifact digraphs (UTF-8 read as Latin-1, the ftfy bug
+    * class), built from unicode escapes so no editor/encoding step can
+    * corrupt the fixture: A_TILDE ("\u00c3", the prefix of every
+    * mangled accented letter, e.g. "\u00c3\u00a9" for e-acute),
+    * A_CIRC_EURO ("\u00e2\u20ac", the prefix of every mangled curly
+    * quote/dash), and A_CIRC ("\u00c2", the stray NBSP artifact).
+    */
+  private val A_TILDE = "\u00c3"
+  private val A_CIRC_EURO = "\u00e2\u20ac"
+  private val A_CIRC = "\u00c2"
+
+  /** Planted mojibake witnesses for q341: accented-letter artifacts,
+    * curly-punctuation artifacts, NBSP artifacts, one clean doc and one
+    * clean source for the zero path. Mirrored into the oracle from
+    * these SAME strings.
+    */
+  private[graft] val mojibakeTexts: Seq[(Long, String, String)] = Seq(
+    (4700000000001L, "srcM",
+      s"the caf$A_TILDE\u00a9 and cr$A_TILDE\u00a8me br$A_TILDE\u00bbl$A_TILDE\u00a9e daily"),
+    (4700000000002L, "srcM",
+      s"she said $A_CIRC_EURO\u0153hello$A_CIRC_EURO\u009d and that${A_CIRC_EURO}\u2122s it"),
+    (4700000000003L, "srcM", s"price${A_CIRC} 100$A_CIRC eur plus tax"),
+    (4700000000004L, "srcM", "a perfectly clean line of text"),
+    (4700000000005L, "srcN", "another clean source entirely"))
+
+  private def mojibakeDocs(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    mojibakeTexts.toDF("doc_id", "source", "text")
+  }
+
+  /** q341 body: MOJIBAKE census — UTF-8 text decoded as Latin-1 leaves
+    * unmistakable digraph artifacts ([[A_TILDE]] + continuation for
+    * accented letters, [[A_CIRC_EURO]] + continuation for curly
+    * punctuation, stray [[A_CIRC]] from non-breaking spaces), and
+    * production pipelines (ftfy et al.) scrub them before training.
+    * Counted EXACTLY by char-length deltas under replace (both engines
+    * count characters, not bytes), censused per source: affected docs
+    * and total artifact occurrences — the ingest-feed encoding-health
+    * dashboard. Full SQL oracle; planted witnesses mirrored from the
+    * same Scala strings.
+    *
+    * Scale shape: three row-local replace() probes per doc, one
+    * partial-agged per-source census row.
+    */
+  def mojibakeCensus(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t0 = coalesce(col("text"), lit(""))
+    def occ(needle: String): org.apache.spark.sql.Column =
+      ((length(t0) - length(regexp_replace(t0, needle, ""))) /
+        needle.length).cast("long")
+    val probes = docs.select(col("source"),
+      (occ(A_TILDE) + occ(A_CIRC_EURO) + occ(A_CIRC)).as("n_art"))
+    probes.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_art") > 0L, 1L).otherwise(0L))
+          .as("n_mojibake_docs"),
+        sum(col("n_art")).as("n_artifacts"))
+      .orderBy("source")
+  }
+
+  private def sqlTextLit(x: String): String =
+    "'" + x.replace("'", "''") + "'"
+
+  private val mojibakeSql: String = {
+    val planted = mojibakeTexts.map { case (id, src, txt) =>
+      s"    ($id, ${sqlTextLit(src)}, ${sqlTextLit(txt)})"
+    }.mkString(",\n")
+    def occ(needle: String): String =
+      s"(length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), ${sqlTextLit(needle)}, ''))) // ${needle.length}"
+    s"""WITH all_docs(doc_id, source, text) AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  VALUES
+      |$planted),
+      |probes AS (
+      |  SELECT source,
+      |    CAST(${occ(A_TILDE)}
+      |      + ${occ(A_CIRC_EURO)}
+      |      + ${occ(A_CIRC)} AS BIGINT) AS n_art
+      |  FROM all_docs)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_art > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mojibake_docs,
+      |  CAST(SUM(n_art) AS BIGINT) AS n_artifacts
+      |FROM probes GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q342 body: CHARACTER-ENTROPY gibberish/spam bands — the
+    * training-free quality signal next to q328's trained LM: a
+    * document's empirical character entropy H = Σ c·(log2 n − log2 c)
+    * / n collapses toward 0 for repeated-character/keyboard-mash spam
+    * and sits near log2(alphabet) for natural text. Computed in EXACT
+    * integer micro-bits through the shared literal log2 mantissa table
+    * (the q328/q337 no-libm doctrine), censused by half-bit bands.
+    *
+    * Scale shape: the char explode partial-aggregates on (doc, char) —
+    * ≤ alphabet rows per doc survive the map side; the per-doc fold and
+    * band census are (docs × alphabet)-bounded. Magnitude: term ≤
+    * n·45·10⁶ ≤ 4.5·10¹³ per doc at 10⁶ chars — Long-safe.
+    */
+  def charEntropyBands(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val chars = docs.where(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+        .as("ch"))
+    val counts = chars.groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy("doc_id").agg(sum(col("cnt")).as("n"))
+    val perDoc = counts.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        (col("cnt") * (expr(VocabModelOps.microLog2Spark("n")) -
+          expr(VocabModelOps.microLog2Spark("cnt")))).as("term"))
+      .groupBy("doc_id")
+      .agg(expr("sum(term) div max(n)").as("h"))
+    perDoc.groupBy(expr("h div 500000").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("h")).as("min_h_microbits"),
+        max(col("h")).as("max_h_microbits"))
+      .orderBy("band")
+  }
+
+  private val charEntropySql: String =
+    s"""WITH ch AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, length(text)),
+      |    i -> substring(text, CAST(i AS INT), 1))) AS ch
+      |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+      |c AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ch GROUP BY doc_id, ch),
+      |tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n
+      |  FROM c GROUP BY doc_id),
+      |terms AS (
+      |  SELECT c.doc_id, tot.n,
+      |    c.cnt * (${graft.ops.VocabModelOps.microLog2Duck("tot.n")}
+      |      - ${graft.ops.VocabModelOps.microLog2Duck("c.cnt")}) AS term
+      |  FROM c JOIN tot ON c.doc_id = tot.doc_id),
+      |pd AS (SELECT terms.doc_id,
+      |    CAST(SUM(terms.term) // MAX(terms.n) AS BIGINT) AS h
+      |  FROM terms GROUP BY terms.doc_id)
+      |SELECT CAST(pd.h // 500000 AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(pd.h) AS BIGINT) AS min_h_microbits,
+      |  CAST(MAX(pd.h) AS BIGINT) AS max_h_microbits
+      |FROM pd GROUP BY 1 ORDER BY band""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q341_mojibake_census", Some(mojibakeSql),
+      (spark, dir) => mojibakeCensus(t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .unionByName(mojibakeDocs(spark)))),
+
+    QueryDef("q342_char_entropy", Some(charEntropySql),
+      (spark, dir) => charEntropyBands(t(spark, dir, "documents"))),
+
     QueryDef("q29_lang_id", Some(langIdSql), (spark, dir) => {
       withViews(spark, dir, "documents")
       spark.sql(langIdSql)

@@ -285,6 +285,15 @@ object ScaleRehearsal {
     // exchanges; the 30% light-perturbation slice shares paragraphs
     // across copies, so cross-copy candidates actually amplify
     "q329_paragraph_dedup",
+    // soft-dedup effective mass: q51's closure + one cluster-size agg
+    // + a per-source census
+    "q340_soft_dedup",
+    // mojibake census: three row-local replace probes + one per-source
+    // census row
+    "q341_mojibake_census",
+    // char entropy bands: (doc, char) partial agg bounded by alphabet,
+    // per-doc fold and census (docs x alphabet)-bounded
+    "q342_char_entropy",
     // boilerplate paragraph census: one paragraph-keyed partial-agged
     // exchange + a broadcast flagged-paragraph join
     "q336_boilerplate_pars",

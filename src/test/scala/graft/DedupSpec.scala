@@ -517,6 +517,27 @@ class DedupSpec extends SparkSpec {
       s"src2 must census only doc 3's B; C is df=2, D is df=1: $out")
   }
 
+  test("q340: soft-dedup discounts sources by inverse cluster size, exactly") {
+    import graft.ops.DedupOps
+    // source A ships 3 identical 10-token docs (one cluster of 3, each
+    // weighted 1000 div 3 = 333 permille); source B ships one unique
+    // doc. A's effective mass: 3 * (10 * 1000 div 3) = 9999 milli-toks
+    // over 30 raw -> discount 1000 - 9999 div 30 = 667. B: discount 0.
+    val ten = (1 to 10).map(i => s"sd$i").mkString(" ")
+    val uniq = (1 to 10).map(i => s"un$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", ten), (2L, "A", ten), (3L, "A", ten),
+      (4L, "B", uniq))
+      .toDF("doc_id", "source", "text")
+    val out = DedupOps.softDedupMass(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") === ((3L, 30L, 9999L, 667L)),
+      s"triplicated source must discount 667 permille: $out")
+    assert(out("B") === ((1L, 10L, 10000L, 0L)),
+      s"unique source must discount nothing: $out")
+  }
+
   test("q332: scrub reassembles the kept paragraphs byte-exactly, keep-first") {
     import graft.ops.DedupOps
     def jmd5(s: String): String = java.security.MessageDigest

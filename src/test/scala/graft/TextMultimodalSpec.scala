@@ -427,4 +427,33 @@ class TextMultimodalSpec extends SparkSpec {
     assert(bandsA.zip(bandsB).forall { case (x, y) => x != y },
       "the adversarial pair must share no band")
   }
+
+  test("q341 mojibake census: planted artifacts count exactly, clean source zero") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val srcOnly = TextOps.mojibakeTexts.toDF("doc_id", "source", "text")
+    val out = TextOps.mojibakeCensus(srcOnly).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // srcM: 4 accent artifacts + 3 curly-punct artifacts + 2 NBSP
+    // artifacts across 3 of 4 docs; srcN fully clean
+    assert(out("srcM") === ((4L, 3L, 9L)),
+      s"planted artifact counts drifted: $out")
+    assert(out("srcN") === ((1L, 0L, 0L)),
+      s"the clean source must census zero: $out")
+  }
+
+  test("q342 char entropy: constant text is 0 bits, 16 equal chars exactly 4") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),                  // one symbol -> H = 0 exactly
+      (2L, "abcdefghijklmnop"),      // 16 equiprobable -> H = 4e6 exactly
+      (3L, null.asInstanceOf[String])) // out of scope
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.charEntropyBands(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 1L, 0L, 0L), (8L, 1L, 4000000L, 4000000L)),
+      s"hand-computed entropy bands drifted: ${out.toSeq}")
+  }
 }
