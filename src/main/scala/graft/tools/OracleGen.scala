@@ -26,7 +26,8 @@ object OracleGen {
     "q313_ivf_rebalance", "q319_mmr_topk", "q324_minhash_calibration",
     "q329_paragraph_dedup", "q330_ann_append",
     "q332_paragraph_scrub", "q334_ann_recall",
-    "q339_ann_filtered", "q340_soft_dedup")
+    "q339_ann_filtered", "q340_soft_dedup",
+    "q343_banding_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -285,6 +285,9 @@ object ScaleRehearsal {
     // exchanges; the 30% light-perturbation slice shares paragraphs
     // across copies, so cross-copy candidates actually amplify
     "q329_paragraph_dedup",
+    // banding sweep: ONE shared signature pass (checkpointed), four
+    // configurations of bucket window + doc agg
+    "q343_banding_sweep",
     // soft-dedup effective mass: q51's closure + one cluster-size agg
     // + a per-source census
     "q340_soft_dedup",

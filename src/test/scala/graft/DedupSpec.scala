@@ -517,6 +517,39 @@ class DedupSpec extends SparkSpec {
       s"src2 must census only doc 3's B; C is df=2, D is df=1: $out")
   }
 
+  test("q343: banding sweep loosens monotonically on a similarity gradient") {
+    import graft.ops.DedupOps
+    // exact twins (J = 1): EVERY configuration must flag the later twin
+    // (identical signatures band identically at any slicing). A
+    // moderate pair (~half the tokens replaced) sits far below the
+    // 4x16 threshold (~0.92) and inside the 32x2 net (~0.18) — the
+    // sweep must capture strictly more at the loose end.
+    val a = (1 to 60).map(i => s"bs$i").mkString(" ")
+    val mod = ((1 to 30).map(i => s"bs$i") ++
+      (1 to 30).map(i => s"zz$i")).mkString(" ")
+    val other = (1 to 60).map(i => s"qq$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, mod), (4L, other))
+      .toDF("doc_id", "text")
+    val out = DedupOps.bandingSweep(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(4, 8, 16, 32),
+      s"sweep rows drifted: ${out.toSeq}")
+    assert(out.forall(_._2 >= 1L),
+      s"the exact twin must be flagged at every config: ${out.toSeq}")
+    val byBands = out.toMap
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq,
+      s"dup counts must be monotone in looseness: ${out.toSeq}")
+    assert(byBands(32) > byBands(4),
+      s"the moderate pair must appear only at the loose end: ${out.toSeq}")
+    // the corpus-wide sweep is monotone too (fixed hashes -> this is a
+    // deterministic property of the graded output, not luck)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val c = DedupOps.bandingSweep(corpus
+        .select(col("doc_id"), col("text"))).collect()
+      .map(_.getLong(3)).toSeq
+    assert(c == c.sorted, s"corpus sweep must be monotone: $c")
+  }
+
   test("q340: soft-dedup discounts sources by inverse cluster size, exactly") {
     import graft.ops.DedupOps
     // source A ships 3 identical 10-token docs (one cluster of 3, each
