@@ -1167,6 +1167,100 @@ object StreamReplayOps {
       |JOIN b ON a.lang = b.lang
       |ORDER BY a.lang""".stripMargin
 
+  /** q344 body: replay the corpus through
+    * [[graft.streaming.StreamingCurationGate]] — the chained ingest
+    * pipeline (row-local quality gate → per-language budget skip-fold,
+    * budget = half each language's GATE-PASSING token mass, computed in
+    * batch through the component's own gateFrame) — and census the
+    * drained verdicts per language: arrivals, gated, admitted, admitted
+    * token mass, budget. Graded against a RECURSIVE-CTE oracle that
+    * replays the same gate predicate and doc_id-ordered skip-fold.
+    */
+  def curationGateReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-gate-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val budgets = graft.streaming.StreamingCurationGate.gateFrame(docs)
+      .where(!col("gated"))
+      .groupBy("lang").agg(expr("sum(n_toks) div 2").as("budget"))
+    landTimeSlices(spark, docs.withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingCurationGate.gateAvailableNow(
+        spark, landing, budgets, out, ckpt,
+        StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    spark.read.schema(StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, n_toks BIGINT, gated BOOLEAN, " +
+          "admitted BOOLEAN, batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("doc_id")
+      .agg(expr("max_by(lang, batch_id)").as("lang"),
+        expr("max_by(n_toks, batch_id)").as("n_toks"),
+        expr("max_by(gated, batch_id)").as("gated"),
+        expr("max_by(admitted, batch_id)").as("admitted"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gated"), 1L).otherwise(0L)).as("n_gated"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_toks")).otherwise(0L))
+          .as("admitted_tokens"))
+      .join(broadcast(budgets), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_gated"),
+        col("n_admitted"), col("admitted_tokens"), col("budget"))
+      .orderBy("lang")
+  }
+
+  private val curationGateSql: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(ws) AS BIGINT) AS n,
+      |    NOT (len(ws) >= 20
+      |      AND COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+      |        >= 3 * len(ws)
+      |      AND COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+      |        <= 10 * len(ws)
+      |      AND 10 * len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+      |        >= 8 * len(ws)) AS gated
+      |  FROM (SELECT doc_id, lang,
+      |      list_filter(string_split(COALESCE(text, ''), ' '),
+      |        x -> x <> '') AS ws
+      |    FROM documents)),
+      |b AS (SELECT lang, CAST(SUM(n) // 2 AS BIGINT) AS budget
+      |  FROM g WHERE NOT gated GROUP BY lang),
+      |ord AS (SELECT g.doc_id, g.lang, g.n, g.gated, b.budget,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY g.lang
+      |      ORDER BY g.doc_id) AS BIGINT) AS i
+      |  FROM g JOIN b ON g.lang = b.lang),
+      |adm AS (
+      |  SELECT lang, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS spent,
+      |    CAST(0 AS BIGINT) AS n_admitted,
+      |    CAST(0 AS BIGINT) AS admitted_tokens
+      |  FROM b
+      |  UNION ALL
+      |  SELECT o.lang, o.i,
+      |    a.spent + CASE WHEN NOT o.gated AND a.spent + o.n <= o.budget
+      |      THEN o.n ELSE 0 END,
+      |    a.n_admitted + CASE WHEN NOT o.gated AND a.spent + o.n <= o.budget
+      |      THEN 1 ELSE 0 END,
+      |    a.admitted_tokens
+      |      + CASE WHEN NOT o.gated AND a.spent + o.n <= o.budget
+      |        THEN o.n ELSE 0 END
+      |  FROM adm a JOIN ord o ON o.lang = a.lang AND o.i = a.i + 1),
+      |cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN gated THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_gated
+      |  FROM ord GROUP BY lang)
+      |SELECT a.lang, cnt.n_docs, cnt.n_gated, a.n_admitted,
+      |  a.admitted_tokens, b.budget
+      |FROM adm a
+      |JOIN cnt ON a.lang = cnt.lang AND a.i = cnt.n_docs
+      |JOIN b ON a.lang = b.lang
+      |ORDER BY a.lang""".stripMargin
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1224,6 +1318,12 @@ object StreamReplayOps {
     QueryDef("q314_classifier_score_replay",
       Some(VocabModelOps.classifierScoreReplaySql),
       (spark, dir) => classifierScoreReplay(spark, dir)),
+
+    // Chained curation-gate replay (22nd streaming component):
+    // row-local quality gate -> per-language budget skip-fold in one
+    // stateful query; recursive-CTE oracle.
+    QueryDef("q344_curation_gate_replay", Some(curationGateSql),
+      (spark, dir) => curationGateReplay(spark, dir)),
 
     // Stateful budget-admission replay (21st streaming component):
     // per-language quota skip-fold, recursive-CTE oracle.

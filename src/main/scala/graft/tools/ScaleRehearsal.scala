@@ -273,6 +273,9 @@ object ScaleRehearsal {
     // stateful budget admission replay: one Long of state per language,
     // linear in landed docs
     "q338_budget_admission_replay",
+    // chained curation-gate replay: stateless row-local gate + the
+    // q338 per-language fold, linear in landed docs
+    "q344_curation_gate_replay",
     // Zipf slope: vocab-bounded count exchange + TakeOrdered top-256
     // + a <=256-row stats aggregate (vocab grows 10x under the fixture
     // suffixes — q52's arithmetic, bar 15)
