@@ -1261,6 +1261,39 @@ object StreamReplayOps {
       |JOIN b ON a.lang = b.lang
       |ORDER BY a.lang""".stripMargin
 
+  /** q345 body: build the IVF-PQ index ONCE, then replay the query
+    * vectors as a STREAM through
+    * [[graft.streaming.StreamingAnnServe]] — the query-service
+    * deployment of the q326 serve path. Every query's top-k depends
+    * only on the frozen index and its own vector, so the drained
+    * results are independent of batching and grade against q309's OWN
+    * golden: inline-fit (q309), stored-serve (q326), and streamed-serve
+    * (q345) are held to ONE output contract. max_by(·, batch_id) keeps
+    * the readback idempotent.
+    */
+  def annServeReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-replay")
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val v = SimilarityOps.vectors(spark, dir)
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_annstream")
+    val queries = SimilarityOps.queriesOf(v, 20)
+    landTimeSlices(spark, queries.withColumn("slice_key", col("q_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingAnnServe.serveAvailableNow(
+        spark, landing, "graft_annstream", out, ckpt,
+        StructType.fromDDL("q_id BIGINT, qv ARRAY<DOUBLE>"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    spark.read.schema(StructType.fromDDL(
+        "q_id BIGINT, rnk INT, vec_id BIGINT, batch_id BIGINT"))
+      .parquet(out)
+      .groupBy("q_id", "rnk")
+      .agg(expr("max_by(vec_id, batch_id)").as("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1318,6 +1351,13 @@ object StreamReplayOps {
     QueryDef("q314_classifier_score_replay",
       Some(VocabModelOps.classifierScoreReplaySql),
       (spark, dir) => classifierScoreReplay(spark, dir)),
+
+    // Streamed ANN query service (23rd streaming component): the
+    // stored-index serve per micro-batch, held to q309's own golden —
+    // one result contract across inline, stored, and streamed serves.
+    QueryDef("q345_ann_serve_replay",
+      graft.util.Tables.literalOracle("q309_ivf_pq_residual"),
+      (spark, dir) => annServeReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

@@ -313,6 +313,10 @@ object ScaleRehearsal {
     // ANN recall audit: the serve (pruned index read) + ONE exact
     // brute-force pass (the audit's honest cost) + a 5-row k-grid
     "q334_ann_recall",
+    // streamed ANN query service: build once + per-batch pruned-index
+    // serves; the corpus cost is the build, the serves are bounded by
+    // queries x probed cells
+    "q345_ann_serve_replay",
     // attribute-filtered ANN serve: the label predicate pre-filters
     // the pruned scans (pushed data filter next to the partition
     // filter); candidate mass only shrinks vs q326
