@@ -1154,7 +1154,67 @@ object VocabModelOps {
       |  CAST(MAX(pd.ppl) AS BIGINT) AS max_ppl_microbits
       |FROM pd GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** q346 body: per-SOURCE perplexity drilldown — the feed-quality
+    * dashboard the corpus-wide q328 census can't show: which ingest
+    * source ships the gibberish. Per source over the scored slice:
+    * doc count, exact mean perplexity (Σppl div n, micro-bits), and
+    * how many docs sit above the 5-bit line (q328's gibberish band on
+    * this corpus). Same model, same exact micro-bits arithmetic, one
+    * extra broadcast-scale join to the doc→source map.
+    */
+  def sourcePerplexity(docs: DataFrame): DataFrame =
+    bigramPerplexityPerDoc(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(ppl) div count(1)").as("mean_ppl_microbits"),
+        sum(when(col("ppl") >= 5000000L, 1L).otherwise(0L))
+          .as("n_above_5bits"))
+      .orderBy("source")
+
+  private val sourcePerplexitySql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+      |    AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |d2 AS (SELECT doc_id, ws FROM base WHERE len(ws) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(ws[1:len(ws) - 1]) AS w1,
+      |    unnest(ws[2:len(ws)]) AS w2
+      |  FROM d2),
+      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT unnest(ws) AS w FROM d2 WHERE doc_id % 2 = 0)),
+      |sc AS (
+      |  SELECT s.doc_id,
+      |    CAST(COALESCE(c12.c12, 0) + 1 AS BIGINT) AS num,
+      |    CAST(COALESCE(c1.c1, 0) + vv.v AS BIGINT) AS den
+      |  FROM bg s
+      |  LEFT JOIN c12 ON s.w1 = c12.w1 AND s.w2 = c12.w2
+      |  LEFT JOIN c1 ON s.w1 = c1.w1
+      |  CROSS JOIN vv
+      |  WHERE s.doc_id % 2 = 1),
+      |su AS (SELECT sc.doc_id,
+      |    ${microLog2Duck("sc.den")} - ${microLog2Duck("sc.num")} AS s
+      |  FROM sc),
+      |pd AS (SELECT su.doc_id,
+      |    CAST(SUM(su.s) // COUNT(*) AS BIGINT) AS ppl
+      |  FROM su GROUP BY su.doc_id)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(pd.ppl) // COUNT(*) AS BIGINT) AS mean_ppl_microbits,
+      |  CAST(SUM(CASE WHEN pd.ppl >= 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above_5bits
+      |FROM pd JOIN documents d ON pd.doc_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q346_source_perplexity", Some(sourcePerplexitySql),
+      (spark, dir) => sourcePerplexity(t(spark, dir, "documents"))),
+
     QueryDef("q328_bigram_perplexity", Some(bigramPerplexitySql),
       (spark, dir) => bigramPerplexity(t(spark, dir, "documents"))),
 

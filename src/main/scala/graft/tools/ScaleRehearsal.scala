@@ -264,6 +264,9 @@ object ScaleRehearsal {
     // fixture's per-copy suffixes grow the bigram vocabulary 10x —
     // q122/q241's arithmetic, bar 15)
     "q328_bigram_perplexity",
+    // per-source perplexity drilldown: q328's relations + one
+    // broadcast-scale doc->source join
+    "q346_source_perplexity",
     // interpolated (Jelinek-Mercer) perplexity: q328's relations plus
     // one unigram-vocab shuffle and a one-row (V, N) broadcast
     "q331_interp_perplexity",
@@ -385,6 +388,7 @@ object ScaleRehearsal {
       // fixture's per-copy token suffixes grow that vocabulary 10x
       // (q122/q241's arithmetic). Bar 15.
       "q328_bigram_perplexity" -> 15.0,
+      "q346_source_perplexity" -> 15.0,
       "q331_interp_perplexity" -> 15.0,
       "q333_perplexity_score_replay" -> 15.0,
       "q337_zipf_slope" -> 15.0,

@@ -273,6 +273,28 @@ class VocabModelSpec extends SparkSpec {
       s"unseen continuation pays the hand-computed L(48) - L(14): $out")
   }
 
+  test("q346: per-source drilldown isolates the gibberish feed exactly") {
+    // train (doc 0): the q328 sentence fixture with V = 55; source F
+    // ships the fluent scored doc (band 2), source G the gibberish one
+    // (exactly L(55) = 5781360 per bigram, >= the 5-bit line)
+    val sentence = "the cat sat on the mat"
+    val train = (0 until 10).map(i => (2L * i, "T", sentence)) :+
+      (20L, "T", (1 to 50).map(i => s"r$i").mkString(" "))
+    val scored = Seq((1L, "F", sentence),
+      (3L, "G", (1 to 7).map(i => s"g$i").mkString(" ")))
+    val docs = (train ++ scored).toDF("doc_id", "source", "text")
+    val out = VocabModelOps.sourcePerplexity(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("G") === ((1L, 5781360L, 1L)),
+      s"the gibberish feed must read exactly L(55) and trip the 5-bit line: $out")
+    assert(out("F")._1 === 1L && out("F")._2 < 3000000L &&
+      out("F")._3 === 0L,
+      s"the fluent feed must stay under 3 bits and below the line: $out")
+    assert(!out.contains("T"),
+      s"train-slice sources must not appear in the scored census: $out")
+  }
+
   test("q331 interpolation never exceeds the pure-bigram score by over a bit") {
     // p >= p_bigram / 2 pointwise, so exact surprisal <= bigram + 1 bit;
     // the 6-bit mantissa quantization adds at most one table step
