@@ -173,6 +173,47 @@ object AnnIndexOps {
       .format("parquet").saveAsTable(tn.vectors)
   }
 
+  /** COMPACT the appended index: every [[appendToIndex]] lands another
+    * `buckets` files into each touched cell directory, and a serving
+    * path's read cost grows with file count even when data mass
+    * doesn't. Compaction rewrites the codes/vectors tables back to the
+    * canonical layout (cell partitions × vec_id buckets, one file per
+    * (cell, bucket)) with the DATA byte-identical — q347 proves it by
+    * serving from the compacted index against q330's own golden. The
+    * snapshot is materialized (eager localCheckpoint) BEFORE the table
+    * is dropped, the q42/q62 overwrite-reset discipline.
+    */
+  def compactIndex(spark: SparkSession, prefix: String,
+      buckets: Int = 4): Unit = {
+    val tn = tables(prefix)
+    Seq(tn.codes, tn.vectors).foreach { tbl =>
+      val snap = spark.table(tbl).localCheckpoint(true)
+      reset(spark, tbl)
+      snap.repartition(buckets, col("vec_id"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(tbl)
+    }
+  }
+
+  /** Data files currently backing an index table — the compaction
+    * observability number (spec support; O(files) driver metadata, the
+    * LayoutOps manifest convention).
+    */
+  private[graft] def indexDataFiles(spark: SparkSession,
+      tbl: String): Long = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(loc, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** Post-append drift guard — the q313 fat-cell census applied to the
     * STORED index: per-cell population plus the fat flag (≥ 2× the mean
     * cell population, q313's bar). The signal that schedules a rebuild
@@ -319,6 +360,19 @@ object AnnIndexOps {
         val v = SimilarityOps.vectors(spark, dir)
         buildResidualIndex(spark, v, "graft_ann")
         serveTopK(spark, SimilarityOps.queriesOf(v, 20), "graft_ann")
+      }),
+
+    // Index lifecycle closed: build -> append -> COMPACT -> serve,
+    // held to q330's own golden (compaction must not move a row).
+    QueryDef("q347_ann_compact", literalOracle("q330_ann_append"),
+      (spark, dir) => {
+        val v = SimilarityOps.vectors(spark, dir)
+        val base = v.where(col("vec_id") % 5 =!= 0)
+        val delta = v.where(col("vec_id") % 5 === 0)
+        buildResidualIndex(spark, base, "graft_anncomp")
+        appendToIndex(spark, delta, "graft_anncomp")
+        compactIndex(spark, "graft_anncomp")
+        serveTopK(spark, SimilarityOps.queriesOf(v, 20), "graft_anncomp")
       }),
 
     // Recall audit of the stored-index serve vs brute-force exact —

@@ -316,6 +316,9 @@ object ScaleRehearsal {
     // ANN recall audit: the serve (pruned index read) + ONE exact
     // brute-force pass (the audit's honest cost) + a 5-row k-grid
     "q334_ann_recall",
+    // index compaction lifecycle: build + append + one
+    // snapshot-and-rewrite of the two cell-partitioned tables + serve
+    "q347_ann_compact",
     // streamed ANN query service: build once + per-batch pruned-index
     // serves; the corpus cost is the build, the serves are bounded by
     // queries x probed cells

@@ -161,6 +161,35 @@ class AnnIndexSpec extends SparkSpec {
       s"fixture drift: post-filtering an unfiltered top-5 should under-fill: ${post.toSeq}")
   }
 
+  test("q347 compaction shrinks file counts and moves no data") {
+    val v = corpus
+    val base = v.where(col("vec_id") % 5 =!= 0)
+    val delta = v.where(col("vec_id") % 5 === 0)
+    AnnIndexOps.buildResidualIndex(spark, base, "graft_annspec8")
+    AnnIndexOps.appendToIndex(spark, delta, "graft_annspec8")
+    AnnIndexOps.appendToIndex(spark,
+      delta.select(col("vec_id") + lit(9400000000L) as "vec_id", col("v")),
+      "graft_annspec8")
+    val before = AnnIndexOps.serveTopK(spark, queries(10), "graft_annspec8")
+      .collect().toSeq
+    val filesBefore =
+      AnnIndexOps.indexDataFiles(spark, "graft_annspec8_codes") +
+        AnnIndexOps.indexDataFiles(spark, "graft_annspec8_vectors")
+    val rowsBefore = spark.table("graft_annspec8_codes").count()
+    AnnIndexOps.compactIndex(spark, "graft_annspec8")
+    val filesAfter =
+      AnnIndexOps.indexDataFiles(spark, "graft_annspec8_codes") +
+        AnnIndexOps.indexDataFiles(spark, "graft_annspec8_vectors")
+    assert(filesAfter < filesBefore,
+      s"two appends then compaction must shrink files: $filesBefore -> $filesAfter")
+    assert(spark.table("graft_annspec8_codes").count() === rowsBefore,
+      "compaction must not add or drop a code row")
+    val after = AnnIndexOps.serveTopK(spark, queries(10), "graft_annspec8")
+      .collect().toSeq
+    assert(after === before,
+      "serving from the compacted index must be byte-identical")
+  }
+
   test("fat-cell drift census fires on a planted shifted batch") {
     AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec5")
     val before = AnnIndexOps.indexCellCensus(spark, "graft_annspec5")
