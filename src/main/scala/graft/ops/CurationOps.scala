@@ -1178,7 +1178,63 @@ object CurationOps {
        |    CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM clean)
        |ORDER BY stage""".stripMargin
 
+  /** q348 body: CURATED-CORPUS MATERIALIZATION — the step every tier
+    * above exists for: scrub duplicate paragraphs
+    * ([[DedupOps.scrubbedDocs]], keep-first), gate the scrubbed text
+    * through the row-local quality rules
+    * ([[graft.streaming.StreamingCurationGate.gateFrame]] — the SAME
+    * expressions the streaming chain runs), persist the survivors as a
+    * lang-partitioned managed table (the K1 write), and census the
+    * READBACK — the graded rows come from `spark.table`, so the write
+    * path is inside the grade. Census per language: docs, scrubbed
+    * token mass, and an order-independent content fingerprint
+    * (pmod of the decimal-exact sum of per-doc xxhash64(doc_id:text) —
+    * any lost, duplicated, or altered row moves it).
+    *
+    * Scale shape: scrub is q329's exchanges; the gate is row-local; the
+    * write shuffles once on the partition column; the census reads the
+    * table back with partial aggregation. Engine-side hashing → golden.
+    */
+  def curatedMaterialize(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
+    val tbl = "graft_curated"
+    val scrub = DedupOps.scrubbedDocs(
+        docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val gate = graft.streaming.StreamingCurationGate.gateFrame(
+      scrub.select(col("doc_id"), col("lang"), col("text")))
+    val curated = scrub
+      .join(gate.where(!col("gated")).select(col("doc_id"), col("n_toks")),
+        Seq("doc_id"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    curated.select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang").format("parquet").saveAsTable(tbl)
+    spark.table(tbl)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr("""CAST(pmod(sum(CAST(xxhash64(concat(CAST(doc_id AS STRING),
+          | ':', text)) AS DECIMAL(38,0))), 1000000000000L) AS BIGINT)"""
+          .stripMargin).as("fingerprint"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Curated-corpus materialization: scrub -> gate -> K1 write ->
+    // readback census. The tiers composed into the dataset a training
+    // run actually consumes. Engine-side hashing -> literal golden.
+    QueryDef("q348_curated_corpus",
+      graft.util.Tables.literalOracle("q348_curated_corpus"),
+      (spark, dir) => curatedMaterialize(spark,
+        t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))),
+
     QueryDef("q200_pipeline_funnel", Some(pipelineFunnelSql),
       (spark, dir) => pipelineFunnel(t(spark, dir, "documents"))),
 

@@ -291,6 +291,9 @@ object ScaleRehearsal {
     // exchanges; the 30% light-perturbation slice shares paragraphs
     // across copies, so cross-copy candidates actually amplify
     "q329_paragraph_dedup",
+    // curated-corpus materialization: scrub exchanges + row-local gate
+    // + one partitioned write + readback census
+    "q348_curated_corpus",
     // banding sweep: ONE shared signature pass (checkpointed), four
     // configurations of bucket window + doc agg
     "q343_banding_sweep",

@@ -446,4 +446,34 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(1) === 20L, s"quality pick must beat min-id: $r")
     assert(r.getLong(2) === 2L && r.getLong(3) === 118L && r.getInt(4) === 1)
   }
+
+  test("q348: the curated table holds exactly the gated, scrubbed survivors") {
+    import graft.ops.{CurationOps, DedupOps}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def par(tag: String): String =
+      (1 to 20).map(i => s"cm$tag$i").mkString(" ")
+    // doc 1: two paragraphs, clean -> survives with both
+    // doc 2: repeats doc 1's first paragraph -> survives SCRUBBED
+    // doc 3: 2 tokens -> gated out entirely
+    val docs = Seq(
+      (1L, "en", s"${par("a")} ${par("b")}"),
+      (2L, "en", s"${par("a")} ${par("c")}"),
+      (3L, "en", "too short"))
+      .toDF("doc_id", "lang", "text")
+    val census = CurationOps.curatedMaterialize(spark, docs).collect()
+    assert(census.length === 1 &&
+      census.head.getLong(1) === 2L && census.head.getLong(2) === 60L,
+      s"2 survivors with 60 scrubbed tokens expected: ${census.toSeq}")
+    val tbl = spark.table("graft_curated").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap  // partition col lang is LAST on readback
+    assert(tbl.keySet === Set(1L, 2L), s"gated doc leaked: ${tbl.keySet}")
+    assert(tbl(1L) === s"${par("a")} ${par("b")}",
+      "the clean doc must materialize unchanged")
+    assert(tbl(2L) === par("c"),
+      s"doc 2 must materialize with its duplicate paragraph scrubbed: ${tbl(2L)}")
+    // idempotence: rerunning overwrites to the same census
+    val again = CurationOps.curatedMaterialize(spark, docs).collect()
+    assert(again.toSeq === census.toSeq, "materialization must be idempotent")
+  }
 }
