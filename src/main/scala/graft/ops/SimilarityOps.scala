@@ -956,6 +956,59 @@ object SimilarityOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** q349 body: BINARY (sign-bit) quantization ANN — the cheapest
+    * point on the quantization curve the engine now covers end to end
+    * (float32 → int8 (q93) → 8-byte PQ codes (q281/q282) → ONE 64-bit
+    * word per vector here): each embedding collapses to the sign bits
+    * of its 64 dimensions, packed into a single BIGINT by a row-local
+    * bitwise fold; approximate distance is bit_count(code XOR qcode) —
+    * a codegen'd two-instruction kernel, 256× smaller than the floats —
+    * and the `shortlist` best Hamming candidates per query get the
+    * exact cosine rerank (the q282 shortlist-then-rerank contract, same
+    * output schema as q27/q28/q47/q282). Sign bits approximate cosine
+    * for centered data (SimHash's guarantee: P[bit differs] =
+    * angle/π); SimilaritySpec pins the packing bit-exactly, Hamming
+    * identities, and the recall floor vs brute force.
+    *
+    * Scale shape: the code build is map-side; the Hamming stage scans
+    * codes-only against the broadcast query codes (at 10⁹ vectors the
+    * scan reads 8 GB where floats read 2 TB) with the per-query
+    * windows' fan-out collapsed by WindowGroupLimit; the rerank touches
+    * `shortlist` raw vectors per query. Deterministic (sign bits +
+    * integer Hamming + the strict-fold cosine) → literal golden, the
+    * family convention.
+    */
+  private[graft] def signCode(vcol: String): Column = expr(
+    s"""aggregate(sequence(0, 63), 0L,
+       | (acc, i) -> CASE WHEN element_at($vcol, i + 1) > 0D
+       |   THEN acc | shiftleft(1L, i) ELSE acc END)""".stripMargin)
+
+  def binaryAnnTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+      shortlist: Int = 100): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist must cover topK $topK")
+    val codes = corpus.select(col("vec_id"), signCode("v").as("code"))
+    val qcodes = queries.select(col("q_id"), signCode("qv").as("qcode"))
+    val ham = codes.join(broadcast(qcodes))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("bit_count(code ^ qcode)").as("hd"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("hd").asc, col("vec_id").asc)
+    val short = ham.withColumn("rnk", row_number().over(ws))
+      .where(col("rnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short
+      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("sim", cosine("qv", "v"))
+      .withColumn("rnk", row_number().over(wr))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** q166: the SQL-TEXT path of the native cosine expression — the same
     * brute-force top-k contract as q27, but the similarity is computed by
     * `cosine_sim(...)` inside `spark.sql` on a session whose function
@@ -1063,6 +1116,14 @@ object SimilarityOps {
     // -> exact rerank): same output contract as q27/q28/q47/q282.
     // Deterministic -> literal golden; SimilaritySpec pins recall >= 0.9
     // vs brute force (the q282 bar) and that no stage is all-pairs.
+    // Binary sign-bit quantization ANN: one 64-bit word per vector,
+    // Hamming shortlist + exact rerank. Deterministic -> golden.
+    QueryDef("q349_binary_ann", literalOracle("q349_binary_ann"),
+      (spark, dir) => {
+        val v = vectors(spark, dir)
+        binaryAnnTopK(v, queriesOf(v, 20))
+      }),
+
     QueryDef("q303_ivf_pq", literalOracle("q303_ivf_pq"),
       (spark, dir) => {
         val v = vectors(spark, dir)

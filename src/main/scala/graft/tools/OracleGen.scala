@@ -27,7 +27,7 @@ object OracleGen {
     "q329_paragraph_dedup", "q330_ann_append",
     "q332_paragraph_scrub", "q334_ann_recall",
     "q339_ann_filtered", "q340_soft_dedup",
-    "q343_banding_sweep", "q348_curated_corpus")
+    "q343_banding_sweep", "q348_curated_corpus", "q349_binary_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

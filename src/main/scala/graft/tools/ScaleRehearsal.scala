@@ -312,6 +312,9 @@ object ScaleRehearsal {
     // paragraph scrub: q329's assignments + one per-doc reassembly agg
     // (collect_list bounded by one document's paragraphs)
     "q332_paragraph_scrub",
+    // binary sign-bit ANN: map-side 1-long codes, codes-only Hamming
+    // scan against broadcast query codes, constant-shortlist rerank
+    "q349_binary_ann",
     // round 13: ANN build/serve split — the measured cost is the BUILD
     // (q309's fit, amortized in production); the serve reads only the
     // probed cells' index partitions

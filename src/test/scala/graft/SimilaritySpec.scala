@@ -304,4 +304,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum === v.count())
     out.foreach(r => assert(r.getLong(2) === r.getLong(3)))
   }
+
+  test("q349 binary ANN: packing bit-exact, Hamming identities, recall floor") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-computed packing: dims 0 and 2 positive -> bits 0 and 2 ->
+    // code 0b101 = 5; the all-positive vector sets all 64 bits -> -1L
+    val tiny = Seq(
+      (1L, Seq.tabulate(64)(i => if (i == 0 || i == 2) 1.0 else -1.0)),
+      (2L, Seq.fill(64)(1.0)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), graft.ops.SimilarityOps.signCode("v").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny(1L) === 5L, s"sign packing drifted: $tiny")
+    assert(tiny(2L) === -1L, s"all-positive must set all 64 bits: $tiny")
+
+    // identical vectors -> Hamming 0 -> the twin is the top-1 rerank hit
+    val v = graft.ops.SimilarityOps.vectors(spark, sf)
+      .select(col("vec_id"), col("v"))
+    val anchor = v.where(col("vec_id") === 3L).collect().head.getSeq[Double](1)
+    val withTwin = v.unionByName(Seq((9500000001L, anchor)).toDF("vec_id", "v"))
+    val q = Seq((3L, anchor)).toDF("q_id", "qv")
+    val top1 = graft.ops.SimilarityOps.binaryAnnTopK(withTwin, q, topK = 1)
+      .collect().head.getLong(2)
+    assert(top1 === 9500000001L, s"the exact twin must rerank first: $top1")
+
+    // exhaustive shortlist == brute force (the rerank sees everything);
+    // the graded 100-shortlist holds a measured recall floor vs brute
+    val queries = v.where(col("vec_id") < 10L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val n = v.count().toInt
+    val exhaustive = graft.ops.SimilarityOps
+      .binaryAnnTopK(v, queries, topK = 5, shortlist = n).collect().toSeq
+    val brute = graft.ops.SimilarityOps.bruteForceTopK(v, queries, 5)
+      .collect().toSeq
+    assert(exhaustive === brute,
+      "exhaustive-shortlist binary ANN must equal brute force")
+    val got = graft.ops.SimilarityOps.binaryAnnTopK(v, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = brute.map(r => (r.getLong(0), r.getLong(2)))
+      .count(got.contains)
+    assert(hits >= 30,
+      s"1-bit codes at shortlist 100 must keep recall@5 >= 0.6: $hits/50")
+  }
 }
