@@ -38,14 +38,33 @@ import graft.util.Tables.t
   */
 object StreamReplayOps {
 
-  /** Scratch base for the most state-store-heavy replay (q266): prefer
-    * tmpfs (/dev/shm) over the disk-backed java tmpdir so the landing
-    * files, sink, and state-store checkpoints stop paying — and stop
-    * VARYING with — host disk I/O (VERDICT r12 #6: q266's driver
-    * timing spiked 2× on checkpoint-commit I/O noise two rounds
-    * running; the state is a few MB, RAM-backed scratch is the right
-    * home). Falls back to a plain temp dir when /dev/shm is absent.
+  /** Scratch base shared by EVERY replay harness: prefer tmpfs
+    * (/dev/shm) over the disk-backed java tmpdir so the landing files,
+    * sink, and state-store checkpoints stop paying — and stop VARYING
+    * with — host disk I/O (VERDICT r12 #6: q266's driver timing spiked
+    * 2× on checkpoint-commit I/O noise two rounds running; replay state
+    * is a few MB, RAM-backed scratch is the right home). Falls back to
+    * a plain temp dir when /dev/shm is absent.
+    *
+    * Cleanup is ONE static JVM shutdown hook draining a concurrent
+    * registry of scratch dirs (ADVICE r13: a hook per invocation
+    * retains a Thread + path each and grows unbounded over a long
+    * bench session; per-invocation dirs with NO hook leak tmpfs
+    * memory). Invocations just register their path.
     */
+  private val scratchRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete(): Unit
+      }
+      var p = scratchRegistry.poll()
+      while (p != null) { rm(p.toFile); p = scratchRegistry.poll() }
+    }))
+  }
   private def replayScratchBase(tag: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base =
@@ -53,17 +72,7 @@ object StreamReplayOps {
           java.nio.file.Files.isWritable(shm))
         java.nio.file.Files.createTempDirectory(shm, tag)
       else java.nio.file.Files.createTempDirectory(tag)
-    // RAM-backed scratch must not outlive the JVM (a leaked /tmp dir is
-    // disk clutter; a leaked /dev/shm dir is held memory) — recursive
-    // delete on exit, one bounded hook per replay invocation
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.io.File): Unit = {
-        val kids = p.listFiles()
-        if (kids != null) kids.foreach(rm)
-        p.delete(): Unit
-      }
-      rm(base.toFile)
-    }))
+    scratchRegistry.add(base)
     base
   }
 
@@ -144,7 +153,7 @@ object StreamReplayOps {
     */
   def scd2Replay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-scd2-replay")
+    val base = replayScratchBase("graft-scd2-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -198,7 +207,7 @@ object StreamReplayOps {
     * batch sessionization oracle.
     */
   def sessionReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-sess-replay")
+    val base = replayScratchBase("graft-sess-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"), col("ts"))
@@ -237,7 +246,7 @@ object StreamReplayOps {
     * hour × event_type grid, DECIMAL(18,4) money — relationally.
     */
   def windowReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-win-replay")
+    val base = replayScratchBase("graft-win-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
       .select(col("event_type"), col("value"), col("ts"))
@@ -279,7 +288,7 @@ object StreamReplayOps {
     */
   def lastTouchReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-touch-replay")
+    val base = replayScratchBase("graft-touch-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
       .select(col("user_id"), col("event_id"),
@@ -322,7 +331,7 @@ object StreamReplayOps {
     */
   def inactivityReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-ia-replay")
+    val base = replayScratchBase("graft-ia-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
       .select(col("user_id"), expr("unix_millis(ts)").as("ts_ms"))
@@ -380,7 +389,7 @@ object StreamReplayOps {
     * any dropped original breaks the counts.
     */
   def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-dedup-replay")
+    val base = replayScratchBase("graft-dedup-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val nSlices = 4
     val ev = EventOps.events(spark, dir)
@@ -431,7 +440,7 @@ object StreamReplayOps {
     * Graded against the relational interval join over the same events.
     */
   def intervalJoinReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-ij-replay")
+    val base = replayScratchBase("graft-ij-replay")
     val (landV, landC, out, ckpt) =
       (s"$base/views", s"$base/clicks", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
@@ -550,7 +559,7 @@ object StreamReplayOps {
     */
   def statefulSessionReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-fsess-replay")
+    val base = replayScratchBase("graft-fsess-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
       .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
@@ -602,7 +611,7 @@ object StreamReplayOps {
     */
   def userStatsReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-ustats-replay")
+    val base = replayScratchBase("graft-ustats-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
       .select(col("user_id"), col("event_type"),
@@ -662,7 +671,7 @@ object StreamReplayOps {
     */
   def enrichmentReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-enrich-replay")
+    val base = replayScratchBase("graft-enrich-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val ev = EventOps.events(spark, dir)
       .select(
@@ -707,7 +716,7 @@ object StreamReplayOps {
     */
   def termCountsReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-tc-replay")
+    val base = replayScratchBase("graft-tc-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     landTimeSlices(spark, docs.withColumn("slice_key", col("doc_id")),
@@ -754,7 +763,7 @@ object StreamReplayOps {
     */
   def incrDedupReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-idd-replay")
+    val base = replayScratchBase("graft-idd-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val existing = docs.where(col("doc_id") % 10 =!= 0)
@@ -789,7 +798,7 @@ object StreamReplayOps {
     */
   def ingestReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-ingest-replay")
+    val base = replayScratchBase("graft-ingest-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val n = 2000
     val bronze = graft.gen.SalesGen.initialBatch(spark, n = n).toDF()
@@ -825,7 +834,7 @@ object StreamReplayOps {
   def cmsReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (depth, width) = (4, 1024)
-    val base = java.nio.file.Files.createTempDirectory("graft-cms-replay")
+    val base = replayScratchBase("graft-cms-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     landTimeSlices(spark, docs.withColumn("slice_key", col("doc_id")),
@@ -888,7 +897,7 @@ object StreamReplayOps {
     * read idempotent under the sink's at-least-once appends.
     */
   def centroidAssignReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-ca-replay")
+    val base = replayScratchBase("graft-ca-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val emb = t(spark, dir, "embeddings")
     val static = emb.where(col("vec_id") % 5 =!= 0)
@@ -957,7 +966,7 @@ object StreamReplayOps {
     */
   def topkReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-topk-replay")
+    val base = replayScratchBase("graft-topk-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val orders = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1024,7 +1033,7 @@ object StreamReplayOps {
     * sink's at-least-once appends.
     */
   def classifierScoreReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-cs-replay")
+    val base = replayScratchBase("graft-cs-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val docs = t(spark, dir, "documents")
     val static = docs.where(col("doc_id") % 5 =!= 0)
@@ -1060,7 +1069,7 @@ object StreamReplayOps {
     * doc_id keeps the read idempotent under the sink's appends.
     */
   def perplexityScoreReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-ppl-replay")
+    val base = replayScratchBase("graft-ppl-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val docs = t(spark, dir, "documents")
     val train = docs.where(col("doc_id") % 2 === 0)
@@ -1096,7 +1105,7 @@ object StreamReplayOps {
     * max_by(·, batch_id) keeps the readback idempotent.
     */
   def budgetAdmissionReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-adm-replay")
+    val base = replayScratchBase("graft-adm-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
@@ -1177,7 +1186,7 @@ object StreamReplayOps {
     * replays the same gate predicate and doc_id-ordered skip-fold.
     */
   def curationGateReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-gate-replay")
+    val base = replayScratchBase("graft-gate-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
@@ -1272,7 +1281,7 @@ object StreamReplayOps {
     * the readback idempotent.
     */
   def annServeReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-ann-replay")
+    val base = replayScratchBase("graft-ann-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val v = SimilarityOps.vectors(spark, dir)
     AnnIndexOps.buildResidualIndex(spark, v, "graft_annstream")
@@ -1307,7 +1316,7 @@ object StreamReplayOps {
     * would fail the golden's row count).
     */
   def minhashDedupReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-smh-replay")
+    val base = replayScratchBase("graft-smh-replay")
     val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     landTimeSlices(spark, docs.withColumn("slice_key", col("doc_id")),
