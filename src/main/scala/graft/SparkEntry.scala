@@ -20,7 +20,7 @@ object SparkEntry {
       GraphOps.defs ++ AuditOps.defs ++ ScaleShapeOps.defs ++
       EmbedStatsOps.defs ++ ExperimentOps.defs ++ SketchOps.defs ++
       VocabModelOps.defs ++ StreamReplayOps.defs ++ LinkageOps.defs ++
-      SelectionOps.defs ++ AnnIndexOps.defs ++
+      SelectionOps.defs ++ AnnIndexOps.defs ++ TakedownOps.defs ++
       graft.sources.TextFormats.defs ++
       graft.sources.ColumnarFormats.defs ++
       graft.sources.XmlFormat.defs ++

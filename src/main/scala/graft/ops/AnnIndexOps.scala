@@ -66,7 +66,7 @@ object AnnIndexOps {
     * codebooks. Returns (codes (vec_id, sub, code, cell),
     * vectors (vec_id, v, cell)).
     */
-  private def encodeAgainst(vecs: DataFrame, centroids: DataFrame,
+  private[ops] def encodeAgainst(vecs: DataFrame, centroids: DataFrame,
       books: DataFrame, m: Int, dim: Int): (DataFrame, DataFrame) = {
     val assigned = SimilarityOps.nearestCells(
       vecs.select(col("vec_id"), col("v")), "vec_id", "v", centroids, 1)
@@ -212,6 +212,74 @@ object AnnIndexOps {
       if (f.getPath.getName.endsWith(".parquet")) n += 1
     }
     n
+  }
+
+  /** TAKEDOWN (q350, the right-to-be-forgotten sweep): remove a vector
+    * id set from the STORED index — one snapshot-filter-overwrite per
+    * data table that deletes the rows AND restores the canonical layout
+    * (cell partitions × vec_id buckets, one file per pair) in the same
+    * rewrite, so a takedown never leaves the fragmentation an append
+    * does. Centroids/codebooks are fit-once artifacts and are NOT
+    * refit on delete — the exact mirror of [[appendToIndex]]'s frozen-
+    * quantizer doctrine (drift, if deletions shift the distribution, is
+    * [[indexCellCensus]]'s job to flag). Under frozen quantizers the
+    * encode is per-vector independent, so the swept index is provably
+    * row-identical to re-encoding the surviving corpus from scratch —
+    * which [[rebuildWithFrozen]] materializes and q350 checks
+    * end-to-end (tables AND served top-k).
+    *
+    * Scale shape: at production scale the deletion set is tiny and the
+    * rewrite should prune to the cells that contain deleted vectors
+    * (partition-level rewrite); here the snapshot rewrite doubles as
+    * compaction, the q347 path.
+    */
+  def takedownIndex(spark: SparkSession, prefix: String,
+      deleted: DataFrame, buckets: Int = 4): Unit = {
+    val tn = tables(prefix)
+    val del = broadcast(deleted.select(col("vec_id")).distinct()
+      .localCheckpoint(true))
+    Seq(tn.codes, tn.vectors).foreach { tbl =>
+      val snap = spark.table(tbl).join(del, Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      reset(spark, tbl)
+      snap.repartition(buckets, col("vec_id"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(tbl)
+    }
+  }
+
+  /** The takedown-equivalence witness: a second index under `toPrefix`
+    * whose quantizers are COPIED (frozen) from `fromPrefix` and whose
+    * codes/vectors are the surviving corpus re-encoded from scratch.
+    * q350 grades [[takedownIndex]] by proving the swept index equals
+    * this rebuild row-for-row and serve-for-serve — zero residue by
+    * construction on the rebuild side, therefore zero residue on the
+    * swept side when they match.
+    */
+  def rebuildWithFrozen(spark: SparkSession, survivors: DataFrame,
+      fromPrefix: String, toPrefix: String, m: Int = 8, dim: Int = 64,
+      buckets: Int = 4): IndexTables = {
+    val src = tables(fromPrefix)
+    val dst = tables(toPrefix)
+    val cent = spark.table(src.centroids).localCheckpoint(true)
+    val books = spark.table(src.codebooks).localCheckpoint(true)
+    Seq(dst.centroids, dst.codebooks, dst.codes, dst.vectors)
+      .foreach(reset(spark, _))
+    cent.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(dst.centroids)
+    books.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(dst.codebooks)
+    val (codes, vecs) = encodeAgainst(survivors, cent, books, m, dim)
+    codes.repartition(buckets, col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(dst.codes)
+    vecs.repartition(buckets, col("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(dst.vectors)
+    dst
   }
 
   /** Post-append drift guard — the q313 fat-cell census applied to the

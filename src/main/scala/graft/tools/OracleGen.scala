@@ -27,7 +27,8 @@ object OracleGen {
     "q329_paragraph_dedup", "q330_ann_append",
     "q332_paragraph_scrub", "q334_ann_recall",
     "q339_ann_filtered", "q340_soft_dedup",
-    "q343_banding_sweep", "q348_curated_corpus", "q349_binary_ann")
+    "q343_banding_sweep", "q348_curated_corpus", "q349_binary_ann",
+    "q350_takedown")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndexOps, CurationOps, DedupOps, SimilarityOps, TakedownOps}
+
+/** Takedown / right-to-be-forgotten sweep (q350): planted cases for the
+  * three propagation problems the sweep must solve exactly —
+  *  - curated corpus: a deleted doc that was the keep-first winner of a
+  *    shared paragraph must hand the paragraph back to the survivors
+  *    (including re-admitting a doc the scrub had previously emptied),
+  *  - cluster map: deleting a bridge doc must SPLIT its component, and
+  *    deleting a component's minimum must migrate the label,
+  *  - ANN index: table + serve residue zero, and row/serve identity
+  *    with a frozen-quantizer rebuild on the survivors.
+  */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20-token paragraphs, every token alphabetic len 3-10 so the gate
+  // (>= 20 tokens, 3 <= avg len <= 10, >= 80% alpha) passes
+  private val P =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+  private val Q =
+    "pencil marker crayon eraser ruler binder folder staple sticky " +
+      "tape scissors glue paper canvas easel brush paint sketch doodle draft"
+  private val tail50 =
+    "uniform victor whiskey xray yankee zulu apple banana cherry dates " +
+      "elder figs grape honey iris jasmine kiwi lemon mango nectar"
+  private val filler =
+    "granite marble basalt quartz slate gneiss schist pumice obsidian " +
+      "shale chalk flint gravel pebble boulder crystal geode mineral ore vein"
+
+  private def curatedDocs: DataFrame = Seq(
+    (10L, "en", s"$P $Q"),      // keep-first winner of BOTH paragraphs
+    (50L, "en", s"$P $tail50"), // P scrubbed against doc 10
+    (60L, "en", s"$P $Q"),      // fully scrubbed -> gated out
+    (70L, "en", filler)         // untouched bystander
+  ).toDF("doc_id", "lang", "text")
+
+  test("curated takedown: keep-first flip repairs survivors and re-admits emptied docs") {
+    val docs = curatedDocs
+    val tn = TakedownOps.curatedMaterializeWithProvenance(
+      spark, docs, "graft_tdspec")
+    val before = spark.table(tn.curated).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(before(10L) == s"$P $Q")
+    assert(before(50L) == tail50, "doc 50's copy of P must be scrubbed while doc 10 owns it")
+    assert(!before.contains(60L), "doc 60 (every paragraph a dup) must be gated out")
+    assert(before(70L) == filler)
+
+    TakedownOps.takedownCurated(spark, docs,
+      Seq(10L).toDF("doc_id"), "graft_tdspec")
+    val after = spark.table(tn.curated).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(!after.contains(10L), "deleted doc must leave the curated table")
+    assert(after(50L) == s"$P $tail50",
+      "doc 50 must regain P once the keep-first winner is deleted")
+    assert(after(60L) == Q,
+      "doc 60 must re-enter with Q (P now belongs to doc 50, still earlier)")
+    assert(after(70L) == filler, "unaffected docs must not be rewritten")
+
+    // zero residue in the provenance tables too
+    assert(spark.table(tn.pars).where(col("doc_id") === 10L).isEmpty)
+    assert(spark.table(tn.buckets)
+      .where(shiftright(col("pid"), 20) === 10L).isEmpty)
+
+    // and the swept state IS the from-scratch q348 materialization on
+    // the surviving corpus, row for row
+    CurationOps.curatedMaterialize(spark,
+      docs.where(col("doc_id") =!= 10L))
+    val rebuild = spark.table("graft_curated")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+    val swept = spark.table(tn.curated)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+    assert(swept.exceptAll(rebuild).isEmpty && rebuild.exceptAll(swept).isEmpty,
+      "swept curated table must equal the rebuild on survivors")
+  }
+
+  test("provenance materialization matches q348 / q51 on real data") {
+    val docs = graft.util.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val tn = TakedownOps.curatedMaterializeWithProvenance(
+      spark, docs, "graft_tdspec2")
+    CurationOps.curatedMaterialize(spark, docs)
+    val mine = spark.table(tn.curated)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+    val q348 = spark.table("graft_curated")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+    assert(mine.exceptAll(q348).isEmpty && q348.exceptAll(mine).isEmpty,
+      "provenance-bearing materialization must be byte-identical to q348's")
+
+    val kt = TakedownOps.clustersMaterializeWithProvenance(
+      spark, docs, "graft_tdspec2")
+    val lbl = spark.table(kt.clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val q51 = DedupOps.starClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(lbl == q51,
+      "provenance-bearing cluster map must equal q51's star closure")
+  }
+
+  // near-dup chain: a ~ b ~ c by single-word edits (banding-linked),
+  // d unrelated, e null — the DedupSpec chain fixture
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog while the spark engine " +
+      "shuffles partitions across the cluster and the optimizer prunes " +
+      "columns pushing filters down to the parquet scan so that the " +
+      "next stage of the pipeline reads them back prunes the columns it " +
+      "needs and joins against the broadcast dimension tables"
+  private def clusterDocs: DataFrame = {
+    val b = baseText.replace("broadcast", "replicated")
+    val c = b.replace("quick brown", "swift auburn")
+    Seq((11L, baseText), (12L, b), (13L, c),
+      (14L, "completely different content about databases query planners " +
+        "join ordering cost models statistics histograms cardinality " +
+        "estimation vectorized execution morsels and adaptive scheduling"),
+      (15L, null.asInstanceOf[String])).toDF("doc_id", "text")
+  }
+
+  private def clusterSet(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select(col("doc_id"), col("cluster_id"), col("is_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("cluster takedown: deleting a bridge splits, deleting the minimum migrates the label") {
+    val docs = clusterDocs
+    // the fixture must actually band 11-12 and 12-13 together (the
+    // DedupSpec chain property); guard so a fixture drift fails loudly
+    val edges = DedupOps.minhashEdges(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((12L, 11L)) || edges.contains((11L, 12L)),
+      s"fixture drift: 11-12 not banded, edges=$edges")
+
+    // delete the bridge (12): survivors relabel exactly as a rebuild
+    TakedownOps.clustersMaterializeWithProvenance(spark, docs, "graft_tdspec3")
+    TakedownOps.takedownClusters(spark, Seq(12L).toDF("doc_id"), "graft_tdspec3")
+    val sweptA = clusterSet(spark.table("graft_tdspec3_clusters"))
+    val rebuildA = clusterSet(
+      DedupOps.starClusters(docs.where(col("doc_id") =!= 12L)))
+    assert(sweptA == rebuildA,
+      s"bridge deletion must match the rebuild: $sweptA vs $rebuildA")
+    assert(!sweptA.exists(_._1 == 12L) && !sweptA.exists(_._2 == 12L),
+      "no surviving row may reference the deleted doc")
+
+    // delete the component minimum (11): labels must migrate off 11
+    TakedownOps.clustersMaterializeWithProvenance(spark, docs, "graft_tdspec3")
+    TakedownOps.takedownClusters(spark, Seq(11L).toDF("doc_id"), "graft_tdspec3")
+    val sweptB = clusterSet(spark.table("graft_tdspec3_clusters"))
+    val rebuildB = clusterSet(
+      DedupOps.starClusters(docs.where(col("doc_id") =!= 11L)))
+    assert(sweptB == rebuildB)
+    assert(!sweptB.exists(_._2 == 11L),
+      "a deleted doc's id must not survive as a cluster label")
+  }
+
+  test("ANN takedown: zero residue, row- and serve-identical to a frozen rebuild") {
+    val v = SimilarityOps.vectors(spark, sf)
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_tdspecann")
+    val q = v.where(col("vec_id") === 7L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pre = AnnIndexOps.serveTopK(spark, q, "graft_tdspecann").collect()
+    val top1 = pre.find(_.getInt(1) == 1).get.getLong(2)
+
+    AnnIndexOps.takedownIndex(spark, "graft_tdspecann",
+      Seq(top1).toDF("vec_id"))
+    assert(spark.table("graft_tdspecann_codes")
+      .where(col("vec_id") === top1).isEmpty)
+    assert(spark.table("graft_tdspecann_vectors")
+      .where(col("vec_id") === top1).isEmpty)
+
+    AnnIndexOps.rebuildWithFrozen(spark, v.where(col("vec_id") =!= top1),
+      "graft_tdspecann", "graft_tdspecannrb")
+    val codes = spark.table("graft_tdspecann_codes")
+    val rbCodes = spark.table("graft_tdspecannrb_codes")
+    assert(codes.exceptAll(rbCodes).isEmpty && rbCodes.exceptAll(codes).isEmpty,
+      "swept codes must equal re-encoding the survivors")
+    val vecs = spark.table("graft_tdspecann_vectors")
+    val rbVecs = spark.table("graft_tdspecannrb_vectors")
+    assert(vecs.exceptAll(rbVecs).isEmpty && rbVecs.exceptAll(vecs).isEmpty)
+
+    val post = AnnIndexOps.serveTopK(spark, q, "graft_tdspecann").collect()
+    assert(!post.exists(_.getLong(2) == top1),
+      "the deleted vector must never be served again")
+    val rbServe = AnnIndexOps.serveTopK(spark, q, "graft_tdspecannrb").collect()
+    assert(post.toSeq == rbServe.toSeq,
+      "swept serve must equal the rebuild's serve")
+  }
+}
