@@ -629,7 +629,82 @@ object SelectionOps {
       |    AS BIGINT) AS boundary_rprm
       |FROM o GROUP BY 1 ORDER BY selected DESC""".stripMargin
 
+  /** q352 body: SEQUENCE PACKING priced in BPE tokens (VERDICT r13
+    * #4) — q63's greedy contiguous fill with the per-doc weight
+    * replaced by the REAL tokenizer cost from q327's pricing join, so
+    * packed training batches speak the same unit the training run
+    * buys. A context window holds `cap` BPE tokens, not `cap`
+    * whitespace words: a doc whose rare/long words fragment under the
+    * tokenizer fills a pack faster than its whitespace count claims,
+    * which shifts every later pack boundary in its language — the
+    * mispricing VocabSampleSpec's planted doc makes exact.
+    *
+    * Scale shape unchanged from q63: per-doc BPE counts come from one
+    * equi-join of the word stream against the broadcast merge
+    * vocabulary (KBs at any scale, q217's doctrine — never a per-doc
+    * re-derivation), and the running total is the same distributed
+    * prefix sum (per-(lang, bucket) partials → tiny bucket-offset
+    * window → parallel within-bucket windows). Docs with no words
+    * (null or whitespace-only text) have no BPE cost and are absent,
+    * exactly as they are absent from q327's pricing.
+    */
+  def bpeSequencePack(docs: DataFrame, cap: Long, rounds: Int = 3,
+      bucketWidth: Long = 100L): DataFrame = {
+    val (vocab, _) = VocabModelOps.bpeRounds(docs, rounds)
+    val words = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val base = words
+      .join(broadcast(vocab.select(col("w"), size(col("toks")).as("wt"))),
+        Seq("w"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("wt")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div ${bucketWidth}L"))
+    val wB = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("lang", "bucket")
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wB), lit(0L)))
+      .select("lang", "bucket", "boff")
+    val wIn = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum", col("boff") + sum(col("n_tokens")).over(wIn))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${cap}L").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  // Oracle replays the shared 3-round merge chain, prices each doc via
+  // the same vocabulary join, and packs with the NAIVE per-language
+  // global prefix window — the semantics the distributed two-phase
+  // prefix sum must reproduce exactly.
+  private val bpePackSql: String =
+    s"""WITH ${VocabModelOps.bpeChainSql(3)},
+      |dwords AS (
+      |  SELECT doc_id, lang, w FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE w <> ''),
+      |bpe AS (
+      |  SELECT dwords.doc_id, dwords.lang,
+      |    CAST(SUM(len(v3.toks)) AS BIGINT) AS n_tokens
+      |  FROM dwords JOIN v3 ON v3.w = dwords.w GROUP BY 1, 2),
+      |o AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM bpe)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q352_bpe_pack", Some(bpePackSql),
+      (spark, dir) => bpeSequencePack(t(spark, dir, "documents"),
+        cap = 4096L)),
+
     QueryDef("q320_budget_select", Some(budgetSelectSql),
       (spark, dir) => budgetSelect(t(spark, dir, "documents"))),
 

@@ -1303,6 +1303,38 @@ object StreamReplayOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** q351 body: streamed INDEX MAINTENANCE replay — the write side of
+    * the ANN lifecycle deployed as a stream
+    * ([[graft.streaming.StreamingAnnMaintain]]). Build the index on the
+    * base slice (frozen fit), land the delta vectors as vec_id-ordered
+    * time slices, append each micro-batch to the STORED index against
+    * the frozen quantizers, then serve from the grown index. The grown
+    * index is batching-independent (per-vector encode, frozen fit), so
+    * the serve is graded against q330's OWN golden — one result
+    * contract across batch append and streamed append. Exactly-once
+    * (anti-join on already-indexed ids) is pinned by
+    * StreamingAnnMaintainSpec's wiped-checkpoint re-run.
+    */
+  def annMaintainReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-annm-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val v = SimilarityOps.vectors(spark, dir)
+    val baseSlice = v.where(col("vec_id") % 5 =!= 0)
+    val delta = v.where(col("vec_id") % 5 === 0)
+    AnnIndexOps.buildResidualIndex(spark, baseSlice, "graft_annmaint")
+    landTimeSlices(spark, delta.withColumn("slice_key", col("vec_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingAnnMaintain.maintainAvailableNow(
+        spark, landing, "graft_annmaint", ckpt,
+        StructType.fromDDL("vec_id BIGINT, label INT, v ARRAY<DOUBLE>"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    AnnIndexOps.serveTopK(spark, SimilarityOps.queriesOf(v, 20),
+      "graft_annmaint")
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1367,6 +1399,14 @@ object StreamReplayOps {
     QueryDef("q345_ann_serve_replay",
       graft.util.Tables.literalOracle("q309_ivf_pq_residual"),
       (spark, dir) => annServeReplay(spark, dir)),
+
+    // Streamed ANN index maintenance (24th streaming component): the
+    // lifecycle's write side per micro-batch against frozen quantizers,
+    // held to q330's own golden — batch append and streamed append are
+    // one contract.
+    QueryDef("q351_ann_maintain_replay",
+      graft.util.Tables.literalOracle("q330_ann_append"),
+      (spark, dir) => annMaintainReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

@@ -78,9 +78,29 @@ object TakedownOps {
       .saveAsTable(tbl)
   }
 
-  /** Row-identical set equality (multiplicity-aware, order-free). */
+  /** Row-identical set equality (multiplicity-aware, order-free).
+    * Equal counts + one empty bag-difference imply equality, so the
+    * second exceptAll pass is replaced by a cheap count.
+    */
   private def eqSets(a: DataFrame, b: DataFrame): Boolean =
-    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    a.count() == b.count() && a.exceptAll(b).isEmpty
+
+  /** q348's readback census — the per-language row/token counts plus
+    * the order-independent content fingerprint its golden grades. Any
+    * lost, duplicated, or altered (doc_id, lang, text, n_toks) row
+    * moves it, which is what makes census equality a sufficient (and
+    * text-shuffle-free) rebuild-identity check for the curated table.
+    */
+  private def curatedCensus(df: DataFrame): Set[(String, Long, Long, Long)] =
+    df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr("""CAST(pmod(sum(CAST(xxhash64(concat(CAST(doc_id AS STRING),
+          | ':', text)) AS DECIMAL(38,0))), 1000000000000L) AS BIGINT)"""
+          .stripMargin).as("fingerprint"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
 
   // ------------------------------------------------------------------
   // Curated corpus with provenance
@@ -336,6 +356,17 @@ object TakedownOps {
     */
   def takedownSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // phase timing to stderr when SPARK_GRAFT_TD_TIMING is set — the
+    // sweep is the suite's biggest composite, keep its cost inspectable
+    val t0 = System.nanoTime()
+    var last = t0
+    def mark(phase: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_TD_TIMING")) {
+        val now = System.nanoTime()
+        System.err.println(f"[td] $phase: ${(now - last) / 1e9}%.2fs " +
+          f"(total ${(now - t0) / 1e9}%.2fs)")
+        last = now
+      }
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val delDocs = docs.where(col("doc_id") % 13 === 0)
@@ -347,6 +378,7 @@ object TakedownOps {
     val curBefore = spark.table(ct.curated).count()
     val curDeleted = spark.table(ct.curated)
       .join(broadcast(delDocs), Seq("doc_id")).count()
+mark("curated materialize+counts")
     takedownCurated(spark, docs, delDocs, "graft_td")
     val curAfter = spark.table(ct.curated).count()
     val curResidue =
@@ -355,17 +387,18 @@ object TakedownOps {
         spark.table(ct.buckets)
           .select(shiftright(col("pid"), 20).as("doc_id"))
           .join(broadcast(delDocs), Seq("doc_id")).count()
+mark("curated takedown+counts")
     val curRebuild = curatedFromPars(parsAndBuckets(survDocs)._1, survDocs)
-    val curMatches = eqSets(
-      spark.table(ct.curated)
-        .select(col("doc_id"), col("lang"), col("text"), col("n_toks")),
-      curRebuild)
+    val curMatches =
+      curatedCensus(spark.table(ct.curated)) == curatedCensus(curRebuild)
 
+mark("curated rebuild compare")
     // -- dedup cluster map ----------------------------------------------
     val kt = clustersMaterializeWithProvenance(spark, docs, "graft_td")
     val cluBefore = spark.table(kt.clusters).count()
     val cluDeleted = spark.table(kt.clusters)
       .join(broadcast(delDocs), Seq("doc_id")).count()
+mark("clusters materialize+counts")
     takedownClusters(spark, delDocs, "graft_td")
     val cluAfter = spark.table(kt.clusters).count()
     // residue: a surviving row keyed by a deleted doc OR labeled by a
@@ -376,12 +409,14 @@ object TakedownOps {
           .join(broadcast(delDocs.select(col("doc_id").as("cluster_id"))),
             Seq("cluster_id")).count() +
         spark.table(kt.dbuckets).join(broadcast(delDocs), Seq("doc_id")).count()
+mark("clusters takedown+counts")
     val cluMatches = eqSets(
       spark.table(kt.clusters)
         .select(col("doc_id"), col("cluster_id"), col("is_dup")),
       DedupOps.starClusters(survDocs).select(col("doc_id"),
         col("cluster_id"), col("is_dup")))
 
+mark("clusters rebuild compare")
     // -- stored ANN index -----------------------------------------------
     val v = SimilarityOps.vectors(spark, dir)
     val delVecs = v.where(col("vec_id") % 11 === 0).select(col("vec_id"))
@@ -389,6 +424,7 @@ object TakedownOps {
     val at = AnnIndexOps.tables("graft_tdann")
     AnnIndexOps.buildResidualIndex(spark, v, "graft_tdann")
     val q = SimilarityOps.queriesOf(v, 20)
+mark("ann build")
     val preServe = AnnIndexOps.serveTopK(spark, q, "graft_tdann")
       .localCheckpoint(true)
     val serveBefore = preServe.count()
@@ -399,9 +435,11 @@ object TakedownOps {
     val vecsBefore = spark.table(at.vectors).count()
     val vecsDeleted = spark.table(at.vectors)
       .join(broadcast(delVecs), Seq("vec_id")).count()
+mark("ann pre-serve+counts")
     AnnIndexOps.takedownIndex(spark, "graft_tdann", delVecs)
     val rt = AnnIndexOps.rebuildWithFrozen(spark, survVecs, "graft_tdann",
       "graft_tdannrb")
+mark("ann takedown+rebuild")
     val codesAfter = spark.table(at.codes).count()
     val codesResidue = spark.table(at.codes)
       .join(broadcast(delVecs), Seq("vec_id")).count()
@@ -417,6 +455,7 @@ object TakedownOps {
     val serveMatch = eqSets(postServe,
       AnnIndexOps.serveTopK(spark, q, "graft_tdannrb"))
 
+mark("ann compares+serves")
     Seq(
       ("ann_codes", codesBefore, codesDeleted, codesAfter, codesResidue,
         if (codesMatch) 1 else 0),

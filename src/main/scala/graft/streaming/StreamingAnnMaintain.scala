@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.AnnIndexOps
+
+/** Streamed ANN INDEX MAINTENANCE — the 24th streaming component, and
+  * the last batch-only seam in the index lifecycle (VERDICT r13 #3):
+  * vector batches arrive as a stream and every micro-batch is APPENDED
+  * to the stored index against the FROZEN coarse quantizer and
+  * codebooks ([[AnnIndexOps.appendToIndex]] — assign to cells, encode
+  * residuals, append to the cell-partitioned codes/vectors tables).
+  * Centroids and codebooks are never touched, exactly the q330 batch
+  * doctrine, so the grown index is independent of how arrivals were
+  * batched and the q351 replay grades serve-after-stream against
+  * q330's OWN golden — one result contract across batch append and
+  * streamed append. Post-append drift stays
+  * [[AnnIndexOps.indexCellCensus]]'s job; fragmentation stays
+  * [[AnnIndexOps.compactIndex]]'s.
+  *
+  * Exactly-once: foreachBatch delivery is at-least-once, and a blind
+  * re-append would duplicate vectors in the index (a correctness bug a
+  * served shortlist would expose). Vector ids are unique and immutable
+  * (the corpus contract), so the append is made idempotent by anti-
+  * joining the batch against the ids already indexed — a re-delivered
+  * batch is a no-op. The lookup reads ONE pruned column of the vectors
+  * table; at production scale it is a bucket-pruned id probe, the same
+  * shape as the serve's rerank fetch.
+  */
+object StreamingAnnMaintain {
+
+  def maintainAvailableNow(
+      spark: SparkSession,
+      landingDir: String,
+      indexPrefix: String,
+      checkpointDir: String,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None,
+      m: Int = 8,
+      dim: Int = 64,
+      buckets: Int = 4): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tn = AnnIndexOps.tables(indexPrefix)
+        val fresh = batch.join(
+          spark.table(tn.vectors).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+        if (!fresh.isEmpty) {
+          AnnIndexOps.appendToIndex(spark, fresh, indexPrefix,
+            m = m, dim = dim, buckets = buckets)
+          // the micro-batch write runs on the stream's CLONED session,
+          // whose catalog invalidation does not reach the outer
+          // session's relation cache — without an explicit refresh the
+          // next batch's anti-join (and any post-stream serve) reads
+          // the pre-append file listing and the append is silently
+          // invisible (caught by StreamingAnnMaintainSpec)
+          spark.catalog.refreshTable(tn.codes)
+          spark.catalog.refreshTable(tn.vectors)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

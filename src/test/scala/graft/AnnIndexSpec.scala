@@ -210,4 +210,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(fatAfter >= before,
       "the drift census must not lose fat cells after the shifted append")
   }
+
+  test("build memo: a memo-hit clone equals the cold build, tables and serve") {
+    // two builds over the same corpus: the second is a memo-hit clone
+    // of the first's library fit — every table row-identical, serve
+    // byte-identical
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annmemo1")
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annmemo2")
+    Seq("centroids", "codebooks", "codes", "vectors").foreach { t =>
+      val a = spark.table(s"graft_annmemo1_$t")
+      val b = spark.table(s"graft_annmemo2_$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"memo-hit clone must be row-identical on $t")
+    }
+    val sa = AnnIndexOps.serveTopK(spark, queries(10), "graft_annmemo1")
+      .collect().toSeq
+    val sb = AnnIndexOps.serveTopK(spark, queries(10), "graft_annmemo2")
+      .collect().toSeq
+    assert(sa === sb, "memo-hit serve must equal cold-build serve")
+  }
+
+  test("build memo: takedown changes the corpus fingerprint — no stale index served") {
+    // build full, take down a vector set on the CLONE, then build over
+    // the surviving corpus: the memo must key on the new fingerprint,
+    // never hand back the full index, and never serve a deleted vector
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annmemo3")
+    val deleted = corpus.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    AnnIndexOps.takedownIndex(spark, "graft_annmemo3", deleted)
+    val survivors = corpus.where(col("vec_id") % 7 =!= 0)
+    AnnIndexOps.buildResidualIndex(spark, survivors, "graft_annmemo4")
+    assert(spark.table("graft_annmemo4_vectors").count() ===
+      survivors.count(),
+      "a post-takedown build must index exactly the survivors")
+    assert(spark.table("graft_annmemo4_vectors")
+      .join(deleted, Seq("vec_id")).isEmpty,
+      "the memo must not resurrect deleted vectors into a new build")
+    val served = AnnIndexOps.serveTopK(spark, queries(10), "graft_annmemo4")
+    assert(served.join(deleted, Seq("vec_id")).isEmpty,
+      "a deleted vector must never be served from a post-takedown build")
+  }
 }

@@ -85,6 +85,50 @@ class VocabSampleSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L, 5L -> 0L))
   }
 
+  test("bpe pack: tokenizer pricing shifts a boundary whitespace pricing cannot see") {
+    // merge chain on this corpus (cnt-desc, pair-asc tiebreak):
+    // r1 "a a" -> aaaa=[aa,aa]; r2 "z z" -> zzzz=[zz,zz];
+    // r3 "aa aa" -> aaaa=[aaaa]. BPE costs: aaaa=1, zzzz=2, mm=nn=2.
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa", "en"), // ws 3, bpe 3
+      (2L, "zzzz zzzz zzzz", "en"), // ws 3, bpe 6 — fragments 2x
+      (3L, "mm nn", "en")           // ws 2, bpe 4
+    ).toDF("doc_id", "text", "lang")
+    val bpe = graft.ops.SelectionOps
+      .bpeSequencePack(docs, cap = 4L, bucketWidth = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(bpe == Map(1L -> (3L, 0L), 2L -> (6L, 0L), 3L -> (4L, 2L)),
+      s"got $bpe")
+    // the whitespace packer prices doc 2 at 3 tokens and puts doc 3 in
+    // pack 1; the tokenizer knows doc 2 costs 6 and pushes doc 3 to 2
+    val ws = SampleOps.sequencePack(docs, cap = 4L, bucketWidth = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ws(3L) == 1L && bpe(3L)._2 == 2L,
+      "the planted fragmenting doc must shift the BPE pack boundary")
+  }
+
+  test("bpe pack: two-phase prefix sum equals the naive global window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = graft.ops.SelectionOps
+      .bpeSequencePack(docs, cap = 4096L, bucketWidth = 37L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val (vocab, _) = graft.ops.VocabModelOps.bpeRounds(docs, 3)
+    val naive = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(vocab.select(col("w"), size(col("toks")).as("wt"))),
+        Seq("w"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("wt")).cast("long").as("n_tokens"))
+      .withColumn("pack_id", expr("(sum(n_tokens) OVER (PARTITION BY " +
+        "lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) - n_tokens) div 4096L"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == naive.toSeq)
+  }
+
   test("global index: sharded two-phase equals the naive global window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val got = SampleOps.globalIndex(docs).collect()
