@@ -502,7 +502,53 @@ object AnnIndexOps {
       .orderBy("k")
   }
 
+  /** q354 body: RECALL-vs-PROBES sweep — q343's measure-the-dial
+    * doctrine applied to the serve's `probes` parameter, the dial an
+    * ANN deployment actually tunes (probe more inverted lists → read
+    * more of the index → recover more of the exact top-k). ONE build,
+    * one brute-force exact pass (checkpointed, the q334 audit's honest
+    * cost), then one pruned serve per grid point; recall@topK permille
+    * per setting is the capacity-planning curve: the operator picks
+    * the cheapest probes whose recall clears the product bar.
+    *
+    * Monotonicity note: with an exhaustive shortlist the candidate set
+    * grows superset-wise in probes, so recall is provably monotone
+    * (AnnIndexSpec pins it); at a BOUNDED shortlist a new cell's
+    * candidates can evict a true neighbor from the ADC shortlist, so
+    * graded-parameter monotonicity is measured, not assumed — exactly
+    * why the curve is worth materializing.
+    */
+  def serveProbesSweep(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, prefix: String, topK: Int = 5,
+      shortlist: Int = 100,
+      probesGrid: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val exact = SimilarityOps.bruteForceTopK(corpus, queries, topK)
+      .select(col("q_id"), col("vec_id")).localCheckpoint(true)
+    val nPossible = queries.count() * topK
+    probesGrid.sorted.map { p =>
+      val hits = serveTopK(spark, queries, prefix, topK, probes = p,
+          shortlist = shortlist)
+        .select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id")).count()
+      (p, hits, nPossible, hits * 1000L / nPossible)
+    }.toDF("probes", "n_hits", "n_possible", "recall_permille")
+      .orderBy("probes")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Recall-vs-probes curve from ONE build: the (cost, recall) trade
+    // of the serve's pruning dial, exact-integer permille. Golden;
+    // AnnIndexSpec pins provable monotonicity at exhaustive shortlist
+    // and the full-probe ceiling.
+    QueryDef("q354_probes_sweep", literalOracle("q354_probes_sweep"),
+      (spark, dir) => {
+        val v = SimilarityOps.vectors(spark, dir)
+        buildResidualIndex(spark, v, "graft_annsweep")
+        serveProbesSweep(spark, v, SimilarityOps.queriesOf(v, 20),
+          "graft_annsweep")
+      }),
+
     // Build once, serve from the stored index with no refit. Graded
     // against q309's OWN golden (the q308/q316 shared-oracle
     // convention): the persistence layer must not move a single row.

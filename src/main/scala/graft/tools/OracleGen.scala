@@ -28,7 +28,7 @@ object OracleGen {
     "q332_paragraph_scrub", "q334_ann_recall",
     "q339_ann_filtered", "q340_soft_dedup",
     "q343_banding_sweep", "q348_curated_corpus", "q349_binary_ann",
-    "q350_takedown")
+    "q350_takedown", "q354_probes_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

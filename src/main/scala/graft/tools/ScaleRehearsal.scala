@@ -335,7 +335,25 @@ object ScaleRehearsal {
     "q339_ann_filtered",
     // incremental ANN append: O(batch) encode against the frozen
     // centroids/codebooks + the same partition-pruned serve
-    "q330_ann_append")
+    "q330_ann_append",
+    // round 14: takedown sweep — provenance-table joins bounded by the
+    // deletion set's memberships + the rebuild comparisons (the proof's
+    // honest cost: one scrub pass + one closure + one encode over
+    // survivors)
+    "q350_takedown",
+    // streamed index maintenance: per-batch O(batch) frozen encode +
+    // one bounded id anti-join per batch
+    "q351_ann_maintain_replay",
+    // BPE-token packing: the q63 distributed prefix sum with the
+    // vocab-join pricing (vocab grows 10x under the fixture suffixes —
+    // q327's arithmetic, bar 15)
+    "q352_bpe_pack",
+    // exact-substring scrub: q116's map-collapsed window exchange +
+    // per-doc bounded cut arrays + row-local reassembly
+    "q353_span_scrub",
+    // recall-vs-probes sweep: one build + one exact pass + four serves
+    // bounded by queries x probed cells
+    "q354_probes_sweep")
 
   private val OFFSET = 10000000L
 
@@ -438,7 +456,15 @@ object ScaleRehearsal {
       "q279_simpson_diversity" -> 15.0,
       // q321's token map and pair fan-out are vocab-proportional —
       // the same fixture vocabulary growth as q52/q279. Bar 15.
-      "q321_source_tvd" -> 15.0)
+      "q321_source_tvd" -> 15.0,
+      // q352 rides q327's BPE merge loop + vocabulary pricing join
+      // (fixture vocabulary grows 10x, Heaps-law superlinear). Bar 15.
+      "q352_bpe_pack" -> 15.0,
+      // q350's curated/cluster rebuild comparisons re-run the scrub
+      // banding and the star closure over survivors; the 30%
+      // light-perturbation slice amplifies cross-copy paragraph and
+      // doc candidates the same way q26's bar documents. Bar 25.
+      "q350_takedown" -> 25.0)
       .withDefaultValue(10.0)
 
     // --only=q276,q282 reruns a prefix-matched subset against the full

@@ -211,6 +211,23 @@ class AnnIndexSpec extends SparkSpec {
       "the drift census must not lose fat cells after the shifted append")
   }
 
+  test("q354 probes sweep: monotone at exhaustive shortlist, full probes reach 1000") {
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annsweepspec")
+    val n = corpus.count().toInt
+    // exhaustive shortlist: candidate sets grow superset-wise in
+    // probes, so recall is provably non-decreasing, and probing every
+    // cell recovers the exact top-k (recall == 1000 permille)
+    val sweep = AnnIndexOps.serveProbesSweep(spark, corpus, queries(10),
+        "graft_annsweepspec", shortlist = n, probesGrid = Seq(1, 2, 4, 8, 16))
+      .collect().map(r => r.getInt(0) -> r.getLong(3))
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    val rec = sweep.map(_._2)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in probes at exhaustive shortlist: ${sweep.toSeq}")
+    assert(rec.last == 1000L,
+      s"probing every cell must recover the exact top-k: ${sweep.toSeq}")
+  }
+
   test("build memo: a memo-hit clone equals the cold build, tables and serve") {
     // two builds over the same corpus: the second is a memo-hit clone
     // of the first's library fit — every table row-identical, serve

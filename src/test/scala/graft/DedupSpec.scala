@@ -571,6 +571,68 @@ class DedupSpec extends SparkSpec {
       s"unique source must discount nothing: $out")
   }
 
+  test("q353: span scrub cuts the shared span q332's paragraph scrub provably misses") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a 16-token span embedded mid-document with 12 unique tokens on
+    // each side: the span straddles the fixed 20-token paragraph
+    // boundary in BOTH docs, so no paragraph pair shares more than 8
+    // consecutive tokens and q332's banding keeps everything — while
+    // exactly one 16-token window matches across the docs
+    val span = (1 to 16).map(i => s"span$i").mkString(" ")
+    val a = ((1 to 12).map(i => s"ua$i") :+ span) ++
+      (1 to 12).map(i => s"ub$i")
+    val b = ((1 to 12).map(i => s"va$i") :+ span) ++
+      (1 to 12).map(i => s"vb$i")
+    val docs = Seq(
+      (300L, a.mkString(" ")),
+      (301L, b.mkString(" ")),
+      (302L, (1 to 40).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    // q332 keeps every paragraph of every doc — the span is invisible
+    // at paragraph granularity
+    val par = DedupOps.scrubbedDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dropped_pars")).toMap
+    assert(par == Map(300L -> 0L, 301L -> 0L, 302L -> 0L),
+      s"paragraph scrub must not fire on the straddling span: $par")
+
+    // q353 cuts exactly the later copy of the span, positions 13..28
+    val out = DedupOps.spanScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(300L) == (40L, 0L, md5hex(a.mkString(" "))),
+      "the first occurrence must survive intact")
+    val bScrubbed = ((1 to 12).map(i => s"va$i") ++
+      (1 to 12).map(i => s"vb$i")).mkString(" ")
+    assert(out(301L) == (40L, 16L, md5hex(bScrubbed)),
+      s"the later copy must lose exactly the 16 span tokens: ${out(301L)}")
+    assert(out(302L) == (40L, 0L, md5hex((1 to 40).map(i => s"w$i").mkString(" "))))
+  }
+
+  test("q353: overlapping windows of a long span union their cut; within-doc copy of a cross-doc span collapses") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // an 18-token shared span = three overlapping 16-token dup windows
+    // whose coverage unions to the whole span; doc 401 also repeats the
+    // span a second time WITHIN itself — a later occurrence of a
+    // cross-doc span, so it collapses too (Lee et al. keep-one)
+    val span = (1 to 18).map(i => s"sp$i").mkString(" ")
+    val a = s"${(1 to 4).map(i => s"xa$i").mkString(" ")} $span"
+    val b = s"$span ${(1 to 4).map(i => s"xb$i").mkString(" ")} $span"
+    val docs = Seq((400L, a), (401L, b)).toDF("doc_id", "text")
+    val out = DedupOps.spanScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(400L) == (22L, 0L, md5hex(a)), "first copy intact")
+    // doc 401: both its copies are later than doc 400's -> 36 cut
+    assert(out(401L) ==
+      (40L, 36L, md5hex((1 to 4).map(i => s"xb$i").mkString(" "))),
+      s"both later copies must be cut: ${out(401L)}")
+  }
+
   test("q332: scrub reassembles the kept paragraphs byte-exactly, keep-first") {
     import graft.ops.DedupOps
     def jmd5(s: String): String = java.security.MessageDigest
