@@ -141,7 +141,11 @@ object AnnIndexOps {
       buckets: Int): Unit = {
     val src = tables(from)
     val dst = tables(to)
-    Seq(dst.centroids, dst.codebooks, dst.codes, dst.vectors)
+    // a rebuilt index starts with no pending deletions — a stale
+    // tombstone table from an earlier life of this prefix must not
+    // silently filter the fresh serve
+    Seq(dst.centroids, dst.codebooks, dst.codes, dst.vectors,
+        tombstoneTable(to))
       .foreach(reset(spark, _))
     spark.table(src.centroids).write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(dst.centroids)
@@ -332,6 +336,53 @@ object AnnIndexOps {
     }
   }
 
+  /** TOMBSTONE tier (q356, the streamed takedown service): a physical
+    * rewrite per deletion batch is the wrong amortization for a
+    * deletion STREAM — the LSM answer is a tombstone side table the
+    * serve anti-joins (deleted vectors become unservable the moment
+    * the tombstone lands) plus a periodic [[applyTombstones]]
+    * compaction that folds the accumulated set into ONE
+    * [[takedownIndex]] rewrite and truncates the tombstones. The
+    * serve's result is byte-identical before and after the apply
+    * (StreamingAnnTakedownSpec pins it) — compaction is invisible to
+    * readers, q347's doctrine.
+    */
+  def tombstoneTable(prefix: String): String = s"${prefix}_tombstones"
+
+  /** Pending tombstones, empty when none have landed. */
+  def tombstoneSet(spark: SparkSession, prefix: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tombstoneTable(prefix)))
+      Some(spark.table(tombstoneTable(prefix)))
+    else None
+
+  /** Append deletion requests, idempotently (a redelivered batch
+    * re-adds nothing — the streamed service's exactly-once contract
+    * lives here, like [[graft.streaming.StreamingAnnMaintain]]'s
+    * anti-join append).
+    */
+  def addTombstones(spark: SparkSession, prefix: String,
+      ids: DataFrame): Unit = {
+    val tbl = tombstoneTable(prefix)
+    val fresh = tombstoneSet(spark, prefix).fold(
+        ids.select(col("vec_id")).distinct())(existing =>
+        ids.select(col("vec_id")).distinct()
+          .join(existing, Seq("vec_id"), "left_anti"))
+      .localCheckpoint(true)
+    fresh.write.mode(SaveMode.Append).format("parquet").saveAsTable(tbl)
+  }
+
+  /** Fold the pending tombstones into one physical rewrite
+    * ([[takedownIndex]]) and truncate them — the compaction step a
+    * deployment schedules off-peak. No-op when nothing is pending.
+    */
+  def applyTombstones(spark: SparkSession, prefix: String,
+      buckets: Int = 4): Unit =
+    tombstoneSet(spark, prefix).foreach { t =>
+      val ids = t.localCheckpoint(true)
+      takedownIndex(spark, prefix, ids, buckets)
+      reset(spark, tombstoneTable(prefix))
+    }
+
   /** The takedown-equivalence witness: a second index under `toPrefix`
     * whose quantizers are COPIED (frozen) from `fromPrefix` and whose
     * codes/vectors are the surviving corpus re-encoded from scratch.
@@ -425,9 +476,15 @@ object AnnIndexOps {
     // cell partition filter), so the ADC stage never scores an
     // ineligible candidate and the shortlist is full-depth among
     // eligibles — the post-filter alternative returns < topK whenever
-    // the filter is selective
-    def filt(df: DataFrame): DataFrame =
-      labels.fold(df)(ls => df.where(col("label").isin(ls: _*)))
+    // the filter is selective. Pending tombstones (q356) exclude the
+    // same way — BEFORE the shortlist, so a deleted vector neither
+    // serves nor displaces an eligible candidate from the ADC top-N.
+    val tomb = tombstoneSet(spark, prefix)
+      .map(t => broadcast(t.select(col("vec_id")).localCheckpoint(true)))
+    def filt(df: DataFrame): DataFrame = {
+      val l = labels.fold(df)(ls => df.where(col("label").isin(ls: _*)))
+      tomb.fold(l)(t => l.join(t, Seq("vec_id"), "left_anti"))
+    }
     val codes = filt(
       spark.table(tn.codes).where(col("cell").isin(probed: _*)))
     val adist = codes

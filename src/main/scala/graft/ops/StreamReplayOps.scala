@@ -1335,6 +1335,36 @@ object StreamReplayOps {
       "graft_annmaint")
   }
 
+  /** q356 body: streamed TAKEDOWN replay — the deletion side of the
+    * ANN lifecycle as a stream ([[graft.streaming.StreamingAnnTakedown]]).
+    * Build the full index, land the deletion requests (vec_id % 11 —
+    * q350's ANN deletion set) as time slices, tombstone them per
+    * micro-batch, then COMPACT ([[AnnIndexOps.applyTombstones]]) and
+    * serve. The graded serve comes from the physically-swept index;
+    * StreamingAnnTakedownSpec pins that the tombstone-filtered serve
+    * (before the apply) is byte-identical — compaction invisible to
+    * readers — plus redelivery idempotence and rebuild equivalence.
+    */
+  def annTakedownReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-anntd-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val v = SimilarityOps.vectors(spark, dir)
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_anntdstream")
+    val dels = v.where(col("vec_id") % 11 === 0).select(col("vec_id"))
+    landTimeSlices(spark, dels.withColumn("slice_key", col("vec_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingAnnTakedown.takedownAvailableNow(
+        spark, landing, "graft_anntdstream", ckpt,
+        StructType.fromDDL("vec_id BIGINT"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    AnnIndexOps.applyTombstones(spark, "graft_anntdstream")
+    AnnIndexOps.serveTopK(spark, SimilarityOps.queriesOf(v, 20),
+      "graft_anntdstream")
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1407,6 +1437,13 @@ object StreamReplayOps {
     QueryDef("q351_ann_maintain_replay",
       graft.util.Tables.literalOracle("q330_ann_append"),
       (spark, dir) => annMaintainReplay(spark, dir)),
+
+    // Streamed takedown service (25th streaming component): deletion
+    // requests land as tombstones per micro-batch, compaction folds
+    // them into one canonical rewrite; served from the swept index.
+    QueryDef("q356_ann_takedown_replay",
+      graft.util.Tables.literalOracle("q356_ann_takedown_replay"),
+      (spark, dir) => annTakedownReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

@@ -260,6 +260,85 @@ object TakedownOps {
     saveTable(newCurated, tn.curated, Seq("lang"))
   }
 
+  /** q348's readback census as a relation (the same expression the
+    * census-set helper collects) — q355 grades its incremental append
+    * against q348's own golden through this.
+    */
+  private def curatedCensusDf(df: DataFrame): DataFrame =
+    df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr("""CAST(pmod(sum(CAST(xxhash64(concat(CAST(doc_id AS STRING),
+          | ':', text)) AS DECIMAL(38,0))), 1000000000000L) AS BIGINT)"""
+          .stripMargin).as("fingerprint"))
+      .orderBy("lang")
+
+  /** q355 body: INCREMENTAL curated-corpus maintenance — the daily-
+    * ingest shape (q73's doctrine) applied to q348's materialization:
+    * a new doc batch is scrubbed against the STORED paragraph-bucket
+    * provenance instead of re-banding the corpus, gated, and appended.
+    *
+    * Keep-first stays globally exact under the append contract (new
+    * doc_ids strictly above every stored one — enforced, because an
+    * interleaved id could retroactively flip an existing verdict): a
+    * new paragraph is dup iff any of its buckets holds a smaller pid,
+    * and the smaller pid is either stored (one pruned join against the
+    * stored bucket relation, keyed by the BATCH's bucket keys) or in
+    * the batch itself. Existing minima can only stand, so no stored
+    * row is ever touched — append is O(batch), exactly
+    * [[AnnIndexOps.appendToIndex]]'s frozen-state argument, and the
+    * grown table is byte-identical to a from-scratch materialization
+    * of the full corpus, which is why q355 grades its readback census
+    * against q348's OWN golden (the q330/q351 shared-golden doctrine).
+    */
+  def appendToCurated(spark: SparkSession, newDocs: DataFrame,
+      prefix: String): Unit = {
+    val tn = curatedTables(prefix)
+    val parsN = DedupOps.paragraphs(
+        newDocs.select(col("doc_id"), col("text")), 20)
+      .localCheckpoint(true)
+    if (parsN.isEmpty) return
+    val bucketsN = DedupOps.minhashBuckets(
+        parsN.select(col("pid").as("doc_id"), col("par").as("text")), 8, 8)
+      .select(col("doc_id").as("pid"), col("band"), col("bhash"))
+      .localCheckpoint(true)
+    // the append contract: batch pids strictly above every stored pid
+    val maxOld = spark.table(tn.pars).agg(max(col("pid"))).head()
+    val minNew = parsN.agg(min(col("pid"))).head().getLong(0)
+    require(maxOld.isNullAt(0) || minNew > maxOld.getLong(0),
+      s"appendToCurated: batch pid $minNew interleaves the stored corpus " +
+        s"(max stored pid ${maxOld.getLong(0)}) — an interleaved id could " +
+        "retroactively flip a stored keep-first verdict; rebuild instead")
+    // combined bucket minima over exactly the batch's bucket keys: the
+    // stored side is one key-pruned aggregate, never a corpus scan
+    val newMins = bucketsN.groupBy("band", "bhash")
+      .agg(min(col("pid")).as("nmin"))
+    val oldMins = spark.table(tn.buckets)
+      .join(broadcast(bucketsN.select(col("band"), col("bhash")).distinct()),
+        Seq("band", "bhash"))
+      .groupBy("band", "bhash").agg(min(col("pid")).as("omin"))
+    val verdicts = bucketsN
+      .join(newMins, Seq("band", "bhash"))
+      .join(oldMins, Seq("band", "bhash"), "left")
+      .withColumn("bmin", least(coalesce(col("omin"), col("nmin")),
+        col("nmin")))
+      .groupBy("pid").agg(min(col("bmin")).as("canonical_pid"))
+    val parsV = parsN.join(verdicts, Seq("pid"))
+      .withColumn("dup", col("canonical_pid") < col("pid"))
+      .select(col("doc_id"), col("par_idx"), col("pid"), col("par"),
+        col("par_toks"), col("dup"))
+      .localCheckpoint(true)
+    parsV.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tn.pars)
+    bucketsN.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tn.buckets)
+    // insertInto is positional: align to the table's column order (the
+    // lang partition column rides last, the Pipeline K2 convention)
+    curatedFromPars(parsV, newDocs)
+      .select(spark.table(tn.curated).columns.map(col): _*)
+      .write.mode(SaveMode.Append).insertInto(tn.curated)
+  }
+
   // ------------------------------------------------------------------
   // Dedup cluster map with provenance
   // ------------------------------------------------------------------
@@ -472,7 +551,70 @@ mark("ann compares+serves")
       .orderBy("artifact")
   }
 
+  /** q357 body: the curated-corpus LIFECYCLE COMPOSED — materialize
+    * the base, append the id-ordered tail incrementally (q355), then
+    * take down a deletion set that spans BOTH slices (q350), and grade
+    * the per-language census against a from-scratch rebuild on the
+    * survivors, row by row. q355 proves append == rebuild and q350
+    * proves takedown == rebuild, but composition is not automatic —
+    * the takedown's repair must operate correctly over provenance rows
+    * the APPEND wrote (a deleted base doc can hand a paragraph back to
+    * an appended doc) — so the composed equality is its own grade.
+    * Output: the swept census with a per-language matches_rebuild flag
+    * (census-row equality vs the rebuild — the q348 fingerprint makes
+    * any lost/duplicated/altered row visible).
+    */
+  def curatedLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+      .getLong(0)
+    curatedMaterializeWithProvenance(spark,
+      docs.where(col("doc_id") <= cut), "graft_lc")
+    appendToCurated(spark, docs.where(col("doc_id") > cut), "graft_lc")
+    val delDocs = docs.where(col("doc_id") % 13 === 0).select(col("doc_id"))
+    takedownCurated(spark, docs, delDocs, "graft_lc")
+    val surv = docs.where(col("doc_id") % 13 =!= 0)
+    val rebuild = curatedCensusDf(
+      curatedFromPars(parsAndBuckets(surv)._1, surv))
+      .withColumnRenamed("n_docs", "r_docs")
+      .withColumnRenamed("n_tokens", "r_tokens")
+      .withColumnRenamed("fingerprint", "r_fp")
+    curatedCensusDf(spark.table("graft_lc_curated"))
+      .join(rebuild, Seq("lang"), "full")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("fingerprint"),
+        (col("n_docs") === col("r_docs") &&
+          col("n_tokens") === col("r_tokens") &&
+          col("fingerprint") === col("r_fp")).cast("int")
+          .as("matches_rebuild"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Lifecycle composition: materialize -> incremental append ->
+    // takedown spanning both slices, census == from-scratch rebuild
+    // per language. Engine-side hashing -> golden.
+    QueryDef("q357_curated_lifecycle", literalOracle("q357_curated_lifecycle"),
+      (spark, dir) => curatedLifecycle(spark, dir)),
+
+    // Incremental curated-corpus maintenance: base materialized with
+    // provenance, the id-ordered tail appended against the STORED
+    // bucket relation (O(batch), no corpus re-banding) — readback
+    // census graded against q348's OWN golden: incremental append must
+    // reproduce the from-scratch materialization byte-identically.
+    QueryDef("q355_curated_append", literalOracle("q348_curated_corpus"),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+          .getLong(0)
+        curatedMaterializeWithProvenance(spark,
+          docs.where(col("doc_id") <= cut), "graft_ca")
+        appendToCurated(spark, docs.where(col("doc_id") > cut), "graft_ca")
+        curatedCensusDf(spark.table("graft_ca_curated"))
+      }),
+
     // Right-to-be-forgotten sweep across every materialized artifact:
     // zero residue + row-identity with a from-scratch rebuild on the
     // surviving corpus, proven inside the graded query. Engine-side

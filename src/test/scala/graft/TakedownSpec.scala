@@ -155,6 +155,77 @@ class TakedownSpec extends SparkSpec {
       "a deleted doc's id must not survive as a cluster label")
   }
 
+  test("curated append: delta scrubs against STORED provenance; equals from-scratch; interleave guarded") {
+    val base = Seq(
+      (10L, "en", s"$P $Q"),  // owns both paragraphs
+      (20L, "en", filler)
+    ).toDF("doc_id", "lang", "text")
+    val delta = Seq(
+      (90L, "en", s"$P $tail50"), // P must scrub against STORED doc 10
+      (95L, "en", s"$tail50 $Q")  // tail50 dups doc 90 WITHIN the batch
+    ).toDF("doc_id", "lang", "text")
+    val tn = TakedownOps.curatedMaterializeWithProvenance(
+      spark, base, "graft_caspec")
+    TakedownOps.appendToCurated(spark, delta, "graft_caspec")
+    val got = spark.table(tn.curated).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got(90L) == tail50,
+      s"P must scrub against the stored corpus, got '${got.get(90L)}'")
+    assert(!got.contains(95L),
+      "both of doc 95's paragraphs dup earlier pids -> gated out empty")
+
+    // byte-identical to the from-scratch materialization of the union
+    CurationOps.curatedMaterialize(spark, base.unionByName(delta))
+    val rebuild = spark.table("graft_curated")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+    val swept = spark.table(tn.curated)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+    assert(swept.exceptAll(rebuild).isEmpty && rebuild.exceptAll(swept).isEmpty,
+      "append must equal the from-scratch materialization")
+
+    // the append contract: an interleaved id must fail loudly
+    val bad = Seq((15L, "en", filler + " extra")).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      TakedownOps.appendToCurated(spark, bad, "graft_caspec")
+    }
+    assert(e.getMessage.contains("interleaves"))
+  }
+
+  test("lifecycle composition: takedown repairs paragraphs the APPEND scrubbed") {
+    // base doc 10 owns P; doc 90 arrives LATER via the incremental
+    // append and has its copy of P scrubbed against the stored
+    // provenance; deleting doc 10 must then hand P back to doc 90 —
+    // the takedown's repair walking provenance rows the append wrote
+    val base = Seq((10L, "en", s"$P $Q"), (20L, "en", filler))
+      .toDF("doc_id", "lang", "text")
+    val delta = Seq((90L, "en", s"$P $tail50"))
+      .toDF("doc_id", "lang", "text")
+    val tn = TakedownOps.curatedMaterializeWithProvenance(
+      spark, base, "graft_lcspec")
+    TakedownOps.appendToCurated(spark, delta, "graft_lcspec")
+    val mid = spark.table(tn.curated).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(mid(90L) == tail50, "append must scrub P against stored doc 10")
+
+    val union = base.unionByName(delta)
+    TakedownOps.takedownCurated(spark, union,
+      Seq(10L).toDF("doc_id"), "graft_lcspec")
+    val after = spark.table(tn.curated).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(!after.contains(10L))
+    assert(after(90L) == s"$P $tail50",
+      s"takedown must repair the appended doc's scrub: ${after.get(90L)}")
+
+    // and the composed state equals the from-scratch materialization
+    CurationOps.curatedMaterialize(spark,
+      union.where(col("doc_id") =!= 10L))
+    val rebuild = spark.table("graft_curated")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+    val swept = spark.table(tn.curated)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+    assert(swept.exceptAll(rebuild).isEmpty && rebuild.exceptAll(swept).isEmpty)
+  }
+
   test("ANN takedown: zero residue, row- and serve-identical to a frozen rebuild") {
     val v = SimilarityOps.vectors(spark, sf)
     AnnIndexOps.buildResidualIndex(spark, v, "graft_tdspecann")
