@@ -591,7 +591,105 @@ mark("ann compares+serves")
       .orderBy("lang")
   }
 
+  /** q358 body: DEEP (content-level) takedown — the right-to-be-
+    * forgotten reading where deleting a document means deleting its
+    * CONTENT, not its row: verbatim re-uploads and near-copies of the
+    * requested items must go too, or the serve re-surfaces what was
+    * supposedly forgotten. The deletion set is therefore EXPANDED
+    * before the sweep:
+    *
+    *  - text side: the requested docs' transitive near-dup cluster
+    *    mates ([[DedupOps.starClusters]] — the conservative reading: a
+    *    banding false positive deletes an innocent near-neighbor, the
+    *    policy's accepted trade), then q350's curated sweep;
+    *  - vector side: every corpus vector within cosine ≥ 0.95 of a
+    *    requested vector (q43's near-dup bar; ONE corpus pass against
+    *    the broadcast requested set), then the index takedown.
+    *
+    * The grade proves both the MECHANICS (row residue zero, swept
+    * state == rebuild on survivors) and the POLICY (semantic residue
+    * zero: re-scanning the swept index with the requested vectors
+    * finds nothing at the bar — i.e. the expansion was complete).
+    */
+  def deepTakedown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val reqDocs = docs.where(col("doc_id") % 29 === 0).select(col("doc_id"))
+      .localCheckpoint(true)
+    val clusters = DedupOps.starClusters(docs)
+      .select(col("doc_id"), col("cluster_id")).localCheckpoint(true)
+    val reqClusters = clusters.join(broadcast(reqDocs), Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val expDocs = clusters.join(broadcast(reqClusters), Seq("cluster_id"))
+      .select(col("doc_id")).localCheckpoint(true)
+    val ct = curatedMaterializeWithProvenance(spark, docs, "graft_dd")
+    takedownCurated(spark, docs, expDocs, "graft_dd")
+    val curResidue =
+      spark.table(ct.curated).join(broadcast(expDocs), Seq("doc_id")).count() +
+        spark.table(ct.pars).join(broadcast(expDocs), Seq("doc_id")).count() +
+        spark.table(ct.buckets)
+          .select(shiftright(col("pid"), 20).as("doc_id"))
+          .join(broadcast(expDocs), Seq("doc_id")).count()
+    val survDocs = docs.join(broadcast(expDocs), Seq("doc_id"), "left_anti")
+    val curMatches =
+      curatedCensus(spark.table(ct.curated)) ==
+        curatedCensus(curatedFromPars(parsAndBuckets(survDocs)._1, survDocs))
+
+    // planted semantic twins (the q118 convention): the synthetic
+    // embeddings have no natural cosine-0.95 neighbors, so without
+    // these the vector expansion would freeze vacuously equal to the
+    // requested set. 9000000012 ≡ 0 (mod 29) — requested; its verbatim
+    // copy and its one-coordinate perturbation are NOT requested and
+    // must be caught by the expansion alone.
+    val twinBase = (0 until 64).map(i => ((i * 37 + 11) % 101) / 101.0)
+    val planted = Seq(
+      (9000000012L, 0, twinBase),
+      (9000000013L, 0, twinBase),
+      (9000000014L, 0, twinBase.updated(3, twinBase(3) + 0.001)))
+      .toDF("vec_id", "label", "v")
+    val v = SimilarityOps.vectors(spark, dir).unionByName(planted)
+    val reqVecs = v.where(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .localCheckpoint(true)
+    def nearOf(corpus: DataFrame): DataFrame = corpus
+      .join(broadcast(reqVecs))
+      .where(SimilarityOps.cosine("qv", "v") >= 0.95)
+      .select(col("vec_id")).distinct()
+    val expVecs = nearOf(v).localCheckpoint(true)
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_ddann")
+    AnnIndexOps.takedownIndex(spark, "graft_ddann", expVecs)
+    val at = AnnIndexOps.tables("graft_ddann")
+    val rowResidue = spark.table(at.vectors)
+      .join(broadcast(expVecs), Seq("vec_id")).count() +
+      spark.table(at.codes).join(broadcast(expVecs), Seq("vec_id")).count()
+    // the policy proof: nothing at the bar survives in the swept index
+    val semResidue = nearOf(
+      spark.table(at.vectors).select(col("vec_id"), col("v"))).count()
+    val rt = AnnIndexOps.rebuildWithFrozen(spark,
+      v.join(broadcast(expVecs), Seq("vec_id"), "left_anti"),
+      "graft_ddann", "graft_ddannrb")
+    val annMatches = eqSets(spark.table(at.vectors), spark.table(rt.vectors)) &&
+      eqSets(spark.table(at.codes), spark.table(rt.codes))
+
+    Seq(
+      ("ann", reqVecs.count(), expVecs.count(), rowResidue + semResidue,
+        if (annMatches) 1 else 0),
+      ("curated", reqDocs.count(), expDocs.count(), curResidue,
+        if (curMatches) 1 else 0))
+      .toDF("artifact", "n_requested", "n_expanded", "n_residue",
+        "matches_rebuild")
+      .orderBy("artifact")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Deep (content-level) takedown: the deletion set expanded to
+    // near-dup cluster mates (text) and cosine>=0.95 neighbors
+    // (vectors) before the sweep; grades row residue, semantic
+    // residue, and rebuild identity. Engine-side hashing -> golden.
+    QueryDef("q358_deep_takedown", literalOracle("q358_deep_takedown"),
+      (spark, dir) => deepTakedown(spark, dir)),
+
     // Lifecycle composition: materialize -> incremental append ->
     // takedown spanning both slices, census == from-scratch rebuild
     // per language. Engine-side hashing -> golden.

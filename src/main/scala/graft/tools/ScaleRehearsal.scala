@@ -353,7 +353,19 @@ object ScaleRehearsal {
     "q353_span_scrub",
     // recall-vs-probes sweep: one build + one exact pass + four serves
     // bounded by queries x probed cells
-    "q354_probes_sweep")
+    "q354_probes_sweep",
+    // incremental curated maintenance: O(batch) scrub of the delta
+    // against the stored bucket relation (one key-pruned join)
+    "q355_curated_append",
+    // streamed takedown: per-batch tombstone appends + ONE canonical
+    // rewrite at apply time
+    "q356_ann_takedown_replay",
+    // lifecycle composition: materialize + append + takedown + the
+    // rebuild-census comparison (one scrub banding over survivors)
+    "q357_curated_lifecycle",
+    // deep takedown: one closure + one cosine expansion pass + the
+    // q350 curated sweep + index takedown + frozen-rebuild comparison
+    "q358_deep_takedown")
 
   private val OFFSET = 10000000L
 
@@ -464,7 +476,12 @@ object ScaleRehearsal {
       // banding and the star closure over survivors; the 30%
       // light-perturbation slice amplifies cross-copy paragraph and
       // doc candidates the same way q26's bar documents. Bar 25.
-      "q350_takedown" -> 25.0)
+      "q350_takedown" -> 25.0,
+      // q357/q358 carry q350's rebuild-comparison passes (scrub
+      // banding / star closure over survivors) — the same fixture
+      // candidate amplification. Bar 25.
+      "q357_curated_lifecycle" -> 25.0,
+      "q358_deep_takedown" -> 25.0)
       .withDefaultValue(10.0)
 
     // --only=q276,q282 reruns a prefix-matched subset against the full

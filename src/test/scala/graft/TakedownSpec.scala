@@ -226,6 +226,56 @@ class TakedownSpec extends SparkSpec {
     assert(swept.exceptAll(rebuild).isEmpty && rebuild.exceptAll(swept).isEmpty)
   }
 
+  test("deep takedown: cluster mates and cosine twins go, bystanders stay") {
+    // text side: near-dup pair (one-word edit) + an unrelated doc; a
+    // deep request for doc 1 must expand to its cluster mate 2 and
+    // leave 3 untouched
+    val b = baseText.replace("lazy", "sleepy")
+    val docs = Seq((1L, "en", baseText), (2L, "en", b),
+      (3L, "en", filler)).toDF("doc_id", "lang", "text")
+    val clusters = DedupOps.starClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    val req = Seq(1L).toDF("doc_id")
+    val expansion = clusters
+      .join(clusters.join(req, Seq("doc_id"))
+        .select(col("cluster_id")).distinct(), Seq("cluster_id"))
+      .select(col("doc_id"))
+    assert(expansion.collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "the near-dup mate must join the deletion set")
+    val tn = TakedownOps.curatedMaterializeWithProvenance(
+      spark, docs, "graft_ddspec")
+    TakedownOps.takedownCurated(spark, docs, expansion, "graft_ddspec")
+    val left = spark.table(tn.curated).collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L),
+      s"content-level delete must remove both copies, keep bystanders: $left")
+
+    // vector side: a verbatim twin and a perturbed twin of the
+    // requested vector must be caught by the cosine bar and leave the
+    // index; a re-scan with the requested vector finds nothing
+    val base64 = (0 until 64).map(i => ((i * 37 + 11) % 101) / 101.0)
+    val vecs = SimilarityOps.vectors(spark, sf).unionByName(Seq(
+      (9000000012L, 0, base64),
+      (9000000013L, 0, base64),
+      (9000000014L, 0, base64.updated(3, base64(3) + 0.001)))
+      .toDF("vec_id", "label", "v"))
+    val reqQ = vecs.where(col("vec_id") === 9000000012L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def nearOf(c: org.apache.spark.sql.DataFrame) = c.join(broadcast(reqQ))
+      .where(SimilarityOps.cosine("qv", "v") >= 0.95)
+      .select(col("vec_id")).distinct()
+    val expV = nearOf(vecs)
+    assert(expV.collect().map(_.getLong(0)).toSet ==
+      Set(9000000012L, 9000000013L, 9000000014L),
+      "both twins must be caught by the cosine expansion")
+    AnnIndexOps.buildResidualIndex(spark, vecs, "graft_ddspecann")
+    AnnIndexOps.takedownIndex(spark, "graft_ddspecann", expV)
+    assert(spark.table("graft_ddspecann_vectors")
+      .where(col("vec_id") >= 9000000012L).isEmpty, "zero row residue")
+    assert(nearOf(spark.table("graft_ddspecann_vectors")
+      .select(col("vec_id"), col("v"))).isEmpty,
+      "zero SEMANTIC residue: nothing at the bar survives the sweep")
+  }
+
   test("ANN takedown: zero residue, row- and serve-identical to a frozen rebuild") {
     val v = SimilarityOps.vectors(spark, sf)
     AnnIndexOps.buildResidualIndex(spark, v, "graft_tdspecann")
