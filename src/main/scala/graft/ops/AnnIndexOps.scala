@@ -173,15 +173,17 @@ object AnnIndexOps {
     val hasLabel = corpus.columns.contains("label")
     val (cnt, fp) = corpusFingerprint(corpus, hasLabel)
     val key = (cells, iters, m, k, dim, buckets, hasLabel, cnt, fp)
-    val lib = buildMemo.get(key).filter(indexExists(spark, _))
-      .getOrElse {
-        val libPrefix = "graft_memolib_" +
-          java.lang.Integer.toHexString(key.hashCode)
-        coldBuildResidualIndex(spark, corpus, libPrefix, cells, iters, m,
-          k, dim, buckets)
-        buildMemo(key) = libPrefix
-        libPrefix
-      }
+    val lib = buildMemo.synchronized {
+      buildMemo.get(key).filter(indexExists(spark, _))
+        .getOrElse {
+          val libPrefix = "graft_memolib_" +
+            java.lang.Integer.toHexString(key.hashCode)
+          coldBuildResidualIndex(spark, corpus, libPrefix, cells, iters, m,
+            k, dim, buckets)
+          buildMemo(key) = libPrefix
+          libPrefix
+        }
+    }
     cloneIndex(spark, lib, prefix, buckets)
     tables(prefix)
   }
