@@ -651,6 +651,22 @@ object AnnIndexOps {
           labels = Some(Seq(0, 1, 2, 3, 4)))
       }),
 
+    // Post-takedown recall certification: after the deletion sweep,
+    // re-run the q334 audit on the SWEPT index against brute-force
+    // exact over the SURVIVORS — the health check a deployment runs
+    // after every takedown before putting the index back on the serve
+    // path. Deterministic -> golden; AnnIndexSpec pins the >= 0.9
+    // family bar post-sweep.
+    QueryDef("q359_takedown_recall", literalOracle("q359_takedown_recall"),
+      (spark, dir) => {
+        val v = SimilarityOps.vectors(spark, dir)
+        buildResidualIndex(spark, v, "graft_tdrecall")
+        takedownIndex(spark, "graft_tdrecall",
+          v.where(col("vec_id") % 11 === 0).select(col("vec_id")))
+        serveRecallAudit(spark, v.where(col("vec_id") % 11 =!= 0),
+          SimilarityOps.queriesOf(v, 20), "graft_tdrecall")
+      }),
+
     // Incremental index maintenance: build on the base slice, append
     // the delta against the FROZEN centroids/codebooks, serve from the
     // grown index. Deterministic (frozen fit + decimal sums) -> literal

@@ -29,7 +29,8 @@ object OracleGen {
     "q339_ann_filtered", "q340_soft_dedup",
     "q343_banding_sweep", "q348_curated_corpus", "q349_binary_ann",
     "q350_takedown", "q354_probes_sweep", "q356_ann_takedown_replay",
-    "q357_curated_lifecycle", "q358_deep_takedown")
+    "q357_curated_lifecycle", "q358_deep_takedown",
+    "q359_takedown_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

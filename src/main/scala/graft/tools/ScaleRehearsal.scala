@@ -365,7 +365,10 @@ object ScaleRehearsal {
     "q357_curated_lifecycle",
     // deep takedown: one closure + one cosine expansion pass + the
     // q350 curated sweep + index takedown + frozen-rebuild comparison
-    "q358_deep_takedown")
+    "q358_deep_takedown",
+    // post-takedown recall certification: one canonical rewrite + the
+    // q334 audit (pruned serve + ONE exact pass over survivors)
+    "q359_takedown_recall")
 
   private val OFFSET = 10000000L
 

@@ -228,6 +228,30 @@ class AnnIndexSpec extends SparkSpec {
       s"probing every cell must recover the exact top-k: ${sweep.toSeq}")
   }
 
+  test("q359: recall clears the family bar after a takedown sweep") {
+    val v = corpus
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_tdrecspec")
+    AnnIndexOps.takedownIndex(spark, "graft_tdrecspec",
+      v.where(col("vec_id") % 11 === 0).select(col("vec_id")))
+    val surv = v.where(col("vec_id") % 11 =!= 0)
+    // exhaustive parameters: the swept index must still recover the
+    // survivors' exact top-k perfectly — the strong certification that
+    // the sweep deleted rows, not quality
+    val exhaustive = AnnIndexOps.serveRecallAudit(spark, surv,
+        queries(20), "graft_tdrecspec", probes = 16,
+        shortlist = surv.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(exhaustive.values.forall(_ == 1000L),
+      s"exhaustive post-takedown recall must be exactly 1000: $exhaustive")
+    // graded parameters: the operational floor (q334 reads ~0.92 on
+    // the full index at this SF; the sweep removes ~9% of candidates)
+    val audit = AnnIndexOps.serveRecallAudit(spark, surv, queries(20),
+        "graft_tdrecspec")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(audit(5L) >= 850L,
+      s"post-takedown recall@5 must clear the operational floor: $audit")
+  }
+
   test("build memo: a memo-hit clone equals the cold build, tables and serve") {
     // two builds over the same corpus: the second is a memo-hit clone
     // of the first's library fit — every table row-identical, serve
