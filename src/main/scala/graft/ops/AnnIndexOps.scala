@@ -176,8 +176,13 @@ object AnnIndexOps {
     val lib = buildMemo.synchronized {
       buildMemo.get(key).filter(indexExists(spark, _))
         .getOrElse {
+          // the prefix encodes the FULL key, not key.hashCode — a
+          // 32-bit hash collision between two keys would alias their
+          // on-disk libraries and silently serve the wrong index
           val libPrefix = "graft_memolib_" +
-            java.lang.Integer.toHexString(key.hashCode)
+            s"${cells}_${iters}_${m}_${k}_${dim}_${buckets}_" +
+            s"${if (hasLabel) 1 else 0}_${cnt}_" +
+            java.lang.Long.toHexString(fp)
           coldBuildResidualIndex(spark, corpus, libPrefix, cells, iters, m,
             k, dim, buckets)
           buildMemo(key) = libPrefix
@@ -381,7 +386,10 @@ object AnnIndexOps {
       buckets: Int = 4): Unit =
     tombstoneSet(spark, prefix).foreach { t =>
       val ids = t.localCheckpoint(true)
-      takedownIndex(spark, prefix, ids, buckets)
+      // an existing-but-EMPTY pending set must not trigger the full
+      // snapshot rewrite — the no-op contract is on the ids, not on
+      // the table's existence
+      if (!ids.isEmpty) takedownIndex(spark, prefix, ids, buckets)
       reset(spark, tombstoneTable(prefix))
     }
 
@@ -400,7 +408,11 @@ object AnnIndexOps {
     val dst = tables(toPrefix)
     val cent = spark.table(src.centroids).localCheckpoint(true)
     val books = spark.table(src.codebooks).localCheckpoint(true)
-    Seq(dst.centroids, dst.codebooks, dst.codes, dst.vectors)
+    // tombstones reset too — a stale pending set from an earlier life
+    // of this prefix must not filter the rebuild's serve (the
+    // cloneIndex hazard, same fix)
+    Seq(dst.centroids, dst.codebooks, dst.codes, dst.vectors,
+        tombstoneTable(toPrefix))
       .foreach(reset(spark, _))
     cent.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(dst.centroids)

@@ -1215,15 +1215,24 @@ object CurationOps {
     curated.select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("lang").format("parquet").saveAsTable(tbl)
-    spark.table(tbl)
-      .groupBy("lang")
+    curatedCensusOf(spark.table(tbl))
+  }
+
+  /** q348's readback census — per-language row/token counts plus the
+    * order-independent decimal-exact content fingerprint (any lost,
+    * duplicated, or altered (doc_id, lang, text, n_toks) row moves
+    * it). THE single definition: q348 grades through it, and q350/
+    * q355/q357's rebuild-identity comparisons reuse it verbatim — the
+    * shared-golden doctrine requires one expression, not three copies.
+    */
+  private[ops] def curatedCensusOf(df: DataFrame): DataFrame =
+    df.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
         expr("""CAST(pmod(sum(CAST(xxhash64(concat(CAST(doc_id AS STRING),
           | ':', text)) AS DECIMAL(38,0))), 1000000000000L) AS BIGINT)"""
           .stripMargin).as("fingerprint"))
       .orderBy("lang")
-  }
 
   val defs: Seq[QueryDef] = Seq(
     // Curated-corpus materialization: scrub -> gate -> K1 write ->

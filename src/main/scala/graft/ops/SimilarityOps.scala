@@ -296,14 +296,25 @@ object SimilarityOps {
   private[ops] def fitCentroids(corpus: DataFrame, cells: Int,
       iters: Int): DataFrame = {
     val (c, h) = corpusKey(corpus.select(col("vec_id"), col("v")))
-    fitMemo.synchronized {
-      fitMemo.getOrElseUpdate(("cent", c, h, cells, iters, 0), {
-        val fitted = coldFitCentroids(corpus, cells, iters)
-        val out = fitted.localCheckpoint(true)
-        fitted.unpersist()
-        out
-      })
+    memoized(("cent", c, h, cells, iters, 0)) {
+      val fitted = coldFitCentroids(corpus, cells, iters)
+      val out = fitted.localCheckpoint(true)
+      fitted.unpersist()
+      out
     }
+  }
+
+  /** Memo lookup that re-validates the cached frame's SparkContext —
+    * a checkpointed frame from a STOPPED context (a tool that restarts
+    * the session in one JVM) would fail on first use, so it is evicted
+    * and refit instead (the buildMemo indexExists guard, one level
+    * down).
+    */
+  private def memoized(key: (String, Long, Long, Int, Int, Int))(
+      compute: => DataFrame): DataFrame = fitMemo.synchronized {
+    fitMemo.get(key)
+      .filter(!_.sparkSession.sparkContext.isStopped)
+      .getOrElse { val out = compute; fitMemo(key) = out; out }
   }
 
   private def coldFitCentroids(corpus: DataFrame, cells: Int, iters: Int): DataFrame = {
@@ -731,10 +742,8 @@ object SimilarityOps {
       iters: Int = 2, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m $m subspaces")
     val (c, h) = corpusKey(corpus.select(col("vec_id"), col("v")))
-    fitMemo.synchronized {
-      fitMemo.getOrElseUpdate(("book", c, h, m, k * 1000 + iters, dim),
-        coldPqCodebooks(corpus, m, k, iters, dim))
-    }
+    memoized(("book", c, h, m, k * 1000 + iters, dim))(
+      coldPqCodebooks(corpus, m, k, iters, dim))
   }
 
   private def coldPqCodebooks(corpus: DataFrame, m: Int, k: Int,

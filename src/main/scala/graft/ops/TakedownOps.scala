@@ -85,19 +85,13 @@ object TakedownOps {
   private def eqSets(a: DataFrame, b: DataFrame): Boolean =
     a.count() == b.count() && a.exceptAll(b).isEmpty
 
-  /** q348's readback census — the per-language row/token counts plus
-    * the order-independent content fingerprint its golden grades. Any
-    * lost, duplicated, or altered (doc_id, lang, text, n_toks) row
-    * moves it, which is what makes census equality a sufficient (and
-    * text-shuffle-free) rebuild-identity check for the curated table.
+  /** q348's census collected as a set — census equality is a
+    * sufficient (and text-shuffle-free) rebuild-identity check for the
+    * curated table; the expression is [[CurationOps.curatedCensusOf]],
+    * the SAME one q348's golden grades.
     */
   private def curatedCensus(df: DataFrame): Set[(String, Long, Long, Long)] =
-    df.groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("n_tokens"),
-        expr("""CAST(pmod(sum(CAST(xxhash64(concat(CAST(doc_id AS STRING),
-          | ':', text)) AS DECIMAL(38,0))), 1000000000000L) AS BIGINT)"""
-          .stripMargin).as("fingerprint"))
+    CurationOps.curatedCensusOf(df)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
@@ -260,18 +254,12 @@ object TakedownOps {
     saveTable(newCurated, tn.curated, Seq("lang"))
   }
 
-  /** q348's readback census as a relation (the same expression the
-    * census-set helper collects) — q355 grades its incremental append
-    * against q348's own golden through this.
+  /** q348's readback census as a relation — q355/q357 grade against
+    * q348's own golden through [[CurationOps.curatedCensusOf]], the
+    * single shared definition.
     */
   private def curatedCensusDf(df: DataFrame): DataFrame =
-    df.groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("n_tokens"),
-        expr("""CAST(pmod(sum(CAST(xxhash64(concat(CAST(doc_id AS STRING),
-          | ':', text)) AS DECIMAL(38,0))), 1000000000000L) AS BIGINT)"""
-          .stripMargin).as("fingerprint"))
-      .orderBy("lang")
+    CurationOps.curatedCensusOf(df)
 
   /** q355 body: INCREMENTAL curated-corpus maintenance — the daily-
     * ingest shape (q73's doctrine) applied to q348's materialization:
@@ -584,9 +572,13 @@ mark("ann compares+serves")
       .join(rebuild, Seq("lang"), "full")
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         col("fingerprint"),
-        (col("n_docs") === col("r_docs") &&
+        // coalesce to 0: a language present on only ONE side of the
+        // full join (lost or fabricated by the sweep) is exactly the
+        // mismatch this flag exists to report — null-propagating the
+        // conjunction would grade it as null instead of 0
+        coalesce((col("n_docs") === col("r_docs") &&
           col("n_tokens") === col("r_tokens") &&
-          col("fingerprint") === col("r_fp")).cast("int")
+          col("fingerprint") === col("r_fp")).cast("int"), lit(0))
           .as("matches_rebuild"))
       .orderBy("lang")
   }

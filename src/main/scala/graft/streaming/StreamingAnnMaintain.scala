@@ -49,9 +49,13 @@ object StreamingAnnMaintain {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tn = AnnIndexOps.tables(indexPrefix)
+        // eager checkpoint: the anti-join is consumed three times
+        // (isEmpty + the two table writes), and the vectors write must
+        // not read tn.vectors through its own plan while appending to it
         val fresh = batch.join(
-          spark.table(tn.vectors).select(col("vec_id")),
-          Seq("vec_id"), "left_anti")
+            spark.table(tn.vectors).select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
         if (!fresh.isEmpty) {
           AnnIndexOps.appendToIndex(spark, fresh, indexPrefix,
             m = m, dim = dim, buckets = buckets)
