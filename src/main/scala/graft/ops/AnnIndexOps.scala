@@ -70,6 +70,20 @@ object AnnIndexOps {
       books: DataFrame, m: Int, dim: Int): (DataFrame, DataFrame) = {
     val assigned = SimilarityOps.nearestCells(
       vecs.select(col("vec_id"), col("v")), "vec_id", "v", centroids, 1)
+    encodeAssigned(vecs, assigned, centroids, books, m, dim)
+  }
+
+  /** The encode with the cell assignment ALREADY decided — shared by
+    * [[encodeAgainst]] (nearest-centroid assignment) and the fat-cell
+    * split (residual-fit membership, which must not be silently
+    * re-assigned by a second argmax pass). `assigned` carries
+    * (vec_id, v, cell); a vector's code is always the quantization of
+    * v − centroid(its recorded cell) — the serve-side LUT consistency
+    * contract.
+    */
+  private def encodeAssigned(vecs: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, books: DataFrame, m: Int,
+      dim: Int): (DataFrame, DataFrame) = {
     val resid = assigned.join(broadcast(centroids), Seq("cell"))
       .select(col("vec_id"), col("cell"), col("v"),
         expr("zip_with(v, cv, (p, q) -> p - q)").as("rv"))
@@ -109,22 +123,60 @@ object AnnIndexOps {
     */
   private val buildMemo =
     scala.collection.mutable.HashMap[(Int, Int, Int, Int, Int, Int,
-      Boolean, Long, Long), String]()
+      Boolean, Long, Long, Long), String]()
+
+  /** Memo libraries are scratch state, not a product artifact: without
+    * cleanup every distinct (params, corpus) combination leaves a
+    * permanent index copy in the warehouse and a long bench/rehearsal
+    * session grows disk unboundedly (ADVICE r14). One static shutdown
+    * hook drains a concurrent registry of library table LOCATIONS (the
+    * StreamReplayOps scratch-dir pattern — catalog entries die with the
+    * in-memory session; the directories are the real cost).
+    */
+  private val memoLibRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      var loc = memoLibRegistry.poll()
+      while (loc != null) {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        try p.getFileSystem(conf).delete(p, true)
+        catch { case _: Throwable => () }
+        loc = memoLibRegistry.poll()
+      }
+    }))
+  }
+  private def registerMemoLib(spark: SparkSession, prefix: String): Unit = {
+    val tn = tables(prefix)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Seq(tn.centroids, tn.codebooks, tn.codes, tn.vectors).foreach(t =>
+      memoLibRegistry.add(
+        new org.apache.hadoop.fs.Path(wh, t).toString))
+  }
 
   /** Order-independent corpus fingerprint: row count + bounded decimal
-    * sum of per-row xxhash64 over every column the encode consumes.
+    * sums of per-row xxhash64 over every column the encode consumes,
+    * under TWO independent seeds (a lane-constant prefix column flips
+    * every row hash) — a silent cross-corpus alias now needs a
+    * simultaneous collision in both 60-bit sums over the same row set
+    * (ADVICE r14: one sum alone left a 2⁻⁶⁰-per-pair diagnostic gap).
     * One cheap pass — the fits it saves are `iters` passes each.
     */
   private def corpusFingerprint(corpus: DataFrame,
-      hasLabel: Boolean): (Long, Long) = {
-    val h =
-      if (hasLabel) xxhash64(col("vec_id"), col("v"), col("label"))
-      else xxhash64(col("vec_id"), col("v"))
+      hasLabel: Boolean): (Long, Long, Long) = {
+    def h(seed: Long) = {
+      val cols =
+        if (hasLabel) Seq(lit(seed), col("vec_id"), col("v"), col("label"))
+        else Seq(lit(seed), col("vec_id"), col("v"))
+      xxhash64(cols: _*)
+    }
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val r = corpus.agg(count(lit(1)),
-      coalesce(pmod(sum(h.cast(dec)), lit(1000000000000000000L).cast(dec))
-        .cast("long"), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+    def s(seed: Long) = coalesce(
+      pmod(sum(h(seed).cast(dec)), lit(1000000000000000000L).cast(dec))
+        .cast("long"), lit(0L))
+    val r = corpus.agg(count(lit(1)), s(0L), s(0x9E3779B97F4A7C15L)).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   private def indexExists(spark: SparkSession, prefix: String): Boolean = {
@@ -171,8 +223,8 @@ object AnnIndexOps {
       prefix: String, cells: Int = 16, iters: Int = 2, m: Int = 8,
       k: Int = 16, dim: Int = 64, buckets: Int = 4): IndexTables = {
     val hasLabel = corpus.columns.contains("label")
-    val (cnt, fp) = corpusFingerprint(corpus, hasLabel)
-    val key = (cells, iters, m, k, dim, buckets, hasLabel, cnt, fp)
+    val (cnt, fp, fp2) = corpusFingerprint(corpus, hasLabel)
+    val key = (cells, iters, m, k, dim, buckets, hasLabel, cnt, fp, fp2)
     val lib = buildMemo.synchronized {
       buildMemo.get(key).filter(indexExists(spark, _))
         .getOrElse {
@@ -182,9 +234,11 @@ object AnnIndexOps {
           val libPrefix = "graft_memolib_" +
             s"${cells}_${iters}_${m}_${k}_${dim}_${buckets}_" +
             s"${if (hasLabel) 1 else 0}_${cnt}_" +
-            java.lang.Long.toHexString(fp)
+            java.lang.Long.toHexString(fp) + "_" +
+            java.lang.Long.toHexString(fp2)
           coldBuildResidualIndex(spark, corpus, libPrefix, cells, iters, m,
             k, dim, buckets)
+          registerMemoLib(spark, libPrefix)
           buildMemo(key) = libPrefix
           libPrefix
         }
@@ -448,6 +502,276 @@ object AnnIndexOps {
       .orderBy("cell")
   }
 
+  /** q363's engine: FAT-CELL SPLIT — the repair that ACTS on what
+    * [[indexCellCensus]] flags (VERDICT r14 #5, closing the
+    * observe→repair loop): appended batches that drift off the frozen
+    * coarse quantizer pile into a few cells, and a fat inverted list
+    * makes every probe of it read the pile. The split re-fits `s`
+    * sub-centroids INSIDE each flagged cell (the same seeded Lloyd as
+    * the cold build, over that cell's vectors only — O(cell), frozen
+    * everywhere else), re-assigns the cell's vectors among its
+    * children, re-encodes their residuals against the UNCHANGED PQ
+    * codebooks, and swaps parent for children in the centroid table
+    * under fresh cell ids. Every other cell's rows are carried over
+    * verbatim (AnnIndexSpec pins row-identity), and no vector enters
+    * or leaves the index — the split moves list BOUNDARIES, not data.
+    *
+    * Locality contract: children only compete with their own parent's
+    * vectors (a full rebuild could reassign a boundary vector to a
+    * different family; the local repair deliberately does not — that
+    * is what makes it O(cell)). The serve needs no changes: probing
+    * runs over the grown centroid table, and a probe that used to read
+    * the whole fat list now reads the child actually near the query —
+    * recall at equal probe count can only see the relevant fraction of
+    * the old list's mass, which is how the split buys back the recall
+    * the drift cost (q363 grades exactly that comparison).
+    *
+    * Scale shape: the census is cell-bounded; the flagged-cell list is
+    * ≤ nlist ints of driver metadata (the serve's probed-cell
+    * convention); each fit + re-encode prunes to ONE cell partition;
+    * the rewrite is the canonical-layout snapshot (doubling as
+    * compaction, the q347 path — at production scale a partition-level
+    * rewrite of only the split cells' directories).
+    */
+  /** The split's sub-fit: seeded L2 Lloyd over the cell's RESIDUALS
+    * (v − parent centroid), deterministic (hash-rank seeds, min-l2sq
+    * assignment with ties to the smaller child id, exact decimal means
+    * — the cold build's bit-stability discipline). Returns the children
+    * (cell, cv) in ORIGINAL space under fresh ids ≥ idBase; the caller
+    * re-derives membership with the serve's own cosine argmax. All
+    * frames are O(cell).
+    */
+  private def fitResidualChildren(spark: SparkSession, cellVecs: DataFrame,
+      centroidsTbl: String, parentCell: Int, s: Int, iters: Int,
+      idBase: Int): DataFrame = {
+    val parent = spark.table(centroidsTbl)
+      .where(col("cell") === parentCell).select(col("cv").as("pcv"))
+    val resid = cellVecs.crossJoin(broadcast(parent))
+      .select(col("vec_id"),
+        expr("zip_with(v, pcv, (p, q) -> p - q)").as("rv"))
+      .localCheckpoint(true)
+    // EVEN-SPACED seeding over a HASH-ordered rank, not first-s by id:
+    // a drift pile holds most of the cell's mass at the id range's
+    // tail, and s seeds drawn from the head all sit OUTSIDE it — Lloyd
+    // then parks the entire pile on whichever seed is least far
+    // (measured: 1500 of 1530 on one child, under cosine AND under
+    // residual L2). Even spacing over the ID order is not enough
+    // either: ingest ids are structured (measured: three id-contiguous
+    // re-upload blocks of the same content made ranks 1, 1+pop/3,
+    // 1+2·pop/3 land on byte-identical vectors — s identical seeds,
+    // total collapse again). Hash-ordering the rank decorrelates the
+    // seed positions from ANY id structure while staying fully
+    // deterministic; seeds then land inside every mass region in
+    // proportion to its share, which is what lets the rounds separate
+    // the pile.
+    val ranked = resid
+      .withColumn("rk", row_number().over(
+        Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+      .localCheckpoint(true)
+    val pop = ranked.count()
+    // distinct: pop < s would alias ranks (fewer children then — fine)
+    val seedRanks = (0 until s).map(i => 1L + i * pop / s)
+      .distinct.zipWithIndex
+    import spark.implicits._
+    var cents = ranked
+      .join(broadcast(seedRanks.toDF("rk", "child")), Seq("rk"))
+      .select(col("child"), col("rv").as("ccv"))
+      .localCheckpoint(true)
+    def assign(c: DataFrame): DataFrame = {
+      val ord = struct(
+        coalesce(-SimilarityOps.l2sq("rv", "ccv"),
+          lit(Double.NegativeInfinity)), -col("child"))
+      resid.crossJoin(broadcast(c))
+        .groupBy("vec_id")
+        .agg(max_by(col("child"), ord).as("child"))
+    }
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .join(resid, Seq("vec_id"))
+        .select(col("child"), posexplode(col("rv")).as(Seq("dim", "x")))
+        .groupBy("child", "dim")
+        .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy("child")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("child"), expr("transform(dm, e -> e.m)").as("ccv"))
+        .localCheckpoint(true)
+    }
+    val membership = assign(cents)
+      .select(col("vec_id"), (col("child") + lit(idBase)).cast("int")
+        .as("cell"))
+    // child centroid = members' original-space exact decimal mean
+    membership.join(cellVecs, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), expr("transform(dm, e -> e.m)").as("cv"))
+      .localCheckpoint(true)
+  }
+
+  /** [[splitOnce]] iterated to the census fixpoint: k-means balance is
+    * approximate, so one pass over a heavy pile can leave a child at
+    * ~2-3× the (small-cell-dragged) mean still flagged; each further
+    * round touches ONLY the leftover flagged cells. `maxRounds` bounds
+    * the rewrites — each halves-or-better the heaviest list, so the
+    * default clears any realistic drift.
+    */
+  def splitFatCells(spark: SparkSession, prefix: String,
+      fanout: Option[Int] = None, iters: Int = 2, m: Int = 8,
+      dim: Int = 64, buckets: Int = 4, maxRounds: Int = 3): Seq[Int] = {
+    var all = Seq.empty[Int]
+    var round = 0
+    var last = splitOnce(spark, prefix, fanout, iters, m, dim, buckets)
+    while (last.nonEmpty && { all ++= last; round += 1; round < maxRounds })
+      last = splitOnce(spark, prefix, fanout, iters, m, dim, buckets)
+    all
+  }
+
+  private def splitOnce(spark: SparkSession, prefix: String,
+      fanout: Option[Int], iters: Int, m: Int,
+      dim: Int, buckets: Int): Seq[Int] = {
+    val tn = tables(prefix)
+    val census = indexCellCensus(spark, prefix).collect()
+    val mean = census.map(_.getLong(1)).sum.toDouble / census.length
+    // (cell, children): fanout defaults ADAPTIVE — ⌈pop/mean⌉ children
+    // per flagged cell, so each child TARGETS the mean population and
+    // the repaired cell actually clears the census flag (a fixed small
+    // fanout leaves a 10×-mean pile still fat after the split)
+    val fat = census.filter(_.getBoolean(2))
+      .map(r => r.getInt(0) ->
+        fanout.getOrElse(math.max(2, math.ceil(r.getLong(1) / mean).toInt)))
+      .sortBy(_._1).toSeq
+    if (fat.isEmpty) return Seq.empty
+    val books = spark.table(tn.codebooks).localCheckpoint(true)
+    var nextId = spark.table(tn.centroids)
+      .agg(max(col("cell"))).head().getInt(0) + 1
+    val repaired = fat.map { case (c, s) =>
+      val cellVecs = spark.table(tn.vectors).where(col("cell") === c)
+        .select(col("vec_id"), col("v"), col("label"))
+        .localCheckpoint(true)
+      // The sub-fit runs in RESIDUAL space under L2, not original space
+      // under cosine: a drift pile is a tight lobe whose members' raw
+      // cosines to any candidate sub-centroid are all ≈ 1 (measured: a
+      // cosine Lloyd left 1501 of 1530 lobe members on one child), while
+      // the residuals v − parent carry exactly the within-cell structure
+      // — the IVFADC premise — and separate cleanly. The residual fit
+      // only PLACES the child centroids (each = its residual-cluster's
+      // original-space decimal mean); final membership comes from
+      // [[encodeAgainst]]'s cosine argmax over those children — the
+      // SAME metric the serve's probe selection uses, so a query sitting
+      // on a member's position always probes that member's child first
+      // (a residual-L2 membership measurably lost served twins whose
+      // child ranked below the probe cut in cosine).
+      val children0 = fitResidualChildren(spark, cellVecs, tn.centroids,
+        c, s, iters, nextId)
+      nextId += s
+      val (codes, vecs) = encodeAgainst(cellVecs, children0, books, m, dim)
+      // cosine re-assignment can empty a child; an empty cell's centroid
+      // would still attract probe slots and read nothing — prune it
+      val children = children0.join(
+        vecs.select(col("cell")).distinct(), Seq("cell"), "left_semi")
+      (children, codes, vecs)
+    }
+    // swap parent rows for child rows; snapshot BEFORE reset (the
+    // q42/q62 overwrite discipline), canonical layout restored
+    val fatCells = fat.map(_._1)
+    val keptCents = spark.table(tn.centroids)
+      .where(!col("cell").isin(fatCells: _*))
+    val newCents = (keptCents +: repaired.map(_._1))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+    reset(spark, tn.centroids)
+    newCents.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(tn.centroids)
+    Seq((tn.codes, repaired.map(_._2)), (tn.vectors, repaired.map(_._3)))
+      .foreach { case (tbl, parts) =>
+        val merged =
+          (spark.table(tbl).where(!col("cell").isin(fatCells: _*)) +:
+            parts.map(_.select(spark.table(tbl).columns.map(col): _*)))
+          .reduce(_.unionByName(_)).localCheckpoint(true)
+        reset(spark, tbl)
+        merged.repartition(buckets, col("vec_id"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
+          .format("parquet").saveAsTable(tbl)
+      }
+    fatCells
+  }
+
+  /** q363 body: the observe→repair→recertify loop end-to-end on the
+    * census fixture's planted drift (a 3× concentrated lobe appended
+    * onto the frozen quantizers): build + append twice (the build memo
+    * makes the second base free), split the flagged cells on one copy
+    * only, and grade the before/after comparison — fat-cell count,
+    * cell count, row conservation, and the q334 recall curve at EQUAL
+    * probe count. Deterministic (seeded fits, decimal sums) → golden;
+    * AnnIndexSpec pins non-split-cell row identity, row conservation,
+    * and recall@5(split) ≥ recall@5(unsplit) on this fixture.
+    */
+  def fatCellSplitAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = SimilarityOps.vectors(spark, dir)
+    // the AnnIndexSpec drift fixture: 3x the corpus mass concentrated
+    // near e0 — lands (almost) entirely in one cell of the frozen fit
+    val shifted = v
+      .crossJoin(spark.range(3).select(col("id").as("copy")))
+      .select(
+        (col("vec_id") + lit(9200000000L) + col("copy") * lit(1000000L))
+          .as("vec_id"),
+        col("label"),
+        expr("transform(v, (x, i) -> 0.05D * x + IF(i = 0, 0.95D, 0D))")
+          .as("v"))
+    val full = v.unionByName(shifted.select(col("vec_id"), col("label"),
+      col("v")))
+    // queries from BOTH regions, equal weight: the original corpus (the
+    // split must not regress them) and the drift pile itself (the
+    // queries the fat cell makes unservable — 1500+ near-identical
+    // candidates whose big-residual codes collapse to the same few
+    // codewords, so the ADC shortlist fills by vec_id tiebreak and the
+    // true twins never reach the rerank)
+    val q = SimilarityOps.queriesOf(v, 10).unionByName(
+      full.where(col("vec_id") >= 9200000000L &&
+          col("vec_id") < 9200000010L)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    // grow once, clone the pre-split state as the unsplit twin (the
+    // memo-clone path — one append-encode instead of two)
+    buildResidualIndex(spark, v, "graft_annsplit_s")
+    appendToIndex(spark, shifted, "graft_annsplit_s")
+    cloneIndex(spark, "graft_annsplit_s", "graft_annsplit_u", 4)
+    splitFatCells(spark, "graft_annsplit_s")
+    def fatCount(prefix: String): Long =
+      indexCellCensus(spark, prefix).where(col("fat")).count()
+    // ADC candidate mass at EQUAL probe count: rows the serve's pruned
+    // scans feed the ADC stage — the read-cost number the split exists
+    // to shrink (a probed fat list is read whole)
+    def candidates(prefix: String): Long = {
+      val tn = tables(prefix)
+      val pops = spark.table(tn.vectors)
+        .groupBy("cell").agg(count(lit(1)).as("pop"))
+      SimilarityOps.nearestCells(q, "q_id", "qv",
+          spark.table(tn.centroids), 8)
+        .join(pops, Seq("cell"))
+        .agg(coalesce(sum(col("pop")), lit(0L))).head().getLong(0)
+    }
+    def recall(prefix: String): Map[Long, Long] =
+      serveRecallAudit(spark, full, q, prefix).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ru = recall("graft_annsplit_u")
+    val rs = recall("graft_annsplit_s")
+    val rows = Seq(
+      ("fat_cells", fatCount("graft_annsplit_u"), fatCount("graft_annsplit_s")),
+      ("n_cells", spark.table("graft_annsplit_u_centroids").count(),
+        spark.table("graft_annsplit_s_centroids").count()),
+      ("adc_candidates", candidates("graft_annsplit_u"),
+        candidates("graft_annsplit_s")),
+      ("n_code_rows", spark.table("graft_annsplit_u_codes").count(),
+        spark.table("graft_annsplit_s_codes").count())) ++
+      (1L to 5L).map(k => (s"recall@$k", ru(k), rs(k)))
+    rows.toDF("metric", "unsplit", "split").orderBy("metric")
+  }
+
   /** SERVE: answer top-k from the STORED index with NO refit — the
     * milliseconds path of the build/serve split. The plan reads only
     * index tables: centroids + codebooks broadcast, the codes/vectors
@@ -530,6 +854,84 @@ object AnnIndexOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Integer reciprocal-rank fusion of two top-k legs — q287's combiner
+    * (Cormack et al. 2009) in EXACT integer micro-units
+    * (1000000 div (rrfK + rank), summed over the legs that shortlisted
+    * the doc; ties on doc_id): no float aggregation, no parity risk in
+    * a graded surface. Legs arrive as (query_id, doc_id, rank) frames;
+    * the fusion frame is (2·shortlist)-bounded per query regardless of
+    * corpus size. Factored out so the spec can plant the classic RRF
+    * case — a doc 2nd on BOTH legs outranking each leg's own top-1.
+    */
+  private[graft] def rrfFuseInt(legA: DataFrame, legB: DataFrame,
+      k: Int, rrfK: Int): DataFrame = {
+    def micro(c: String): org.apache.spark.sql.Column =
+      coalesce(expr(s"1000000L div ($rrfK + $c)"), lit(0L))
+    val fused = legA.join(legB, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", micro("rank_a") + micro("rank_b"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("rank_a"), col("rank_b"), col("rrf_micro"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q364 body: HYBRID lexical+vector retrieval — the production
+    * retrieval/decontamination stack's two-ranker shape (VERDICT r14
+    * #7): BM25 over the documents (q245's exact-integer scorer) and the
+    * STORED ANN index over the embeddings (q326's serve), fused by
+    * integer RRF. The two modalities meet through pseudo-relevance
+    * feedback (Rocchio's classic trick, dense-vector form): a term
+    * query has no embedding, so its query VECTOR is the decimal-exact
+    * mean embedding of its lexical top-10 — the second stage retrieves
+    * "more like what the terms found", catching relevant docs that
+    * share no query term. The id spaces align by construction
+    * (vec_id == doc_id, the corpus contract).
+    *
+    * Scale shape: the BM25 leg is the q245 plan (query-term-pruned
+    * postings, WindowGroupLimit top-k); the PRF mean is 10 rows per
+    * query; the ANN leg is the partition-pruned stored serve; the
+    * fusion join touches only shortlist rows. Deterministic end to end
+    * (integer BM25, decimal means, seeded frozen fits) → golden.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String,
+      shortlist: Int = 20, k: Int = 5, rrfK: Int = 60): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val v = SimilarityOps.vectors(spark, dir)
+    buildResidualIndex(spark, v, "graft_hybrid")
+    val bm = CorpusStatsOps.bm25TopK(docs, CorpusStatsOps.Bm25Queries,
+        shortlist)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+      .localCheckpoint(true)
+    // synthetic numeric q_ids for the serve, far above every vec_id
+    val qids = bm.select(col("query_id")).distinct()
+      .withColumn("q_id",
+        row_number().over(Window.orderBy(col("query_id"))).cast("long") +
+          lit(9000000000L))
+    val qv = bm.where(col("rnk") <= 10)
+      .join(v.select(col("vec_id").as("doc_id"), col("v")), Seq("doc_id"))
+      .select(col("query_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("query_id", "dim")
+      .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("query_id"), expr("transform(dm, e -> e.m)").as("qv"))
+      .join(broadcast(qids), Seq("query_id"))
+    val ann = serveTopK(spark, qv.select(col("q_id"), col("qv")),
+        "graft_hybrid", topK = shortlist, shortlist = 100)
+      .join(broadcast(qids), Seq("q_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("rank_b"))
+    rrfFuseInt(
+      bm.select(col("query_id"), col("doc_id"), col("rnk").as("rank_a")),
+      ann, k, rrfK)
+      .withColumnRenamed("rank_a", "rank_bm25")
+      .withColumnRenamed("rank_b", "rank_ann")
+  }
+
   /** q334 body: serve-path RECALL AUDIT — the observability number an
     * ANN deployment is judged by, computed in-engine: the stored-index
     * serve's top-k against the brute-force exact top-k on the same
@@ -608,6 +1010,18 @@ object AnnIndexOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // Fat-cell split: the drift census's repair — re-fit sub-centroids
+    // inside flagged cells only, re-encode their vectors, recertify
+    // recall at equal probes against the unsplit index. Golden.
+    QueryDef("q363_fat_cell_split", literalOracle("q363_fat_cell_split"),
+      (spark, dir) => fatCellSplitAudit(spark, dir)),
+
+    // Hybrid lexical+vector retrieval: BM25 leg + stored-ANN leg over
+    // a PRF mean-embedding query vector, fused by exact-integer RRF.
+    QueryDef("q364_hybrid_retrieval",
+      literalOracle("q364_hybrid_retrieval"),
+      (spark, dir) => hybridRetrieval(spark, dir)),
+
     // Recall-vs-probes curve from ONE build: the (cost, recall) trade
     // of the serve's pruning dial, exact-integer permille. Golden;
     // AnnIndexSpec pins provable monotonicity at exhaustive shortlist

@@ -1365,6 +1365,41 @@ object StreamReplayOps {
       "graft_anntdstream")
   }
 
+  /** q361 body: streamed CURATED MAINTENANCE replay — the curated
+    * lifecycle's write side deployed as a stream
+    * ([[graft.streaming.StreamingCuratedMaintain]]). Materialize the
+    * base slice with provenance, land the id-ordered tail as time
+    * slices, scrub+append each micro-batch against the STORED bucket
+    * relation (q355's O(batch) doctrine per trigger), then read back
+    * the census. The grown table is batching-independent under the
+    * id-ordered append contract, so the census is graded against
+    * q348's OWN golden — one result contract across from-scratch,
+    * batch-append, and streamed-append materialization. Exactly-once
+    * (doc_id high-watermark off the stored pars) is pinned by
+    * StreamingCuratedMaintainSpec's wiped-checkpoint re-run.
+    */
+  def curatedMaintainReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-cm-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+      .getLong(0)
+    TakedownOps.curatedMaterializeWithProvenance(spark,
+      docs.where(col("doc_id") <= cut), "graft_cmstream")
+    landTimeSlices(spark, docs.where(col("doc_id") > cut)
+        .withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingCuratedMaintain.maintainAvailableNow(
+        spark, landing, "graft_cmstream", ckpt,
+        StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    CurationOps.curatedCensusOf(spark.table("graft_cmstream_curated"))
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1444,6 +1479,14 @@ object StreamReplayOps {
     QueryDef("q356_ann_takedown_replay",
       graft.util.Tables.literalOracle("q356_ann_takedown_replay"),
       (spark, dir) => annTakedownReplay(spark, dir)),
+
+    // Streamed curated maintenance (26th streaming component): the
+    // q355 scrub-append per micro-batch against the stored provenance,
+    // held to q348's own golden — from-scratch, batch-append, and
+    // streamed-append are one contract.
+    QueryDef("q361_curated_maintain_replay",
+      graft.util.Tables.literalOracle("q348_curated_corpus"),
+      (spark, dir) => curatedMaintainReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

@@ -408,6 +408,86 @@ object TakedownOps {
     reset(spark, tn.clusters); saveTable(merged, tn.clusters)
   }
 
+  /** q360 body's engine: INCREMENTAL cluster-map maintenance — the last
+    * open cell of the artifact-maintenance matrix (VERDICT r14 #1).
+    * Merge an arriving doc batch into the STORED cluster map without a
+    * full re-closure: band the batch, find the stored components its
+    * bucket keys touch, and re-close ONLY the affected subgraph — the
+    * exact mirror of [[takedownClusters]]'s component-local argument,
+    * with merges where the takedown has splits (one batch doc can
+    * BRIDGE two stored components; the re-closure relabels both to the
+    * union's minimum, exactly what a full rebuild would say).
+    *
+    * Why component-local re-closure is EXACT: co-bucket membership
+    * implies co-component, so every bucket key is owned entirely by one
+    * stored component. A bucket either contains a batch doc — then its
+    * stored members' components are "touched" by definition — or it
+    * doesn't, and its edges (hence its component's labels, which are
+    * component minima) cannot change. Restricting the union bucket
+    * relation (stored ∪ batch) to touched components' members plus the
+    * whole batch therefore includes every bucket whose minimum could
+    * move, with ALL of each included bucket's members — the restricted
+    * bucket minima, and so the re-closed labels, equal the full
+    * rebuild's. Batch docs colliding only with each other form their
+    * new components inside the same pass; isolated batch docs label
+    * self via the coalesce.
+    *
+    * The strictly-above id contract mirrors [[appendToCurated]]'s: it
+    * is what guarantees batch ids are globally FRESH (a duplicated
+    * doc_id would silently fuse two distinct documents' bucket rows).
+    * Unlike the curated append, label correctness itself does not need
+    * the ordering — labels are recomputed minima, not kept-first
+    * verdicts — so the guard is purely the uniqueness contract.
+    *
+    * Scale shape: O(batch + affected components), never O(corpus) — one
+    * key-pruned join against the stored bucket relation (keyed by the
+    * BATCH's bucket keys), two broadcast-sized id sets (touched
+    * components, their members), and a star closure over the affected
+    * subgraph only. The stored bucket relation is appended, untouched
+    * rows' labels are carried over verbatim.
+    */
+  def appendToClusters(spark: SparkSession, newDocs: DataFrame,
+      prefix: String): Unit = {
+    val tn = clusterTables(prefix)
+    val bucketsN = DedupOps.minhashBuckets(
+        newDocs.select(col("doc_id"), col("text")), 8, 8)
+      .localCheckpoint(true)
+    if (bucketsN.isEmpty) return
+    val clustersT = spark.table(tn.clusters)
+    val bucketsT = spark.table(tn.dbuckets)
+    // the freshness contract: batch ids strictly above every stored id
+    val maxOld = clustersT.agg(max(col("doc_id"))).head()
+    val minNew = newDocs.agg(min(col("doc_id"))).head().getLong(0)
+    require(maxOld.isNullAt(0) || minNew > maxOld.getLong(0),
+      s"appendToClusters: batch doc_id $minNew interleaves the stored " +
+        s"corpus (max stored doc_id ${maxOld.getLong(0)}) — ids must be " +
+        "globally fresh or the bucket relation fuses distinct docs")
+    // stored components touched by the batch: one join pruned by the
+    // batch's (band, bhash) keys — never a corpus scan
+    val batchKeys = broadcast(
+      bucketsN.select(col("band"), col("bhash")).distinct())
+    val touched = bucketsT.join(batchKeys, Seq("band", "bhash"))
+      .select(col("doc_id")).distinct()
+    val affComps = broadcast(clustersT.join(touched, Seq("doc_id"))
+      .select(col("cluster_id")).distinct().localCheckpoint(true))
+    val affMembers = broadcast(clustersT.join(affComps, Seq("cluster_id"))
+      .select(col("doc_id")).localCheckpoint(true))
+    // complete edge source for the affected subgraph: the affected
+    // members' stored buckets ∪ the batch's buckets
+    val subBuckets = bucketsT.join(affMembers, Seq("doc_id"))
+      .unionByName(bucketsN)
+    val (labels, _) =
+      DedupOps.starComponentsWithRounds(edgesFromBuckets(subBuckets))
+    val relabeled = labelsToClusters(
+      affMembers.unionByName(newDocs.select(col("doc_id"))), labels)
+    val kept = clustersT.join(affComps, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("is_dup"))
+    val merged = kept.unionByName(relabeled).localCheckpoint(true)
+    bucketsN.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tn.dbuckets)
+    reset(spark, tn.clusters); saveTable(merged, tn.clusters)
+  }
+
   // ------------------------------------------------------------------
   // The graded sweep
   // ------------------------------------------------------------------
@@ -445,7 +525,7 @@ object TakedownOps {
     val curBefore = spark.table(ct.curated).count()
     val curDeleted = spark.table(ct.curated)
       .join(broadcast(delDocs), Seq("doc_id")).count()
-mark("curated materialize+counts")
+    mark("curated materialize+counts")
     takedownCurated(spark, docs, delDocs, "graft_td")
     val curAfter = spark.table(ct.curated).count()
     val curResidue =
@@ -454,18 +534,18 @@ mark("curated materialize+counts")
         spark.table(ct.buckets)
           .select(shiftright(col("pid"), 20).as("doc_id"))
           .join(broadcast(delDocs), Seq("doc_id")).count()
-mark("curated takedown+counts")
+    mark("curated takedown+counts")
     val curRebuild = curatedFromPars(parsAndBuckets(survDocs)._1, survDocs)
     val curMatches =
       curatedCensus(spark.table(ct.curated)) == curatedCensus(curRebuild)
 
-mark("curated rebuild compare")
+    mark("curated rebuild compare")
     // -- dedup cluster map ----------------------------------------------
     val kt = clustersMaterializeWithProvenance(spark, docs, "graft_td")
     val cluBefore = spark.table(kt.clusters).count()
     val cluDeleted = spark.table(kt.clusters)
       .join(broadcast(delDocs), Seq("doc_id")).count()
-mark("clusters materialize+counts")
+    mark("clusters materialize+counts")
     takedownClusters(spark, delDocs, "graft_td")
     val cluAfter = spark.table(kt.clusters).count()
     // residue: a surviving row keyed by a deleted doc OR labeled by a
@@ -476,14 +556,14 @@ mark("clusters materialize+counts")
           .join(broadcast(delDocs.select(col("doc_id").as("cluster_id"))),
             Seq("cluster_id")).count() +
         spark.table(kt.dbuckets).join(broadcast(delDocs), Seq("doc_id")).count()
-mark("clusters takedown+counts")
+    mark("clusters takedown+counts")
     val cluMatches = eqSets(
       spark.table(kt.clusters)
         .select(col("doc_id"), col("cluster_id"), col("is_dup")),
       DedupOps.starClusters(survDocs).select(col("doc_id"),
         col("cluster_id"), col("is_dup")))
 
-mark("clusters rebuild compare")
+    mark("clusters rebuild compare")
     // -- stored ANN index -----------------------------------------------
     val v = SimilarityOps.vectors(spark, dir)
     val delVecs = v.where(col("vec_id") % 11 === 0).select(col("vec_id"))
@@ -491,7 +571,7 @@ mark("clusters rebuild compare")
     val at = AnnIndexOps.tables("graft_tdann")
     AnnIndexOps.buildResidualIndex(spark, v, "graft_tdann")
     val q = SimilarityOps.queriesOf(v, 20)
-mark("ann build")
+    mark("ann build")
     val preServe = AnnIndexOps.serveTopK(spark, q, "graft_tdann")
       .localCheckpoint(true)
     val serveBefore = preServe.count()
@@ -502,11 +582,11 @@ mark("ann build")
     val vecsBefore = spark.table(at.vectors).count()
     val vecsDeleted = spark.table(at.vectors)
       .join(broadcast(delVecs), Seq("vec_id")).count()
-mark("ann pre-serve+counts")
+    mark("ann pre-serve+counts")
     AnnIndexOps.takedownIndex(spark, "graft_tdann", delVecs)
     val rt = AnnIndexOps.rebuildWithFrozen(spark, survVecs, "graft_tdann",
       "graft_tdannrb")
-mark("ann takedown+rebuild")
+    mark("ann takedown+rebuild")
     val codesAfter = spark.table(at.codes).count()
     val codesResidue = spark.table(at.codes)
       .join(broadcast(delVecs), Seq("vec_id")).count()
@@ -522,7 +602,7 @@ mark("ann takedown+rebuild")
     val serveMatch = eqSets(postServe,
       AnnIndexOps.serveTopK(spark, q, "graft_tdannrb"))
 
-mark("ann compares+serves")
+    mark("ann compares+serves")
     Seq(
       ("ann_codes", codesBefore, codesDeleted, codesAfter, codesResidue,
         if (codesMatch) 1 else 0),
@@ -675,6 +755,26 @@ mark("ann compares+serves")
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // Incremental cluster-map maintenance: base materialized with
+    // bucket provenance, the id-ordered tail merged via component-local
+    // re-closure (O(batch + affected), no corpus re-banding) — readback
+    // graded against q51's OWN golden: the incremental merge must
+    // reproduce the from-scratch transitive closure byte-identically
+    // (the q308/q355 shared-golden doctrine).
+    QueryDef("q360_cluster_append", literalOracle("q51_dedup_clusters"),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+          .getLong(0)
+        clustersMaterializeWithProvenance(spark,
+          docs.where(col("doc_id") <= cut), "graft_cla")
+        appendToClusters(spark, docs.where(col("doc_id") > cut), "graft_cla")
+        spark.table("graft_cla_clusters")
+          .select(col("doc_id"), col("cluster_id"), col("is_dup"))
+          .orderBy("doc_id")
+      }),
+
     // Deep (content-level) takedown: the deletion set expanded to
     // near-dup cluster mates (text) and cosine>=0.95 neighbors
     // (vectors) before the sweep; grades row residue, semantic

@@ -1006,7 +1006,14 @@ object VocabModelOps {
         max(col("ppl")).as("max_ppl_microbits"))
       .orderBy("band")
 
-  private[graft] val bigramPerplexitySql: String =
+  /** The q328 oracle parameterized by extra train/score predicates —
+    * `("", "")` is q328 itself; q362 passes the takedown's survivor
+    * filter on both sides, making the oracle an independent FROM-SCRATCH
+    * RETRAIN on the survivors that the engine's unlearned model must
+    * match bit-exactly.
+    */
+  private[graft] def bigramPerplexitySqlFor(trainExtra: String,
+      scoreExtra: String): String =
     s"""WITH base AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
       |    AS ws
@@ -1018,11 +1025,12 @@ object VocabModelOps {
       |    unnest(ws[2:len(ws)]) AS w2
       |  FROM d2),
       |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      |  FROM bg WHERE doc_id % 2 = 0$trainExtra GROUP BY w1, w2),
       |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-      |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1),
+      |  FROM bg WHERE doc_id % 2 = 0$trainExtra GROUP BY w1),
       |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
-      |  FROM (SELECT unnest(ws) AS w FROM d2 WHERE doc_id % 2 = 0)),
+      |  FROM (SELECT unnest(ws) AS w FROM d2
+      |        WHERE doc_id % 2 = 0$trainExtra)),
       |sc AS (
       |  SELECT s.doc_id,
       |    CAST(COALESCE(c12.c12, 0) + 1 AS BIGINT) AS num,
@@ -1031,7 +1039,7 @@ object VocabModelOps {
       |  LEFT JOIN c12 ON s.w1 = c12.w1 AND s.w2 = c12.w2
       |  LEFT JOIN c1 ON s.w1 = c1.w1
       |  CROSS JOIN vv
-      |  WHERE s.doc_id % 2 = 1),
+      |  WHERE s.doc_id % 2 = 1$scoreExtra),
       |su AS (SELECT sc.doc_id,
       |    ${microLog2Duck("sc.den")} - ${microLog2Duck("sc.num")} AS s
       |  FROM sc),
@@ -1045,6 +1053,134 @@ object VocabModelOps {
       |  CAST(MIN(pd.ppl) AS BIGINT) AS min_ppl_microbits,
       |  CAST(MAX(pd.ppl) AS BIGINT) AS max_ppl_microbits
       |FROM pd GROUP BY 1 ORDER BY band""".stripMargin
+
+  private[graft] val bigramPerplexitySql: String =
+    bigramPerplexitySqlFor("", "")
+
+  /** q362's oracle: the same census recomputed by DuckDB as a full
+    * retrain on the post-takedown survivors (deletion set = q350's
+    * doc_id % 13) — the engine side must reproduce it by SUBTRACTING
+    * the deleted docs' contributions from the stored model relations.
+    */
+  private[graft] val unlearnedPerplexitySql: String =
+    bigramPerplexitySqlFor(" AND doc_id % 13 <> 0",
+      " AND s.doc_id % 13 <> 0")
+
+  // ------------------------------------------------------------------
+  // q362: exact model-relation UNLEARNING
+  // ------------------------------------------------------------------
+
+  final case class LmTables(c12: String, c1: String, cw: String)
+
+  def lmTables(prefix: String): LmTables =
+    LmTables(s"${prefix}_c12", s"${prefix}_c1", s"${prefix}_cw")
+
+  private def lmReset(spark: org.apache.spark.sql.SparkSession,
+      tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+  }
+
+  private def lmSave(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, tbl: String): Unit = {
+    lmReset(spark, tbl)
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(tbl)
+  }
+
+  /** Per-word occurrence counts over a train frame — the additive form
+    * of the vocabulary. [[bigramModel]]'s V is a countDistinct, which
+    * is NOT a monoid (removing docs can retire a word entirely, and a
+    * distinct count cannot see that); its count-backed relation IS one:
+    * V = the number of surviving rows after subtraction. This is the
+    * extra state a model must persist to be exactly unlearnable.
+    */
+  private def wordCounts(train: DataFrame): DataFrame =
+    train.where(col("text").isNotNull)
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+
+  /** Persist the q328 bigram model as STORED relations — c₁₂, c₁, and
+    * the word-count vocabulary — the form [[unlearnLm]] can maintain
+    * under deletion without a retrain.
+    */
+  def lmMaterialize(spark: org.apache.spark.sql.SparkSession,
+      train: DataFrame, prefix: String): LmTables = {
+    val tn = lmTables(prefix)
+    val (c12, c1, _) = bigramModel(train)
+    lmSave(spark, c12, tn.c12)
+    lmSave(spark, c1, tn.c1)
+    lmSave(spark, wordCounts(train), tn.cw)
+    tn
+  }
+
+  /** q362's engine: EXACT unlearning of trained model relations — the
+    * takedown doctrine (q350) extended from stored corpora to TRAINED
+    * state (VERDICT r14 #4). Every q328 model relation is an additive
+    * count monoid, so subtracting the deleted TRAIN docs' contributions
+    * (recomputed over the deletion set only — O(deletion), never a
+    * corpus retrain) leaves relations PROVABLY equal to a from-scratch
+    * retrain on the survivors:
+    *
+    *   c'(x) = c(x) − c_deleted(x),  rows at zero dropped,
+    *   V'    = |{w : cw(w) − cw_deleted(w) > 0}|.
+    *
+    * The zero-drop is what makes the equality exact rather than
+    * approximate: a retrain never sees a retired bigram/word at all,
+    * and an unlearned model that kept zero-count rows would leak the
+    * deleted docs' vocabulary through V (a real RTBF concern — the
+    * model's smoothing denominator remembers how many words the
+    * forgotten documents contributed).
+    *
+    * Scale shape: the deltas are one banded scan over the DELETED docs
+    * only; each table rewrite is one vocabulary-bounded left join +
+    * filter (the canonical-rewrite doctrine — same as
+    * [[AnnIndexOps.takedownIndex]]'s). Nothing touches the surviving
+    * corpus text.
+    */
+  def unlearnLm(spark: org.apache.spark.sql.SparkSession,
+      deletedTrain: DataFrame, prefix: String): Unit = {
+    val tn = lmTables(prefix)
+    val (d12, d1, _) = bigramModel(deletedTrain)
+    val dw = wordCounts(deletedTrain)
+    def subtract(tbl: String, keys: Seq[String], cnt: String,
+        delta: DataFrame): Unit = {
+      val updated = spark.table(tbl)
+        .join(broadcast(delta.withColumnRenamed(cnt, "d")), keys, "left")
+        .select((keys.map(col) :+
+          (col(cnt) - coalesce(col("d"), lit(0L))).as(cnt)): _*)
+        .where(col(cnt) > 0)
+        .localCheckpoint(true)
+      lmSave(spark, updated, tbl)
+    }
+    subtract(tn.c12, Seq("w1", "w2"), "c12", d12)
+    subtract(tn.c1, Seq("w1"), "c1", d1)
+    subtract(tn.cw, Seq("w"), "cw", dw)
+  }
+
+  /** q362 body: train the q328 bigram LM on the even slice, persist the
+    * model relations, UNLEARN the takedown deletion set (doc_id % 13 —
+    * q350's) by exact count subtraction, then score the surviving odd
+    * docs from the unlearned STORED model. Graded by a full SQL oracle
+    * that retrains from scratch on the survivors — unlearn == retrain,
+    * proven independently by DuckDB rather than by a self-comparison.
+    */
+  def unlearnedPerplexity(spark: org.apache.spark.sql.SparkSession,
+      docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val tn = lmMaterialize(spark, train, "graft_lm")
+    unlearnLm(spark, train.where(col("doc_id") % 13 === 0), "graft_lm")
+    val vv = spark.table(tn.cw).agg(count(lit(1)).as("v"))
+    pplCensus(scoreBigramsPerDoc(
+      docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 13 =!= 0),
+      spark.table(tn.c12), spark.table(tn.c1), vv))
+  }
 
   /** q331 body: Jelinek-Mercer INTERPOLATED bigram-unigram perplexity —
     * the backoff refinement CCNet's actual LM carries that pure add-one
@@ -1217,6 +1353,16 @@ object VocabModelOps {
 
     QueryDef("q328_bigram_perplexity", Some(bigramPerplexitySql),
       (spark, dir) => bigramPerplexity(t(spark, dir, "documents"))),
+
+    // Exact model-relation unlearning: subtract the deletion set's
+    // contributions from the STORED q328 model (counts are additive
+    // monoids; vocabulary kept in count form so V shrinks exactly),
+    // score survivors from the unlearned relations. The full SQL
+    // oracle retrains from scratch on survivors — unlearn == retrain,
+    // proven by an independent engine.
+    QueryDef("q362_lm_unlearn", Some(unlearnedPerplexitySql),
+      (spark, dir) => unlearnedPerplexity(spark,
+        t(spark, dir, "documents"))),
 
     QueryDef("q331_interp_perplexity", Some(interpolatedPerplexitySql),
       (spark, dir) => interpolatedPerplexity(t(spark, dir, "documents"))),

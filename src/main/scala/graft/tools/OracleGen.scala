@@ -30,7 +30,8 @@ object OracleGen {
     "q343_banding_sweep", "q348_curated_corpus", "q349_binary_ann",
     "q350_takedown", "q354_probes_sweep", "q356_ann_takedown_replay",
     "q357_curated_lifecycle", "q358_deep_takedown",
-    "q359_takedown_recall")
+    "q359_takedown_recall", "q363_fat_cell_split",
+    "q364_hybrid_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -368,7 +368,26 @@ object ScaleRehearsal {
     "q358_deep_takedown",
     // post-takedown recall certification: one canonical rewrite + the
     // q334 audit (pruned serve + ONE exact pass over survivors)
-    "q359_takedown_recall")
+    "q359_takedown_recall",
+    // round 15: incremental cluster-map merge — one key-pruned join
+    // against the stored bucket relation + a star closure over the
+    // affected subgraph only (the takedownClusters mirror)
+    "q360_cluster_append",
+    // streamed curated maintenance: per-batch O(batch) scrub against
+    // the stored bucket relation (q355's shape per trigger)
+    "q361_curated_maintain_replay",
+    // LM unlearning: q328's model materialization + a deletion-bounded
+    // subtraction pass (vocabulary-bounded rewrites — q328's fixture
+    // arithmetic, bar 15)
+    "q362_lm_unlearn",
+    // fat-cell split: census + O(cell) residual sub-fits + the
+    // canonical rewrite; the audit's two builds + two recall audits
+    // (each one brute-force exact pass) are its honest grade cost
+    "q363_fat_cell_split",
+    // hybrid retrieval: the q245 query-term-pruned BM25 leg + one
+    // pruned stored serve over 3 PRF vectors + a shortlist-bounded
+    // fusion join
+    "q364_hybrid_retrieval")
 
   private val OFFSET = 10000000L
 
@@ -430,6 +449,9 @@ object ScaleRehearsal {
       // fixture's per-copy token suffixes grow that vocabulary 10x
       // (q122/q241's arithmetic). Bar 15.
       "q328_bigram_perplexity" -> 15.0,
+      // q362 materializes + unlearns q328's model relations — the same
+      // fixture-amplified bigram vocabulary prices its rewrites. Bar 15.
+      "q362_lm_unlearn" -> 15.0,
       "q346_source_perplexity" -> 15.0,
       "q331_interp_perplexity" -> 15.0,
       "q333_perplexity_score_replay" -> 15.0,

@@ -211,6 +211,90 @@ class AnnIndexSpec extends SparkSpec {
       "the drift census must not lose fat cells after the shifted append")
   }
 
+  test("q363 fat-cell split: flag clears, rows conserved, non-split cells untouched, recall recovered") {
+    // run the graded audit once; assert on its metric rows AND on the
+    // two index states it leaves behind (_u = the unsplit twin == the
+    // exact pre-split state, both grown from the same base + append)
+    val out = AnnIndexOps.fatCellSplitAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("fat_cells")._1 >= 1L,
+      "the planted drift must trip the census before the repair")
+    assert(out("fat_cells")._2 === 0L,
+      "the adaptive split must CLEAR the census flag")
+    assert(out("n_code_rows")._1 === out("n_code_rows")._2,
+      "the split moves list boundaries, never data: row conservation")
+    assert(out("adc_candidates")._2 < out("adc_candidates")._1,
+      "at equal probes the split index must read fewer ADC candidates")
+    assert(out("recall@5")._2 >= out("recall@5")._1,
+      s"recall@5 must not regress at equal probes: $out")
+
+    // no vector enters or leaves
+    val idsU = spark.table("graft_annsplit_u_vectors").select("vec_id")
+    val idsS = spark.table("graft_annsplit_s_vectors").select("vec_id")
+    assert(idsU.exceptAll(idsS).isEmpty && idsS.exceptAll(idsU).isEmpty,
+      "the split must preserve the indexed vector set exactly")
+
+    // cells surviving in BOTH centroid tables were not split: their
+    // codes and vectors must be byte-identical
+    val shared = spark.table("graft_annsplit_u_centroids").select("cell")
+      .intersect(spark.table("graft_annsplit_s_centroids").select("cell"))
+    def sharedRows(tbl: String) =
+      spark.table(tbl).join(shared, Seq("cell"))
+    val cu = sharedRows("graft_annsplit_u_codes")
+    val cs = sharedRows("graft_annsplit_s_codes")
+    assert(cu.exceptAll(cs).isEmpty && cs.exceptAll(cu).isEmpty,
+      "non-split cells' code rows must be carried over verbatim")
+    val vu = sharedRows("graft_annsplit_u_vectors")
+    val vs = sharedRows("graft_annsplit_s_vectors")
+    assert(vu.exceptAll(vs).isEmpty && vs.exceptAll(vu).isEmpty,
+      "non-split cells' vector rows must be carried over verbatim")
+
+    // shared (non-split) centroids byte-identical too
+    val ceU = spark.table("graft_annsplit_u_centroids").join(shared, Seq("cell"))
+    val ceS = spark.table("graft_annsplit_s_centroids").join(shared, Seq("cell"))
+    assert(ceU.exceptAll(ceS).isEmpty && ceS.exceptAll(ceU).isEmpty,
+      "unsplit centroids must not move")
+
+    // a no-drift index has nothing to split: the repair is a no-op
+    AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annspec9")
+    assert(AnnIndexOps.splitFatCells(spark, "graft_annspec9").isEmpty,
+      "splitFatCells on a balanced index must be a no-op")
+  }
+
+  test("q364 RRF fusion: the consensus doc outranks BOTH legs' top-1, exact integers") {
+    import graft.ops.AnnIndexOps
+    // the classic RRF case: A is lexical-1st but vector-4th, B is
+    // vector-1st but lexical-4th, C is 2nd on both — C must fuse to
+    // top-1 (2·⌊10⁶/62⌋ = 32258 > ⌊10⁶/61⌋+⌊10⁶/64⌋ = 32018), so the
+    // fused top-1 differs from both legs' own winners
+    val legA = Seq(("q", 100L, 1), ("q", 300L, 2), ("q", 200L, 4),
+      ("q", 400L, 3)).toDF("query_id", "doc_id", "rank_a")
+    val legB = Seq(("q", 200L, 1), ("q", 300L, 2), ("q", 100L, 4),
+      ("q", 500L, 3)).toDF("query_id", "doc_id", "rank_b")
+    val fused = AnnIndexOps.rrfFuseInt(legA, legB, k = 5, rrfK = 60)
+      .collect()
+    val top1 = fused.find(_.getInt(1) == 1).get
+    assert(top1.getLong(2) === 300L,
+      s"the both-legs-2nd doc must fuse to top-1: ${fused.mkString(",")}")
+    assert(top1.getLong(5) === 32258L, "2 * (1000000 div 62)")
+    val a1 = fused.find(_.getLong(2) == 100L).get
+    assert(a1.getLong(5) === 16393L + 15625L,
+      "leg-A's winner scores div(61) + div(64) exactly")
+    // docs shortlisted by only one leg contribute the missing leg as 0
+    val solo = fused.find(_.getLong(2) == 400L).get
+    assert(solo.isNullAt(4) && solo.getLong(5) === 1000000L / 63,
+      "a one-leg doc's fused score is that leg's term alone")
+
+    // integration: the graded hybrid output's arithmetic is internally
+    // consistent (rrf_micro recomputes from the two rank columns)
+    val out = AnnIndexOps.hybridRetrieval(spark, sf)
+    val bad = out.where(col("rrf_micro") =!=
+      coalesce(expr("1000000L div (60 + rank_bm25)"), lit(0L)) +
+        coalesce(expr("1000000L div (60 + rank_ann)"), lit(0L))).count()
+    assert(bad === 0L, "fused micro-scores must recompute from the ranks")
+    assert(out.count() > 0)
+  }
+
   test("q354 probes sweep: monotone at exhaustive shortlist, full probes reach 1000") {
     AnnIndexOps.buildResidualIndex(spark, corpus, "graft_annsweepspec")
     val n = corpus.count().toInt

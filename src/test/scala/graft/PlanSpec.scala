@@ -140,7 +140,8 @@ class PlanSpec extends SparkSpec {
       "q311_unimax_budget" -> "language-vocabulary frame: the waterfill windows run over one row per language",
       "q320_budget_select" -> "<=1001-row permille density grid frame (the straddle bucket's per-doc window IS rprm-partitioned)",
       "q327_bpe_budget" -> "q320's <=1001-row density grid frame, re-priced in BPE tokens (rprm <= 1000 since every word is >= 1 BPE token)",
-      "q337_zipf_slope" -> "<=256-row top-rank frame: the rank window runs AFTER orderBy().limit(256) (TakeOrdered), bounded by construction")
+      "q337_zipf_slope" -> "<=256-row top-rank frame: the rank window runs AFTER orderBy().limit(256) (TakeOrdered), bounded by construction",
+      "q364_hybrid_retrieval" -> "query-catalog frame: the synthetic q_id ranking runs over one row per DISTINCT retrieval query (3 here; the query set, never the corpus)")
     val offenders = SparkEntry.all.flatMap { q =>
       val unpart = q.fn(spark, sf).queryExecution.optimizedPlan
         .collectWithSubqueries {

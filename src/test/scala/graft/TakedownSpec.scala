@@ -155,6 +155,93 @@ class TakedownSpec extends SparkSpec {
       "a deleted doc's id must not survive as a cluster label")
   }
 
+  test("cluster append: a batch doc BRIDGES two stored components; new/isolated batch docs label right") {
+    // a verified two-hop chain: C carries 4 spread word edits off the
+    // base (too far to band with it under 8x8 MinHash — probed, stable:
+    // xxhash64 is deterministic), B the even-indexed half of those
+    // edits (bands with BOTH ends). Stored 11 (=A) and 13 (=C) start as
+    // separate components; batch doc 16 (=B) must MERGE them — the
+    // append-side mirror of the takedown's split case
+    val words = baseText.split(" ")
+    def mutated(evenOnly: Boolean): String = {
+      val w = words.clone()
+      val step = w.length / 4
+      (0 until 4).foreach { i =>
+        if (!evenOnly || i % 2 == 0)
+          w((i * step + 2) % w.length) = s"zz2x$i"
+      }
+      w.mkString(" ")
+    }
+    val base = Seq((11L, baseText), (13L, mutated(evenOnly = false)),
+      (14L, "completely different content about databases query planners " +
+        "join ordering cost models statistics histograms cardinality " +
+        "estimation vectorized execution morsels and adaptive scheduling"),
+      (15L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    TakedownOps.clustersMaterializeWithProvenance(spark, base, "graft_claspec")
+    val stored = clusterSet(spark.table("graft_claspec_clusters"))
+    assert(stored.exists(x => x._1 == 11L && x._2 == 11L) &&
+      stored.exists(x => x._1 == 13L && x._2 == 13L),
+      s"fixture drift: 11 and 13 must start as separate components: $stored")
+
+    // batch: the bridge (16 = the half-mutated midpoint), a near-dup
+    // pair that forms a NEW component entirely within the batch (17/18),
+    // an isolated doc (19), and a null-text doc (21)
+    val batch = Seq(
+      (16L, mutated(evenOnly = true)),
+      (17L, filler + " " + tail50),
+      (18L, (filler + " " + tail50).replace("granite", "sandstone")),
+      (19L, "entirely novel subject matter concerning medieval astronomy " +
+        "astrolabes epicycles retrograde motion celestial spheres almanacs " +
+        "observatories sextants and the precession of the equinoxes"),
+      (21L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    TakedownOps.appendToClusters(spark, batch, "graft_claspec")
+    val merged = clusterSet(spark.table("graft_claspec_clusters"))
+    val rebuild = clusterSet(DedupOps.starClusters(base.unionByName(batch)))
+    assert(merged == rebuild,
+      s"incremental merge must equal the from-scratch closure:\n$merged\nvs\n$rebuild")
+    assert(merged.exists(x => x._1 == 13L && x._2 == 11L) &&
+      merged.exists(x => x._1 == 16L && x._2 == 11L),
+      s"the batch bridge must merge 11/13/16 under label 11: $merged")
+    assert(merged.exists(x => x._1 == 18L && x._2 == 17L),
+      s"a batch-internal near-dup pair must form its own component: $merged")
+    assert(merged.exists(x => x._1 == 19L && x._2 == 19L) &&
+      merged.exists(x => x._1 == 21L && x._2 == 21L),
+      "isolated and null-text batch docs must label self")
+    assert(merged.exists(x => x._1 == 14L && x._2 == 14L),
+      "untouched stored components must carry over verbatim")
+
+    // a second append on top of the grown state must still be exact
+    val batch2 = Seq((25L, filler + " " + tail50)).toDF("doc_id", "text")
+    TakedownOps.appendToClusters(spark, batch2, "graft_claspec")
+    val merged2 = clusterSet(spark.table("graft_claspec_clusters"))
+    val rebuild2 = clusterSet(
+      DedupOps.starClusters(base.unionByName(batch).unionByName(batch2)))
+    assert(merged2 == rebuild2, "chained appends must stay exact")
+    assert(merged2.exists(x => x._1 == 25L && x._2 == 17L),
+      s"doc 25 must join the 17/18 component: $merged2")
+
+    // the freshness contract: an interleaved id must fail loudly
+    val bad = Seq((12L, baseText)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TakedownOps.appendToClusters(spark, bad, "graft_claspec")
+    }
+    assert(e.getMessage.contains("interleaves"))
+  }
+
+  test("cluster append on real data: id-ordered tail merge equals q51's closure") {
+    val docs = graft.util.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head().getLong(0)
+    TakedownOps.clustersMaterializeWithProvenance(spark,
+      docs.where(col("doc_id") <= cut), "graft_claspec2")
+    TakedownOps.appendToClusters(spark,
+      docs.where(col("doc_id") > cut), "graft_claspec2")
+    val got = clusterSet(spark.table("graft_claspec2_clusters"))
+    val want = clusterSet(DedupOps.starClusters(docs))
+    assert(got == want,
+      "incremental tail merge must reproduce the full-corpus closure")
+  }
+
   test("curated append: delta scrubs against STORED provenance; equals from-scratch; interleave guarded") {
     val base = Seq(
       (10L, "en", s"$P $Q"),  // owns both paragraphs

@@ -251,6 +251,59 @@ class VocabModelSpec extends SparkSpec {
       s"gibberish pays exactly L(55) = 5781360 micro-bits per bigram: ${out.mkString(",")}")
   }
 
+  test("q362 unlearning: subtraction == retrain, V shrinks, the shift is real") {
+    import org.apache.spark.sql.functions._
+    // train (even ids): doc 0 anchors a fluent model; doc 26 (% 13 = 0,
+    // the deletion set) is the ONLY doc containing "zebra quagga" — its
+    // removal must retire both words from the vocabulary (V shrinks)
+    // and flip the scored bigram from seen to unseen. Score doc 1
+    // (survivor) carries "zebra quagga".
+    val sentence = "the cat sat on the mat"
+    val docs = Seq(
+      (0L, s"$sentence $sentence"),
+      (26L, "zebra quagga zebra quagga"),
+      (1L, "zebra quagga")).toDF("doc_id", "text")
+    val train = docs.where(col("doc_id") % 2 === 0)
+
+    // pre-unlearn truth (the full model) for the non-vacuity check
+    val preBands = VocabModelOps.bigramPerplexity(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val tn = VocabModelOps.lmMaterialize(spark, train, "graft_lmspec")
+    val vBefore = spark.table(tn.cw).count()
+    VocabModelOps.unlearnLm(spark,
+      train.where(col("doc_id") % 13 === 0), "graft_lmspec")
+
+    // relations equal a from-scratch retrain on the surviving train docs
+    val surv = train.where(col("doc_id") % 13 =!= 0)
+    val (r12, r1, rv) = VocabModelOps.bigramModel(surv)
+    assert(spark.table(tn.c12).collect().toSet === r12.collect().toSet,
+      "unlearned c12 must equal the retrained c12")
+    assert(spark.table(tn.c1).collect().toSet === r1.collect().toSet,
+      "unlearned c1 must equal the retrained c1")
+    val vAfter = spark.table(tn.cw).count()
+    assert(vAfter === rv.head().getLong(0),
+      "count-form vocabulary must shrink to the retrained V exactly")
+    assert(vAfter < vBefore,
+      "retiring the only doc holding a word must shrink V")
+    assert(spark.table(tn.cw).where(col("w").isin("zebra", "quagga")).isEmpty,
+      "the deleted doc's private words must leave the vocabulary")
+
+    // scored census from the unlearned STORED model == retrain census
+    val score = docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 13 =!= 0)
+    val vv = spark.table(tn.cw).agg(count(lit(1)).as("v"))
+    val unlearned = VocabModelOps.pplCensus(VocabModelOps
+        .scoreBigramsPerDoc(score, spark.table(tn.c12), spark.table(tn.c1), vv))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val retrained = VocabModelOps.pplCensus(VocabModelOps
+        .scoreBigramsPerDoc(score, r12, r1, rv))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unlearned === retrained, "unlearned scores must equal a retrain's")
+    assert(unlearned !== preBands,
+      "the planted deletion must measurably shift the census — " +
+        "a vacuous fixture would prove nothing")
+  }
+
   test("q331 interpolation: common continuation rescues an unseen bigram") {
     // train doc 0 "c a c a c a c a c a": V = {c, a} = 2, N = 10,
     // cu(a) = 5. Scored doc 1 "q a" and doc 3 "q z" both have unseen
