@@ -489,6 +489,163 @@ object TakedownOps {
   }
 
   // ------------------------------------------------------------------
+  // Media fingerprint artifacts (q293's tier) with takedown
+  // ------------------------------------------------------------------
+
+  final case class MediaTables(keyed: String, sigs: String,
+      clusters: String)
+
+  def mediaTables(prefix: String): MediaTables = MediaTables(
+    s"${prefix}_mkeyed", s"${prefix}_msigs", s"${prefix}_mclusters")
+
+  private def mediaKeyed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), (col("doc_id") % 97).as("media_key"))
+
+  private def mediaSigs(spark: SparkSession, keyed: DataFrame): DataFrame =
+    MultimodalOps.thumbnailFeatures(spark,
+        MultimodalOps.patternImageTable(
+          keyed.select(col("media_key").as("doc_id")).distinct()))
+      .toDF()
+      .select(col("doc_id").as("media_key"), col("format"),
+        col("width"), col("height"), col("resized_sum"))
+
+  private val sigCols = Seq("format", "width", "height", "resized_sum")
+
+  private def mediaClusters(keyed: DataFrame, sigs: DataFrame): DataFrame =
+    keyed.join(sigs, Seq("media_key"))
+      .groupBy(sigCols.map(col): _*)
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+
+  /** q293's media-dedup tier MATERIALIZED — the ownership relation
+    * (doc → media key), the per-distinct-payload fingerprint table
+    * (the decode runs once per payload, the q293 amortization made
+    * durable), and the exact-dedup cluster relation. The stored form a
+    * media lake serves re-upload lookups from — and the form a takedown
+    * must reach (VERDICT r14 #8).
+    */
+  def mediaMaterialize(spark: SparkSession, docs: DataFrame,
+      prefix: String): MediaTables = {
+    val tn = mediaTables(prefix)
+    Seq(tn.keyed, tn.sigs, tn.clusters).foreach(reset(spark, _))
+    saveTable(mediaKeyed(docs), tn.keyed)
+    saveTable(mediaSigs(spark, spark.table(tn.keyed)), tn.sigs)
+    saveTable(mediaClusters(spark.table(tn.keyed), spark.table(tn.sigs)),
+      tn.clusters)
+    tn
+  }
+
+  /** Media-artifact takedown: delete the docs' ownership rows, retire
+    * fingerprints whose every owner is gone (the CONTENT-forgetting
+    * step — a payload with no surviving upload must not survive as a
+    * searchable fingerprint), and repair exactly the cluster groups
+    * that contained a deleted doc (canonical-min migration when the
+    * keep-first winner dies; row removal when a cluster falls below
+    * 2 members). Only signature groups owning a deleted doc are
+    * recomputed — the affected-key pruning of [[takedownClusters]];
+    * at production scale media keys are content hashes and this bound
+    * is what keeps the sweep O(deletion).
+    */
+  def takedownMedia(spark: SparkSession, deletedDocs: DataFrame,
+      prefix: String): Unit = {
+    val tn = mediaTables(prefix)
+    val del = broadcast(deletedDocs.select(col("doc_id")).distinct()
+      .localCheckpoint(true))
+    val keyedT = spark.table(tn.keyed)
+    val sigsT = spark.table(tn.sigs)
+    val affKeys = broadcast(keyedT.join(del, Seq("doc_id"))
+      .select(col("media_key")).distinct().localCheckpoint(true))
+    val newKeyed = keyedT.join(del, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // fingerprints with zero surviving owners leave
+    val deadKeys = affKeys.join(
+        newKeyed.select(col("media_key")).distinct(),
+        Seq("media_key"), "left_anti")
+    val newSigs = sigsT.join(broadcast(deadKeys), Seq("media_key"),
+        "left_anti")
+      .localCheckpoint(true)
+    // cluster groups containing a deleted doc: recompute over survivors
+    val affSigs = broadcast(sigsT.join(affKeys, Seq("media_key"))
+      .select(sigCols.map(col): _*).distinct().localCheckpoint(true))
+    // the sig rows of the affected groups; mediaClusters joins keyed ×
+    // sigs on media_key itself, so the keyed side passes ownership rows
+    // only (semi-restricted to the affected groups' keys)
+    val affSigRel = sigsT.join(affSigs, sigCols, "left_semi")
+      .localCheckpoint(true)
+    val recomputed = mediaClusters(
+      newKeyed.join(affSigRel.select(col("media_key")),
+        Seq("media_key"), "left_semi"),
+      affSigRel)
+    val kept = spark.table(tn.clusters)
+      .join(affSigs, sigCols, "left_anti")
+    val newClusters = kept.unionByName(recomputed).localCheckpoint(true)
+    reset(spark, tn.keyed); saveTable(newKeyed, tn.keyed)
+    reset(spark, tn.sigs); saveTable(newSigs, tn.sigs)
+    reset(spark, tn.clusters); saveTable(newClusters, tn.clusters)
+  }
+
+  /** q365 body: the takedown sweep extended to the MEDIA artifact tier
+    * (VERDICT r14 #8). The deletion set composes both real-world
+    * shapes: a user right-to-be-forgotten set (doc_id % 13 — q350's)
+    * AND a content takedown of one specific payload (every owner of
+    * media key 7 — the DMCA shape, which is what makes the
+    * fingerprint-retirement path non-vacuous: a key whose ~1% owner
+    * set is hit only by the % 13 sweep always keeps a survivor).
+    * Grades per artifact: counts, residue (rows keyed by a deleted doc
+    * / fingerprints with no surviving owner / clusters with a deleted
+    * canonical), and row-identity with a from-scratch q293
+    * materialization on the survivors.
+    */
+  def mediaTakedownSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val delDocs = docs
+      .where(col("doc_id") % 13 === 0 || col("doc_id") % 97 === 7)
+      .localCheckpoint(true)
+    val surv = docs.join(broadcast(delDocs), Seq("doc_id"), "left_anti")
+    val tn = mediaMaterialize(spark, docs, "graft_mtd")
+    val keyedBefore = spark.table(tn.keyed).count()
+    val sigsBefore = spark.table(tn.sigs).count()
+    val cluBefore = spark.table(tn.clusters).count()
+    val keyedDel = spark.table(tn.keyed)
+      .join(broadcast(delDocs), Seq("doc_id")).count()
+    takedownMedia(spark, delDocs, "graft_mtd")
+    val keyedAfter = spark.table(tn.keyed).count()
+    val sigsAfter = spark.table(tn.sigs).count()
+    val cluAfter = spark.table(tn.clusters).count()
+    val keyedResidue = spark.table(tn.keyed)
+      .join(broadcast(delDocs), Seq("doc_id")).count()
+    // a fingerprint with no surviving owner, or an ownerless cluster
+    // canonical pointing at a deleted doc, is residue
+    val sigsResidue = spark.table(tn.sigs)
+      .join(spark.table(tn.keyed).select(col("media_key")).distinct(),
+        Seq("media_key"), "left_anti").count()
+    val cluResidue = spark.table(tn.clusters)
+      .join(broadcast(delDocs.select(col("doc_id").as("canonical_id"))),
+        Seq("canonical_id")).count()
+    val rbKeyed = mediaKeyed(surv)
+    val rbSigs = mediaSigs(spark, rbKeyed)
+    val keyedMatch = eqSets(spark.table(tn.keyed), rbKeyed)
+    val sigsMatch = eqSets(spark.table(tn.sigs), rbSigs)
+    val cluMatch = eqSets(
+      spark.table(tn.clusters).select(
+        (sigCols :+ "canonical_id" :+ "n_members").map(col): _*),
+      mediaClusters(rbKeyed, rbSigs).select(
+        (sigCols :+ "canonical_id" :+ "n_members").map(col): _*))
+    Seq(
+      ("media_clusters", cluBefore, cluBefore - cluAfter, cluAfter,
+        cluResidue, if (cluMatch) 1 else 0),
+      ("media_keyed", keyedBefore, keyedDel, keyedAfter, keyedResidue,
+        if (keyedMatch) 1 else 0),
+      ("media_sigs", sigsBefore, sigsBefore - sigsAfter, sigsAfter,
+        sigsResidue, if (sigsMatch) 1 else 0))
+      .toDF("artifact", "n_before", "n_deleted", "n_after", "n_residue",
+        "matches_rebuild")
+      .orderBy("artifact")
+  }
+
+  // ------------------------------------------------------------------
   // The graded sweep
   // ------------------------------------------------------------------
 
@@ -755,6 +912,14 @@ object TakedownOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // Media-artifact takedown: the sweep extended to q293's fingerprint
+    // tier — ownership rows deleted, ownerless fingerprints retired
+    // (the DMCA content-takedown shape makes that path non-vacuous),
+    // affected cluster groups repaired; zero residue + rebuild
+    // identity graded per artifact. Engine-side decode -> golden.
+    QueryDef("q365_media_takedown", literalOracle("q365_media_takedown"),
+      (spark, dir) => mediaTakedownSweep(spark, dir)),
+
     // Incremental cluster-map maintenance: base materialized with
     // bucket provenance, the id-ordered tail merged via component-local
     // re-closure (O(batch + affected), no corpus re-banding) — readback

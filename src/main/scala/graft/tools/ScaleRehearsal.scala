@@ -387,7 +387,11 @@ object ScaleRehearsal {
     // hybrid retrieval: the q245 query-term-pruned BM25 leg + one
     // pruned stored serve over 3 PRF vectors + a shortlist-bounded
     // fusion join
-    "q364_hybrid_retrieval")
+    "q364_hybrid_retrieval",
+    // media takedown: the decode runs once per DISTINCT payload
+    // (97-key family), the sweep is ownership-row joins + affected-
+    // group recomputes, the rebuild compare is the grade's honest cost
+    "q365_media_takedown")
 
   private val OFFSET = 10000000L
 

@@ -363,6 +363,50 @@ class TakedownSpec extends SparkSpec {
       "zero SEMANTIC residue: nothing at the bar survives the sweep")
   }
 
+  test("media takedown: canonical migrates, shrunk clusters leave, ownerless fingerprints retire") {
+    // key sharing via mod 97: docs 10/107/204 carry the SAME payload
+    // (key 10), 11/108 share key 11, 5 is a singleton key
+    val docs = Seq(10L, 107L, 204L, 11L, 108L, 5L).toDF("doc_id")
+    val tn = TakedownOps.mediaMaterialize(spark, docs, "graft_mtdspec")
+    val before = spark.table(tn.clusters).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_members"))
+      .toMap
+    assert(before === Map(10L -> 3L, 11L -> 2L),
+      s"fixture drift: expected clusters {10:3, 11:2}, got $before")
+
+    // canonical migration: delete the keep-first winner only
+    TakedownOps.takedownMedia(spark, Seq(10L).toDF("doc_id"), "graft_mtdspec")
+    val mid = spark.table(tn.clusters).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_members"))
+      .toMap
+    assert(mid === Map(107L -> 2L, 11L -> 2L),
+      s"the cluster minimum must migrate to the surviving min: $mid")
+    assert(spark.table(tn.sigs).count() === 3L,
+      "key 10 still has survivors — its fingerprint must stay")
+
+    // content takedown: remove key 10's remaining owners AND one of
+    // key 11's — the 10-cluster and its fingerprint must retire, the
+    // 11-cluster drops below 2 members and leaves (fingerprint stays)
+    TakedownOps.takedownMedia(spark,
+      Seq(107L, 204L, 11L).toDF("doc_id"), "graft_mtdspec")
+    assert(spark.table(tn.clusters).isEmpty,
+      "no multi-member cluster survives")
+    val keysLeft = spark.table(tn.sigs).collect()
+      .map(_.getAs[Long]("media_key")).toSet
+    assert(keysLeft === Set(11L % 97, 5L),
+      s"only keys with surviving owners keep fingerprints: $keysLeft")
+    assert(spark.table(tn.keyed).collect().map(_.getLong(0)).toSet ===
+      Set(108L, 5L))
+
+    // swept state == from-scratch materialization on survivors
+    val surv = Seq(108L, 5L).toDF("doc_id")
+    TakedownOps.mediaMaterialize(spark, surv, "graft_mtdspec2")
+    def rows(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+    assert(rows(tn.keyed) === rows("graft_mtdspec2_mkeyed"))
+    assert(rows(tn.sigs) === rows("graft_mtdspec2_msigs"))
+    assert(rows(tn.clusters) === rows("graft_mtdspec2_mclusters"))
+  }
+
   test("ANN takedown: zero residue, row- and serve-identical to a frozen rebuild") {
     val v = SimilarityOps.vectors(spark, sf)
     AnnIndexOps.buildResidualIndex(spark, v, "graft_tdspecann")
