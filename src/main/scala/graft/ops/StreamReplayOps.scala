@@ -1400,6 +1400,45 @@ object StreamReplayOps {
     CurationOps.curatedCensusOf(spark.table("graft_cmstream_curated"))
   }
 
+  /** q367 body: streamed LM MAINTENANCE replay — the model lifecycle's
+    * write side deployed as a stream
+    * ([[graft.streaming.StreamingLmMaintain]]). Materialize the q328
+    * model on the id-leading train slice, land the train tail as time
+    * slices, fold each micro-batch into the STORED count relations
+    * (q366's additive-monoid doctrine per trigger), then score the odd
+    * slice from the grown model. Addition is associative and
+    * commutative, so the streamed model is batching-independent and
+    * the census grades against q328's OWN full SQL oracle — streamed,
+    * batch-append, and from-scratch training are one contract.
+    * Exactly-once (persisted doc_id high-watermark) is pinned by
+    * StreamingLmMaintainSpec's wiped-checkpoint re-run.
+    */
+  def lmMaintainReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-lm-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+      .getLong(0)
+    VocabModelOps.lmMaterialize(spark,
+      train.where(col("doc_id") <= cut), "graft_lmstream")
+    graft.streaming.StreamingLmMaintain.resetWatermark(spark,
+      "graft_lmstream")
+    landTimeSlices(spark, train.where(col("doc_id") > cut)
+        .withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingLmMaintain.maintainAvailableNow(
+        spark, landing, "graft_lmstream", ckpt,
+        StructType.fromDDL("doc_id BIGINT, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    VocabModelOps.scoreFromStored(spark,
+      docs.where(col("doc_id") % 2 === 1), "graft_lmstream")
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1487,6 +1526,14 @@ object StreamReplayOps {
     QueryDef("q361_curated_maintain_replay",
       graft.util.Tables.literalOracle("q348_curated_corpus"),
       (spark, dir) => curatedMaintainReplay(spark, dir)),
+
+    // Streamed LM maintenance (27th streaming component): q366's
+    // additive-monoid fold per micro-batch with a persisted doc_id
+    // high-watermark; scored census held to q328's OWN full SQL
+    // oracle — streamed, batch, and from-scratch training agree.
+    QueryDef("q367_lm_maintain_replay",
+      Some(VocabModelOps.bigramPerplexitySql),
+      (spark, dir) => lmMaintainReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

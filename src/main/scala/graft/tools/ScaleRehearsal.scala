@@ -391,7 +391,11 @@ object ScaleRehearsal {
     // media takedown: the decode runs once per DISTINCT payload
     // (97-key family), the sweep is ownership-row joins + affected-
     // group recomputes, the rebuild compare is the grade's honest cost
-    "q365_media_takedown")
+    "q365_media_takedown",
+    // LM append + streamed LM maintenance: q328's vocabulary-bounded
+    // rewrites (bar 15, the fixture vocabulary arithmetic) + the fixed
+    // micro-batch machinery on the streamed side
+    "q366_lm_append", "q367_lm_maintain_replay")
 
   private val OFFSET = 10000000L
 
@@ -456,6 +460,10 @@ object ScaleRehearsal {
       // q362 materializes + unlearns q328's model relations — the same
       // fixture-amplified bigram vocabulary prices its rewrites. Bar 15.
       "q362_lm_unlearn" -> 15.0,
+      // q366/q367 fold batches into the same vocabulary-bounded
+      // relations (one rewrite per batch on the streamed side). Bar 15.
+      "q366_lm_append" -> 15.0,
+      "q367_lm_maintain_replay" -> 15.0,
       "q346_source_perplexity" -> 15.0,
       "q331_interp_perplexity" -> 15.0,
       "q333_perplexity_score_replay" -> 15.0,

@@ -279,8 +279,10 @@ class VocabModelSpec extends SparkSpec {
     val (r12, r1, rv) = VocabModelOps.bigramModel(surv)
     assert(spark.table(tn.c12).collect().toSet === r12.collect().toSet,
       "unlearned c12 must equal the retrained c12")
-    assert(spark.table(tn.c1).collect().toSet === r1.collect().toSet,
-      "unlearned c1 must equal the retrained c1")
+    val dc1 = spark.table(tn.c12).groupBy("w1")
+      .agg(sum(col("c12")).as("c1"))
+    assert(dc1.collect().toSet === r1.collect().toSet,
+      "the DERIVED c1 must equal the retrained c1")
     val vAfter = spark.table(tn.cw).count()
     assert(vAfter === rv.head().getLong(0),
       "count-form vocabulary must shrink to the retrained V exactly")
@@ -293,7 +295,7 @@ class VocabModelSpec extends SparkSpec {
     val score = docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 13 =!= 0)
     val vv = spark.table(tn.cw).agg(count(lit(1)).as("v"))
     val unlearned = VocabModelOps.pplCensus(VocabModelOps
-        .scoreBigramsPerDoc(score, spark.table(tn.c12), spark.table(tn.c1), vv))
+        .scoreBigramsPerDoc(score, spark.table(tn.c12), dc1, vv))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val retrained = VocabModelOps.pplCensus(VocabModelOps
         .scoreBigramsPerDoc(score, r12, r1, rv))
@@ -302,6 +304,37 @@ class VocabModelSpec extends SparkSpec {
     assert(unlearned !== preBands,
       "the planted deletion must measurably shift the census — " +
         "a vacuous fixture would prove nothing")
+  }
+
+  test("q366 incremental learning: fold == retrain on the union, new words enter V") {
+    import org.apache.spark.sql.functions._
+    val base = Seq((0L, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val batch = Seq((2L, "zebra quagga zebra"), (4L, "the cat naps"))
+      .toDF("doc_id", "text")
+    val tn = VocabModelOps.lmTables("graft_lmaspec")
+    VocabModelOps.lmMaterialize(spark, base, "graft_lmaspec")
+    VocabModelOps.learnLm(spark, batch, "graft_lmaspec")
+    val (r12, r1, rv) = VocabModelOps.bigramModel(base.unionByName(batch))
+    assert(spark.table(tn.c12).collect().toSet === r12.collect().toSet,
+      "folded c12 must equal the union retrain's")
+    assert(spark.table(tn.c12).groupBy("w1").agg(sum(col("c12")).as("c1"))
+      .collect().toSet === r1.collect().toSet,
+      "the derived c1 must equal the union retrain's")
+    assert(spark.table(tn.cw).count() === rv.head().getLong(0),
+      "new words must enter the count-form vocabulary exactly")
+    // overlapping counts summed, not overwritten: 'the cat' appears in
+    // base AND batch
+    val theCat = spark.table(tn.c12)
+      .where(col("w1") === "the" && col("w2") === "cat").head().getLong(2)
+    assert(theCat === 2L, "overlapping bigram counts must SUM across folds")
+
+    // append-then-unlearn round-trips to the base model exactly
+    VocabModelOps.unlearnLm(spark, batch, "graft_lmaspec")
+    val (b12, _, bv) = VocabModelOps.bigramModel(base)
+    assert(spark.table(tn.c12).collect().toSet === b12.collect().toSet,
+      "learn then unlearn must be a perfect inverse")
+    assert(spark.table(tn.cw).count() === bv.head().getLong(0))
   }
 
   test("q331 interpolation: common continuation rescues an unseen bigram") {
