@@ -807,6 +807,121 @@ object CorpusStatsOps {
       .orderBy("query_id", "rnk")
   }
 
+  // ------------------------------------------------------------------
+  // q368/q369/q370: persisted SEARCH-INDEX lifecycle
+  // ------------------------------------------------------------------
+
+  /** The BM25 model persisted as its MINIMAL doc-keyed state (the q366
+    * doctrine applied to retrieval): the postings relation
+    * (term, doc_id, tf) and the doc-length relation (doc_id, dl).
+    * Everything else the scorer needs is DERIVED at read time — df is
+    * the per-term posting-row count, corpus totals are one aggregate
+    * over dl — so maintenance never rewrites a derived view. Distinct
+    * docs contribute DISJOINT rows to both relations, which is what
+    * makes the lifecycle cheap: append is pure row appends (no
+    * rewrite at all), takedown is a doc-keyed anti-join rewrite.
+    */
+  final case class SearchIndexTables(postings: String, dl: String)
+
+  def searchIndexTables(prefix: String): SearchIndexTables =
+    SearchIndexTables(s"${prefix}_postings", s"${prefix}_dl")
+
+  private def idxReset(spark: org.apache.spark.sql.SparkSession,
+      tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+  }
+
+  private def idxTokens(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  private def idxRelations(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tok = idxTokens(docs)
+    (tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf")),
+      tok.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+  }
+
+  def searchIndexMaterialize(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, prefix: String): SearchIndexTables = {
+    val tn = searchIndexTables(prefix)
+    val (post, dl) = idxRelations(docs)
+    Seq(tn.postings, tn.dl).foreach(idxReset(spark, _))
+    post.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(tn.postings)
+    dl.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(tn.dl)
+    tn
+  }
+
+  /** O(batch) index growth: new docs' rows are disjoint from stored
+    * ones, so the append touches no existing row — the cheapest cell
+    * of any maintenance matrix in the engine. The strictly-above id
+    * contract is the uniqueness guarantee (a duplicated doc_id would
+    * silently double that doc's tf mass).
+    */
+  def searchIndexAppend(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, prefix: String): Unit = {
+    val tn = searchIndexTables(prefix)
+    val (post, dl) = idxRelations(newDocs)
+    val maxOld = spark.table(tn.dl).agg(max(col("doc_id"))).head()
+    val minNewR = newDocs.agg(min(col("doc_id"))).head()
+    if (minNewR.isNullAt(0)) return
+    val minNew = minNewR.getLong(0)
+    require(maxOld.isNullAt(0) || minNew > maxOld.getLong(0),
+      s"searchIndexAppend: batch doc_id $minNew interleaves the stored " +
+        s"corpus (max stored ${maxOld.getLong(0)}) — ids must be fresh " +
+        "or a doc's tf mass double-counts")
+    post.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(tn.postings)
+    dl.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(tn.dl)
+  }
+
+  /** Doc-keyed takedown: one anti-join rewrite per relation. The
+    * derived views (df, corpus totals) forget the deleted docs by
+    * construction — BM25's idf and length normalization shift exactly
+    * as a from-scratch index on the survivors would, which is what the
+    * q369 oracle (a full DuckDB rebuild on survivors) proves.
+    */
+  def searchIndexTakedown(spark: org.apache.spark.sql.SparkSession,
+      deletedDocs: DataFrame, prefix: String): Unit = {
+    val tn = searchIndexTables(prefix)
+    val del = broadcast(deletedDocs.select(col("doc_id")).distinct()
+      .localCheckpoint(true))
+    Seq(tn.postings, tn.dl).foreach { tbl =>
+      val snap = spark.table(tbl).join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      idxReset(spark, tbl)
+      snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(tbl)
+    }
+  }
+
+  /** q245's scorer reading the STORED index — the serve path of the
+    * lifecycle. The plan touches postings of the QUERY terms only (the
+    * broadcast semi-prune lands on the postings scan), dl, and two
+    * term-bounded derived aggregates; the corpus text is never read.
+    */
+  def bm25FromStored(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(String, String)], k: Int, prefix: String): DataFrame = {
+    val tn = searchIndexTables(prefix)
+    import spark.implicits._
+    val q = queries.toDF("query_id", "term")
+    val post = spark.table(tn.postings)
+    val dl = spark.table(tn.dl)
+    val totals = dl.agg(sum(col("dl")).as("l"), count(lit(1)).as("n"))
+    val dfreq = post.join(broadcast(q.select("term").distinct()),
+        Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = post.join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"), col("tf"))
+    bm25TopK(RetrievalRels(tf, dl, dfreq, totals), k)
+  }
+
   /** q287 body: reciprocal-rank fusion — the hybrid-retrieval combiner
     * (Cormack et al. 2009) that merges rankings WITHOUT comparable
     * scores: fused(d) = Σ_r 1/(rrfK + rank_r(d)) over the rankers that
@@ -980,13 +1095,14 @@ object CorpusStatsOps {
   /** The retrieval + BM25-ranking CTE block shared verbatim by q245 and
     * q287's oracle texts (ONE definition — the two oracles cannot drift).
     */
-  private def bm25Ctes(queries: Seq[(String, String)]): String = {
+  private def bm25Ctes(queries: Seq[(String, String)],
+      docFilter: String = ""): String = {
     val values = queries
       .map { case (qid, term) => s"('$qid', '$term')" }.mkString(", ")
     s"""q(query_id, term) AS (VALUES $values),
       |tok AS (SELECT doc_id, tt.term
       |        FROM documents, UNNEST(string_split(text, ' ')) AS tt(term)
-      |        WHERE text IS NOT NULL),
+      |        WHERE text IS NOT NULL$docFilter),
       |dl AS (SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS dl
       |       FROM tok GROUP BY doc_id),
       |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS l,
@@ -1012,10 +1128,16 @@ object CorpusStatsOps {
       |      FROM agg)""".stripMargin
   }
 
-  private def bm25Sql(queries: Seq[(String, String)], k: Int): String =
-    s"""WITH ${bm25Ctes(queries)}
+  private def bm25Sql(queries: Seq[(String, String)], k: Int,
+      docFilter: String = ""): String =
+    s"""WITH ${bm25Ctes(queries, docFilter)}
       |SELECT query_id, rnk, doc_id, n_hit, score_u
       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** q245's oracle text, shared verbatim by q368 (batch-appended index)
+    * and q370 (streamed index) — one scoring contract, three builders.
+    */
+  private[graft] val bm25TopKSql: String = bm25Sql(Bm25Queries, 10)
 
   private def rrfSql(queries: Seq[(String, String)], shortlist: Int,
       k: Int, rrfK: Int): String =
@@ -1177,7 +1299,41 @@ object CorpusStatsOps {
     QueryDef("q279_simpson_diversity", Some(simpsonDiversitySql),
       (spark, dir) => simpsonDiversity(t(spark, dir, "documents"))),
 
-    QueryDef("q245_bm25_topk", Some(bm25Sql(Bm25Queries, 10)),
+    // Persisted search-index lifecycle, append cell: materialize the
+    // postings/dl relations on the id-leading 80%, append the tail
+    // (disjoint rows — pure appends), serve BM25 from the stored index.
+    // Held to q245's OWN full SQL oracle: the incrementally-grown index
+    // must score exactly like a from-scratch one.
+    QueryDef("q368_index_append", Some(bm25TopKSql),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+          .getLong(0)
+        searchIndexMaterialize(spark,
+          docs.where(col("doc_id") <= cut), "graft_si")
+        searchIndexAppend(spark, docs.where(col("doc_id") > cut),
+          "graft_si")
+        bm25FromStored(spark, Bm25Queries, 10, "graft_si")
+      }),
+
+    // Search-index takedown: doc-keyed anti-join rewrite; df / corpus
+    // totals forget the deleted docs by derivation. The oracle is a
+    // full DuckDB REBUILD on the survivors — swept-index scoring must
+    // match an index that never saw the deleted docs.
+    QueryDef("q369_index_takedown",
+      Some(bm25Sql(Bm25Queries, 10, " AND doc_id % 13 <> 0")),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        searchIndexMaterialize(spark, docs, "graft_sitd")
+        searchIndexTakedown(spark,
+          docs.where(col("doc_id") % 13 === 0).select(col("doc_id")),
+          "graft_sitd")
+        bm25FromStored(spark, Bm25Queries, 10, "graft_sitd")
+      }),
+
+    QueryDef("q245_bm25_topk", Some(bm25TopKSql),
       (spark, dir) => bm25TopK(t(spark, dir, "documents"))),
 
     QueryDef("q287_rrf_fusion", Some(rrfSql(Bm25Queries, 20, 5, 60)),

@@ -1439,6 +1439,41 @@ object StreamReplayOps {
       docs.where(col("doc_id") % 2 === 1), "graft_lmstream")
   }
 
+  /** q370 body: streamed SEARCH-INDEX maintenance replay — the
+    * retrieval lifecycle's write side deployed as a stream
+    * ([[graft.streaming.StreamingSearchIndexMaintain]]). Materialize
+    * the postings/dl relations on the id-leading slice, land the tail
+    * as time slices, append each micro-batch's disjoint rows, then
+    * serve BM25 from the grown stored index. Graded against q245's OWN
+    * full SQL oracle — streamed, batch-append, and from-scratch
+    * indexing are one contract. Exactly-once (dl high-watermark) is
+    * pinned by StreamingSearchIndexMaintainSpec's wiped-checkpoint
+    * re-run.
+    */
+  def searchIndexMaintainReplay(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = replayScratchBase("graft-si-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+      .getLong(0)
+    CorpusStatsOps.searchIndexMaterialize(spark,
+      docs.where(col("doc_id") <= cut), "graft_sistream")
+    landTimeSlices(spark, docs.where(col("doc_id") > cut)
+        .withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingSearchIndexMaintain.maintainAvailableNow(
+        spark, landing, "graft_sistream", ckpt,
+        StructType.fromDDL("doc_id BIGINT, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    CorpusStatsOps.bm25FromStored(spark, CorpusStatsOps.Bm25Queries, 10,
+      "graft_sistream")
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1534,6 +1569,13 @@ object StreamReplayOps {
     QueryDef("q367_lm_maintain_replay",
       Some(VocabModelOps.bigramPerplexitySql),
       (spark, dir) => lmMaintainReplay(spark, dir)),
+
+    // Streamed search-index maintenance (28th streaming component):
+    // disjoint postings/dl row appends per micro-batch with a dl
+    // high-watermark; served BM25 held to q245's OWN full SQL oracle.
+    QueryDef("q370_index_maintain_replay",
+      Some(CorpusStatsOps.bm25TopKSql),
+      (spark, dir) => searchIndexMaintainReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

@@ -395,7 +395,13 @@ object ScaleRehearsal {
     // LM append + streamed LM maintenance: q328's vocabulary-bounded
     // rewrites (bar 15, the fixture vocabulary arithmetic) + the fixed
     // micro-batch machinery on the streamed side
-    "q366_lm_append", "q367_lm_maintain_replay")
+    "q366_lm_append", "q367_lm_maintain_replay",
+    // search-index lifecycle: postings materialization is the linear
+    // part (the q245 token scan persisted); the postings relation rides
+    // the fixture's 10x vocabulary (q52's arithmetic — bar 15 where it
+    // rewrites, takedown's anti-join snapshot)
+    "q368_index_append", "q369_index_takedown",
+    "q370_index_maintain_replay")
 
   private val OFFSET = 10000000L
 
@@ -464,6 +470,11 @@ object ScaleRehearsal {
       // relations (one rewrite per batch on the streamed side). Bar 15.
       "q366_lm_append" -> 15.0,
       "q367_lm_maintain_replay" -> 15.0,
+      // q368-q370 persist the postings relation, which grows with the
+      // fixture's 10x vocabulary (q52's Heaps-law arithmetic). Bar 15.
+      "q368_index_append" -> 15.0,
+      "q369_index_takedown" -> 15.0,
+      "q370_index_maintain_replay" -> 15.0,
       "q346_source_perplexity" -> 15.0,
       "q331_interp_perplexity" -> 15.0,
       "q333_perplexity_score_replay" -> 15.0,
