@@ -1474,6 +1474,41 @@ object StreamReplayOps {
       "graft_sistream")
   }
 
+  /** q371 body: streamed CLUSTER-MAP maintenance replay — q360's
+    * component-local merge deployed as a stream
+    * ([[graft.streaming.StreamingClusterMaintain]]). Materialize the
+    * base slice's cluster map with bucket provenance, land the
+    * id-ordered tail as time slices, merge each micro-batch into the
+    * stored closure, read back the grown map — graded against q51's
+    * OWN golden: from-scratch, batch-merge, and streamed-merge
+    * closures are one contract. Exactly-once (the cluster table's own
+    * max doc_id is the watermark) is pinned by
+    * StreamingClusterMaintainSpec's wiped-checkpoint re-run.
+    */
+  def clusterMaintainReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-clm-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+      .getLong(0)
+    TakedownOps.clustersMaterializeWithProvenance(spark,
+      docs.where(col("doc_id") <= cut), "graft_clmstream")
+    landTimeSlices(spark, docs.where(col("doc_id") > cut)
+        .withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingClusterMaintain.maintainAvailableNow(
+        spark, landing, "graft_clmstream", ckpt,
+        StructType.fromDDL("doc_id BIGINT, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    spark.table("graft_clmstream_clusters")
+      .select(col("doc_id"), col("cluster_id"), col("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1576,6 +1611,13 @@ object StreamReplayOps {
     QueryDef("q370_index_maintain_replay",
       Some(CorpusStatsOps.bm25TopKSql),
       (spark, dir) => searchIndexMaintainReplay(spark, dir)),
+
+    // Streamed cluster-map maintenance (29th streaming component):
+    // q360's component-local merge per micro-batch, held to q51's OWN
+    // golden — three independent closure paths, one output.
+    QueryDef("q371_cluster_maintain_replay",
+      graft.util.Tables.literalOracle("q51_dedup_clusters"),
+      (spark, dir) => clusterMaintainReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

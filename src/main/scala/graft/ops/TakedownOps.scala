@@ -488,6 +488,42 @@ object TakedownOps {
     reset(spark, tn.clusters); saveTable(merged, tn.clusters)
   }
 
+  /** q372 body: the cluster-map LIFECYCLE COMPOSED — q357's doctrine on
+    * the dedup tier: materialize the base closure, merge the id-ordered
+    * tail incrementally (q360), take down a deletion set spanning BOTH
+    * slices (q350), and grade the composed state against a from-scratch
+    * closure on the survivors. q360 proves merge == rebuild and q350
+    * proves takedown == rebuild, but the composition exercises the
+    * cross-term: the takedown's component-local relabel must walk
+    * bucket rows the MERGE wrote (a deleted base doc can split a
+    * component the merge created, or hand its label to an appended
+    * doc). Output: a per-tier census (is_dup, doc counts, distinct
+    * clusters) with a matches_rebuild flag from multiplicity-aware set
+    * equality of the full label relations.
+    */
+  def clusterLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+      .getLong(0)
+    clustersMaterializeWithProvenance(spark,
+      docs.where(col("doc_id") <= cut), "graft_clc")
+    appendToClusters(spark, docs.where(col("doc_id") > cut), "graft_clc")
+    val delDocs = docs.where(col("doc_id") % 13 === 0).select(col("doc_id"))
+    takedownClusters(spark, delDocs, "graft_clc")
+    val swept = spark.table("graft_clc_clusters")
+      .select(col("doc_id"), col("cluster_id"), col("is_dup"))
+      .localCheckpoint(true)
+    val rebuild = DedupOps.starClusters(docs.where(col("doc_id") % 13 =!= 0))
+      .select(col("doc_id"), col("cluster_id"), col("is_dup"))
+    val matches = if (eqSets(swept, rebuild)) 1 else 0
+    swept.groupBy("is_dup")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .withColumn("matches_rebuild", lit(matches))
+      .orderBy("is_dup")
+  }
+
   // ------------------------------------------------------------------
   // Media fingerprint artifacts (q293's tier) with takedown
   // ------------------------------------------------------------------
@@ -919,6 +955,14 @@ object TakedownOps {
     // identity graded per artifact. Engine-side decode -> golden.
     QueryDef("q365_media_takedown", literalOracle("q365_media_takedown"),
       (spark, dir) => mediaTakedownSweep(spark, dir)),
+
+    // Cluster-map lifecycle composition: materialize -> incremental
+    // merge -> takedown spanning both slices; the composed state must
+    // equal a from-scratch closure on the survivors (the takedown's
+    // relabel walks bucket rows the MERGE wrote). Golden.
+    QueryDef("q372_cluster_lifecycle",
+      literalOracle("q372_cluster_lifecycle"),
+      (spark, dir) => clusterLifecycle(spark, dir)),
 
     // Incremental cluster-map maintenance: base materialized with
     // bucket provenance, the id-ordered tail merged via component-local

@@ -31,7 +31,8 @@ object OracleGen {
     "q350_takedown", "q354_probes_sweep", "q356_ann_takedown_replay",
     "q357_curated_lifecycle", "q358_deep_takedown",
     "q359_takedown_recall", "q363_fat_cell_split",
-    "q364_hybrid_retrieval", "q365_media_takedown")
+    "q364_hybrid_retrieval", "q365_media_takedown",
+    "q372_cluster_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -401,7 +401,11 @@ object ScaleRehearsal {
     // the fixture's 10x vocabulary (q52's arithmetic — bar 15 where it
     // rewrites, takedown's anti-join snapshot)
     "q368_index_append", "q369_index_takedown",
-    "q370_index_maintain_replay")
+    "q370_index_maintain_replay",
+    // streamed cluster merge + composed cluster lifecycle: q360's
+    // component-local closure per batch / per lifecycle stage, plus
+    // the from-scratch rebuild compare (the grade's honest cost)
+    "q371_cluster_maintain_replay", "q372_cluster_lifecycle")
 
   private val OFFSET = 10000000L
 

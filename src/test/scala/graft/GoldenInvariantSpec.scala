@@ -113,6 +113,12 @@ class GoldenInvariantSpec extends AnyFunSuite {
       "a vec_id % 11 row in the golden IS takedown residue")
   }
 
+  test("q372: composed cluster lifecycle matches the rebuild") {
+    val (cols, rows) = load("q372_cluster_lifecycle")
+    assert(longs(cols, rows, "matches_rebuild").forall(_ == 1L))
+    assert(longs(cols, rows, "n_docs").sum > 0L)
+  }
+
   test("q363: split clears the flag, conserves rows, recovers recall") {
     val (cols, rows) = load("q363_fat_cell_split")
     val m = rows.map(r => r(cols.indexOf("metric")) ->

@@ -228,6 +228,53 @@ class TakedownSpec extends SparkSpec {
     assert(e.getMessage.contains("interleaves"))
   }
 
+  test("cluster lifecycle: the takedown splits a component the MERGE created") {
+    // base: A (11) and C (13), too far apart to band; the APPENDED
+    // bridge B (16) merges them under label 11. Deleting the appended
+    // bridge must split them back — the takedown's component-local
+    // relabel walking bucket rows the merge wrote — and deleting the
+    // merged component's MINIMUM must migrate the label onto the
+    // B-C pair.
+    val words = baseText.split(" ")
+    def mutated(evenOnly: Boolean): String = {
+      val w = words.clone()
+      val step = w.length / 4
+      (0 until 4).foreach { i =>
+        if (!evenOnly || i % 2 == 0)
+          w((i * step + 2) % w.length) = s"zz2x$i"
+      }
+      w.mkString(" ")
+    }
+    val base = Seq((11L, baseText), (13L, mutated(evenOnly = false)))
+      .toDF("doc_id", "text")
+    val batch = Seq((16L, mutated(evenOnly = true))).toDF("doc_id", "text")
+    val union = base.unionByName(batch)
+
+    // split case: delete the appended bridge
+    TakedownOps.clustersMaterializeWithProvenance(spark, base, "graft_clcspec")
+    TakedownOps.appendToClusters(spark, batch, "graft_clcspec")
+    val merged = clusterSet(spark.table("graft_clcspec_clusters"))
+    assert(merged == Set((11L, 11L, 0), (13L, 11L, 1), (16L, 11L, 1)),
+      s"fixture drift: the appended bridge must merge 11/13/16: $merged")
+    TakedownOps.takedownClusters(spark, Seq(16L).toDF("doc_id"),
+      "graft_clcspec")
+    val split = clusterSet(spark.table("graft_clcspec_clusters"))
+    assert(split == clusterSet(DedupOps.starClusters(base)),
+      s"deleting the appended bridge must split the merged component: $split")
+
+    // label-migration case: delete the merged component's minimum
+    TakedownOps.clustersMaterializeWithProvenance(spark, base, "graft_clcspec")
+    TakedownOps.appendToClusters(spark, batch, "graft_clcspec")
+    TakedownOps.takedownClusters(spark, Seq(11L).toDF("doc_id"),
+      "graft_clcspec")
+    val migrated = clusterSet(spark.table("graft_clcspec_clusters"))
+    assert(migrated == clusterSet(
+      DedupOps.starClusters(union.where(col("doc_id") =!= 11L))),
+      s"deleting the minimum must migrate the label onto B-C: $migrated")
+    assert(migrated.exists(x => x._1 == 16L && x._2 == 13L),
+      s"the appended doc must relabel under the surviving minimum: $migrated")
+  }
+
   test("cluster append on real data: id-ordered tail merge equals q51's closure") {
     val docs = graft.util.Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
