@@ -902,8 +902,22 @@ object AnnIndexOps {
     val v = SimilarityOps.vectors(spark, dir)
     buildResidualIndex(spark, v, "graft_hybrid")
     val bm = CorpusStatsOps.bm25TopK(docs, CorpusStatsOps.Bm25Queries,
-        shortlist)
-      .select(col("query_id"), col("rnk"), col("doc_id"))
+      shortlist)
+    hybridFuse(spark, bm, v.select(col("vec_id"), col("v")),
+      "graft_hybrid", shortlist, k, rrfK)
+  }
+
+  /** The PRF + fuse half of the hybrid serve, shared by q364 (inline
+    * lexical leg) and q373 (both legs from the swept STORED stack):
+    * derive each query's vector as the decimal-exact mean embedding of
+    * its lexical top-10, serve the ANN leg, fuse with integer RRF.
+    * `vecs` supplies the PRF embeddings — the stored stack passes its
+    * own vectors table, so the serve path reads no corpus artifact.
+    */
+  private[graft] def hybridFuse(spark: SparkSession, bmLeg: DataFrame,
+      vecs: DataFrame, annPrefix: String, shortlist: Int, k: Int,
+      rrfK: Int): DataFrame = {
+    val bm = bmLeg.select(col("query_id"), col("rnk"), col("doc_id"))
       .localCheckpoint(true)
     // synthetic numeric q_ids for the serve, far above every vec_id
     val qids = bm.select(col("query_id")).distinct()
@@ -911,7 +925,7 @@ object AnnIndexOps {
         row_number().over(Window.orderBy(col("query_id"))).cast("long") +
           lit(9000000000L))
     val qv = bm.where(col("rnk") <= 10)
-      .join(v.select(col("vec_id").as("doc_id"), col("v")), Seq("doc_id"))
+      .join(vecs.select(col("vec_id").as("doc_id"), col("v")), Seq("doc_id"))
       .select(col("query_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("query_id", "dim")
       .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
@@ -921,7 +935,7 @@ object AnnIndexOps {
       .select(col("query_id"), expr("transform(dm, e -> e.m)").as("qv"))
       .join(broadcast(qids), Seq("query_id"))
     val ann = serveTopK(spark, qv.select(col("q_id"), col("qv")),
-        "graft_hybrid", topK = shortlist, shortlist = 100)
+        annPrefix, topK = shortlist, shortlist = 100)
       .join(broadcast(qids), Seq("q_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rnk").as("rank_b"))
@@ -930,6 +944,74 @@ object AnnIndexOps {
       ann, k, rrfK)
       .withColumnRenamed("rank_a", "rank_bm25")
       .withColumnRenamed("rank_b", "rank_ann")
+  }
+
+  /** q373 body: RETRIEVAL-STACK takedown certification — the capstone
+    * composition of the round's takedown tier: build the FULL hybrid
+    * serving stack as stored artifacts (the q368 search index + the
+    * q326 ANN index), take down the deletion set on BOTH legs
+    * ([[CorpusStatsOps.searchIndexTakedown]] + [[takedownIndex]]),
+    * re-serve the hybrid query from the swept stack, and prove
+    *
+    *  - zero residue: no deleted doc in the fused output OR in either
+    *    leg's full shortlist (a leg leak the fusion happens to mask is
+    *    still a leak),
+    *  - rebuild identity: the swept stack's fused output equals a
+    *    stack REBUILT from scratch on the survivors (frozen ANN
+    *    quantizers — the takedown contract), including the PRF
+    *    cross-term: deleting lexical top-10 members MOVES the query
+    *    vector, so both legs' interaction must match the rebuild, not
+    *    just each leg alone.
+    *
+    * The per-row flags ride in the graded output so the golden freezes
+    * them and GoldenInvariantSpec can assert them independently.
+    */
+  def stackTakedownCert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val v = SimilarityOps.vectors(spark, dir)
+    val del = docs.where(col("doc_id") % 13 === 0).select(col("doc_id"))
+      .localCheckpoint(true)
+    val shortlist = 20
+    CorpusStatsOps.searchIndexMaterialize(spark, docs, "graft_stk")
+    buildResidualIndex(spark, v, "graft_stkann")
+    CorpusStatsOps.searchIndexTakedown(spark, del, "graft_stk")
+    takedownIndex(spark, "graft_stkann", del.select(col("doc_id").as("vec_id")))
+    def serveStack(si: String, ann: String): DataFrame =
+      hybridFuse(spark,
+        CorpusStatsOps.bm25FromStored(spark, CorpusStatsOps.Bm25Queries,
+          shortlist, si),
+        spark.table(tables(ann).vectors).select(col("vec_id"), col("v")),
+        ann, shortlist, 5, 60)
+    val swept = serveStack("graft_stk", "graft_stkann")
+      .localCheckpoint(true)
+    // leg-level residue: the full lexical shortlist + the swept index
+    // tables themselves
+    val at = tables("graft_stkann")
+    val legResidue =
+      CorpusStatsOps.bm25FromStored(spark, CorpusStatsOps.Bm25Queries,
+          shortlist, "graft_stk")
+        .join(broadcast(del), Seq("doc_id")).count() +
+      spark.table(at.vectors)
+        .join(broadcast(del.select(col("doc_id").as("vec_id"))),
+          Seq("vec_id")).count()
+    val fusedResidue = swept.join(broadcast(del), Seq("doc_id")).count()
+    // rebuild: survivors-only stack, ANN quantizers frozen
+    val surv = docs.join(broadcast(del), Seq("doc_id"), "left_anti")
+    CorpusStatsOps.searchIndexMaterialize(spark, surv, "graft_stkrb")
+    rebuildWithFrozen(spark,
+      v.join(broadcast(del.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_anti"),
+      "graft_stkann", "graft_stkrbann")
+    val rebuilt = serveStack("graft_stkrb", "graft_stkrbann")
+    val matches =
+      if (swept.count() == rebuilt.count() &&
+        swept.exceptAll(rebuilt).isEmpty) 1
+      else 0
+    swept
+      .withColumn("n_residue", lit(legResidue + fusedResidue))
+      .withColumn("matches_rebuild", lit(matches))
+      .orderBy("query_id", "rnk")
   }
 
   /** q334 body: serve-path RECALL AUDIT — the observability number an
@@ -1021,6 +1103,12 @@ object AnnIndexOps {
     QueryDef("q364_hybrid_retrieval",
       literalOracle("q364_hybrid_retrieval"),
       (spark, dir) => hybridRetrieval(spark, dir)),
+
+    // Retrieval-stack takedown certification: both legs swept, the
+    // fused serve re-certified — zero residue (fused AND per-leg) and
+    // identity with a survivors-only stack, PRF cross-term included.
+    QueryDef("q373_stack_takedown", literalOracle("q373_stack_takedown"),
+      (spark, dir) => stackTakedownCert(spark, dir)),
 
     // Recall-vs-probes curve from ONE build: the (cost, recall) trade
     // of the serve's pruning dial, exact-integer permille. Golden;

@@ -405,7 +405,10 @@ object ScaleRehearsal {
     // streamed cluster merge + composed cluster lifecycle: q360's
     // component-local closure per batch / per lifecycle stage, plus
     // the from-scratch rebuild compare (the grade's honest cost)
-    "q371_cluster_maintain_replay", "q372_cluster_lifecycle")
+    "q371_cluster_maintain_replay", "q372_cluster_lifecycle",
+    // retrieval-stack takedown cert: two stored-stack serves + the
+    // survivors-only rebuild compare (both its own honest audit cost)
+    "q373_stack_takedown")
 
   private val OFFSET = 10000000L
 

@@ -119,6 +119,23 @@ class GoldenInvariantSpec extends AnyFunSuite {
     assert(longs(cols, rows, "n_docs").sum > 0L)
   }
 
+  test("q373: the swept retrieval stack serves no deleted doc and matches the rebuild") {
+    val (cols, rows) = load("q373_stack_takedown")
+    assert(longs(cols, rows, "n_residue").forall(_ == 0L))
+    assert(longs(cols, rows, "matches_rebuild").forall(_ == 1L))
+    assert(longs(cols, rows, "doc_id").forall(_ % 13 != 0),
+      "a doc_id % 13 row in the golden IS takedown residue")
+  }
+
+  test("q365: zero residue, rebuild identity, the content-takedown path fired") {
+    val (cols, rows) = load("q365_media_takedown")
+    assert(longs(cols, rows, "n_residue").forall(_ == 0L))
+    assert(longs(cols, rows, "matches_rebuild").forall(_ == 1L))
+    assert(longs(cols, rows, "n_deleted").forall(_ > 0L),
+      "every artifact must lose rows — the DMCA leg exists so the " +
+        "fingerprint tier is non-vacuous")
+  }
+
   test("q363: split clears the flag, conserves rows, recovers recall") {
     val (cols, rows) = load("q363_fat_cell_split")
     val m = rows.map(r => r(cols.indexOf("metric")) ->
