@@ -298,7 +298,7 @@ object MultimodalOps {
       .orderBy("canonical_id")
   }
 
-  private val mediaDedupSql: String =
+  private[graft] val mediaDedupSql: String =
     """WITH g AS (
       |  SELECT gx.range AS ox, gy.range AS oy
       |  FROM range(4) gx, range(4) gy),

@@ -572,6 +572,58 @@ object TakedownOps {
     tn
   }
 
+  /** q374 body's engine: INCREMENTAL media-artifact maintenance — the
+    * append cell of the media matrix (materialize / append / takedown).
+    * New ownership rows append as-is; the DECODE runs only for media
+    * keys the index has never seen (one anti-join against the stored
+    * fingerprint table — a re-upload of a known payload costs zero
+    * codec work, which is the entire point of persisting fingerprints);
+    * cluster groups touched by the batch recompute over the stored +
+    * appended ownership rows (the affected-group pruning of
+    * [[takedownMedia]], merge-side). No id contract is needed beyond
+    * uniqueness: cluster canonicals are group minima, recomputed
+    * exactly over each affected group.
+    */
+  def appendToMedia(spark: SparkSession, newDocs: DataFrame,
+      prefix: String): Unit = {
+    val tn = mediaTables(prefix)
+    val keyedN = mediaKeyed(newDocs.select(col("doc_id")))
+      .localCheckpoint(true)
+    if (keyedN.isEmpty) return
+    val keyedT = spark.table(tn.keyed)
+    val maxOld = keyedT.agg(max(col("doc_id"))).head()
+    val minNew = keyedN.agg(min(col("doc_id"))).head().getLong(0)
+    require(maxOld.isNullAt(0) || minNew > maxOld.getLong(0),
+      s"appendToMedia: batch doc_id $minNew interleaves the stored corpus " +
+        s"(max stored ${maxOld.getLong(0)}) — ids must be fresh")
+    // decode ONLY never-seen payloads
+    val newKeys = keyedN.select(col("media_key")).distinct()
+      .join(spark.table(tn.sigs).select(col("media_key")),
+        Seq("media_key"), "left_anti")
+    val sigsN = mediaSigs(spark,
+        newKeys.select(col("media_key")))
+      .localCheckpoint(true)
+    keyedN.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tn.keyed)
+    sigsN.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tn.sigs)
+    // recompute exactly the cluster groups the batch's keys belong to
+    val batchKeys = broadcast(keyedN.select(col("media_key")).distinct()
+      .localCheckpoint(true))
+    val affSigRel = spark.table(tn.sigs).join(batchKeys, Seq("media_key"),
+        "left_semi")
+      .localCheckpoint(true)
+    val affSigs = broadcast(affSigRel.select(sigCols.map(col): _*)
+      .distinct())
+    val recomputed = mediaClusters(
+      spark.table(tn.keyed).join(affSigRel.select(col("media_key")),
+        Seq("media_key"), "left_semi"),
+      affSigRel)
+    val kept = spark.table(tn.clusters).join(affSigs, sigCols, "left_anti")
+    val newClusters = kept.unionByName(recomputed).localCheckpoint(true)
+    reset(spark, tn.clusters); saveTable(newClusters, tn.clusters)
+  }
+
   /** Media-artifact takedown: delete the docs' ownership rows, retire
     * fingerprints whose every owner is gone (the CONTENT-forgetting
     * step — a payload with no surviving upload must not survive as a
@@ -963,6 +1015,23 @@ object TakedownOps {
     QueryDef("q372_cluster_lifecycle",
       literalOracle("q372_cluster_lifecycle"),
       (spark, dir) => clusterLifecycle(spark, dir)),
+
+    // Incremental media-artifact maintenance: ownership rows append,
+    // the decode runs ONLY for never-seen payloads, touched cluster
+    // groups recompute — held to q293's OWN full SQL oracle: the
+    // incrementally-grown artifact must equal from-scratch media dedup.
+    QueryDef("q374_media_append", Some(MultimodalOps.mediaDedupSql),
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents").select(col("doc_id"))
+        val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+          .getLong(0)
+        mediaMaterialize(spark, docs.where(col("doc_id") <= cut),
+          "graft_ma")
+        appendToMedia(spark, docs.where(col("doc_id") > cut), "graft_ma")
+        spark.table("graft_ma_mclusters")
+          .select((sigCols :+ "canonical_id" :+ "n_members").map(col): _*)
+          .orderBy("canonical_id")
+      }),
 
     // Incremental cluster-map maintenance: base materialized with
     // bucket provenance, the id-ordered tail merged via component-local

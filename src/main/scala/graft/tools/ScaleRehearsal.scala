@@ -408,7 +408,10 @@ object ScaleRehearsal {
     "q371_cluster_maintain_replay", "q372_cluster_lifecycle",
     // retrieval-stack takedown cert: two stored-stack serves + the
     // survivors-only rebuild compare (both its own honest audit cost)
-    "q373_stack_takedown")
+    "q373_stack_takedown",
+    // media append: ownership appends + decode only for never-seen
+    // payloads + affected-group cluster recomputes
+    "q374_media_append")
 
   private val OFFSET = 10000000L
 

@@ -454,6 +454,37 @@ class TakedownSpec extends SparkSpec {
     assert(rows(tn.clusters) === rows("graft_mtdspec2_mclusters"))
   }
 
+  test("media append: known payloads skip the decode, clusters equal from-scratch") {
+    // keys mod 97: base docs 10/107 share key 10; batch doc 204 is a
+    // re-upload of key 10 (already fingerprinted — no decode), batch
+    // doc 205 brings NEW key 11
+    val base = Seq(10L, 107L).toDF("doc_id")
+    val batch = Seq(204L, 205L).toDF("doc_id")
+    val tn = TakedownOps.mediaMaterialize(spark, base, "graft_maspec")
+    assert(spark.table(tn.sigs).count() === 1L)
+    TakedownOps.appendToMedia(spark, batch, "graft_maspec")
+    assert(spark.table(tn.sigs).count() === 2L,
+      "exactly the one never-seen payload must gain a fingerprint")
+    val clusters = spark.table(tn.clusters).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_members"))
+      .toMap
+    assert(clusters === Map(10L -> 3L),
+      s"the re-upload must grow the stored cluster: $clusters")
+    // equals a from-scratch materialization of the union, row for row
+    TakedownOps.mediaMaterialize(spark, base.unionByName(batch),
+      "graft_maspec2")
+    def rows(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+    assert(rows(tn.keyed) === rows("graft_maspec2_mkeyed"))
+    assert(rows(tn.sigs) === rows("graft_maspec2_msigs"))
+    assert(rows(tn.clusters) === rows("graft_maspec2_mclusters"))
+    // freshness contract
+    val e = intercept[IllegalArgumentException] {
+      TakedownOps.appendToMedia(spark, Seq(50L).toDF("doc_id"),
+        "graft_maspec")
+    }
+    assert(e.getMessage.contains("interleaves"))
+  }
+
   test("ANN takedown: zero residue, row- and serve-identical to a frozen rebuild") {
     val v = SimilarityOps.vectors(spark, sf)
     AnnIndexOps.buildResidualIndex(spark, v, "graft_tdspecann")
