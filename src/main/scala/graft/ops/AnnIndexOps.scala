@@ -914,6 +914,22 @@ object AnnIndexOps {
     * `vecs` supplies the PRF embeddings — the stored stack passes its
     * own vectors table, so the serve path reads no corpus artifact.
     */
+  /** The PRF query vectors: each retrieval query's decimal-exact mean
+    * embedding over its lexical top-10 — (query_id, qv). Shared by the
+    * fusion path and q375's vector-side relevance derivation.
+    */
+  private[graft] def prfVectors(bmLeg: DataFrame,
+      vecs: DataFrame): DataFrame =
+    bmLeg.where(col("rnk") <= 10)
+      .join(vecs.select(col("vec_id").as("doc_id"), col("v")), Seq("doc_id"))
+      .select(col("query_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("query_id", "dim")
+      .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("query_id"), expr("transform(dm, e -> e.m)").as("qv"))
+
   private[graft] def hybridFuse(spark: SparkSession, bmLeg: DataFrame,
       vecs: DataFrame, annPrefix: String, shortlist: Int, k: Int,
       rrfK: Int): DataFrame = {
@@ -924,16 +940,7 @@ object AnnIndexOps {
       .withColumn("q_id",
         row_number().over(Window.orderBy(col("query_id"))).cast("long") +
           lit(9000000000L))
-    val qv = bm.where(col("rnk") <= 10)
-      .join(vecs.select(col("vec_id").as("doc_id"), col("v")), Seq("doc_id"))
-      .select(col("query_id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("query_id", "dim")
-      .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
-        .cast("double").as("m"))
-      .groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("query_id"), expr("transform(dm, e -> e.m)").as("qv"))
-      .join(broadcast(qids), Seq("query_id"))
+    val qv = prfVectors(bm, vecs).join(broadcast(qids), Seq("query_id"))
     val ann = serveTopK(spark, qv.select(col("q_id"), col("qv")),
         annPrefix, topK = shortlist, shortlist = 100)
       .join(broadcast(qids), Seq("q_id"))

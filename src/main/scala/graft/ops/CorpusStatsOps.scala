@@ -1021,6 +1021,18 @@ object CorpusStatsOps {
         Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_relevant"), lit(0L)).as("n_relevant"))
+    ndcgOf(ranked, relevant, rcount, k).orderBy("query_id")
+  }
+
+  /** The q291 metric block factored over ANY (query_id, rnk, doc_id)
+    * ranking — per query: n_relevant, hits@k, exact recall basis
+    * points, and nDCG@k from the shared literal discount tables.
+    * q375 evaluates three rankings (BM25 leg, ANN leg, fused) against
+    * the same derived relevance through this one definition.
+    */
+  private def ndcgOf(ranked: DataFrame, relevant: DataFrame,
+      rcount: DataFrame, k: Int): DataFrame = {
+    val dec = "decimal(30,15)"
     val discArr = NdcgDiscounts.map(d => s"CAST('$d' AS DOUBLE)")
       .mkString("array(", ", ", ")")
     val idealArr = NdcgIdeal.map(d => s"CAST('$d' AS DOUBLE)")
@@ -1042,7 +1054,82 @@ object CorpusStatsOps {
           |ELSE CAST(dcg_dec AS DOUBLE) /
           |  element_at($idealArr, CAST(least($k, n_relevant) AS INT))
           |END""".stripMargin).as("ndcg"))
-      .orderBy("query_id")
+  }
+
+  /** q375 body: HYBRID-retrieval EVALUATION — the measure-the-dial
+    * doctrine applied to q364's fusion: what does each ranker trade?
+    * All three rankings (the BM25 leg, the PRF-vector ANN leg, the RRF
+    * fusion) come from ONE hybridFuse pass (the fused frame carries
+    * both leg ranks, so each leg's own top-k is a filter, not a
+    * recomputation) and are scored with the same nDCG@k arithmetic
+    * under TWO relevance definitions:
+    *
+    *  - `lexical`: q291's derived labels (a doc is relevant iff it
+    *    contains EVERY query term) — BM25's home turf by construction;
+    *  - `vector`: the exact cosine top-20 of the PRF query vector —
+    *    the semantic neighborhood the ANN leg serves.
+    *
+    * Each pure leg tends to dominate its own definition and pay on the
+    * other; fusion buys robustness across definitions (Cormack et al.
+    * 2009) at some cost to each single-definition peak — a trade to be
+    * MEASURED, not assumed, which is why the per-cell numbers are the
+    * graded artifact (on this corpus the fused ranking does give up
+    * individual cells to a home-turf leg). Output: one metric row per
+    * (relevance, ranker, query). Engine-side ANN leg → golden.
+    */
+  def hybridEval(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val v = SimilarityOps.vectors(spark, dir)
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_heval")
+    val rels = retrievalRels(docs, Bm25Queries)
+    val bm = bm25TopK(rels, 20)
+    // k = 2*shortlist keeps EVERY fused row so the legs' own top-k
+    // come out of the same frame by filter
+    val all = AnnIndexOps.hybridFuse(spark, bm,
+        v.select(col("vec_id"), col("v")), "graft_heval", 20, 40, 60)
+      .localCheckpoint(true)
+    val qn = Bm25Queries.groupBy(_._1).map { case (q, ts) =>
+      (q, ts.map(_._2).distinct.size.toLong)
+    }.toSeq.toDF("query_id", "qn")
+    val lexRel = rels.tf.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("nh"))
+      .join(broadcast(qn), Seq("query_id"))
+      .where(col("nh") === col("qn"))
+      .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(true)
+    // vector relevance: exact cosine top-20 of the PRF query vector
+    val qv = AnnIndexOps.prfVectors(bm, v.select(col("vec_id"), col("v")))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val vecRel = v.select(col("vec_id").as("doc_id"), col("v"))
+      .crossJoin(broadcast(qv))
+      .withColumn("sim", SimilarityOps.cosine("qv", "v"))
+      .withColumn("vrnk", row_number().over(wv))
+      .where(col("vrnk") <= 20)
+      .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(true)
+    def evalAll(relTag: String, relevant: DataFrame): DataFrame = {
+      val rcount = qn.select("query_id")
+        .join(relevant.groupBy("query_id")
+          .agg(count(lit(1)).as("n_relevant")), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_relevant"), lit(0L)).as("n_relevant"))
+      def one(tag: String, rankCol: String): DataFrame =
+        ndcgOf(all.where(col(rankCol) <= k)
+            .select(col("query_id"), col(rankCol).as("rnk"), col("doc_id")),
+          relevant, rcount, k)
+          .withColumn("ranker", lit(tag))
+      one("ann", "rank_ann")
+        .unionByName(one("bm25", "rank_bm25"))
+        .unionByName(one("fused", "rnk"))
+        .withColumn("relevance", lit(relTag))
+    }
+    evalAll("lexical", lexRel).unionByName(evalAll("vector", vecRel))
+      .select(col("relevance"), col("ranker"), col("query_id"),
+        col("n_relevant"), col("hits_at_k"), col("recall_bp"), col("ndcg"))
+      .orderBy("relevance", "ranker", "query_id")
   }
 
   private def ndcgSql(queries: Seq[(String, String)], k: Int): String = {
@@ -1332,6 +1419,13 @@ object CorpusStatsOps {
           "graft_sitd")
         bm25FromStored(spark, Bm25Queries, 10, "graft_sitd")
       }),
+
+    // Hybrid-retrieval evaluation: nDCG@5 / recall of the fused
+    // ranking vs each leg against q291's derived relevance — the
+    // measure-the-dial grade for q364's fusion. Golden.
+    QueryDef("q375_hybrid_eval",
+      graft.util.Tables.literalOracle("q375_hybrid_eval"),
+      (spark, dir) => hybridEval(spark, dir)),
 
     QueryDef("q245_bm25_topk", Some(bm25TopKSql),
       (spark, dir) => bm25TopK(t(spark, dir, "documents"))),

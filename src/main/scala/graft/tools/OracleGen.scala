@@ -32,7 +32,8 @@ object OracleGen {
     "q357_curated_lifecycle", "q358_deep_takedown",
     "q359_takedown_recall", "q363_fat_cell_split",
     "q364_hybrid_retrieval", "q365_media_takedown",
-    "q372_cluster_lifecycle", "q373_stack_takedown")
+    "q372_cluster_lifecycle", "q373_stack_takedown",
+    "q375_hybrid_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

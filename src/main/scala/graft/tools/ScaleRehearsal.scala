@@ -411,7 +411,10 @@ object ScaleRehearsal {
     "q373_stack_takedown",
     // media append: ownership appends + decode only for never-seen
     // payloads + affected-group cluster recomputes
-    "q374_media_append")
+    "q374_media_append",
+    // hybrid evaluation: one fused pass + two relevance derivations
+    // (the q245 leg + one exact-cosine pass for the vector labels)
+    "q375_hybrid_eval")
 
   private val OFFSET = 10000000L
 
