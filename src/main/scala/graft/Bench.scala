@@ -46,7 +46,18 @@ object Bench {
     // plans) plus any transient host stall; the min is the steady-state
     // cost the operator would have in a long-lived job.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The streaming-replay family (q243-q266) runs FIRST, before any of
+    // the heavy audit composites (q334/q356/q363/q373 and friends, each
+    // tens of seconds of checkpoint + shuffle churn): r14 and r15 both
+    // saw that family drift slower in the DRIVER bench with zero code
+    // change while a warm interleaved re-measurement on an idle box was
+    // flat — the contention-control directive (VERDICT r15 #6) is to
+    // isolate run-order/JVM-state effects by benching the replay band
+    // on a fresh session state. Within each group the order stays
+    // sorted, so per-query attribution remains deterministic.
+    val sortedQs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (replayFam, others) = sortedQs.partition(_._1.endsWith("_replay"))
+    val results = (replayFam ++ others).map { case (name, fn) =>
       // a failed query must be loud: -1 timing + an errors entry + stderr,
       // never a silently-fast row (a regression would read as a speedup)
       var err: Option[String] = None
@@ -123,7 +134,7 @@ object Bench {
     // carried-over subtotal (every query up to the PREVIOUS round's max
     // number) survives tail truncation where the full per-query map does
     // not. Bump the bound each round when the round's additions land.
-    val carryOverMax = 359
+    val carryOverMax = 375
     val num = "^q(\\d+)".r
     val carried = results.filter { r =>
       r._5.isEmpty && num.findFirstMatchIn(r._1).exists(_.group(1).toInt <= carryOverMax)
