@@ -1,12 +1,12 @@
 SELECT CAST(metric AS VARCHAR) AS metric, CAST(unsplit AS BIGINT) AS unsplit, CAST(split AS BIGINT) AS split
 FROM (VALUES
-  ('adc_candidates',30467,7664),
+  ('adc_candidates',30467,8042),
   ('fat_cells',1,0),
-  ('n_cells',16,44),
+  ('n_cells',16,42),
   ('n_code_rows',16000,16000),
   ('recall@1',750,1000),
   ('recall@2',700,1000),
-  ('recall@3',666,883),
-  ('recall@4',612,812),
-  ('recall@5',580,770)
+  ('recall@3',666,866),
+  ('recall@4',612,787),
+  ('recall@5',580,740)
 ) t(metric, unsplit, split)

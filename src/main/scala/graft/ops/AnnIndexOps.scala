@@ -73,13 +73,17 @@ object AnnIndexOps {
     encodeAssigned(vecs, assigned, centroids, books, m, dim)
   }
 
-  /** The encode with the cell assignment ALREADY decided — shared by
-    * [[encodeAgainst]] (nearest-centroid assignment) and the fat-cell
-    * split (residual-fit membership, which must not be silently
-    * re-assigned by a second argmax pass). `assigned` carries
-    * (vec_id, v, cell); a vector's code is always the quantization of
-    * v − centroid(its recorded cell) — the serve-side LUT consistency
-    * contract.
+  /** The encode with the cell assignment ALREADY decided — split out of
+    * [[encodeAgainst]] (its only caller) to keep the LUT-consistency
+    * contract in one place: `assigned` carries (vec_id, v, cell), and a
+    * vector's code is always the quantization of v − centroid(its
+    * recorded cell), so the serve's ADC lookup table is built against
+    * the same centroid the code was taken against. Note the fat-cell
+    * split does NOT bypass the argmax: its residual-L2 sub-fit only
+    * PLACES the child centroids, then deliberately re-derives
+    * membership through [[encodeAgainst]]'s cosine argmax — the same
+    * metric the serve's probe selection uses (see the doctrine note in
+    * splitOnce; a residual-L2 membership measurably lost served twins).
     */
   private def encodeAssigned(vecs: DataFrame, assigned: DataFrame,
       centroids: DataFrame, books: DataFrame, m: Int,
@@ -133,26 +137,34 @@ object AnnIndexOps {
     * StreamReplayOps scratch-dir pattern — catalog entries die with the
     * in-memory session; the directories are the real cost).
     */
-  private val memoLibRegistry =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // each entry carries the SESSION's hadoopConfiguration captured at
+  // registration time, not a fresh default Configuration built inside
+  // the hook: a warehouse on a filesystem configured via spark.hadoop.*
+  // settings would otherwise resolve against defaults and the deletes
+  // would silently fail — the exact disk-growth problem the hook exists
+  // to fix (ADVICE r15). Failures are logged, not swallowed: a leaked
+  // scratch index must be visible.
+  private val memoLibRegistry = new java.util.concurrent
+    .ConcurrentLinkedQueue[(String, org.apache.hadoop.conf.Configuration)]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val conf = new org.apache.hadoop.conf.Configuration()
-      var loc = memoLibRegistry.poll()
-      while (loc != null) {
-        val p = new org.apache.hadoop.fs.Path(loc)
-        try p.getFileSystem(conf).delete(p, true)
-        catch { case _: Throwable => () }
-        loc = memoLibRegistry.poll()
+      var e = memoLibRegistry.poll()
+      while (e != null) {
+        val p = new org.apache.hadoop.fs.Path(e._1)
+        try p.getFileSystem(e._2).delete(p, true)
+        catch { case t: Throwable => System.err.println(
+          s"[graft] memo-library cleanup failed for ${e._1}: $t") }
+        e = memoLibRegistry.poll()
       }
     }))
   }
   private def registerMemoLib(spark: SparkSession, prefix: String): Unit = {
     val tn = tables(prefix)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val conf = spark.sparkContext.hadoopConfiguration
     Seq(tn.centroids, tn.codebooks, tn.codes, tn.vectors).foreach(t =>
       memoLibRegistry.add(
-        new org.apache.hadoop.fs.Path(wh, t).toString))
+        (new org.apache.hadoop.fs.Path(wh, t).toString, conf)))
   }
 
   /** Order-independent corpus fingerprint: row count + bounded decimal
@@ -550,32 +562,54 @@ object AnnIndexOps {
       .select(col("vec_id"),
         expr("zip_with(v, pcv, (p, q) -> p - q)").as("rv"))
       .localCheckpoint(true)
-    // EVEN-SPACED seeding over a HASH-ordered rank, not first-s by id:
-    // a drift pile holds most of the cell's mass at the id range's
-    // tail, and s seeds drawn from the head all sit OUTSIDE it — Lloyd
-    // then parks the entire pile on whichever seed is least far
-    // (measured: 1500 of 1530 on one child, under cosine AND under
-    // residual L2). Even spacing over the ID order is not enough
-    // either: ingest ids are structured (measured: three id-contiguous
-    // re-upload blocks of the same content made ranks 1, 1+pop/3,
-    // 1+2·pop/3 land on byte-identical vectors — s identical seeds,
-    // total collapse again). Hash-ordering the rank decorrelates the
-    // seed positions from ANY id structure while staying fully
-    // deterministic; seeds then land inside every mass region in
-    // proportion to its share, which is what lets the rounds separate
-    // the pile.
-    val ranked = resid
-      .withColumn("rk", row_number().over(
-        Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))))
-      .localCheckpoint(true)
-    val pop = ranked.count()
-    // distinct: pop < s would alias ranks (fewer children then — fine)
-    val seedRanks = (0 until s).map(i => 1L + i * pop / s)
-      .distinct.zipWithIndex
-    import spark.implicits._
-    var cents = ranked
-      .join(broadcast(seedRanks.toDF("rk", "child")), Seq("rk"))
-      .select(col("child"), col("rv").as("ccv"))
+    // STRATIFIED HASH-MINIMA seeding, not first-s by id: a drift pile
+    // holds most of the cell's mass at the id range's tail, and s seeds
+    // drawn from the head all sit OUTSIDE it — Lloyd then parks the
+    // entire pile on whichever seed is least far (measured: 1500 of
+    // 1530 on one child, under cosine AND under residual L2). Even
+    // spacing over the ID order is not enough either: ingest ids are
+    // structured (measured: three id-contiguous re-upload blocks of
+    // the same content made evenly-spaced id ranks land on
+    // byte-identical vectors — s identical seeds, total collapse
+    // again). Hashing decorrelates seed choice from ANY id structure
+    // while staying fully deterministic: every vector lands in stratum
+    // pmod(xxhash64(vec_id), s), each mass region spreads over ALL
+    // strata in proportion to its share, and the per-stratum
+    // (hash, id)-minimum is an effectively uniform draw within the
+    // stratum — so the s seeds land inside every mass region with the
+    // same coverage property the old hash-ordered even-spaced rank had.
+    // Earlier rounds computed that rank with row_number() over an
+    // UNPARTITIONED Window — the entire fat cell (by definition the
+    // biggest list in the index) sorted through ONE task, exactly the
+    // single-task bound PlanSpec names, invisible to the static sweep
+    // because it executed eagerly behind localCheckpoint (VERDICT r15
+    // #1). One hash-partitioned aggregate replaces it: no global sort,
+    // no window, O(|cell|/strata) per task at any scale. Strata left
+    // empty when pop < s just yield fewer children (mirrors the old
+    // distinct-rank dedup); gaps in child ids within [0, s) are fine —
+    // the caller allocates a fixed `nextId += s` block and prunes
+    // empty children anyway.
+    // Two hardenings the deterministic fixpoint loop needs on top:
+    // (1) the hash is SALTED with idBase — fresh per split instance —
+    // because a stuck cell re-enters the next round with the SAME
+    // vec_ids and the same s, and an unsalted draw would re-pick the
+    // exact seeds that failed to separate it, looping the repair
+    // forever on its own bad luck (measured: three ~100-member cells
+    // re-split round after round without ever clearing the bar);
+    // (2) seeds are DEDUPED BY CONTENT — the drift shape is re-uploads,
+    // so byte-identical vectors under different ids can be minima of
+    // two strata, and identical seeds collapse their children into one
+    // by tie-break. Content-duplicate seeds carry zero separating
+    // power; keeping one (smallest child id, deterministic) and
+    // letting the cell run with fewer children is strictly better.
+    var cents = resid
+      .groupBy(pmod(xxhash64(lit(idBase), col("vec_id")), lit(s.toLong))
+        .cast("int").as("child"))
+      .agg(min_by(col("rv"),
+        struct(xxhash64(lit(idBase), col("vec_id")), col("vec_id")))
+        .as("ccv"))
+      .groupBy("ccv").agg(min(col("child")).as("child"))
+      .select(col("child"), col("ccv"))
       .localCheckpoint(true)
     def assign(c: DataFrame): DataFrame = {
       val ord = struct(
@@ -616,12 +650,17 @@ object AnnIndexOps {
     * approximate, so one pass over a heavy pile can leave a child at
     * ~2-3× the (small-cell-dragged) mean still flagged; each further
     * round touches ONLY the leftover flagged cells. `maxRounds` bounds
-    * the rewrites — each halves-or-better the heaviest list, so the
-    * default clears any realistic drift.
+    * the rewrites; each round halves-or-better the heaviest list, but
+    * the census BAR also drops as splits multiply the cell count
+    * (2×mean over more cells), so the fixpoint chases a falling
+    * threshold — the spec fixture needs 4-5 rounds (1530 → ~100 → ~35
+    * against a bar falling 190 → 87 → 67), hence a bound with slack
+    * rather than the observed minimum. Extra rounds are cheap: each
+    * touches only the still-flagged cells, O(cell) apiece.
     */
   def splitFatCells(spark: SparkSession, prefix: String,
       fanout: Option[Int] = None, iters: Int = 2, m: Int = 8,
-      dim: Int = 64, buckets: Int = 4, maxRounds: Int = 3): Seq[Int] = {
+      dim: Int = 64, buckets: Int = 4, maxRounds: Int = 8): Seq[Int] = {
     var all = Seq.empty[Int]
     var round = 0
     var last = splitOnce(spark, prefix, fanout, iters, m, dim, buckets)
@@ -639,7 +678,15 @@ object AnnIndexOps {
     // (cell, children): fanout defaults ADAPTIVE — ⌈pop/mean⌉ children
     // per flagged cell, so each child TARGETS the mean population and
     // the repaired cell actually clears the census flag (a fixed small
-    // fanout leaves a 10×-mean pile still fat after the split)
+    // fanout leaves a 10×-mean pile still fat after the split).
+    // Deliberately NOT more aggressive: children targeted at mean/2
+    // were measured to CASCADE on the spec fixture — every split adds
+    // cells, which lowers the census mean and with it the 2×mean bar,
+    // so over-splitting re-flags previously-healthy cells and the
+    // fixpoint atomizes the whole index (340 cells of ≤12 from 16 of
+    // ~128). Mean-targeted children keep the post-repair bar as high
+    // as possible; stragglers that land above it are re-split locally
+    // by the next round.
     val fat = census.filter(_.getBoolean(2))
       .map(r => r.getInt(0) ->
         fanout.getOrElse(math.max(2, math.ceil(r.getLong(1) / mean).toInt)))
