@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // runtime unpartitioned-window guard (VERDICT r15 #2): eagerly-
+    // executed lifecycle internals never appear in the returned plan
+    // PlanSpec sweeps, so every action is checked at the listener layer
+    graft.plans.WindowGuard.install(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
+      graft.plans.WindowGuard.begin(spark, name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,6 +47,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // window-guard verdict LAST, after every correctness artifact is on
+    // disk: a guard regression must be loud (nonzero exit) without
+    // costing the round its correctness dump
+    val recorded = graft.plans.WindowGuard.recorded(spark)
+    val offenders = graft.plans.WindowGuard.offenders(spark)
+    def m(mm: Map[String, Set[String]]): String = mm.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v.toSeq.sorted.mkString(";"))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/windowguard.json"),
+      s"""{"recorded": ${m(recorded)}, "offenders": ${m(offenders)}}""")
+    println(s"""{"metric":"windowguard","recorded":${recorded.size},""" +
+      s""""offenders":${offenders.size}}""")
     spark.stop()
+    require(offenders.isEmpty,
+      "unpartitioned windows executed outside the WindowGuard allowlist " +
+        s"(the q145/q363 single-task bug class): ${offenders.keys.toSeq.sorted
+          .mkString(", ")} — see $outDir/windowguard.json")
   }
 }
