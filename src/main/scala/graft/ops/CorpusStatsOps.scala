@@ -868,13 +868,21 @@ object CorpusStatsOps {
     val tn = searchIndexTables(prefix)
     val (post, dl) = idxRelations(newDocs)
     val maxOld = spark.table(tn.dl).agg(max(col("doc_id"))).head()
-    val minNewR = newDocs.agg(min(col("doc_id"))).head()
+    val minNewR = newDocs.agg(min(col("doc_id")), count(col("doc_id")),
+      countDistinct(col("doc_id"))).head()
     if (minNewR.isNullAt(0)) return
     val minNew = minNewR.getLong(0)
     require(maxOld.isNullAt(0) || minNew > maxOld.getLong(0),
       s"searchIndexAppend: batch doc_id $minNew interleaves the stored " +
         s"corpus (max stored ${maxOld.getLong(0)}) — ids must be fresh " +
         "or a doc's tf mass double-counts")
+    // the cross-batch ordering above can't see a duplicate WITHIN one
+    // batch, which double-counts that doc's tf mass just the same
+    // (ADVICE r15)
+    require(minNewR.getLong(1) == minNewR.getLong(2),
+      s"searchIndexAppend: batch carries duplicated doc_ids " +
+        s"(${minNewR.getLong(1)} rows, ${minNewR.getLong(2)} distinct) — " +
+        "a duplicated doc_id double-counts that doc's tf mass")
     post.write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").saveAsTable(tn.postings)
     dl.write.mode(org.apache.spark.sql.SaveMode.Append)

@@ -1509,6 +1509,111 @@ object StreamReplayOps {
       .orderBy("doc_id")
   }
 
+  /** q376 body: streamed MEDIA-FINGERPRINT maintenance replay — the
+    * 30th streaming component, closing the one asymmetric cell of the
+    * artifact matrix ([[graft.streaming.StreamingMediaMaintain]]).
+    * Materialize the base slice's media tier, land the id-ordered tail
+    * as time slices, fold each micro-batch in (ownership rows append,
+    * decode only for never-seen payload keys, touched signature groups
+    * recompute), read back the cluster relation — graded against
+    * q293's OWN full SQL oracle: from-scratch, batch-append (q374),
+    * and streamed-append media dedup are one contract. Exactly-once
+    * (the keyed relation's own max doc_id is the watermark — every
+    * processed doc leaves an ownership row) is pinned by
+    * StreamingMediaMaintainSpec's wiped-checkpoint re-run.
+    */
+  def mediaMaintainReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-mm-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
+      .getLong(0)
+    TakedownOps.mediaMaterialize(spark,
+      docs.where(col("doc_id") <= cut), "graft_mmstream")
+    landTimeSlices(spark, docs.where(col("doc_id") > cut)
+        .withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingMediaMaintain.maintainAvailableNow(
+        spark, landing, "graft_mmstream", ckpt,
+        StructType.fromDDL("doc_id BIGINT"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    spark.table("graft_mmstream_mclusters")
+      .select(col("format"), col("width"), col("height"),
+        col("resized_sum"), col("canonical_id"), col("n_members"))
+      .orderBy("canonical_id")
+  }
+
+  /** q377 body: CENSUS-TRIGGERED SPLIT in the streamed ingest path —
+    * q363's observe→repair loop composed with the streamed ANN
+    * maintenance (VERDICT r15 #5), run where drift actually
+    * accumulates. Build the index on the clean corpus, land the q363
+    * drift pile (3× the corpus mass concentrated near e0) as time
+    * slices, and stream it in with `censusSplit = true`: the appends
+    * themselves CREATE the fat cell mid-stream, and the post-batch
+    * census triggers the in-place split. Graded against the
+    * batch-appended UNSPLIT twin (same content, no repair): the
+    * maintained index must end with zero fat cells, identical row
+    * count (the split moves list boundaries, never data), and a
+    * recall curve at equal probes at-or-above the unsplit twin's —
+    * q363's invariants, reproduced by the continuous-ingest path.
+    * Deterministic (frozen fits, salted-hash seeding, id-ordered
+    * slices) → literal golden.
+    */
+  def annCensusSplitReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = replayScratchBase("graft-anncs-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val v = SimilarityOps.vectors(spark, dir)
+    val shifted = v
+      .crossJoin(spark.range(3).select(col("id").as("copy")))
+      .select(
+        (col("vec_id") + lit(9200000000L) + col("copy") * lit(1000000L))
+          .as("vec_id"),
+        col("label"),
+        expr("transform(v, (x, i) -> 0.05D * x + IF(i = 0, 0.95D, 0D))")
+          .as("v"))
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_anncs_m")
+    landTimeSlices(spark, shifted.withColumn("slice_key", col("vec_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingAnnMaintain.maintainAvailableNow(
+        spark, landing, "graft_anncs_m", ckpt,
+        StructType.fromDDL("vec_id BIGINT, label INT, v ARRAY<DOUBLE>"),
+        maxFilesPerTrigger = Some(1), censusSplit = true)
+        .awaitTermination()
+    }
+    // the unsplit twin: batch-append the same content, no repair (the
+    // base build is a memo clone — one append-encode, not two fits)
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_anncs_u")
+    AnnIndexOps.appendToIndex(spark, shifted, "graft_anncs_u")
+    // q363's audit frame: queries from both regions, equal weight
+    val full = v.unionByName(
+      shifted.select(col("vec_id"), col("label"), col("v")))
+    val q = SimilarityOps.queriesOf(v, 10).unionByName(
+      full.where(col("vec_id") >= 9200000000L &&
+          col("vec_id") < 9200000010L)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    def fatCount(prefix: String): Long =
+      AnnIndexOps.indexCellCensus(spark, prefix)
+        .where(col("fat")).count()
+    def recall(prefix: String): Map[Long, Long] =
+      AnnIndexOps.serveRecallAudit(spark, full, q, prefix).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ru = recall("graft_anncs_u")
+    val rm = recall("graft_anncs_m")
+    val rows = Seq(
+      ("fat_cells", fatCount("graft_anncs_u"), fatCount("graft_anncs_m")),
+      ("n_cells", spark.table("graft_anncs_u_centroids").count(),
+        spark.table("graft_anncs_m_centroids").count()),
+      ("n_code_rows", spark.table("graft_anncs_u_codes").count(),
+        spark.table("graft_anncs_m_codes").count())) ++
+      (1L to 5L).map(k => (s"recall@$k", ru(k), rm(k)))
+    rows.toDF("metric", "unsplit", "split").orderBy("metric")
+  }
+
   /** q310 body: replay the documents corpus in doc_id-ordered time
     * slices through [[graft.streaming.StreamingMinHashDedup]]'s
     * stateful per-bucket fold. Under id-ordered delivery the continuous
@@ -1618,6 +1723,23 @@ object StreamReplayOps {
     QueryDef("q371_cluster_maintain_replay",
       graft.util.Tables.literalOracle("q51_dedup_clusters"),
       (spark, dir) => clusterMaintainReplay(spark, dir)),
+
+    // Streamed media-fingerprint maintenance (30th streaming
+    // component, the last asymmetric matrix cell): q374's append per
+    // micro-batch with the keyed relation's own max doc_id as the
+    // watermark; readback held to q293's OWN full SQL oracle.
+    QueryDef("q376_media_maintain_replay",
+      Some(MultimodalOps.mediaDedupSql),
+      (spark, dir) => mediaMaintainReplay(spark, dir)),
+
+    // Census-triggered split in the streamed ingest path: the appends
+    // CREATE the fat cell mid-stream, the post-batch census repairs it
+    // in place; graded against the batch-appended unsplit twin on
+    // q363's invariants (fat 0, row conservation, recall >= unsplit).
+    // Engine-side frozen fits + salted-hash seeding -> golden.
+    QueryDef("q377_ann_census_split_replay",
+      graft.util.Tables.literalOracle("q377_ann_census_split_replay"),
+      (spark, dir) => annCensusSplitReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

@@ -85,6 +85,24 @@ object TakedownOps {
   private def eqSets(a: DataFrame, b: DataFrame): Boolean =
     a.count() == b.count() && a.exceptAll(b).isEmpty
 
+  /** Component-local maintenance broadcasts its affected-id sets
+    * because near-dup components are SMALL — but a pathological
+    * boilerplate mega-component (every doc sharing one band bucket)
+    * makes affMembers corpus-sized, and a forced broadcast hint then
+    * OOMs the driver instead of degrading. The hint is applied only
+    * under a row bound (conf `spark.graft.maintenance.broadcastMaxRows`,
+    * default 1M ids ≈ 10s of MB); above it the frame joins unhinted and
+    * AQE picks a shuffle strategy — slower, alive, still exact
+    * (VERDICT r15 #7). Callers pass localCheckpointed frames, so the
+    * guard count is a cached-scan, not a recompute.
+    */
+  private def broadcastIfSmall(spark: SparkSession,
+      df: DataFrame): DataFrame = {
+    val maxRows = spark.conf
+      .get("spark.graft.maintenance.broadcastMaxRows", "1000000").toLong
+    if (df.count() <= maxRows) broadcast(df) else df
+  }
+
   /** q348's census collected as a set — census equality is a
     * sufficient (and text-shuffle-free) rebuild-identity check for the
     * curated table; the expression is [[CurationOps.curatedCensusOf]],
@@ -391,9 +409,10 @@ object TakedownOps {
       .localCheckpoint(true))
     val clustersT = spark.table(tn.clusters)
     val bucketsT = spark.table(tn.dbuckets)
-    val affComps = broadcast(clustersT.join(del, Seq("doc_id"))
+    val affComps = broadcastIfSmall(spark, clustersT.join(del, Seq("doc_id"))
       .select(col("cluster_id")).distinct().localCheckpoint(true))
-    val affMembers = broadcast(clustersT.join(affComps, Seq("cluster_id"))
+    val affMembers = broadcastIfSmall(spark,
+      clustersT.join(affComps, Seq("cluster_id"))
       .join(del, Seq("doc_id"), "left_anti")
       .select(col("doc_id")).localCheckpoint(true))
     val newBuckets = bucketsT.join(del, Seq("doc_id"), "left_anti")
@@ -457,20 +476,30 @@ object TakedownOps {
     val bucketsT = spark.table(tn.dbuckets)
     // the freshness contract: batch ids strictly above every stored id
     val maxOld = clustersT.agg(max(col("doc_id"))).head()
-    val minNew = newDocs.agg(min(col("doc_id"))).head().getLong(0)
+    val newStats = newDocs.agg(min(col("doc_id")), count(col("doc_id")),
+      countDistinct(col("doc_id"))).head()
+    val minNew = newStats.getLong(0)
     require(maxOld.isNullAt(0) || minNew > maxOld.getLong(0),
       s"appendToClusters: batch doc_id $minNew interleaves the stored " +
         s"corpus (max stored doc_id ${maxOld.getLong(0)}) — ids must be " +
         "globally fresh or the bucket relation fuses distinct docs")
+    // a duplicate WITHIN the batch passes the ordering check but fuses
+    // two documents' bucket rows just the same (ADVICE r15)
+    require(newStats.getLong(1) == newStats.getLong(2),
+      s"appendToClusters: batch carries duplicated doc_ids " +
+        s"(${newStats.getLong(1)} rows, ${newStats.getLong(2)} distinct) " +
+        "— a duplicated doc_id fuses distinct docs' bucket rows")
     // stored components touched by the batch: one join pruned by the
     // batch's (band, bhash) keys — never a corpus scan
     val batchKeys = broadcast(
       bucketsN.select(col("band"), col("bhash")).distinct())
     val touched = bucketsT.join(batchKeys, Seq("band", "bhash"))
       .select(col("doc_id")).distinct()
-    val affComps = broadcast(clustersT.join(touched, Seq("doc_id"))
+    val affComps = broadcastIfSmall(spark,
+      clustersT.join(touched, Seq("doc_id"))
       .select(col("cluster_id")).distinct().localCheckpoint(true))
-    val affMembers = broadcast(clustersT.join(affComps, Seq("cluster_id"))
+    val affMembers = broadcastIfSmall(spark,
+      clustersT.join(affComps, Seq("cluster_id"))
       .select(col("doc_id")).localCheckpoint(true))
     // complete edge source for the affected subgraph: the affected
     // members' stored buckets ∪ the batch's buckets
@@ -592,10 +621,18 @@ object TakedownOps {
     if (keyedN.isEmpty) return
     val keyedT = spark.table(tn.keyed)
     val maxOld = keyedT.agg(max(col("doc_id"))).head()
-    val minNew = keyedN.agg(min(col("doc_id"))).head().getLong(0)
+    val newStats = keyedN.agg(min(col("doc_id")), count(col("doc_id")),
+      countDistinct(col("doc_id"))).head()
+    val minNew = newStats.getLong(0)
     require(maxOld.isNullAt(0) || minNew > maxOld.getLong(0),
       s"appendToMedia: batch doc_id $minNew interleaves the stored corpus " +
         s"(max stored ${maxOld.getLong(0)}) — ids must be fresh")
+    // an intra-batch duplicate passes the ordering check but appends
+    // the same ownership row twice, double-counting that doc in every
+    // cluster recompute (ADVICE r15)
+    require(newStats.getLong(1) == newStats.getLong(2),
+      s"appendToMedia: batch carries duplicated doc_ids " +
+        s"(${newStats.getLong(1)} rows, ${newStats.getLong(2)} distinct)")
     // decode ONLY never-seen payloads
     val newKeys = keyedN.select(col("media_key")).distinct()
       .join(spark.table(tn.sigs).select(col("media_key")),
@@ -607,14 +644,24 @@ object TakedownOps {
       .saveAsTable(tn.keyed)
     sigsN.write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(tn.sigs)
-    // recompute exactly the cluster groups the batch's keys belong to
+    // recompute exactly the cluster GROUPS the batch's keys belong to.
+    // Groups are keyed by SIGNATURE, not media_key: a stored key whose
+    // payload fingerprint collides with a batch key's (cross-payload
+    // collision — the exact dedup premise of q293) lives in the same
+    // group, so the affected relation must widen from the batch keys
+    // to EVERY key sharing an affected signature (the takedownMedia
+    // derivation: keys → their signatures → all sig rows in those
+    // groups). ADVICE r15: semi-joining sigs on the batch keys alone
+    // dropped a colliding sibling's members from the recompute while
+    // the kept-side anti-join still removed its stored cluster row.
     val batchKeys = broadcast(keyedN.select(col("media_key")).distinct()
       .localCheckpoint(true))
-    val affSigRel = spark.table(tn.sigs).join(batchKeys, Seq("media_key"),
-        "left_semi")
+    val sigsT = spark.table(tn.sigs)
+    val affSigs = broadcast(sigsT
+      .join(batchKeys, Seq("media_key"), "left_semi")
+      .select(sigCols.map(col): _*).distinct().localCheckpoint(true))
+    val affSigRel = sigsT.join(affSigs, sigCols, "left_semi")
       .localCheckpoint(true)
-    val affSigs = broadcast(affSigRel.select(sigCols.map(col): _*)
-      .distinct())
     val recomputed = mediaClusters(
       spark.table(tn.keyed).join(affSigRel.select(col("media_key")),
         Seq("media_key"), "left_semi"),

@@ -29,6 +29,19 @@ import graft.ops.AnnIndexOps
   * batch is a no-op. The lookup reads ONE pruned column of the vectors
   * table; at production scale it is a bucket-pruned id probe, the same
   * shape as the serve's rerank fetch.
+  *
+  * `censusSplit` (VERDICT r15 #5) closes the observe→repair loop in
+  * the shape where drift actually ACCUMULATES — continuous ingest:
+  * after each appended micro-batch the census runs and any flagged
+  * cell is split in place ([[AnnIndexOps.splitFatCells]] — O(cell)
+  * sub-fits, canonical rewrite of split cells only, frozen quantizers
+  * untouched). The repair changes list BOUNDARIES, never membership of
+  * the vector set, so the maintained index stays exactly the appended
+  * content; splits assign FRESH cell ids, so a split mid-stream is
+  * invisible to the idempotency anti-join (vec_ids are unchanged) and
+  * later batches simply encode against the grown centroid table — the
+  * same serve contract as a post-hoc batch split (q377 grades streamed
+  * split-on-ingest against the batch-unsplit twin).
   */
 object StreamingAnnMaintain {
 
@@ -41,7 +54,8 @@ object StreamingAnnMaintain {
       maxFilesPerTrigger: Option[Int] = None,
       m: Int = 8,
       dim: Int = 64,
-      buckets: Int = 4): StreamingQuery = {
+      buckets: Int = 4,
+      censusSplit: Boolean = false): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader
@@ -67,6 +81,19 @@ object StreamingAnnMaintain {
           // invisible (caught by StreamingAnnMaintainSpec)
           spark.catalog.refreshTable(tn.codes)
           spark.catalog.refreshTable(tn.vectors)
+          if (censusSplit) {
+            // observe→repair per trigger: splitFatCells starts with the
+            // census and returns empty when nothing is flagged, so the
+            // drift-free steady state costs one census pass per batch
+            val split = graft.ops.AnnIndexOps.splitFatCells(
+              spark, indexPrefix, iters = 2, m = m, dim = dim,
+              buckets = buckets)
+            if (split.nonEmpty) {
+              spark.catalog.refreshTable(tn.centroids)
+              spark.catalog.refreshTable(tn.codes)
+              spark.catalog.refreshTable(tn.vectors)
+            }
+          }
         }
         ()
       }

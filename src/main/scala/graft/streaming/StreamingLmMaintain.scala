@@ -27,11 +27,19 @@ import graft.ops.VocabModelOps
   * any count is touched (pinned by StreamingLmMaintainSpec's
   * wiped-checkpoint re-run). Known bound: the three count rewrites and
   * the watermark write are separate table commits, so a crash INSIDE a
-  * micro-batch could replay a partially-folded batch — a production
+  * micro-batch could replay a partially-folded batch — and neither
+  * commit order closes the hole without a transactional format
+  * (watermark-last double-counts the partial fold on replay;
+  * watermark-first silently LOSES the batch instead). A production
   * deployment stages all four in one table-format transaction; the
   * exactly-once contract here covers re-triggered (at-least-once)
   * delivery of completed batches, which is what AvailableNow replays
-  * exercise.
+  * exercise. RECOVERY after a mid-batch crash: the model is a pure
+  * fold of the corpus, so rebuild it exactly with
+  * [[VocabModelOps.lmMaterialize]] over the landed documents (then
+  * [[resetWatermark]] + re-point the stream at the remaining landing
+  * files) — cheap relative to the failure's rarity, and exact by the
+  * same additive-monoid argument that makes the fold correct.
   */
 object StreamingLmMaintain {
 

@@ -33,7 +33,7 @@ object OracleGen {
     "q359_takedown_recall", "q363_fat_cell_split",
     "q364_hybrid_retrieval", "q365_media_takedown",
     "q372_cluster_lifecycle", "q373_stack_takedown",
-    "q375_hybrid_eval")
+    "q375_hybrid_eval", "q377_ann_census_split_replay")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

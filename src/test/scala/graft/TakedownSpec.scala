@@ -155,6 +155,34 @@ class TakedownSpec extends SparkSpec {
       "a deleted doc's id must not survive as a cluster label")
   }
 
+  test("cluster maintenance: the oversized-component broadcast fallback is exact") {
+    // VERDICT r15 #7: a pathological mega-component would make the
+    // affected-member set corpus-sized, and a forced broadcast hint
+    // then OOMs instead of degrading. Force the guard's bound to 0 so
+    // EVERY affected set takes the unhinted (shuffle-join) fallback,
+    // and assert both maintenance ops still equal the from-scratch
+    // closure — the fallback changes the physical join strategy only.
+    val docs = clusterDocs
+    spark.conf.set("spark.graft.maintenance.broadcastMaxRows", "0")
+    try {
+      TakedownOps.clustersMaterializeWithProvenance(spark, docs,
+        "graft_bfspec")
+      TakedownOps.takedownClusters(spark, Seq(12L).toDF("doc_id"),
+        "graft_bfspec")
+      assert(clusterSet(spark.table("graft_bfspec_clusters")) ===
+        clusterSet(DedupOps.starClusters(docs.where(col("doc_id") =!= 12L))),
+        "takedown through the shuffle fallback must match the rebuild")
+      val batch = Seq((16L, baseText.replace("lazy", "sleepy")))
+        .toDF("doc_id", "text")
+      TakedownOps.appendToClusters(spark, batch, "graft_bfspec")
+      assert(clusterSet(spark.table("graft_bfspec_clusters")) ===
+        clusterSet(DedupOps.starClusters(
+          docs.where(col("doc_id") =!= 12L).unionByName(batch))),
+        "append through the shuffle fallback must match the rebuild")
+    } finally
+      spark.conf.unset("spark.graft.maintenance.broadcastMaxRows")
+  }
+
   test("cluster append: a batch doc BRIDGES two stored components; new/isolated batch docs label right") {
     // a verified two-hop chain: C carries 4 spread word edits off the
     // base (too far to band with it under 8x8 MinHash — probed, stable:
@@ -483,6 +511,58 @@ class TakedownSpec extends SparkSpec {
         "graft_maspec")
     }
     assert(e.getMessage.contains("interleaves"))
+  }
+
+  test("media append: a cross-payload fingerprint collision widens the group recompute to sibling keys") {
+    // keys mod 97: base docs 5/102 carry key 5, 12/109 carry key 12 —
+    // two DISTINCT payloads. Plant the cross-payload fingerprint
+    // collision the cluster tier exists for (q293's premise; the
+    // production fixture can't produce one — keys < 97 map injectively
+    // to their pattern signature): overwrite key 12's stored
+    // fingerprint with key 5's signature so both keys live in ONE
+    // signature group, and rebuild the stored cluster relation to
+    // match. A batch then re-uploads key 5 only. The append's group
+    // recompute must include key 12's owners — pruning the recompute
+    // by the batch's media_keys alone drops the sibling's members
+    // while the kept-side anti-join still removes the stored group
+    // row (ADVICE r15).
+    val base = Seq(5L, 102L, 12L, 109L).toDF("doc_id")
+    val tn = TakedownOps.mediaMaterialize(spark, base, "graft_mcolspec")
+    val sigCols = Seq("format", "width", "height", "resized_sum")
+    val sigsCols = spark.table(tn.sigs).columns.toSeq
+    val sig5 = spark.table(tn.sigs).where(col("media_key") === 5L)
+      .select(sigCols.map(col): _*)
+    val planted = spark.table(tn.sigs).where(col("media_key") =!= 12L)
+      .unionByName(sig5.withColumn("media_key", lit(12L))
+        .select(sigsCols.map(col): _*))
+      .localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS ${tn.sigs}")
+    planted.write.format("parquet").saveAsTable(tn.sigs)
+    def rebuildClusters() =
+      spark.table(tn.keyed).join(spark.table(tn.sigs), Seq("media_key"))
+        .groupBy(sigCols.map(col): _*)
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_members"))
+        .where(col("n_members") >= 2)
+    val consistent = rebuildClusters().localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS ${tn.clusters}")
+    consistent.write.format("parquet").saveAsTable(tn.clusters)
+    def clusterMap() = spark.table(tn.clusters).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_members"))
+      .toMap
+    assert(clusterMap() === Map(5L -> 4L),
+      s"planted fixture: one fused group of 4, got ${clusterMap()}")
+    // batch re-uploads key 5 only (199 % 97 == 5); key 12's owners are
+    // SIBLINGS in the fused group and must survive the recompute
+    TakedownOps.appendToMedia(spark, Seq(199L).toDF("doc_id"),
+      "graft_mcolspec")
+    assert(clusterMap() === Map(5L -> 5L),
+      "append must recompute the WHOLE signature group, colliding " +
+        s"sibling's members included: ${clusterMap()}")
+    // and the stored relation equals a from-scratch rebuild on the
+    // stored keyed × sigs tables, row for row
+    assert(spark.table(tn.clusters).collect().map(_.toSeq).toSet ===
+      rebuildClusters().collect().map(_.toSeq).toSet)
   }
 
   test("ANN takedown: zero residue, row- and serve-identical to a frozen rebuild") {
