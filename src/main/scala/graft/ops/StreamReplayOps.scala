@@ -1556,9 +1556,15 @@ object StreamReplayOps {
     * census triggers the in-place split. Graded against the
     * batch-appended UNSPLIT twin (same content, no repair): the
     * maintained index must end with zero fat cells, identical row
-    * count (the split moves list boundaries, never data), and a
-    * recall curve at equal probes at-or-above the unsplit twin's —
+    * count (the split moves list boundaries, never data), and
+    * recall@topK at equal probes at-or-above the unsplit twin's —
     * q363's invariants, reproduced by the continuous-ingest path.
+    * The streamed repair is NOT byte-identical to the batch split:
+    * its sub-fits observe only the pile's landed PREFIX (a mid-stream
+    * split fits children on the first slice; later arrivals encode
+    * against those fixed children and may trigger further splits), so
+    * intermediate-k recall can differ in either direction — the
+    * contract, and GoldenInvariantSpec's pin, is the top-k serve.
     * Deterministic (frozen fits, salted-hash seeding, id-ordered
     * slices) → literal golden.
     */

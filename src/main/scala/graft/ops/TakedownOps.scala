@@ -644,6 +644,16 @@ object TakedownOps {
       .saveAsTable(tn.keyed)
     sigsN.write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(tn.sigs)
+    // the cluster recompute below re-reads BOTH tables through this
+    // session's relation cache, and the appends above may have been
+    // written through a DIFFERENT session's Dataset (foreachBatch hands
+    // over frames bound to the stream's cloned session, whose write-side
+    // invalidation does not reach this session's cache — the q351
+    // lesson). Without the refresh the recompute sees the PRE-append
+    // listing and every touched group loses the batch's own owners
+    // (caught by StreamingMediaMaintainSpec's from-scratch compare).
+    spark.catalog.refreshTable(tn.keyed)
+    spark.catalog.refreshTable(tn.sigs)
     // recompute exactly the cluster GROUPS the batch's keys belong to.
     // Groups are keyed by SIGNATURE, not media_key: a stored key whose
     // payload fingerprint collides with a batch key's (cross-payload

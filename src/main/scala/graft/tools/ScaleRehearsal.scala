@@ -414,7 +414,14 @@ object ScaleRehearsal {
     "q374_media_append",
     // hybrid evaluation: one fused pass + two relevance derivations
     // (the q245 leg + one exact-cosine pass for the vector labels)
-    "q375_hybrid_eval")
+    "q375_hybrid_eval",
+    // round 16: streamed media maintenance — q374's append per
+    // micro-batch (fixed batch machinery + affected-group recomputes)
+    "q376_media_maintain_replay",
+    // census-triggered split on streamed ingest: q363's repair run
+    // where drift accumulates; the two recall audits (brute-force
+    // exact passes) are the grade's honest cost, as in q363
+    "q377_ann_census_split_replay")
 
   private val OFFSET = 10000000L
 

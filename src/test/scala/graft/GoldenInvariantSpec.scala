@@ -146,4 +146,21 @@ class GoldenInvariantSpec extends AnyFunSuite {
     assert(m("'adc_candidates'")._2 < m("'adc_candidates'")._1)
     assert(m("'recall@5'")._2 >= m("'recall@5'")._1)
   }
+
+  test("q377: streamed census-split clears the flag, conserves rows, recovers top-k recall") {
+    val (cols, rows) = load("q377_ann_census_split_replay")
+    val m = rows.map(r => r(cols.indexOf("metric")) ->
+      ((r(cols.indexOf("unsplit")).toLong, r(cols.indexOf("split")).toLong)))
+      .toMap
+    assert(m("'fat_cells'")._1 >= 1L && m("'fat_cells'")._2 == 0L,
+      "the streamed appends must CREATE the fat cell and the census " +
+        "trigger must clear it")
+    assert(m("'n_code_rows'")._1 == m("'n_code_rows'")._2,
+      "mid-stream splits move list boundaries, never data")
+    // the serve contract is top-k: the streamed repair's sub-fits only
+    // observe the pile's landed PREFIX, so intermediate-k recall may
+    // differ from the batch split's; recall@topK must not regress
+    assert(m("'recall@5'")._2 >= m("'recall@5'")._1,
+      "split-on-ingest must not regress the graded top-k recall")
+  }
 }

@@ -72,4 +72,45 @@ class StreamingAnnMaintainSpec extends SparkSpec {
       .collect().toSeq
     assert(again === truth, "serve must be unchanged after redelivery")
   }
+
+  test("censusSplit: the stream creates the fat cell, the trigger clears it, redelivery is a no-op") {
+    val v = SimilarityOps.vectors(spark, sf)
+    AnnIndexOps.buildResidualIndex(spark, v, "graft_amspec_cs")
+    assert(AnnIndexOps.indexCellCensus(spark, "graft_amspec_cs")
+        .where(col("fat")).count() === 0L,
+      "fixture drift: the clean build must start unflagged")
+    // the q363 drift pile, landed as two micro-batches
+    val shifted = v
+      .crossJoin(spark.range(3).select(col("id").as("copy")))
+      .select(
+        (col("vec_id") + lit(9200000000L) + col("copy") * lit(1000000L))
+          .as("vec_id"),
+        col("label"),
+        expr("transform(v, (x, i) -> 0.05D * x + IF(i = 0, 0.95D, 0D))")
+          .as("v"))
+    val landing = Files.createTempDirectory("graft-anncs-landing").toString
+    shifted.where(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing)
+    shifted.where(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(landing)
+    def run(cp: String): Unit =
+      StreamingAnnMaintain.maintainAvailableNow(spark, landing,
+        "graft_amspec_cs", cp, schema, maxFilesPerTrigger = Some(1),
+        censusSplit = true)
+        .awaitTermination(240000)
+    run(Files.createTempDirectory("graft-anncs-ckpt").toString)
+    assert(AnnIndexOps.indexCellCensus(spark, "graft_amspec_cs")
+        .where(col("fat")).count() === 0L,
+      "the post-batch census trigger must leave no fat cell")
+    val expected = v.count() + shifted.count()
+    assert(spark.table("graft_amspec_cs_vectors").count() === expected,
+      "mid-stream splits move list boundaries, never data")
+    // redelivery with a fresh checkpoint: the anti-join drains every
+    // batch to nothing, so no append AND no further split runs
+    val cents = spark.table("graft_amspec_cs_centroids").collect().toSet
+    run(Files.createTempDirectory("graft-anncs-ckpt2").toString)
+    assert(spark.table("graft_amspec_cs_centroids").collect().toSet ==
+      cents, "redelivery must not re-split an already-repaired index")
+    assert(spark.table("graft_amspec_cs_vectors").count() === expected)
+  }
 }
