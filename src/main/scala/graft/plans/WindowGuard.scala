@@ -69,12 +69,13 @@ object WindowGuard {
     "q364_hybrid_retrieval" ->
       "query-catalog frame: one row per retrieval query",
     // ---- runtime-only: eager internals the static sweep can't see ----
-    "q273_seasonal_decomposition" ->
+    "q273_seasonal_decomp" ->
       ("calendar frame (one row per day) behind an eager localCheckpoint" +
         " — the round-10 hardening moved it out of the returned plan"),
-    "q374_media_append" ->
-      ("q364-family serve internals: the synthetic query-catalog ranking" +
-        " (one row per retrieval query) executes during the shared build"),
+    "q373_stack_takedown" ->
+      ("query-catalog frame: the q364 serve's synthetic q_id ranking" +
+        " (one row per retrieval query) executes eagerly inside the" +
+        " certification's stored-stack serves"),
     "q375_hybrid_eval" ->
       ("query-catalog frame: the q364 serve ranking over one row per" +
         " retrieval query, executed eagerly while assembling the eval"))

@@ -47,6 +47,17 @@ class SearchIndexSpec extends SparkSpec {
         Seq((0L, "join merge sort")).toDF("doc_id", "text"), "graft_sispec2")
     }
     assert(e.getMessage.contains("interleaves"))
+
+    // an INTRA-batch duplicate passes the ordering check but would
+    // double-count that doc's tf mass — the guard must catch it too
+    // (ADVICE r15)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val dup = intercept[IllegalArgumentException] {
+      CorpusStatsOps.searchIndexAppend(spark,
+        Seq((maxId + 1, "join merge sort"), (maxId + 1, "join merge sort"))
+          .toDF("doc_id", "text"), "graft_sispec2")
+    }
+    assert(dup.getMessage.contains("duplicated"))
   }
 
   test("takedown: deleted docs leave results AND the model forgets their mass") {

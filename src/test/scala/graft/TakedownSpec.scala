@@ -254,6 +254,14 @@ class TakedownSpec extends SparkSpec {
       TakedownOps.appendToClusters(spark, bad, "graft_claspec")
     }
     assert(e.getMessage.contains("interleaves"))
+
+    // an INTRA-batch duplicate passes the ordering check but would
+    // fuse two docs' bucket rows — the guard must catch it (ADVICE r15)
+    val dup = Seq((30L, baseText), (30L, baseText)).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      TakedownOps.appendToClusters(spark, dup, "graft_claspec")
+    }
+    assert(e2.getMessage.contains("duplicated"))
   }
 
   test("cluster lifecycle: the takedown splits a component the MERGE created") {
@@ -511,6 +519,13 @@ class TakedownSpec extends SparkSpec {
         "graft_maspec")
     }
     assert(e.getMessage.contains("interleaves"))
+    // intra-batch duplicate: passes the ordering check, would append
+    // the same ownership row twice (ADVICE r15)
+    val e2 = intercept[IllegalArgumentException] {
+      TakedownOps.appendToMedia(spark, Seq(300L, 300L).toDF("doc_id"),
+        "graft_maspec")
+    }
+    assert(e2.getMessage.contains("duplicated"))
   }
 
   test("media append: a cross-payload fingerprint collision widens the group recompute to sibling keys") {
