@@ -802,8 +802,13 @@ object AnnIndexOps {
         .join(pops, Seq("cell"))
         .agg(coalesce(sum(col("pop")), lit(0L))).head().getLong(0)
     }
+    // ONE exact pass serves both twins' audits (same corpus, same
+    // queries — only the index under audit differs)
+    val exact = SimilarityOps.bruteForceTopK(full, q, 5)
+      .localCheckpoint(true)
     def recall(prefix: String): Map[Long, Long] =
-      serveRecallAudit(spark, full, q, prefix).collect()
+      serveRecallAudit(spark, full, q, prefix, exactOpt = Some(exact))
+        .collect()
         .map(r => r.getLong(0) -> r.getLong(3)).toMap
     val ru = recall("graft_annsplit_u")
     val rs = recall("graft_annsplit_s")
@@ -1088,10 +1093,15 @@ object AnnIndexOps {
     */
   def serveRecallAudit(spark: SparkSession, corpus: DataFrame,
       queries: DataFrame, prefix: String, topK: Int = 5, probes: Int = 8,
-      shortlist: Int = 100): DataFrame = {
+      shortlist: Int = 100, exactOpt: Option[DataFrame] = None)
+      : DataFrame = {
     val served = serveTopK(spark, queries, prefix, topK, probes, shortlist)
       .select(col("q_id"), col("rnk").as("s_rnk"), col("vec_id"))
-    val exact = SimilarityOps.bruteForceTopK(corpus, queries, topK)
+    // two-index comparisons (q363/q377: split vs unsplit twin over the
+    // SAME corpus and queries) pass the checkpointed brute-force frame
+    // once instead of paying the exact pass per audited index
+    val exact = exactOpt
+      .getOrElse(SimilarityOps.bruteForceTopK(corpus, queries, topK))
       .select(col("q_id"), col("rnk").as("e_rnk"), col("vec_id"))
     val nq = queries.agg(count(lit(1)).as("n_queries"))
     val kGrid = spark.range(1, topK + 1).select(col("id").as("k"))

@@ -1605,8 +1605,12 @@ object StreamReplayOps {
     def fatCount(prefix: String): Long =
       AnnIndexOps.indexCellCensus(spark, prefix)
         .where(col("fat")).count()
+    // one exact pass shared by both twins' audits (the q363 shape)
+    val exact = SimilarityOps.bruteForceTopK(full, q, 5)
+      .localCheckpoint(true)
     def recall(prefix: String): Map[Long, Long] =
-      AnnIndexOps.serveRecallAudit(spark, full, q, prefix).collect()
+      AnnIndexOps.serveRecallAudit(spark, full, q, prefix,
+          exactOpt = Some(exact)).collect()
         .map(r => r.getLong(0) -> r.getLong(3)).toMap
     val ru = recall("graft_anncs_u")
     val rm = recall("graft_anncs_m")
