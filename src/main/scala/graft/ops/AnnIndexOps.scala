@@ -722,8 +722,23 @@ object AnnIndexOps {
         vecs.select(col("cell")).distinct(), Seq("cell"), "left_semi")
       (children, codes, vecs)
     }
-    // swap parent rows for child rows; snapshot BEFORE reset (the
-    // q42/q62 overwrite discipline), canonical layout restored
+    // swap parent rows for child rows SURGICALLY: the children append
+    // as NEW cell partitions (the appendToIndex write shape — the
+    // table's own partition/bucket spec governs the layout), then the
+    // split parents' partition DIRECTORIES are dropped in place and
+    // the relation cache refreshed. Only the split cells' data moves.
+    // The previous snapshot-union-overwrite rewrote the ENTIRE
+    // codes/vectors tables every round — a full-index write that
+    // defeats the repair's O(cell) bound at scale (a drift repair on a
+    // 100 TB index must not rewrite 100 TB per round) — and re-wrote
+    // every untouched row it promised to carry "verbatim"; untouched
+    // partitions are now verbatim by construction, their files never
+    // touched (AnnIndexSpec pins the byte-identity). The encode frames
+    // are eagerly checkpointed upstream, so the append's plans never
+    // read the directories being replaced. Crash window (append done,
+    // parent delete not): the index over-counts the split cells until
+    // the repair re-runs — the same non-transactional bound every
+    // reset+overwrite here has, documented rather than hidden.
     val fatCells = fat.map(_._1)
     val keptCents = spark.table(tn.centroids)
       .where(!col("cell").isin(fatCells: _*))
@@ -732,17 +747,21 @@ object AnnIndexOps {
     reset(spark, tn.centroids)
     newCents.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tn.centroids)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
     Seq((tn.codes, repaired.map(_._2)), (tn.vectors, repaired.map(_._3)))
       .foreach { case (tbl, parts) =>
-        val merged =
-          (spark.table(tbl).where(!col("cell").isin(fatCells: _*)) +:
-            parts.map(_.select(spark.table(tbl).columns.map(col): _*)))
-          .reduce(_.unionByName(_)).localCheckpoint(true)
-        reset(spark, tbl)
-        merged.repartition(buckets, col("vec_id"))
-          .write.mode(SaveMode.Overwrite)
+        val cols = spark.table(tbl).columns
+        parts.map(_.select(cols.map(col): _*))
+          .reduce(_.unionByName(_))
+          .repartition(buckets, col("vec_id"))
+          .write.mode(SaveMode.Append)
           .partitionBy("cell").bucketBy(buckets, "vec_id").sortBy("vec_id")
           .format("parquet").saveAsTable(tbl)
+        val loc = new org.apache.hadoop.fs.Path(wh, tbl)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fatCells.foreach(c =>
+          fs.delete(new org.apache.hadoop.fs.Path(loc, s"cell=$c"), true))
+        spark.catalog.refreshTable(tbl)
       }
     fatCells
   }
