@@ -849,7 +849,11 @@ object CorpusStatsOps {
       docs: DataFrame, prefix: String): SearchIndexTables = {
     val tn = searchIndexTables(prefix)
     val (post, dl) = idxRelations(docs)
-    Seq(tn.postings, tn.dl).foreach(idxReset(spark, _))
+    // the tombstone table resets with the index: a leftover pending
+    // set from an earlier life of this prefix would silently filter a
+    // fresh index's serves (the resetWatermark hazard, q378's tier)
+    Seq(tn.postings, tn.dl, searchTombTable(prefix))
+      .foreach(idxReset(spark, _))
     post.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(tn.postings)
     dl.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -909,18 +913,78 @@ object CorpusStatsOps {
     }
   }
 
+  def searchTombTable(prefix: String): String = s"${prefix}_stomb"
+
+  /** LSM-shape deletion for the STORED search index — the q356
+    * doctrine one tier over (q378): a physical anti-join rewrite of
+    * the corpus-sized postings relation per deletion micro-batch is
+    * the wrong amortization for a stream, so right-to-be-forgotten
+    * requests land as cheap doc_id TOMBSTONE appends.
+    * [[bm25FromStored]] anti-joins the pending set — a deleted doc is
+    * unservable the moment its tombstone lands, and because df and the
+    * corpus totals are DERIVED from the filtered relations at read
+    * time, the tombstone-filtered serve equals a from-scratch index on
+    * the survivors EXACTLY (idf/length-normalization mass included),
+    * not just "the doc is hidden". [[applySearchTombstones]] folds the
+    * accumulated set into ONE physical takedown rewrite and retires
+    * the tombstone table. Deletion is idempotent by nature; the
+    * anti-join on add just keeps the pending set duplicate-free under
+    * at-least-once delivery.
+    */
+  def addSearchTombstones(spark: org.apache.spark.sql.SparkSession,
+      deletedDocs: DataFrame, prefix: String): Unit = {
+    val tt = searchTombTable(prefix)
+    val del = deletedDocs.select(col("doc_id")).distinct()
+      .localCheckpoint(true)
+    val fresh =
+      if (spark.catalog.tableExists(tt))
+        del.join(spark.table(tt), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      else del
+    if (!fresh.isEmpty) {
+      fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(tt)
+      spark.catalog.refreshTable(tt)
+    }
+  }
+
+  /** Fold the pending tombstones into one physical rewrite (the q369
+    * takedown) and retire the tombstone table. Serves are byte-
+    * identical before and after — compaction invisible to readers,
+    * the q347/q356 doctrine (SearchIndexSpec pins it).
+    */
+  def applySearchTombstones(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): Unit = {
+    val tt = searchTombTable(prefix)
+    if (!spark.catalog.tableExists(tt)) return
+    val pending = spark.table(tt).localCheckpoint(true)
+    searchIndexTakedown(spark, pending, prefix)
+    idxReset(spark, tt)
+  }
+
   /** q245's scorer reading the STORED index — the serve path of the
     * lifecycle. The plan touches postings of the QUERY terms only (the
     * broadcast semi-prune lands on the postings scan), dl, and two
     * term-bounded derived aggregates; the corpus text is never read.
+    * A pending tombstone set (q378's streamed deletion) anti-joins
+    * BOTH stored relations before anything derives, so every
+    * downstream stat is survivor-exact; the set is deletion-sized
+    * between applies (broadcast — RTBF batches, folded regularly by
+    * [[applySearchTombstones]]; a bulk expiry should apply first).
     */
   def bm25FromStored(spark: org.apache.spark.sql.SparkSession,
       queries: Seq[(String, String)], k: Int, prefix: String): DataFrame = {
     val tn = searchIndexTables(prefix)
     import spark.implicits._
     val q = queries.toDF("query_id", "term")
-    val post = spark.table(tn.postings)
-    val dl = spark.table(tn.dl)
+    val tomb =
+      if (spark.catalog.tableExists(searchTombTable(prefix)))
+        Some(broadcast(spark.table(searchTombTable(prefix))))
+      else None
+    def live(df: DataFrame): DataFrame =
+      tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+    val post = live(spark.table(tn.postings))
+    val dl = live(spark.table(tn.dl))
     val totals = dl.agg(sum(col("dl")).as("l"), count(lit(1)).as("n"))
     val dfreq = post.join(broadcast(q.select("term").distinct()),
         Seq("term"), "left_semi")
@@ -1223,7 +1287,7 @@ object CorpusStatsOps {
       |      FROM agg)""".stripMargin
   }
 
-  private def bm25Sql(queries: Seq[(String, String)], k: Int,
+  private[ops] def bm25Sql(queries: Seq[(String, String)], k: Int,
       docFilter: String = ""): String =
     s"""WITH ${bm25Ctes(queries, docFilter)}
       |SELECT query_id, rnk, doc_id, n_hit, score_u

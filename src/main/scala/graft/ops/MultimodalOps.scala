@@ -298,14 +298,18 @@ object MultimodalOps {
       .orderBy("canonical_id")
   }
 
-  private[graft] val mediaDedupSql: String =
-    """WITH g AS (
+  /** The q293 oracle parameterized by a survivor predicate on
+    * `documents` — TRUE gives the full-corpus oracle; the takedown
+    * replays (q380) grade against the survivors-only rebuild.
+    */
+  private[graft] def mediaDedupSqlOn(pred: String): String =
+    s"""WITH g AS (
       |  SELECT gx.range AS ox, gy.range AS oy
       |  FROM range(4) gx, range(4) gy),
       |d AS (
       |  SELECT doc_id, doc_id % 97 AS k,
       |    4 + (doc_id % 97) % 9 AS w, 4 + (doc_id % 97) % 7 AS h
-      |  FROM documents),
+      |  FROM documents WHERE $pred),
       |px AS (
       |  SELECT doc_id, k, w, h,
       |    (ox * w) // 4 AS sx, (oy * h) // 4 AS sy
@@ -327,6 +331,8 @@ object MultimodalOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_members
       |FROM sig GROUP BY 1, 2, 3, 4
       |HAVING COUNT(*) >= 2 ORDER BY canonical_id""".stripMargin
+
+  private[graft] val mediaDedupSql: String = mediaDedupSqlOn("TRUE")
 
   /** Partition-wise decode → nearest-neighbor 4×4 thumbnail → exact
     * byte-sum fingerprint. Same iterator shape as [[decodeFeatures]];

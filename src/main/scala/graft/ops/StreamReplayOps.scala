@@ -1546,6 +1546,118 @@ object StreamReplayOps {
       .orderBy("canonical_id")
   }
 
+  /** q378 body: streamed SEARCH-INDEX TAKEDOWN replay — the deletion
+    * side of the persisted-index lifecycle as a stream
+    * ([[graft.streaming.StreamingSearchIndexTakedown]]), the q356
+    * LSM doctrine one tier over. Materialize the full index, land the
+    * deletion requests (doc_id % 13 — q350's RTBF set) as time slices,
+    * tombstone them per micro-batch, then APPLY (one physical fold)
+    * and serve. The graded serve comes from the physically-swept
+    * index; SearchIndexSpec pins that the tombstone-filtered serve
+    * BEFORE the apply is byte-identical — a deleted doc is unservable,
+    * with survivor-exact idf/dl mass, the moment its tombstone lands.
+    * Held to q369's oracle: a full DuckDB rebuild on the survivors.
+    */
+  def searchTakedownReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-sitd-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    CorpusStatsOps.searchIndexMaterialize(spark, docs, "graft_sitdstream")
+    val dels = docs.where(col("doc_id") % 13 === 0).select(col("doc_id"))
+    landTimeSlices(spark, dels.withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingSearchIndexTakedown.takedownAvailableNow(
+        spark, landing, "graft_sitdstream", ckpt,
+        StructType.fromDDL("doc_id BIGINT"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    CorpusStatsOps.applySearchTombstones(spark, "graft_sitdstream")
+    CorpusStatsOps.bm25FromStored(spark, CorpusStatsOps.Bm25Queries, 10,
+      "graft_sitdstream")
+  }
+
+  /** q379 body: streamed CLUSTER-MAP TAKEDOWN replay — the deletion
+    * side of the dedup-cluster lifecycle as a stream
+    * ([[graft.streaming.StreamingClusterTakedown]]): materialize the
+    * full closure with provenance, land q372's deletion set
+    * (doc_id % 13) as time slices, repair component-locally per
+    * micro-batch (splits where a deleted doc bridged, label migration
+    * where it was the minimum), read back the census. The swept state
+    * is the closure on the survivors — exactly the state q372's
+    * composed lifecycle ends in — so the readback (census +
+    * matches_rebuild recomputed against this replay's OWN from-scratch
+    * closure) is graded against q372's golden: two independent
+    * lifecycle paths (batch compose vs streamed deletions), one
+    * output. Redelivery idempotence is pinned by the spec.
+    */
+  def clusterTakedownReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-cltd-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    TakedownOps.clustersMaterializeWithProvenance(spark, docs,
+      "graft_cltdstream")
+    val dels = docs.where(col("doc_id") % 13 === 0).select(col("doc_id"))
+    landTimeSlices(spark, dels.withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingClusterTakedown.takedownAvailableNow(
+        spark, landing, "graft_cltdstream", ckpt,
+        StructType.fromDDL("doc_id BIGINT"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    val swept = spark.table("graft_cltdstream_clusters")
+      .select(col("doc_id"), col("cluster_id"), col("is_dup"))
+      .localCheckpoint(true)
+    val rebuild = DedupOps.starClusters(docs.where(col("doc_id") % 13 =!= 0))
+      .select(col("doc_id"), col("cluster_id"), col("is_dup"))
+    val matches =
+      if (swept.count() == rebuild.count() && swept.exceptAll(rebuild).isEmpty)
+        1 else 0
+    swept.groupBy("is_dup")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .withColumn("matches_rebuild", lit(matches))
+      .orderBy("is_dup")
+  }
+
+  /** q380 body: streamed MEDIA-ARTIFACT TAKEDOWN replay — q365's sweep
+    * as a stream ([[graft.streaming.StreamingMediaTakedown]]),
+    * completing streamed-deletion symmetry across the artifact tiers.
+    * Materialize the full media tier, land q365's composed deletion
+    * set (the RTBF sweep doc_id % 13 PLUS every owner of media key 7 —
+    * the DMCA shape that makes fingerprint retirement non-vacuous) as
+    * time slices, sweep per micro-batch, read back the cluster
+    * relation — held to the q293 oracle REBUILT on the survivors in
+    * DuckDB: the streamed sweep must equal a media tier that never saw
+    * the deleted docs.
+    */
+  def mediaTakedownReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-mtd-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    TakedownOps.mediaMaterialize(spark, docs, "graft_mtdstream")
+    val dels = docs
+      .where(col("doc_id") % 13 === 0 || col("doc_id") % 97 === 7)
+    landTimeSlices(spark, dels.withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingMediaTakedown.takedownAvailableNow(
+        spark, landing, "graft_mtdstream", ckpt,
+        StructType.fromDDL("doc_id BIGINT"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    spark.table("graft_mtdstream_mclusters")
+      .select(col("format"), col("width"), col("height"),
+        col("resized_sum"), col("canonical_id"), col("n_members"))
+      .orderBy("canonical_id")
+  }
+
   /** q377 body: CENSUS-TRIGGERED SPLIT in the streamed ingest path —
     * q363's observe→repair loop composed with the streamed ANN
     * maintenance (VERDICT r15 #5), run where drift actually
@@ -1750,6 +1862,34 @@ object StreamReplayOps {
     QueryDef("q377_ann_census_split_replay",
       graft.util.Tables.literalOracle("q377_ann_census_split_replay"),
       (spark, dir) => annCensusSplitReplay(spark, dir)),
+
+    // Streamed search-index takedown (31st streaming component):
+    // tombstone appends per micro-batch (the q356 LSM amortization,
+    // one tier over), survivor-exact serves before the apply, one
+    // physical fold after; held to q369's oracle — a full DuckDB
+    // rebuild on the survivors.
+    QueryDef("q378_index_takedown_replay",
+      Some(CorpusStatsOps.bm25Sql(CorpusStatsOps.Bm25Queries, 10,
+        " AND doc_id % 13 <> 0")),
+      (spark, dir) => searchTakedownReplay(spark, dir)),
+
+    // Streamed cluster-map takedown (32nd streaming component):
+    // component-local repair per micro-batch (tombstones CANNOT make
+    // cluster reads correct — labels are component minima); the swept
+    // state is the survivors' closure, the same state q372's composed
+    // lifecycle ends in, so the census readback shares q372's golden.
+    QueryDef("q379_cluster_takedown_replay",
+      graft.util.Tables.literalOracle("q372_cluster_lifecycle"),
+      (spark, dir) => clusterTakedownReplay(spark, dir)),
+
+    // Streamed media takedown (33rd streaming component): q365's sweep
+    // per micro-batch — ownership rows leave, last-owner fingerprints
+    // retire, affected signature groups recompute; held to the q293
+    // oracle rebuilt on the survivors in DuckDB.
+    QueryDef("q380_media_takedown_replay",
+      Some(MultimodalOps.mediaDedupSqlOn(
+        "NOT (doc_id % 13 = 0 OR doc_id % 97 = 7)")),
+      (spark, dir) => mediaTakedownReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

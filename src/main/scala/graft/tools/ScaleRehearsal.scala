@@ -421,7 +421,13 @@ object ScaleRehearsal {
     // census-triggered split on streamed ingest: q363's repair run
     // where drift accumulates; the two recall audits (brute-force
     // exact passes) are the grade's honest cost, as in q363
-    "q377_ann_census_split_replay")
+    "q377_ann_census_split_replay",
+    // streamed takedown symmetry: tombstone appends + one fold for the
+    // search index; component-local repairs per batch for the cluster
+    // and media tiers (deletion-bounded label/group work; the
+    // unpartitioned-table rewrite per batch is the documented bound)
+    "q378_index_takedown_replay", "q379_cluster_takedown_replay",
+    "q380_media_takedown_replay")
 
   private val OFFSET = 10000000L
 

@@ -79,6 +79,60 @@ class SearchIndexSpec extends SparkSpec {
       "swept-index scoring must equal an index that never saw the docs")
   }
 
+  test("streamed takedown: tombstoned docs unservable with survivor-exact mass; apply is invisible; redelivery lands nothing") {
+    val tn = CorpusStatsOps.searchIndexTables("graft_sitspec")
+    CorpusStatsOps.searchIndexMaterialize(spark, docs, "graft_sitspec")
+    val pre = served("graft_sitspec")
+    val delIds = pre.filter(_._1 == "q1").map(_._3).distinct
+    val landing = Files.createTempDirectory("graft-sit-landing").toString
+    delIds.take(delIds.size / 2 max 1).toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(landing)
+    delIds.drop(delIds.size / 2 max 1).toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(landing)
+    def run(cp: String): Unit =
+      graft.streaming.StreamingSearchIndexTakedown.takedownAvailableNow(
+        spark, landing, "graft_sitspec", cp,
+        StructType.fromDDL("doc_id BIGINT"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination(120000)
+    run(Files.createTempDirectory("graft-sit-ckpt").toString)
+
+    // BEFORE the apply: tombstoned docs are unservable, and the serve
+    // equals a from-scratch index on the survivors — the anti-join
+    // runs before df/dl totals derive, so the mass is survivor-exact
+    val filtered = served("graft_sitspec")
+    assert(filtered.nonEmpty && !filtered.exists(r => delIds.contains(r._3)),
+      "a tombstoned doc must be unservable the moment its tombstone lands")
+    CorpusStatsOps.searchIndexMaterialize(spark,
+      docs.join(delIds.toDF("doc_id"), Seq("doc_id"), "left_anti"),
+      "graft_sitspec2")
+    assert(filtered === served("graft_sitspec2"),
+      "the tombstone-filtered serve must equal an index that never saw the docs")
+
+    // redelivery with a wiped checkpoint lands nothing new
+    val pendingRows = spark.table(
+      CorpusStatsOps.searchTombTable("graft_sitspec")).count()
+    run(Files.createTempDirectory("graft-sit-ckpt2").toString)
+    assert(spark.table(CorpusStatsOps.searchTombTable("graft_sitspec"))
+      .count() === pendingRows,
+      "redelivered tombstone batches must not grow the pending set")
+
+    // the apply folds physically, retires the pending set, and is
+    // invisible to readers
+    val postRowsBefore = spark.table(tn.postings).count()
+    CorpusStatsOps.applySearchTombstones(spark, "graft_sitspec")
+    assert(!spark.catalog.tableExists(
+      CorpusStatsOps.searchTombTable("graft_sitspec")),
+      "the apply must retire the folded tombstone table")
+    assert(spark.table(tn.postings).count() < postRowsBefore,
+      "the apply must physically remove the tombstoned docs' rows")
+    assert(served("graft_sitspec") === filtered,
+      "serves must be byte-identical before and after the apply")
+    // idempotent: applying with no pending set is a no-op
+    CorpusStatsOps.applySearchTombstones(spark, "graft_sitspec")
+    assert(served("graft_sitspec") === filtered)
+  }
+
   test("streamed maintenance == batch; redelivery appends nothing") {
     val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("t")).head()
       .getLong(0)
