@@ -1658,6 +1658,46 @@ object StreamReplayOps {
       .orderBy("canonical_id")
   }
 
+  /** q381 body: streamed LM UNLEARNING replay — the deletion side of
+    * the trained-model lifecycle as a stream
+    * ([[graft.streaming.StreamingLmUnlearn]]), completing
+    * learn/unlearn symmetry for the model tier (q367 is the learn
+    * side). Train on the even slice, persist the model, land the
+    * takedown deletion set (train docs with doc_id % 13 == 0 — q362's)
+    * as time slices, subtract each micro-batch's exact contributions,
+    * then score the surviving odd docs from the unlearned STORED
+    * model. Graded by q362's OWN full SQL oracle — DuckDB retrains
+    * from scratch on the survivors, so streamed unlearning == batch
+    * unlearning == retrain, proven by an independent engine.
+    * Exactly-once (the persisted processed-ids gate — deletion ids
+    * arrive unordered, so no watermark can dedup them) is pinned by
+    * StreamingLmUnlearnSpec's wiped-checkpoint re-run.
+    */
+  def lmUnlearnReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = replayScratchBase("graft-lmu-replay")
+    val (landing, ckpt) = (s"$base/landing", s"$base/ckpt")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 2 === 0)
+    VocabModelOps.lmMaterialize(spark, train, "graft_lmustream")
+    graft.streaming.StreamingLmUnlearn.resetProcessed(spark,
+      "graft_lmustream")
+    landTimeSlices(spark,
+      train.where(col("doc_id") % 13 === 0)
+        .withColumn("slice_key", col("doc_id")),
+      nSlices = 3, landing, None)
+    withReplayPartitions(spark) {
+      graft.streaming.StreamingLmUnlearn.unlearnAvailableNow(
+        spark, landing, "graft_lmustream", ckpt,
+        StructType.fromDDL("doc_id BIGINT, text STRING"),
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    }
+    VocabModelOps.scoreFromStored(spark,
+      docs.where(col("doc_id") % 2 === 1 && col("doc_id") % 13 =!= 0),
+      "graft_lmustream")
+  }
+
   /** q377 body: CENSUS-TRIGGERED SPLIT in the streamed ingest path —
     * q363's observe→repair loop composed with the streamed ANN
     * maintenance (VERDICT r15 #5), run where drift actually
@@ -1890,6 +1930,15 @@ object StreamReplayOps {
       Some(MultimodalOps.mediaDedupSqlOn(
         "NOT (doc_id % 13 = 0 OR doc_id % 97 = 7)")),
       (spark, dir) => mediaTakedownReplay(spark, dir)),
+
+    // Streamed LM unlearning (34th streaming component): exact count
+    // subtraction per micro-batch behind a persisted processed-ids
+    // gate (subtraction is not idempotent and deletion ids are
+    // unordered); held to q362's full SQL oracle — DuckDB retrains
+    // from scratch on the survivors.
+    QueryDef("q381_lm_unlearn_replay",
+      Some(VocabModelOps.unlearnedPerplexitySql),
+      (spark, dir) => lmUnlearnReplay(spark, dir)),
 
     // Chained curation-gate replay (22nd streaming component):
     // row-local quality gate -> per-language budget skip-fold in one

@@ -427,7 +427,11 @@ object ScaleRehearsal {
     // and media tiers (deletion-bounded label/group work; the
     // unpartitioned-table rewrite per batch is the documented bound)
     "q378_index_takedown_replay", "q379_cluster_takedown_replay",
-    "q380_media_takedown_replay")
+    "q380_media_takedown_replay",
+    // streamed LM unlearning: q362's deletion-bounded subtraction per
+    // micro-batch (vocabulary-bounded rewrites — q328's fixture
+    // arithmetic, bar 15 like the other LM cells)
+    "q381_lm_unlearn_replay")
 
   private val OFFSET = 10000000L
 
@@ -496,6 +500,7 @@ object ScaleRehearsal {
       // relations (one rewrite per batch on the streamed side). Bar 15.
       "q366_lm_append" -> 15.0,
       "q367_lm_maintain_replay" -> 15.0,
+      "q381_lm_unlearn_replay" -> 15.0,
       // q368-q370 persist the postings relation, which grows with the
       // fixture's 10x vocabulary (q52's Heaps-law arithmetic). Bar 15.
       "q368_index_append" -> 15.0,
