@@ -61,18 +61,46 @@ object StreamingAnnMaintain {
     reader
       .parquet(landingDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bt0 = System.nanoTime()
+        var lastMark = bt0
+        def mark(phase: String): Unit =
+          if (sys.env.contains("SPARK_GRAFT_TD_TIMING")) {
+            val now = System.nanoTime()
+            System.err.println(
+              f"[annmaintain b$batchId] $phase: ${(now - lastMark) / 1e9}%.2fs")
+            lastMark = now
+          }
         val tn = AnnIndexOps.tables(indexPrefix)
-        // eager checkpoint: the anti-join is consumed three times
-        // (isEmpty + the two table writes), and the vectors write must
-        // not read tn.vectors through its own plan while appending to it
-        val fresh = batch.join(
-            spark.table(tn.vectors).select(col("vec_id")),
-            Seq("vec_id"), "left_anti")
-          .localCheckpoint(true)
+        // idempotency probe, watermark-first (VERDICT r16 #4): the old
+        // shape anti-joined EVERY batch against the full vec_id column
+        // of the stored vectors table — a corpus-scale read per
+        // batch-scale trigger. The census side relation now carries the
+        // max id ever indexed, and ids are unique and immutable (the
+        // corpus contract), so anything above the watermark is fresh by
+        // construction; only the (normally empty) at-or-below remainder
+        // — i.e. an actual redelivery — pays the anti-join, and then
+        // correctly drains to nothing. Result-identical to the full
+        // anti-join in every case. The eager checkpoint remains: fresh
+        // is consumed by isEmpty + two table writes, and the vectors
+        // write must not read tn.vectors through its own plan while
+        // appending to it.
+        val fresh = (AnnIndexOps.maxIndexedId(spark, indexPrefix) match {
+          case Some(wm) =>
+            val maybeSeen = batch.where(col("vec_id") <= wm)
+            if (maybeSeen.isEmpty) batch.where(col("vec_id") > wm)
+            else batch.where(col("vec_id") > wm).unionByName(
+              maybeSeen.join(spark.table(tn.vectors).select(col("vec_id")),
+                Seq("vec_id"), "left_anti"))
+          case None =>
+            batch.join(spark.table(tn.vectors).select(col("vec_id")),
+              Seq("vec_id"), "left_anti")
+        }).localCheckpoint(true)
+        mark("freshness probe")
         if (!fresh.isEmpty) {
           AnnIndexOps.appendToIndex(spark, fresh, indexPrefix,
             m = m, dim = dim, buckets = buckets)
+          mark("appendToIndex")
           // the micro-batch write runs on the stream's CLONED session,
           // whose catalog invalidation does not reach the outer
           // session's relation cache — without an explicit refresh the
@@ -81,6 +109,7 @@ object StreamingAnnMaintain {
           // invisible (caught by StreamingAnnMaintainSpec)
           spark.catalog.refreshTable(tn.codes)
           spark.catalog.refreshTable(tn.vectors)
+          spark.catalog.refreshTable(AnnIndexOps.cellPopsTable(indexPrefix))
           if (censusSplit) {
             // observe→repair per trigger: splitFatCells starts with the
             // census and returns empty when nothing is flagged, so the
@@ -88,10 +117,13 @@ object StreamingAnnMaintain {
             val split = graft.ops.AnnIndexOps.splitFatCells(
               spark, indexPrefix, iters = 2, m = m, dim = dim,
               buckets = buckets)
+            mark(s"splitFatCells (${split.size} cells)")
             if (split.nonEmpty) {
               spark.catalog.refreshTable(tn.centroids)
               spark.catalog.refreshTable(tn.codes)
               spark.catalog.refreshTable(tn.vectors)
+              spark.catalog.refreshTable(
+                AnnIndexOps.cellPopsTable(indexPrefix))
             }
           }
         }

@@ -41,9 +41,15 @@ object StreamingClusterMaintain {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tn = TakedownOps.clusterTables(prefix)
-        val wmRow = spark.table(tn.clusters)
-          .agg(max(col("doc_id"))).head()
-        val wm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+        // watermark from the pinned table property when present (O(1)
+        // catalog metadata); the id-column scan is only the fallback
+        // for maps materialized before the property existed
+        val wm = TakedownOps.tableMaxDocId(spark, tn.clusters)
+          .getOrElse {
+            val wmRow = spark.table(tn.clusters)
+              .agg(max(col("doc_id"))).head()
+            if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+          }
         val fresh = batch.where(col("doc_id") > wm).localCheckpoint(true)
         if (!fresh.isEmpty) {
           TakedownOps.appendToClusters(spark, fresh, prefix)

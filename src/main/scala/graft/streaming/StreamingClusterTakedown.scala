@@ -47,9 +47,18 @@ object StreamingClusterTakedown {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tn = TakedownOps.clusterTables(prefix)
         // idempotency gate: only ids still PRESENT in the stored map
-        // need work — a redelivered batch drains to nothing here
-        val present = batch.select(col("doc_id"))
-          .join(spark.table(tn.clusters), Seq("doc_id"), "left_semi")
+        // need work — a redelivered batch drains to nothing here. The
+        // probe prunes to the batch ids' pb partitions (driver metadata
+        // bounded by the table's bucket count), so the per-trigger read
+        // is batch-bucket-bounded instead of a full-relation scan
+        val ids = batch.select(col("doc_id")).localCheckpoint(true)
+        val b = TakedownOps.tableDocBuckets(spark, tn.clusters)
+        val pbs = ids.select(pmod(col("doc_id"), lit(b.toLong))
+            .cast("int").as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val present = ids
+          .join(spark.table(tn.clusters).where(col("pb").isin(pbs: _*)),
+            Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
         if (!present.isEmpty) {
           TakedownOps.takedownClusters(spark, present, prefix)

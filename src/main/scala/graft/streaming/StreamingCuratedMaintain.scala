@@ -47,9 +47,16 @@ object StreamingCuratedMaintain {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tn = TakedownOps.curatedTables(prefix)
-        val wmRow = spark.table(tn.pars)
-          .agg(max(shiftright(col("pid"), 20))).head()
-        val wm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+        // watermark from the pinned max-pid property (O(1) catalog
+        // metadata); the id-column scan is only the pre-property
+        // fallback. pid >> 20 recovers the owning doc_id.
+        val wm = TakedownOps.tableMaxDocId(spark, tn.pars)
+          .map(_ >> 20)
+          .getOrElse {
+            val wmRow = spark.table(tn.pars)
+              .agg(max(shiftright(col("pid"), 20))).head()
+            if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+          }
         // eager checkpoint: the fresh slice is consumed several times
         // inside the append (contract min, banding, verdicts, writes)
         val fresh = batch.where(col("doc_id") > wm).localCheckpoint(true)

@@ -45,9 +45,14 @@ object StreamingMediaMaintain {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tn = TakedownOps.mediaTables(prefix)
-        val wmRow = spark.table(tn.keyed)
-          .agg(max(col("doc_id"))).head()
-        val wm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+        // watermark from the pinned table property when present (O(1)
+        // catalog metadata); the id-column scan is only the fallback
+        val wm = TakedownOps.tableMaxDocId(spark, tn.keyed)
+          .getOrElse {
+            val wmRow = spark.table(tn.keyed)
+              .agg(max(col("doc_id"))).head()
+            if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
+          }
         val fresh = batch.where(col("doc_id") > wm).localCheckpoint(true)
         if (!fresh.isEmpty) {
           TakedownOps.appendToMedia(spark, fresh, prefix)

@@ -42,8 +42,16 @@ object StreamingMediaTakedown {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val tn = TakedownOps.mediaTables(prefix)
-        val present = batch.select(col("doc_id"))
-          .join(spark.table(tn.keyed), Seq("doc_id"), "left_semi")
+        // idempotency probe pruned to the batch ids' pb partitions —
+        // batch-bucket-bounded, never a full ownership-relation scan
+        val ids = batch.select(col("doc_id")).localCheckpoint(true)
+        val b = TakedownOps.tableDocBuckets(spark, tn.keyed)
+        val pbs = ids.select(pmod(col("doc_id"), lit(b.toLong))
+            .cast("int").as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val present = ids
+          .join(spark.table(tn.keyed).where(col("pb").isin(pbs: _*)),
+            Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
         if (!present.isEmpty) {
           TakedownOps.takedownMedia(spark, present, prefix)

@@ -547,21 +547,29 @@ class TakedownSpec extends SparkSpec {
     val sigsCols = spark.table(tn.sigs).columns.toSeq
     val sig5 = spark.table(tn.sigs).where(col("media_key") === 5L)
       .select(sigCols.map(col): _*)
+    // re-keying the planted row must RE-BUCKET it too (sb derives from
+    // media_key) — the maintenance paths prune reads by partition, so a
+    // mis-bucketed row would silently vanish from every pruned scan
     val planted = spark.table(tn.sigs).where(col("media_key") =!= 12L)
       .unionByName(sig5.withColumn("media_key", lit(12L))
+        .withColumn("sb", pmod(col("media_key"), lit(16L)).cast("int"))
         .select(sigsCols.map(col): _*))
       .localCheckpoint(true)
     spark.sql(s"DROP TABLE IF EXISTS ${tn.sigs}")
-    planted.write.format("parquet").saveAsTable(tn.sigs)
+    planted.write.format("parquet").partitionBy("sb").saveAsTable(tn.sigs)
     def rebuildClusters() =
       spark.table(tn.keyed).join(spark.table(tn.sigs), Seq("media_key"))
         .groupBy(sigCols.map(col): _*)
         .agg(min(col("doc_id")).as("canonical_id"),
           count(lit(1)).as("n_members"))
         .where(col("n_members") >= 2)
-    val consistent = rebuildClusters().localCheckpoint(true)
+    val consistent = rebuildClusters()
+      .withColumn("cb",
+        pmod(xxhash64(sigCols.map(col): _*), lit(16L)).cast("int"))
+      .localCheckpoint(true)
     spark.sql(s"DROP TABLE IF EXISTS ${tn.clusters}")
-    consistent.write.format("parquet").saveAsTable(tn.clusters)
+    consistent.write.format("parquet").partitionBy("cb")
+      .saveAsTable(tn.clusters)
     def clusterMap() = spark.table(tn.clusters).collect()
       .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_members"))
       .toMap
@@ -575,9 +583,69 @@ class TakedownSpec extends SparkSpec {
       "append must recompute the WHOLE signature group, colliding " +
         s"sibling's members included: ${clusterMap()}")
     // and the stored relation equals a from-scratch rebuild on the
-    // stored keyed × sigs tables, row for row
-    assert(spark.table(tn.clusters).collect().map(_.toSeq).toSet ===
-      rebuildClusters().collect().map(_.toSeq).toSet)
+    // stored keyed × sigs tables, row for row (partition column aside)
+    val cluCols = (sigCols :+ "canonical_id" :+ "n_members").map(col)
+    assert(spark.table(tn.clusters).select(cluCols: _*)
+        .collect().map(_.toSeq).toSet ===
+      rebuildClusters().select(cluCols: _*).collect().map(_.toSeq).toSet)
+  }
+
+  private def dataFiles(tbl: String): Map[String, Long] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(loc, true)
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        b += f.getPath.toString -> f.getModificationTime
+    }
+    b.result()
+  }
+
+  test("surgical maintenance: untouched buckets' data files do not move (cluster + media tiers)") {
+    // cluster tier: delete the chain's tail (13). Affected component =
+    // {11,12,13}; docs 14/15 are other components in other pb buckets —
+    // their files must be byte-for-byte the same files afterwards.
+    val kt = TakedownOps.clustersMaterializeWithProvenance(
+      spark, clusterDocs, "graft_immspec")
+    val before = dataFiles(kt.clusters)
+    val beforeDb = dataFiles(kt.dbuckets)
+    TakedownOps.takedownClusters(spark, Seq(13L).toDF("doc_id"),
+      "graft_immspec")
+    val after = dataFiles(kt.clusters)
+    val afterDb = dataFiles(kt.dbuckets)
+    def untouched(m: Map[String, Long], pbs: Seq[String]) =
+      m.filter { case (p, _) => pbs.exists(p.contains) }
+    // pb = doc_id % 16: docs 14, 15 live alone in pb=14 / pb=15
+    val keepCl = untouched(before, Seq("pb=14", "pb=15"))
+    assert(keepCl.nonEmpty, "fixture drift: expected files in pb=14/15")
+    assert(keepCl.forall { case (p, t) => after.get(p).contains(t) },
+      "untouched cluster buckets' files must not move across a takedown")
+    assert(untouched(beforeDb, Seq("pb=14"))
+        .forall { case (p, t) => afterDb.get(p).contains(t) },
+      "untouched dbuckets files must not move across a takedown")
+    // the affected bucket WAS rewritten (the deleted doc's row is gone)
+    assert(spark.table(kt.clusters).where(col("doc_id") === 13L).isEmpty)
+    assert(clusterSet(spark.table(kt.clusters)) ===
+      clusterSet(DedupOps.starClusters(
+        clusterDocs.where(col("doc_id") =!= 13L))),
+      "surgical rewrite must still produce the exact survivor closure")
+
+    // media tier: deleting doc 10 touches pb=10 only on the ownership
+    // relation; the other owners' buckets must not move
+    val mt = TakedownOps.mediaMaterialize(
+      spark, Seq(10L, 107L, 204L, 11L, 108L, 5L).toDF("doc_id"),
+      "graft_immspec_m")
+    val beforeK = dataFiles(mt.keyed)
+    TakedownOps.takedownMedia(spark, Seq(10L).toDF("doc_id"),
+      "graft_immspec_m")
+    val afterK = dataFiles(mt.keyed)
+    val keepK = beforeK.filterNot { case (p, _) => p.contains("pb=10") }
+    assert(keepK.nonEmpty)
+    assert(keepK.forall { case (p, t) => afterK.get(p).contains(t) },
+      "untouched ownership buckets' files must not move across a takedown")
   }
 
   test("ANN takedown: zero residue, row- and serve-identical to a frozen rebuild") {
